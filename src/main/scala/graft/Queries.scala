@@ -1,0 +1,341 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.engine.query.FilterAlgebra
+import graft.engine.query.FilterAlgebra.{Op, WhereFilter}
+import graft.engine.imp.ImportPipeline
+import graft.engine.profile.Profiler
+
+/** The oracle-checked query catalog: one entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent SQL for the driver's
+  * differential harness.
+  *
+  * Float-parity conventions (SURVEY.md §7.4):
+  *  - SUMs go through DECIMAL(38,4) (exact, order-independent) then cast to
+  *    DOUBLE — identical bits on both engines regardless of partitioning.
+  *  - AVGs are computed as exact decimal SUM / COUNT in double — again
+  *    order-independent.
+  *  - Other derived doubles (stddev, corr, percentiles) are rounded to 4 dp
+  *    (the reference's own rounding, src/database.py:5357-5360).
+  *  - Counts are BIGINT on both sides (DuckDB SUM(int) would be HUGEINT).
+  *  - Every result is fully ordered with a unique tie-break.
+  *  - events.ts is nanos in parquet; both sides emit epoch milliseconds.
+  */
+object Queries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  final case class Q(name: String, fn: QueryFn, oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.df(s, dir, name)
+
+  /** Exact order-independent SUM: through DECIMAL(38,4), back to DOUBLE. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(38, 4))).cast(DoubleType)
+  /** Exact order-independent AVG: decimal sum / count, in double. */
+  private def davg(c: Column): Column =
+    dsum(c) / count(c)
+  private val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(38,4))) AS DOUBLE)"
+  private def dsumSql(e: String) = DSUM.format(e)
+  private def davgSql(e: String) = s"(${DSUM.format(e)} / COUNT(${e}))"
+
+  // ---------------------------------------------------------------- queries
+
+  val all: Seq[Q] = Seq(
+
+    // P1 — column projection (export columnsToExport / preview columns).
+    // (l_orderkey, l_linenumber) is NOT unique in this data — order by every
+    // output column so tied rows are identical and the result deterministic.
+    Q("p1_projection",
+      (s, dir) => t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin)),
+
+    // P2/P3 — comparison filter algebra with typed values + IN list
+    Q("p2_filter_algebra",
+      (s, dir) => {
+        val filters = Seq(
+          WhereFilter("l_quantity", Op.Ge, Seq("30"), "DOUBLE"),
+          WhereFilter("l_returnflag", Op.Eq, Seq("A", "N"), "STRING"))
+        val pred = FilterAlgebra.compileAll(filters).get
+        t(s, dir, "lineitem").filter(pred)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+             |FROM lineitem
+             |WHERE l_quantity >= 30 AND l_returnflag IN ('A','N')
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin)),
+
+    // P4 — changeSince/changeUntil temporal predicates (events.ts stands in
+    // for the system _timestamp column)
+    Q("p4_change_since",
+      (s, dir) => t(s, dir, "events")
+        .filter(FilterAlgebra.changeSince("ts", "2024-01-05 00:00:00") &&
+                FilterAlgebra.changeUntil("ts", "2024-01-10 00:00:00"))
+        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_type"), col("value"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, epoch_ms(ts) AS ts_ms, event_type, value
+             |FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+             |  AND ts <= TIMESTAMP '2024-01-10 00:00:00'
+             |ORDER BY event_id""".stripMargin)),
+
+    // P5 — free-form WHERE passthrough behind the deny-list guard
+    Q("p5_where_passthrough",
+      (s, dir) => t(s, dir, "orders")
+        .filter(FilterAlgebra.freeFormWhere(
+          "o_totalprice > 100000.0 AND o_orderstatus = 'O'"))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+             |WHERE o_totalprice > 100000.0 AND o_orderstatus = 'O'
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // preview limit path (caps: default 100, max 10000)
+    Q("lim_preview",
+      (s, dir) => t(s, dir, "customer").orderBy("c_custkey").limit(100),
+      Some("SELECT * FROM customer ORDER BY c_custkey LIMIT 100")),
+
+    // D7 — dedup window: one winner per key; ordering columns chosen to be
+    // tie-free ((l_linenumber, l_partkey, l_suppkey) completes the row key)
+    Q("d7_dedup_window",
+      (s, dir) => ImportPipeline.dedup(
+          t(s, dir, "lineitem"), Seq("l_orderkey"),
+          Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY l_orderkey
+             |    ORDER BY l_linenumber DESC, l_partkey DESC, l_suppkey DESC) AS rn
+             |  FROM lineitem) WHERE rn = 1
+             |ORDER BY l_orderkey""".stripMargin)),
+
+    // D4 — upsert / ON CONFLICT DO UPDATE (last-writer-wins per PK).
+    // PK = the full composite row key of this synthetic lineitem.
+    Q("d4_upsert",
+      (s, dir) => {
+        val pk = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        val li = t(s, dir, "lineitem").select((pk :+ "l_quantity").map(col): _*)
+        val target = li.filter(col("l_linenumber") <= 4)
+        val staging = li.filter(col("l_linenumber") >= 4)
+          .withColumn("l_quantity", col("l_quantity") + 100.0)
+        ImportPipeline.upsert(target, staging, pk, Seq(lit(1)))
+          .orderBy(pk.map(col): _*)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |  CASE WHEN l_linenumber >= 4 THEN l_quantity + 100.0
+             |       ELSE l_quantity END AS l_quantity
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    // D5 — insert-if-absent / ON CONFLICT DO NOTHING
+    Q("d5_insert_missing",
+      (s, dir) => {
+        val pk = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        val li = t(s, dir, "lineitem").select((pk :+ "l_quantity").map(col): _*)
+        val target = li.filter(col("l_linenumber") <= 4)
+        val staging = li.withColumn("l_quantity", col("l_quantity") + 100.0)
+        ImportPipeline.insertIfAbsent(target, staging, pk, Seq(lit(1)))
+          .orderBy(pk.map(col): _*)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |  CASE WHEN l_linenumber > 4 THEN l_quantity + 100.0
+             |       ELSE l_quantity END AS l_quantity
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    // D9 — filtered delete (survivors of DELETE WHERE pred)
+    Q("d9_filtered_delete",
+      (s, dir) => {
+        val pred = FilterAlgebra.compile(
+          WhereFilter("l_returnflag", Op.Eq, Seq("A"), "STRING"))
+        ImportPipeline.deleteWhere(t(s, dir, "lineitem"), pred)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag")
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag FROM lineitem
+             |WHERE NOT (l_returnflag = 'A')
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_returnflag""".stripMargin)),
+
+    // A12/Q1-style flagship aggregation (TPC-H Q1 shape) — exact sums via
+    // decimal, exact avg via sum/count
+    Q("q1_agg_pricing",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).cast(LongType).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+             |  ${dsumSql("l_quantity")} AS sum_qty,
+             |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+             |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+             |  ${davgSql("l_quantity")} AS avg_qty,
+             |  COUNT(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Q1/§2.6 — 3-way join + aggregation (workspace SQL usage pattern)
+    Q("q2_join_revenue",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("revenue"),
+            countDistinct(col("o_orderkey")).cast(LongType).as("n_orders"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment,
+             |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+             |  COUNT(DISTINCT o_orderkey) AS n_orders
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // §2.6 parity-plus — ExportOrderBy + LIMIT (top-k)
+    Q("q3_topk_orders",
+      (s, dir) => t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // A2 — profiler base stats (exact distinct, min/max), one row/column
+    Q("a2_base_stats",
+      (s, dir) => Profiler.numericBaseStats(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("column_name"),
+      Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           |  COUNT($c) AS non_null, COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_value,
+           |  CAST(MAX($c) AS DOUBLE) AS max_value FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))),
+
+    // A4 — moments; oracle spells out the population formulas Spark uses
+    Q("a4_moments",
+      (s, dir) => Profiler.moments(t(s, dir, "lineitem"), "l_extendedprice"),
+      Some("""SELECT
+             |  ROUND(AVG(l_extendedprice), 4) AS avg_value,
+             |  ROUND(STDDEV_SAMP(l_extendedprice), 4) AS stddev_value,
+             |  ROUND(AVG(POWER(l_extendedprice - mu, 3))
+             |    / POWER(AVG(POWER(l_extendedprice - mu, 2)), 1.5), 4) AS skewness_value,
+             |  ROUND(AVG(POWER(l_extendedprice - mu, 4))
+             |    / POWER(AVG(POWER(l_extendedprice - mu, 2)), 2) - 3, 4) AS kurtosis_value
+             |FROM lineitem,
+             |  (SELECT AVG(l_extendedprice) AS mu FROM lineitem) m""".stripMargin)),
+
+    // A5 — exact interpolated percentiles (QUANTILE_CONT parity)
+    Q("a5_percentiles",
+      (s, dir) => Profiler.percentiles(t(s, dir, "lineitem"), "l_extendedprice"),
+      Some("SELECT " + Profiler.Quantiles.map { q =>
+        val name = f"p${(q * 100).toInt}%02d"
+        s"ROUND(QUANTILE_CONT(l_extendedprice, ${q.toString}), 4) AS $name"
+      }.mkString(", ") + " FROM lineitem")),
+
+    // A6 — IQR outlier bounds + count
+    Q("a6_outliers",
+      (s, dir) => Profiler.iqrOutliers(t(s, dir, "lineitem"), "l_extendedprice"),
+      Some("""WITH q AS (SELECT QUANTILE_CONT(l_extendedprice, 0.25) AS q25,
+             |                  QUANTILE_CONT(l_extendedprice, 0.75) AS q75
+             |           FROM lineitem)
+             |SELECT ROUND(q25 - (q75 - q25) * 1.5, 4) AS lower_bound,
+             |       ROUND(q75 + (q75 - q25) * 1.5, 4) AS upper_bound,
+             |       CAST(SUM(CASE WHEN l_extendedprice < q25 - (q75 - q25) * 1.5
+             |                      OR l_extendedprice > q75 + (q75 - q25) * 1.5
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS outlier_count
+             |FROM lineitem, q
+             |GROUP BY q25, q75""".stripMargin)),
+
+    // A7 — HISTOGRAM (DuckDB value->count map semantics, as rows)
+    Q("a7_histogram",
+      (s, dir) => Profiler.valueHistogram(t(s, dir, "lineitem"), "l_quantity")
+        .orderBy("bucket"),
+      Some("""SELECT l_quantity AS bucket, COUNT(*) AS bucket_count
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A8 — string length stats with FILTER-clause counts
+    Q("a8_string_stats",
+      (s, dir) => Profiler.stringStats(t(s, dir, "documents"), "text"),
+      Some("""SELECT ROUND(AVG(LENGTH(text)), 4) AS avg_length,
+             |  CAST(MIN(LENGTH(text)) AS BIGINT) AS min_length,
+             |  CAST(MAX(LENGTH(text)) AS BIGINT) AS max_length,
+             |  CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_count,
+             |  CAST(SUM(CASE WHEN TRIM(text) = '' AND text <> '' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS whitespace_count
+             |FROM documents""".stripMargin)),
+
+    // A9 — anchored pattern detection (regexp_full_match parity)
+    Q("a9_patterns",
+      (s, dir) => {
+        val strings = t(s, dir, "lineitem")
+          .select(date_format(col("l_shipdate"), "yyyy-MM-dd").as("s"))
+        Profiler.patternCounts(strings, "s").orderBy("pattern_name")
+      },
+      Some(Profiler.Patterns.map { case (name, re) =>
+        // DuckDB regexp_full_match is implicitly anchored; keep the same
+        // anchored pattern text (harmless) for identical semantics.
+        val esc = re.replace("\\", "\\\\").replace("'", "''")
+        s"""SELECT '$name' AS pattern_name,
+           |  CAST(SUM(CASE WHEN regexp_full_match(s, '$esc') THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS match_count
+           |FROM (SELECT strftime(l_shipdate, '%Y-%m-%d') AS s FROM lineitem)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY pattern_name"))),
+
+    // A10 — pairwise correlations (first N numeric cols, one agg pass)
+    Q("a10_correlations",
+      (s, dir) => Profiler.correlations(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b"),
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        (for { i <- cols.indices; j <- cols.indices if i < j } yield {
+          val (a, b) = (cols(i), cols(j))
+          s"""SELECT '$a' AS col_a, '$b' AS col_b,
+             |  ROUND(CORR($a, $b), 4) AS corr_value FROM lineitem""".stripMargin
+        }).mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+      }),
+
+    // Q1/Q2 — arbitrary-SQL passthrough surface: identical SQL text runs on
+    // both engines (shared dialect subset), tables mounted as bare views
+    Q("sql_passthrough", {
+      val sql =
+        """SELECT n_name, COUNT(*) AS num_customers,
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS total_bal
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin
+      (s: SparkSession, dir: String) => {
+        Tables.mountAll(s, dir)
+        s.sql(sql)
+      }
+    },
+      Some("""SELECT n_name, COUNT(*) AS num_customers,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS total_bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin))
+  )
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

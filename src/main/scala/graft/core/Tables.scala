@@ -1,0 +1,33 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * Mirrors the reference's workspace "ATTACH every project table" pattern
+  * (reference: duckdb-api-service/src/pgwire_server.py:107-152) — here each
+  * parquet table is mounted as a Spark temp view so passthrough SQL resolves.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def df(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    * reader rejects. Read nanos as long (legacy conf) and truncate to
+    * microsecond TimestampType — the same floor DuckDB's epoch_ms applies. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+  }
+
+  /** Mount all test tables as bare-named temp views (workspace semantics). */
+  def mountAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => df(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,115 @@
+package graft.engine.imp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The reference's 3-stage import pipeline (STAGING -> TRANSFORM -> CLEANUP)
+  * re-expressed as DataFrame algebra.
+  *
+  * Reference: duckdb-api-service/src/routers/table_import.py:240-468 (REST
+  * import), src/grpc/handlers/import_export.py:289-318 (driver import),
+  * dedup modes proto/table.proto:179-186.
+  *
+  * Scale notes: all dedup/merge paths are joins + window functions that
+  * shuffle on the dedup key only; nothing collects to the driver. On a real
+  * cluster the anti-join side (the existing target) streams from Parquet
+  * with only the key columns read when Catalyst prunes; the staging side is
+  * typically much smaller and broadcast when under the AQE threshold.
+  */
+object ImportPipeline {
+
+  /** proto ImportStrategy dedup modes (proto/table.proto:179-186). */
+  sealed trait DedupMode
+  object DedupMode {
+    /** default — last writer per key wins ("non-deterministic" in the
+      * reference; we pin a stable winner via an explicit ordering) */
+    case object UpdateDuplicates extends DedupMode
+    case object InsertDuplicates extends DedupMode
+    case object FailOnDuplicates extends DedupMode
+  }
+
+  final case class CsvOptions(
+      delimiter: String = ",",
+      quote: String = "\"",
+      escape: String = "\"",
+      header: Boolean = true,
+      nullValue: String = "")
+
+  /** S1/S2: CSV staging read. With a declared schema this mirrors the REST
+    * import (staging shaped like the target, COPY coerces —
+    * table_import.py:326-335); without one it mirrors the driver import's
+    * schema inference (import_export.py:308-312). Gzip input is handled
+    * transparently by Spark via the file extension. */
+  def readCsv(spark: SparkSession, path: String, opts: CsvOptions,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+      .option("delimiter", opts.delimiter)
+      .option("quote", opts.quote)
+      .option("escape", opts.escape)
+      .option("header", opts.header)
+      .option("nullValue", opts.nullValue)
+    schema.fold(r.option("inferSchema", true))(s => r.schema(s)).csv(path)
+  }
+
+  /** D8: system `_timestamp` stamping (import_export.py:300-312). */
+  def withLoadTimestamp(df: DataFrame): DataFrame =
+    df.withColumn("_timestamp", current_timestamp())
+
+  /** D7: pick exactly one row per key, winner = first by `order` columns
+    * descending. The reference's ON CONFLICT DO UPDATE is last-writer-wins
+    * per PK; we make the winner stable by requiring an explicit ordering
+    * (callers should pass enough columns to break all ties).
+    * Single shuffle on the dedup key; no driver-side state. */
+  def dedup(staging: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
+    staging.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** D4: upsert (`ON CONFLICT DO UPDATE`, table_import.py:207-215).
+    * Result = target rows whose key is absent from staging, plus one
+    * deduped row per staging key. Last-writer-wins per PK. */
+  def upsert(target: DataFrame, staging: DataFrame, keys: Seq[String],
+      order: Seq[Column]): DataFrame = {
+    val cols = target.columns.toSeq
+    val incoming = dedup(staging.select(cols.map(col): _*), keys, order)
+    val kept = target.join(incoming.select(keys.map(col): _*), keys, "left_anti")
+    kept.unionByName(incoming)
+  }
+
+  /** D5: `ON CONFLICT DO NOTHING` (table_import.py:216-222) — insert only
+    * keys not already present; existing rows never change. */
+  def insertIfAbsent(target: DataFrame, staging: DataFrame, keys: Seq[String],
+      order: Seq[Column]): DataFrame = {
+    val cols = target.columns.toSeq
+    val incoming = dedup(staging.select(cols.map(col): _*), keys, order)
+      .join(target.select(keys.map(col): _*), keys, "left_anti")
+    target.unionByName(incoming)
+  }
+
+  /** D6: fail_on_duplicates — plain insert, but any PK collision (within
+    * staging or against the target) raises, mirroring the reference's
+    * ConstraintException -> HTTP 409 (table_import.py:378-391). */
+  def insertStrict(target: DataFrame, staging: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = target.columns.toSeq
+    val union = target.unionByName(staging.select(cols.map(col): _*))
+    val dupes = union.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+    if (!dupes.isEmpty)
+      throw new IllegalStateException(
+        s"duplicate key violation on (${keys.mkString(",")})")
+    union
+  }
+
+  /** D9: filtered delete — returns the surviving rows. The reference runs
+    * `DELETE FROM main.data WHERE pred` (src/database.py:5061-5130); on
+    * immutable Parquet this is a filtered rewrite. NULL predicate results
+    * keep the row (SQL DELETE only removes rows where pred IS TRUE). */
+  def deleteWhere(df: DataFrame, pred: Column): DataFrame =
+    df.filter(!coalesce(pred, lit(false)))
+
+  /** D10: delete-all (empty filter set = `WHERE 1=1`, schema.py:428-430). */
+  def deleteAll(df: DataFrame): DataFrame = df.limit(0)
+}

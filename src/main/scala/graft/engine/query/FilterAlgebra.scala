@@ -1,0 +1,132 @@
+package graft.engine.query
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.util.Try
+
+/** The reference's protobuf filter algebra, compiled to Catalyst `Column`s.
+  *
+  * Models `TableWhereFilter{column, operator, values[], dataType}` from the
+  * reference driver protocol (reference: proto/table.proto:121-153, compiled
+  * to SQL text at src/grpc/handlers/schema.py:397-432). Semantics:
+  *   - 1 value  -> `col OP value`
+  *   - N values -> `col IN (v1..vn)` (eq) / `col NOT IN (..)` (ne)
+  *   - multiple filters conjoin with AND
+  *   - values arrive as strings and are cast per `dataType` with TRY-cast
+  *     semantics (proto/table.proto:140): an uncastable value becomes NULL.
+  *
+  * Everything here stays declarative so Catalyst pushes the predicates into
+  * the Parquet scan (visible as PushedFilters in the physical plan) — at
+  * 100 TB this is the difference between a pruned scan and a full read.
+  */
+object FilterAlgebra {
+
+  sealed abstract class Op(val sql: String)
+  object Op {
+    case object Eq extends Op("=")
+    case object Ne extends Op("<>")
+    case object Gt extends Op(">")
+    case object Ge extends Op(">=")
+    case object Lt extends Op("<")
+    case object Le extends Op("<=")
+    def fromString(s: String): Op = s.toLowerCase match {
+      case "eq" | "="        => Eq
+      case "ne" | "!=" | "<>" => Ne
+      case "gt" | ">"        => Gt
+      case "ge" | ">="       => Ge
+      case "lt" | "<"        => Lt
+      case "le" | "<="       => Le
+      case other             => throw new IllegalArgumentException(s"unknown operator: $other")
+    }
+  }
+
+  /** proto DataType enum: STRING, INTEGER, DOUBLE, BIGINT, REAL, DECIMAL, TIMESTAMP. */
+  def sparkType(dataType: String): DataType = dataType.toUpperCase match {
+    case "STRING"    => StringType
+    case "INTEGER"   => IntegerType
+    case "BIGINT"    => LongType
+    case "DOUBLE"    => DoubleType
+    case "REAL"      => FloatType
+    case "DECIMAL"   => DecimalType(38, 9)
+    case "TIMESTAMP" => TimestampType
+    case other       => throw new IllegalArgumentException(s"unknown dataType: $other")
+  }
+
+  final case class WhereFilter(
+      column: String,
+      op: Op,
+      values: Seq[String],
+      dataType: String = "STRING")
+
+  /** TRY-cast a single string value to the declared type (P3). */
+  private[query] def typedLit(value: String, dataType: String): Column = {
+    val t = sparkType(dataType)
+    t match {
+      case StringType => lit(value)
+      // Parse driver-side so an uncastable value yields a NULL literal
+      // (try_cast semantics) instead of an analysis-time failure.
+      case IntegerType   => Try(lit(value.trim.toInt)).getOrElse(lit(null).cast(t))
+      case LongType      => Try(lit(value.trim.toLong)).getOrElse(lit(null).cast(t))
+      case DoubleType    => Try(lit(value.trim.toDouble)).getOrElse(lit(null).cast(t))
+      case FloatType     => Try(lit(value.trim.toFloat)).getOrElse(lit(null).cast(t))
+      case _: DecimalType => Try(lit(BigDecimal(value.trim)).cast(t)).getOrElse(lit(null).cast(t))
+      case TimestampType => lit(value).cast(TimestampType)
+      case _             => lit(value).cast(t)
+    }
+  }
+
+  /** Compile one filter to a Column predicate. */
+  def compile(f: WhereFilter): Column = {
+    val c = col(f.column)
+    val vs = f.values.map(v => typedLit(v, f.dataType))
+    (f.op, vs) match {
+      case (Op.Eq, Seq(v))  => c === v
+      case (Op.Eq, many)    => c.isin(many: _*)
+      case (Op.Ne, Seq(v))  => c =!= v
+      case (Op.Ne, many)    => !c.isin(many: _*)
+      case (op, Seq(v)) =>
+        op match {
+          case Op.Gt => c > v
+          case Op.Ge => c >= v
+          case Op.Lt => c < v
+          case Op.Le => c <= v
+          case _     => throw new IllegalStateException
+        }
+      case (op, many) =>
+        throw new IllegalArgumentException(
+          s"operator ${op.sql} requires exactly 1 value, got ${many.size}")
+    }
+  }
+
+  /** Conjoin a filter list; None when empty (reference compiles the empty
+    * set to `WHERE 1=1`, src/grpc/handlers/schema.py:428-430). */
+  def compileAll(filters: Seq[WhereFilter]): Option[Column] =
+    filters.map(compile).reduceOption(_ && _)
+
+  /** changeSince / changeUntil temporal predicates on a timestamp column
+    * (reference: src/grpc/handlers/schema.py:400-404; system column
+    * `_timestamp` by convention). Values are epoch-seconds or timestamp
+    * strings, matching proto/table.proto:236-244. */
+  def changeSince(tsColumn: String, since: String): Column =
+    col(tsColumn) >= parseTs(since)
+  def changeUntil(tsColumn: String, until: String): Column =
+    col(tsColumn) <= parseTs(until)
+  private def parseTs(v: String): Column =
+    if (v.forall(_.isDigit)) timestamp_seconds(lit(v.toLong))
+    else lit(v).cast(TimestampType)
+
+  /** Free-form WHERE passthrough (P5): same deny-list guard as the
+    * reference (src/database.py:5087-5094) then Spark's own SQL parser. */
+  private val denied = Seq(";", "--", "/*", "*/", "drop ", "delete ", "insert ",
+    "update ", "alter ", "create ", "truncate ", "exec ", "execute ")
+  def validateWhere(raw: String): String = {
+    val lower = raw.toLowerCase
+    denied.find(lower.contains).foreach { bad =>
+      throw new IllegalArgumentException(s"disallowed token in where clause: '$bad'")
+    }
+    raw
+  }
+  def freeFormWhere(raw: String): Column = expr(validateWhere(raw))
+}

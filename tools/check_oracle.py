@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local differential harness mimicking the driver's correctness gate.
+
+Runs graft.Verify output (parquet per query + oracle_sql.json) against
+DuckDB on the same test tables, with a STRICT compare: sort columns by
+name, compare row-by-row in result order, exact value equality (tiny
+float tolerance only for diagnostics — a strict pass here should pass
+any reasonable driver compare).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({e})"); failures += 1; continue
+        try:
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}"); failures += 1; continue
+        got = got.reindex(sorted(got.columns), axis=1)
+        want = want.reindex(sorted(want.columns), axis=1)
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            failures += 1; continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            failures += 1; continue
+        bad = None
+        for c in got.columns:
+            gv, wv = got[c].tolist(), want[c].tolist()
+            for i, (a, b) in enumerate(zip(gv, wv)):
+                if a is None and b is None:
+                    continue
+                if isinstance(a, float) and isinstance(b, float):
+                    if a == b or (math.isnan(a) and math.isnan(b)):
+                        continue
+                    bad = (c, i, a, b, abs(a - b)); break
+                if str(a) != str(b):
+                    bad = (c, i, a, b, None); break
+            if bad: break
+        if bad:
+            c, i, a, b, d = bad
+            print(f"FAIL {name}: col={c} row={i} spark={a!r} duckdb={b!r} diff={d}")
+            failures += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows, {len(got.columns)} cols)")
+    print(f"\n{len(oracle) - failures}/{len(oracle)} queries pass")
+    return 1 if failures else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
