@@ -1,0 +1,214 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Queries.Q
+import graft.core.Tables
+import graft.pipeline.{Multimodal, Similarity, TextAnalysis, TextDedup}
+
+/** Training-data pipeline queries (dedup / similarity / text analysis /
+  * multimodal) with DuckDB oracles. Oracle SQL is GENERATED from the same
+  * Scala constants that drive the Spark side (markers, thresholds, formula
+  * shapes) so the two can't drift.
+  *
+  * MinHash note: LSH candidate generation is deterministic (fixed xxhash64
+  * seeds, fixed data), so when banding recalls every true pair on the test
+  * corpus — verified by tools/check_oracle.py — the verified output equals
+  * the exact all-pairs answer and CAN be oracle-checked against it. */
+object PipelineQueries {
+
+  /** DuckDB SQL for the distinct word-trigram shingle sets per doc. */
+  private val shingleSetsSql =
+    """SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3 THEN
+      |    list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |  ELSE [] END) AS sh
+      |FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents)""".stripMargin
+
+  /** DuckDB SQL for exact trigram-Jaccard pairs >= threshold. */
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""WITH s AS ($shingleSetsSql)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $threshold
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** DuckDB SQL mirror of TextAnalysis.wordOccurrences. */
+  private def occSql(expr: String, word: String): String = {
+    val padded = s"' ' || $expr || ' '"
+    val needle = s"' $word '"
+    s"CAST((length($padded) - length(replace($padded, $needle, ''))) / ${word.length + 2} AS BIGINT)"
+  }
+
+  /** DuckDB mirror of TextAnalysis.langId's argmax CASE. */
+  private def langIdSql: String = {
+    val scores = TextAnalysis.LangMarkers.map { case (lang, ws) =>
+      lang -> ws.map(w => occSql("text", w)).mkString("(", " + ", ")")
+    }
+    val cases = scores.zipWithIndex.init.map { case ((lang, s), i) =>
+      val conds = scores.drop(i + 1).map { case (_, o) => s"$s >= $o" }
+      s"WHEN ${conds.mkString(" AND ")} THEN '$lang'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE '${scores.last._1}' END"
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // exact dedup: hash-groupBy on content; input doubled to plant dups
+    Q("x1_exact_dedup",
+      (s, dir) => {
+        val d = Tables.df(s, dir, "documents").select("doc_id", "text")
+        val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000L))
+        TextDedup.exactDupGroups(doubled, "doc_id", "text").orderBy("keep_id")
+      },
+      Some("""WITH u AS (SELECT doc_id, text FROM documents
+             |           UNION ALL SELECT doc_id + 10000, text FROM documents)
+             |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+             |FROM u GROUP BY text HAVING COUNT(*) > 1
+             |ORDER BY keep_id""".stripMargin)),
+
+    // exact n-gram Jaccard near-dup pairs via inverted index
+    Q("x2_ngram_jaccard",
+      (s, dir) => TextDedup.ngramJaccardPairs(
+          Tables.df(s, dir, "documents"), "doc_id", "text", 3, 0.5)
+        .orderBy("a_id", "b_id"),
+      Some(jaccardPairsSql(0.5))),
+
+    // MinHash+LSH near-dup pairs, exact-verified; oracle = exact pairs
+    // (valid because banding recall is 1.0 on this corpus — see scaladoc)
+    Q("x3_minhash_lsh",
+      (s, dir) => TextDedup.minHashPairs(
+          Tables.df(s, dir, "documents"), "doc_id", "text", 3, 0.5,
+          numHashes = 64, bands = 32)
+        .orderBy("a_id", "b_id"),
+      Some(jaccardPairsSql(0.5))),
+
+    // SimHash banded near-dup candidates (hash-defined output: rows-only)
+    Q("x4_simhash_pairs",
+      (s, dir) => TextDedup.simHashPairs(
+          Tables.df(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
+        .orderBy("a_id", "b_id"),
+      None),
+
+    // brute-force cosine top-k (exact ANN baseline)
+    Q("x5_knn_cosine",
+      (s, dir) => {
+        val e = Tables.df(s, dir, "embeddings")
+        Similarity.bruteForceTopK(
+            e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), 10)
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+             |           FROM embeddings WHERE vec_id < 5),
+             |     c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
+             |           FROM embeddings WHERE vec_id >= 5),
+             |     s AS (SELECT q_id, c_id,
+             |             list_inner_product(qv, cv) /
+             |             (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS sim
+             |           FROM q, c),
+             |     r AS (SELECT q_id, c_id, sim, row_number() OVER (
+             |             PARTITION BY q_id ORDER BY round(sim, 6) DESC, c_id) AS rank
+             |           FROM s)
+             |SELECT q_id, c_id, rank, ROUND(sim, 4) AS cosine_sim
+             |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
+    // LSH-bucketed ANN (recall<1 by construction: rows-only + ScalaTest)
+    Q("x6_ann_lsh",
+      (s, dir) => {
+        val e = Tables.df(s, dir, "embeddings")
+        Similarity.annTopK(
+            e.filter(col("vec_id") < 50), e.filter(col("vec_id") >= 50), 5,
+            planes = 4)
+          .orderBy("q_id", "rank")
+      },
+      None),
+
+    // language-ID heuristic: confusion rollup actual x predicted
+    Q("x7_lang_id",
+      (s, dir) => Tables.df(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted"),
+      Some(s"""SELECT lang, $langIdSql AS predicted, COUNT(*) AS n
+             |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin)),
+
+    // per-document quality features + composite score
+    Q("x8_quality_score",
+      (s, dir) => TextAnalysis.qualityFeatures(
+          Tables.df(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_chars"),
+          round(col("avg_token_len"), 4).as("avg_token_len"),
+          round(col("stopword_ratio"), 4).as("stopword_ratio"),
+          col("quality_score"))
+        .orderBy("doc_id"),
+      Some {
+        val tokens = "CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)"
+        val nonSpace = "CAST(length(replace(trim(text), ' ', '')) AS BIGINT)"
+        val stop = s"(${occSql("text", "the")} + ${occSql("text", "a")})"
+        s"""SELECT doc_id,
+           |  $tokens AS n_tokens,
+           |  CAST(length(text) AS BIGINT) AS n_chars,
+           |  ROUND(CAST($nonSpace AS DOUBLE) / $tokens, 4) AS avg_token_len,
+           |  ROUND(CAST($stop AS DOUBLE) / $tokens, 4) AS stopword_ratio,
+           |  ROUND(100.0 * (
+           |    0.3 * least(1.0, $tokens / 200.0) +
+           |    0.4 * (1.0 - CAST($stop AS DOUBLE) / $tokens) +
+           |    0.3 * least(1.0, (CAST($nonSpace AS DOUBLE) / $tokens) / 8.0)), 4)
+           |    AS quality_score
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // token-count rollup per source (exact avg = decimal-free sum/count)
+    Q("x9_token_stats",
+      (s, dir) => Tables.df(s, dir, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        .groupBy("source")
+        .agg(
+          sum(col("n_tokens")).cast(LongType).as("total_tokens"),
+          (sum(col("n_tokens")).cast(DoubleType) / count(lit(1))).as("avg_tokens"),
+          max(col("n_tokens")).cast(LongType).as("max_tokens"))
+        .orderBy("source"),
+      Some {
+        val tokens = "CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)"
+        s"""SELECT source,
+           |  CAST(SUM($tokens) AS BIGINT) AS total_tokens,
+           |  CAST(SUM($tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           |  CAST(MAX($tokens) AS BIGINT) AS max_tokens
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin
+      }),
+
+    // canonical md5 fingerprint (content-addressed dedup key)
+    Q("x10_fingerprint",
+      (s, dir) => Tables.df(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Rabin-Karp rolling hash (engine-defined: rows-only + ScalaTest golden)
+    Q("x11_rolling_hash",
+      (s, dir) => Tables.df(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.rollingHash("text").as("rh"))
+        .orderBy("doc_id"),
+      None),
+
+    // multimodal: binary assets -> batched mapPartitions feature extraction
+    Q("x12_multimodal_features",
+      (s, dir) => {
+        val assets = Multimodal.toAssets(
+          Tables.df(s, dir, "documents"), "doc_id", "text")
+        Multimodal.extractFeatures(s, assets).toDF()
+          .select("asset_id", "n_bytes", "content_md5", "head_hex")
+          .orderBy("asset_id")
+      },
+      Some("""SELECT doc_id AS asset_id,
+             |  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+             |  md5(text) AS content_md5,
+             |  hex(substring(text, 1, 8)::BLOB) AS head_hex
+             |FROM documents ORDER BY asset_id""".stripMargin))
+  )
+}

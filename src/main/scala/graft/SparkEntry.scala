@@ -10,12 +10,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.byName("q1_agg_pricing").fn(spark, "/root/testdata/sf0.001")
 
+  private def catalog = Queries.all ++ PipelineQueries.all
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all.map(q => q.name -> q.fn).toMap
+    catalog.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted entries get a rows-only check. */
   def oracleSql: Map[String, String] =
-    Queries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    catalog.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: exact baseline, O(|Q|·|C|) — fine when the
+  *    query set is small (the common "retrieve for these prompts" case);
+  *    the corpus side streams, nothing collects to the driver;
+  *  - LSH-bucketed ANN (random hyperplanes): corpus is pre-bucketed by a
+  *    deterministic signature; queries probe their own bucket only. At
+  *    100 TB the bucketed corpus is written bucket-partitioned so a probe
+  *    touches one partition (partition pruning), not the whole corpus.
+  *
+  * Dot products stay in whole-stage codegen via higher-order functions
+  * (zip_with + aggregate) — no UDFs, no vector library dependency.
+  */
+object Similarity {
+
+  /** Exact cosine similarity between two array<float|double> columns,
+    * accumulated in double, left-to-right (deterministic, matches the
+    * sequential accumulation a DuckDB oracle uses). */
+  def cosine(a: String, b: String): Column = {
+    def dot(x: String, y: String) =
+      s"""aggregate(zip_with($x, $y,
+         |  (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
+         |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors. Ranking uses round(sim, 6) with id tie-break so the result
+    * is stable across engines/partitionings. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val scored = q.crossJoin(c).withColumn("sim", cosine("qv", "cv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("sim"), 6).desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank").cast(LongType).as("rank"),
+        round(col("sim"), 4).as("cosine_sim"))
+  }
+
+  /** Deterministic random-hyperplane signature: bit p = sign of
+    * Σ_d w(p,d)·x_d with w(p,d) = ±1 derived from xxhash64(p, d).
+    * Pure expression — computable identically for corpus and queries. */
+  def hyperplaneSig(vecCol: String, planes: Int): Column =
+    expr(
+      s"""array_join(transform(sequence(0, ${planes - 1}), p ->
+         |  CASE WHEN aggregate(
+         |    zip_with($vecCol, sequence(0, size($vecCol) - 1),
+         |      (v, d) -> CAST(v AS DOUBLE) *
+         |        (CASE WHEN (xxhash64(p, d) & 1) = 1 THEN 1.0 ELSE -1.0 END)),
+         |    CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0
+         |  THEN '1' ELSE '0' END), '')""".stripMargin)
+
+  /** ANN via LSH buckets: queries join the corpus on an identical
+    * hyperplane signature, then exact cosine ranks within the bucket.
+    * Recall < 1 by construction (candidates only from the same bucket);
+    * `planes` trades bucket size vs recall. */
+  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      planes: Int = 8): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+      hyperplaneSig("embedding", planes).as("sig"))
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      hyperplaneSig("embedding", planes).as("sig"))
+    val scored = q.join(c, "sig").withColumn("sim", cosine("qv", "cv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("sim"), 6).desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank").cast(LongType).as("rank"),
+        round(col("sim"), 4).as("cosine_sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (all pairs with sim >= t).
+    * Brute force over the full cross product — the exact baseline the LSH
+    * path approximates; keep for oracle checks and small corpora. */
+  def cosineNearDupPairs(df: DataFrame, threshold: Double): DataFrame = {
+    val a = df.select(col("vec_id").as("a_id"), col("embedding").as("av"))
+    val b = df.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("sim", cosine("av", "bv"))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("cosine_sim"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, language ID, quality scoring, document fingerprinting.
+  *
+  * Everything is pure `Column` algebra (whole-stage codegen, no UDFs), and
+  * every formula is chosen to be expressible identically in ANSI SQL so the
+  * DuckDB oracle can replay it exactly:
+  *  - token counts come from one regex split (`' +'` on trimmed text);
+  *  - substring occurrence counts use the length-delta/replace trick
+  *    (identical non-overlapping left-to-right semantics in both engines);
+  *  - scores are plain double arithmetic on those integers -> bit-identical.
+  *
+  * At 100 TB these are embarrassingly parallel map-side ops: no shuffle at
+  * all until a final rollup, so they scale linearly with executors.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count: runs of non-space in trimmed text. */
+  def tokenCount(c: Column): Column =
+    when(trim(c) === "", lit(0L))
+      .otherwise(size(split(trim(c), " +")).cast(LongType))
+
+  /** Count of non-overlapping occurrences of `needle` (left-to-right). */
+  def occurrences(c: Column, needle: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(needle), "")))
+      / needle.length).cast(LongType)
+
+  /** Word-boundary occurrences: pads with spaces and counts ` needle `.
+    * Non-overlapping, so `a a a` counts 2 — deterministic in both engines. */
+  def wordOccurrences(c: Column, word: String): Column =
+    occurrences(concat(lit(" "), c, lit(" ")), s" $word ")
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Deliberately simple: argmax of marker-word hit counts with
+    * a fixed priority order for ties. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "value"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "y"),
+    "zh" -> Seq("de", "shi", "zai"))
+
+  def langScore(c: Column, words: Seq[String]): Column =
+    words.map(w => wordOccurrences(c, w)).reduce(_ + _)
+
+  /** Predicted language: highest marker score, ties broken by the fixed
+    * order of LangMarkers. */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ws) => lang -> langScore(c, ws) }
+    val whens = scores.zipWithIndex.map { case ((lang, s), i) =>
+      val laterScores = scores.drop(i + 1).map(_._2)
+      val isMax = laterScores.foldLeft(lit(true))((acc, o) => acc && s >= o)
+      (lang, isMax)
+    }
+    whens.init.foldRight(lit(whens.last._1): Column) { case ((lang, cond), rest) =>
+      when(cond, lang).otherwise(rest)
+    }
+  }
+
+  /** Per-document quality features + composite score in [0,100].
+    * All-double arithmetic on exact integer inputs — oracle bit-parity. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val tokens = tokenCount(c)
+    val chars = length(c).cast(LongType)
+    val nonSpace = length(regexp_replace(trim(c), " ", "")).cast(LongType)
+    val stop = wordOccurrences(c, "the") + wordOccurrences(c, "a")
+    df.withColumn("n_tokens", tokens)
+      .withColumn("n_chars", chars)
+      .withColumn("avg_token_len",
+        when(tokens > 0, nonSpace.cast(DoubleType) / tokens).otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(tokens > 0, stop.cast(DoubleType) / tokens).otherwise(lit(0.0)))
+      .withColumn("quality_score",
+        round(lit(100.0) * (
+          lit(0.3) * least(lit(1.0), col("n_tokens") / 200.0) +
+          lit(0.4) * (lit(1.0) - col("stopword_ratio")) +
+          lit(0.3) * least(lit(1.0), col("avg_token_len") / 8.0)), 4))
+  }
+
+  /** Canonical-text fingerprint: md5 of lower/trim/space-collapsed text.
+    * Content-addressed dedup key; md5 is identical across engines. */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), " +", " ").cast(BinaryType))
+
+  /** Rolling polynomial hash (base-31 mod 2^31-1 over characters) — the
+    * classic Rabin-Karp document fingerprint, as a codegen-friendly
+    * higher-order-function expression (no UDF). Mod chosen so
+    * h*31+b < 2^36 never overflows a long. Takes a column name. */
+  def rollingHash(colName: String): Column = {
+    val mod = 2147483647L // 2^31-1
+    expr(
+      s"""aggregate(
+         |  transform(split($colName, ''), ch -> ascii(ch)),
+         |  CAST(0 AS BIGINT),
+         |  (h, b) -> pmod(h * 31 + b, ${mod}L))""".stripMargin)
+  }
+}

@@ -1,0 +1,155 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines: exact, word-n-gram
+  * Jaccard (inverted index), MinHash+LSH, SimHash.
+  *
+  * Scale design (the point of these over naive all-pairs):
+  *  - exact dedup = hash-partitioned groupBy on the text (or fingerprint) —
+  *    one shuffle keyed by content, no driver state;
+  *  - n-gram Jaccard builds an INVERTED INDEX (explode shingles, self-join
+  *    on shingle) so cost is Σ(posting-list²) not N²; at 100 TB you drop
+  *    ultra-frequent shingles (stop-shingles) to bound posting lists — the
+  *    `maxDocFreq` knob below;
+  *  - MinHash/LSH reduces each doc to k minima, bands them, and only joins
+  *    within identical band signatures — candidate generation is
+  *    O(N·bands), then exact Jaccard verifies candidates only;
+  *  - SimHash reduces each doc to 64 bits; banded bit-equality joins find
+  *    hamming-near candidates.
+  * All hash functions are Spark's xxhash64 — deterministic across runs.
+  */
+object TextDedup {
+
+  /** Word n-gram shingle set of `textCol` (distinct, order-free). */
+  def shingles(textCol: String, n: Int): Column = {
+    val w = s"split(trim($textCol), ' +')"
+    expr(
+      s"""CASE WHEN size($w) >= $n THEN
+         |  array_distinct(transform(sequence(1, size($w) - ${n - 1}),
+         |    i -> concat_ws(' ', slice($w, i, $n))))
+         |ELSE array() END""".stripMargin)
+  }
+
+  /** Exact duplicate groups: one row per duplicated content value with the
+    * surviving (minimum) id and the duplicate count. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).cast(LongType).as("dup_count"))
+      .filter(col("dup_count") > 1)
+      .select(col("keep_id"), col("dup_count"))
+
+  /** Distinct shingle sets per doc: (id, sh: array<string>, k: int). */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"), shingles(textCol, n).as("sh"))
+      .withColumn("k", size(col("sh")))
+      .filter(col("k") > 0)
+
+  /** All pairs with word-n-gram Jaccard >= threshold, via inverted index.
+    * `maxDocFreq`: shingles appearing in more docs than this are dropped
+    * from the index (stop-shingles) — REDUCES RECALL, so the default
+    * (None) keeps everything; set it at very large scale. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+    val posts0 = sets.select(col("id"), col("k"), explode(col("sh")).as("s"))
+    val posts = maxDocFreq.fold(posts0) { cap =>
+      val freq = posts0.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select("s")
+      posts0.join(freq, "s")
+    }
+    val a = posts.select(col("id").as("a_id"), col("k").as("ka"), col("s"))
+    val b = posts.select(col("id").as("b_id"), col("k").as("kb"), col("s"))
+    a.join(b, "s").filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "ka", "kb")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) / (col("ka") + col("kb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature + LSH banding candidate pairs, verified with exact
+    * Jaccard. numHashes must be divisible by bands; rows per band r =
+    * numHashes/bands controls the S-curve: P(candidate) = 1-(1-j^r)^bands.
+    * Verification makes the OUTPUT exact on any dataset where banding
+    * recalls every true pair (deterministic for fixed data + hashes). */
+  def minHashPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, numHashes: Int = 64, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val sets = shingleSets(df, idCol, textCol, n).cache()
+    // k hash functions: xxhash64(shingle, i) for i in [0, numHashes)
+    val hashed = sets.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, ${numHashes - 1}), i -> xxhash64(s, i))")))
+      .toDF("id", "pos", "h")
+    val minhash = hashed.groupBy("id", "pos").agg(min("h").as("mh"))
+    // band signature: hash of the r minima in position order
+    val bandSigs = minhash
+      .withColumn("band", (col("pos") / r).cast(IntegerType))
+      .groupBy("id", "band")
+      .agg(expr(
+        """xxhash64(array_join(transform(array_sort(collect_list(struct(pos, mh))),
+          |  x -> cast(x.mh as string)), ','))""".stripMargin).as("sig"))
+    val ca = bandSigs.select(col("band"), col("sig"), col("id").as("a_id"))
+    val cb = bandSigs.select(col("band"), col("sig"), col("id").as("b_id"))
+    val candidates = ca.join(cb, Seq("band", "sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    // exact verification on candidates only
+    val sa = sets.select(col("id").as("a_id"), col("sh").as("sha"), col("k").as("ka"))
+    val sb = sets.select(col("id").as("b_id"), col("sh").as("shb"), col("k").as("kb"))
+    candidates.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast(LongType))
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) / (col("ka") + col("kb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per document from word tokens (weight = token count).
+    * Output: (id, simhash bits as 64-char '0'/'1' string). */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df
+      .select(col(idCol).as("id"),
+        explode(expr(s"split(trim($textCol), ' +')")).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("wt"))
+      .withColumn("h", xxhash64(col("w")))
+    // contribution of each token to each of the 64 bit positions
+    val contrib = tokens.select(col("id"), posexplode(expr(
+      "transform(sequence(0, 63), b -> CASE WHEN (shiftright(h, b) & 1) = 1 THEN wt ELSE -wt END)")))
+      .toDF("id", "bit", "c")
+    contrib.groupBy("id", "bit").agg(sum("c").as("v"))
+      .groupBy("id")
+      .agg(expr(
+        """array_join(transform(array_sort(collect_list(struct(bit, v))),
+          |  x -> CASE WHEN x.v > 0 THEN '1' ELSE '0' END), '')""".stripMargin)
+        .as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs: band the 64 bits into `bands`
+    * equal slices, join on any identical slice, then verify true hamming
+    * distance <= maxHamming. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, bands: Int = 8): DataFrame = {
+    val sigs = simHash(df, idCol, textCol).cache()
+    val width = 64 / bands
+    val banded = sigs.select(col("id"), col("simhash"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> substring(simhash, b * $width + 1, $width))")))
+      .toDF("id", "simhash", "band", "slice")
+    val ba = banded.select(col("band"), col("slice"), col("id").as("a_id"), col("simhash").as("siga"))
+    val bb = banded.select(col("band"), col("slice"), col("id").as("b_id"), col("simhash").as("sigb"))
+    ba.join(bb, Seq("band", "slice")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "siga", "sigb").distinct()
+      .withColumn("hamming", expr(
+        """size(filter(zip_with(split(siga, ''), split(sigb, ''),
+          |  (x, y) -> x <> y), v -> v))""".stripMargin).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+}
