@@ -337,5 +337,6 @@ object Queries {
              |GROUP BY n_name ORDER BY n_name""".stripMargin))
   )
 
-  lazy val byName: Map[String, Q] = (all ++ PipelineQueries.all).map(q => q.name -> q).toMap
+  lazy val byName: Map[String, Q] =
+    (all ++ PipelineQueries.all ++ StorageQueries.all).map(q => q.name -> q).toMap
 }

@@ -1,0 +1,181 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Queries.Q
+import graft.core.{StorageCatalog, Tables, TableStore}
+import graft.engine.ddl.Ddl
+import graft.engine.imp.ImportPipeline
+import graft.engine.query.Export
+import graft.engine.snapshot.Snapshots
+import graft.engine.workspace.Workspace
+
+/** Storage-lifecycle queries: each drives the REAL store (temp data root,
+  * versioned Parquet commits, catalog JSON) through create/import/export/
+  * DDL/snapshot/branch/workspace paths, then returns a DataFrame whose
+  * content a DuckDB oracle can predict from the source tables alone. */
+object StorageQueries {
+
+  private def tempStore(s: org.apache.spark.sql.SparkSession): TableStore =
+    new TableStore(s, new StorageCatalog(Files.createTempDirectory("graft-store")))
+
+  /** Exact order-independent SUM (see Queries): decimal then double. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(38, 4))).cast(DoubleType)
+
+  val all: Seq[Q] = Seq(
+
+    // C1+D1+D2+S5: create table -> full-load import -> CSV(gzip) export ->
+    // read back. Exercises catalog, versioned commit, sink, source.
+    Q("c1_import_export_roundtrip",
+      (s, dir) => {
+        val store = tempStore(s)
+        val src = Tables.df(s, dir, "customer")
+        store.createTable("p1", "in_c_main", "customer", src.schema,
+          primaryKey = Seq("c_custkey"))
+        store.overwrite("p1", "in_c_main", "customer", src) // D2 full load
+        val exported = store.read("p1", "in_c_main", "customer")
+        val csvDir = Files.createTempDirectory("graft-csv").toString
+        Export.toCsv(exported, csvDir, delimiter = "|", compression = Some("gzip"))
+        Export.readCsv(s, csvDir, src.schema, delimiter = "|")
+          .orderBy("c_custkey")
+      },
+      Some("SELECT * FROM customer ORDER BY c_custkey")),
+
+    // C3/C4/C5: add column w/ default, rename, cast, drop — committed
+    // through the store, then read back
+    Q("c3_schema_evolution",
+      (s, dir) => {
+        val store = tempStore(s)
+        val src = Tables.df(s, dir, "customer")
+        store.createTable("p1", "in_c_main", "customer", src.schema)
+        store.overwrite("p1", "in_c_main", "customer", src)
+        var df = store.read("p1", "in_c_main", "customer")
+        df = Ddl.addColumn(df, "c_tier", StringType, Some("STANDARD"))
+        df = Ddl.renameColumn(df, "c_name", "customer_name")
+        df = Ddl.castColumn(df, "c_nationkey", LongType)
+        df = Ddl.dropColumn(df, "c_mktsegment")
+        store.overwrite("p1", "in_c_main", "customer", df)
+        store.read("p1", "in_c_main", "customer").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name AS customer_name,
+             |  CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal,
+             |  'STANDARD' AS c_tier
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // C6: ADD PRIMARY KEY with distributed uniqueness check
+    Q("c6_add_primary_key",
+      (s, dir) => {
+        val store = tempStore(s)
+        val src = Tables.df(s, dir, "customer")
+        store.createTable("p1", "in_c_main", "customer", src.schema)
+        store.overwrite("p1", "in_c_main", "customer", src)
+        Ddl.addPrimaryKey(store, "p1", "in_c_main", "customer", Seq("c_custkey"))
+        val pk = store.catalog.getTable("p1", "in_c_main", "customer").get.primaryKey
+        store.read("p1", "in_c_main", "customer")
+          .agg(count(lit(1)).cast(LongType).as("n_rows"))
+          .withColumn("pk_cols", lit(pk.mkString(",")))
+      },
+      Some("SELECT COUNT(*) AS n_rows, 'c_custkey' AS pk_cols FROM customer")),
+
+    // S7+S4+L4: snapshot (zstd parquet + sidecar) -> destructive truncate
+    // -> restore -> read back
+    Q("l1_snapshot_restore",
+      (s, dir) => {
+        val store = tempStore(s)
+        val src = Tables.df(s, dir, "customer")
+        store.createTable("p1", "in_c_main", "customer", src.schema)
+        store.overwrite("p1", "in_c_main", "customer", src)
+        val snap = Snapshots.create(s, store, "p1", "in_c_main", "customer")
+        // destructive op: delete-all (D10)
+        store.overwrite("p1", "in_c_main", "customer",
+          ImportPipeline.deleteAll(store.read("p1", "in_c_main", "customer")))
+        Snapshots.restore(s, store, snap.id)
+        store.read("p1", "in_c_main", "customer").orderBy("c_custkey")
+      },
+      Some("SELECT * FROM customer ORDER BY c_custkey")),
+
+    // L1/L2/L3/L5: CoW branch write, live-view fallback read, pull,
+    // linked-bucket read — summarized as a deterministic rollup
+    Q("l2_branch_lifecycle",
+      (s, dir) => {
+        val store = tempStore(s)
+        val cust = Tables.df(s, dir, "customer")
+        val ords = Tables.df(s, dir, "orders")
+        store.createTable("p1", "in_c_main", "customer", cust.schema)
+        store.overwrite("p1", "in_c_main", "customer", cust)
+        store.createTable("p1", "in_c_main", "orders", ords.schema)
+        store.overwrite("p1", "in_c_main", "orders", ords)
+        // branch write: CoW customer, keep only custkey<=100 with bal+10
+        store.writeToBranch("p1", "dev", "in_c_main", "customer",
+          cust.filter(col("c_custkey") <= 100)
+            .withColumn("c_acctbal", col("c_acctbal") + 10.0))
+        // linked bucket: project p2 links p1's bucket (L5)
+        store.catalog.linkBucket("p2", "shared_sales", "p1", "in_c_main")
+        def summarize(tag: String, df: org.apache.spark.sql.DataFrame,
+            valueCol: String) =
+          df.agg(count(lit(1)).cast(LongType).as("n"),
+            dsum(col(valueCol)).as("total")).withColumn("src", lit(tag))
+        val branchCust = store.read("p1", "in_c_main", "customer", Some("dev"))
+        val mainCust = store.read("p1", "in_c_main", "customer")
+        val branchOrdersLive = store.read("p1", "in_c_main", "orders", Some("dev"))
+        val linked = store.read("p2", "shared_sales", "customer")
+        val beforePull = summarize("1_branch_cow", branchCust, "c_acctbal")
+          .unionByName(summarize("2_main_untouched", mainCust, "c_acctbal"))
+          .unionByName(summarize("3_branch_live_fallback", branchOrdersLive, "o_totalprice"))
+          .unionByName(summarize("4_linked_bucket", linked, "c_acctbal"))
+        // materialize BEFORE the pull deletes the branch files the lazy
+        // plans above reference
+        val beforeRows = beforePull.collect().toSeq
+        store.pullBranch("p1", "dev", "in_c_main", "customer") // L3
+        val afterRows = summarize("5_after_pull",
+          store.read("p1", "in_c_main", "customer", Some("dev")), "c_acctbal")
+          .collect().toSeq
+        s.createDataFrame(
+          s.sparkContext.parallelize(beforeRows ++ afterRows, 1),
+          beforePull.schema).orderBy("src")
+      },
+      Some("""SELECT '1_branch_cow' AS src, COUNT(*) AS n,
+             |  CAST(SUM(CAST(c_acctbal + 10.0 AS DECIMAL(38,4))) AS DOUBLE) AS total
+             |FROM customer WHERE c_custkey <= 100
+             |UNION ALL SELECT '2_main_untouched', COUNT(*),
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) FROM customer
+             |UNION ALL SELECT '3_branch_live_fallback', COUNT(*),
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) FROM orders
+             |UNION ALL SELECT '4_linked_bucket', COUNT(*),
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) FROM customer
+             |UNION ALL SELECT '5_after_pull', COUNT(*),
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) FROM customer
+             |ORDER BY src""".stripMargin)),
+
+    // D11+Q1: workspace session with {bucket}_{table} mounts, filtered
+    // CTAS load, then passthrough SQL joining the loaded table to a mount
+    Q("d11_workspace_load",
+      (s, dir) => {
+        val store = tempStore(s)
+        val cust = Tables.df(s, dir, "customer")
+        val ords = Tables.df(s, dir, "orders")
+        store.createTable("p1", "sales", "customer", cust.schema)
+        store.overwrite("p1", "sales", "customer", cust)
+        store.createTable("p1", "sales", "orders", ords.schema)
+        store.overwrite("p1", "sales", "orders", ords)
+        val ws = Workspace.openSession(s, store, "p1", Seq("sales"))
+        Workspace.loadTable(ws, store, "p1", "sales", "customer", "big_customers",
+          columns = Seq("c_custkey", "c_mktsegment"),
+          where = Some("c_custkey <= 500"))
+        ws.sql(
+          """SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+            |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+            |FROM big_customers c JOIN sales_orders o ON c.c_custkey = o.o_custkey
+            |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+             |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 500) c
+             |JOIN orders o ON c.c_custkey = o.o_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+  )
+}

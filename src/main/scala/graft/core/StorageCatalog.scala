@@ -1,0 +1,164 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.locks.ReentrantLock
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/** Multi-tenant storage catalog: projects -> branches -> buckets -> tables,
+  * with primary keys, CoW branch tracking, bucket shares/links and a
+  * snapshot registry.
+  *
+  * Replaces the reference's central metadata.duckdb (~15 metadata tables,
+  * reference: duckdb-api-service/src/database.py:172-417) with an explicit
+  * in-JVM catalog persisted as one JSON file under the data root. Path
+  * resolution mirrors `resolve_branch_path` / `get_table_source`
+  * (src/database.py:3042-3131): branch-first, falling back to main (the
+  * "live view" read), and linked buckets resolve to their source project.
+  *
+  * Layout under `root`:
+  *   project_{p}/{bucket}/{table}/v{N}/  — Parquet versions; catalog points
+  *                                        at the current N (atomic commit =
+  *                                        write new dir, bump pointer)
+  *   project_{p}_branch_{b}/...          — CoW sibling dirs (L1/L2)
+  *   snapshots/{p}/{snapId}/             — Parquet + metadata.json
+  */
+final class StorageCatalog(val root: Path) {
+
+  final case class TableMeta(
+      project: String, bucket: String, table: String,
+      schemaDdl: String, primaryKey: Seq[String], version: Int)
+
+  final case class SnapshotMeta(
+      id: String, project: String, bucket: String, table: String,
+      rowCount: Long, schemaDdl: String, createdAt: String)
+
+  // catalog state (thread-safe; persisted on mutation)
+  private val tables = TrieMap.empty[String, TableMeta]
+  /** branch table copies: key = branch-qualified table key (L1 CoW). */
+  private val branchTables = TrieMap.empty[String, TableMeta]
+  /** bucket links: (project, linkedBucket) -> (srcProject, srcBucket) (L5). */
+  private val bucketLinks = TrieMap.empty[(String, String), (String, String)]
+  private val snapshots = TrieMap.empty[String, SnapshotMeta]
+
+  /** Per-table write mutex — same semantics as the reference's
+    * TableLockManager (src/database.py:37-165): single writer per table,
+    * lock-free reads (Parquet versions are immutable). */
+  private val locks = new ConcurrentHashMap[String, ReentrantLock]()
+  def lockFor(key: String): ReentrantLock =
+    locks.computeIfAbsent(key, _ => new ReentrantLock())
+
+  def key(project: String, bucket: String, table: String, branch: Option[String] = None): String =
+    branch.fold(s"$project/$bucket/$table")(b => s"$project@$b/$bucket/$table")
+
+  // ------------------------------------------------------------- tables
+
+  def createTable(project: String, bucket: String, table: String,
+      schemaDdl: String, primaryKey: Seq[String] = Nil): TableMeta = {
+    val k = key(project, bucket, table)
+    require(!tables.contains(k), s"table already exists: $k")
+    val meta = TableMeta(project, bucket, table, schemaDdl, primaryKey, 0)
+    tables.put(k, meta); persist(); meta
+  }
+
+  def dropTable(project: String, bucket: String, table: String): Unit = {
+    tables.remove(key(project, bucket, table)); persist()
+  }
+
+  def getTable(project: String, bucket: String, table: String): Option[TableMeta] =
+    tables.get(key(project, bucket, table))
+
+  def updateTable(meta: TableMeta): Unit = {
+    tables.put(key(meta.project, meta.bucket, meta.table), meta); persist()
+  }
+
+  def listTables(project: String, bucket: String): Seq[TableMeta] =
+    tables.values.filter(m => m.project == project && m.bucket == bucket)
+      .toSeq.sortBy(_.table)
+
+  // ------------------------------------------------------------ branches
+
+  /** L1: record a CoW copy of a table into a branch. */
+  def recordBranchTable(branch: String, meta: TableMeta): Unit = {
+    branchTables.put(key(meta.project, meta.bucket, meta.table, Some(branch)), meta)
+    persist()
+  }
+
+  def getBranchTable(project: String, branch: String, bucket: String,
+      table: String): Option[TableMeta] =
+    branchTables.get(key(project, bucket, table, Some(branch)))
+
+  def updateBranchTable(branch: String, meta: TableMeta): Unit =
+    recordBranchTable(branch, meta)
+
+  /** L3: branch pull — drop the branch copy; reads fall back to main. */
+  def pullBranchTable(project: String, branch: String, bucket: String,
+      table: String): Unit = {
+    branchTables.remove(key(project, bucket, table, Some(branch))); persist()
+  }
+
+  // --------------------------------------------------------- shares/links
+
+  /** L5: link `srcProject/srcBucket` into `project` as `alias`. */
+  def linkBucket(project: String, alias: String, srcProject: String,
+      srcBucket: String): Unit = {
+    bucketLinks.put((project, alias), (srcProject, srcBucket)); persist()
+  }
+
+  /** Resolve a possibly-linked bucket to its physical (project, bucket). */
+  def resolveBucket(project: String, bucket: String): (String, String) =
+    bucketLinks.getOrElse((project, bucket), (project, bucket))
+
+  // ----------------------------------------------------------- snapshots
+
+  def recordSnapshot(meta: SnapshotMeta): Unit = {
+    snapshots.put(meta.id, meta); persist()
+  }
+  def getSnapshot(id: String): Option[SnapshotMeta] = snapshots.get(id)
+
+  // ---------------------------------------------------- path resolution
+
+  def projectDir(project: String, branch: Option[String] = None): Path =
+    branch.fold(root.resolve(s"project_$project"))(b =>
+      root.resolve(s"project_${project}_branch_$b"))
+
+  def tableDir(project: String, bucket: String, table: String,
+      branch: Option[String] = None): Path =
+    projectDir(project, branch).resolve(bucket).resolve(table)
+
+  def versionDir(meta: TableMeta, branch: Option[String] = None): Path =
+    tableDir(meta.project, meta.bucket, meta.table, branch).resolve(s"v${meta.version}")
+
+  /** L2: branch-first live-view resolution for reads; follows bucket links.
+    * Returns (meta, parquet dir) of what a read of project/branch sees. */
+  def resolveForRead(project: String, bucket: String, table: String,
+      branch: Option[String]): (TableMeta, Path) = {
+    val (pp, pb) = resolveBucket(project, bucket)
+    branch.flatMap(b => getBranchTable(pp, b, pb, table).map(m => (m, versionDir(m, Some(b)))))
+      .orElse(getTable(pp, pb, table).map(m => (m, versionDir(m))))
+      .getOrElse(throw new NoSuchElementException(s"no such table: $pp/$pb/$table"))
+  }
+
+  // ------------------------------------------------------------ persist
+
+  private def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** Persist as JSON (hand-rolled: no JSON dep in the build). */
+  def persist(): Unit = {
+    def metaJson(m: TableMeta) =
+      s"""{"project":${q(m.project)},"bucket":${q(m.bucket)},"table":${q(m.table)},
+         |"schemaDdl":${q(m.schemaDdl)},"pk":[${m.primaryKey.map(q).mkString(",")}],
+         |"version":${m.version}}""".stripMargin.replace("\n", "")
+    val json =
+      s"""{"tables":{${tables.map { case (k, m) => s"${q(k)}:${metaJson(m)}" }.mkString(",")}},
+         |"branchTables":{${branchTables.map { case (k, m) => s"${q(k)}:${metaJson(m)}" }.mkString(",")}},
+         |"links":{${bucketLinks.map { case ((p, a), (sp, sb)) => s"${q(s"$p/$a")}:${q(s"$sp/$sb")}" }.mkString(",")}},
+         |"snapshots":{${snapshots.map { case (k, m) =>
+             s"${q(k)}:{" + s""""project":${q(m.project)},"bucket":${q(m.bucket)},"table":${q(m.table)},"rowCount":${m.rowCount},"schemaDdl":${q(m.schemaDdl)},"createdAt":${q(m.createdAt)}}"""
+           }.mkString(",")}}}""".stripMargin.replace("\n", "")
+    Files.createDirectories(root)
+    Files.writeString(root.resolve("catalog.json"), json)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.engine.ddl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+import graft.core.TableStore
+
+/** Schema-evolution operators (SURVEY.md §2.4). The reference issues
+  * textual ALTERs against DuckDB (reference: src/database.py:4679-5059);
+  * on immutable Parquet every change is a declarative DataFrame transform
+  * + atomic version commit, and constraint metadata (PK, nullability)
+  * lives in the catalog.
+  *
+  * PK semantics without engine enforcement (SURVEY.md §7.4 risk 4): adding
+  * a PK runs the same uniqueness check the reference's table rebuild
+  * enforces (src/database.py:4882-4974) — a distributed groupBy-count, not
+  * a driver-side scan. */
+object Ddl {
+
+  /** C3: ADD COLUMN with optional default (backfills existing rows). */
+  def addColumn(df: DataFrame, name: String, dataType: DataType,
+      default: Option[Any] = None): DataFrame =
+    df.withColumn(name, default.fold(lit(null).cast(dataType))(d => lit(d).cast(dataType)))
+
+  /** C4: DROP COLUMN. */
+  def dropColumn(df: DataFrame, name: String): DataFrame = df.drop(name)
+
+  /** C5: RENAME COLUMN. */
+  def renameColumn(df: DataFrame, from: String, to: String): DataFrame =
+    df.withColumnRenamed(from, to)
+
+  /** C5: SET DATA TYPE (cast in place, column order preserved). */
+  def castColumn(df: DataFrame, name: String, to: DataType): DataFrame =
+    df.withColumn(name, col(name).cast(to))
+
+  /** C6: ADD PRIMARY KEY — distributed uniqueness + non-null check first.
+    * Returns the duplicate-key count found (must be 0 to succeed). */
+  def checkPrimaryKey(df: DataFrame, pk: Seq[String]): Long = {
+    val nullKeys = df.filter(pk.map(c => col(c).isNull).reduce(_ || _))
+    if (!nullKeys.isEmpty)
+      throw new IllegalStateException(s"PK columns contain NULLs: ${pk.mkString(",")}")
+    df.groupBy(pk.map(col): _*).count().filter(col("count") > 1).count()
+  }
+
+  def addPrimaryKey(store: TableStore, project: String, bucket: String,
+      table: String, pk: Seq[String]): Unit = {
+    val df = store.read(project, bucket, table)
+    val dupes = checkPrimaryKey(df, pk)
+    if (dupes > 0)
+      throw new IllegalStateException(s"cannot add PK: $dupes duplicate keys")
+    val meta = store.catalog.getTable(project, bucket, table).get
+    store.catalog.updateTable(meta.copy(primaryKey = pk))
+  }
+
+  /** C7: DROP PRIMARY KEY — catalog-only. */
+  def dropPrimaryKey(store: TableStore, project: String, bucket: String,
+      table: String): Unit = {
+    val meta = store.catalog.getTable(project, bucket, table).get
+    store.catalog.updateTable(meta.copy(primaryKey = Nil))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.engine.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Export sinks (S5/S6/S7): CSV and Parquet with the reference's
+  * compression options, plus the composed export query shape
+  * (columns + filters + limit — reference: src/routers/table_import.py:
+  * 560-629, src/grpc/handlers/import_export.py:560-601). */
+object Export {
+
+  /** P1+P2+P5+limit composed, as the export endpoints do. */
+  def exportQuery(df: DataFrame, columns: Seq[String] = Nil,
+      filters: Seq[FilterAlgebra.WhereFilter] = Nil,
+      where: Option[String] = None, limit: Option[Int] = None): DataFrame = {
+    var out = df
+    if (columns.nonEmpty) out = out.select(columns.map(col): _*)
+    FilterAlgebra.compileAll(filters).foreach(p => out = out.filter(p))
+    where.foreach(w => out = out.filter(FilterAlgebra.freeFormWhere(w)))
+    limit.foreach(n => out = out.limit(n))
+    out
+  }
+
+  /** S5: CSV sink — header always (as the reference), optional gzip. */
+  def toCsv(df: DataFrame, path: String, delimiter: String = ",",
+      compression: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
+      .option("header", true).option("delimiter", delimiter)
+    compression.fold(w)(c => w.option("compression", c)).csv(path)
+  }
+
+  /** S6/S7: Parquet sink with codec (gzip | zstd | snappy). */
+  def toParquet(df: DataFrame, path: String, compression: String = "snappy"): Unit =
+    df.write.mode("overwrite").option("compression", compression).parquet(path)
+
+  /** Read an exported CSV back with a declared schema (for roundtrips). */
+  def readCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      delimiter: String = ","): DataFrame =
+    spark.read.option("header", true).option("delimiter", delimiter)
+      .schema(schema).csv(path)
+}

@@ -1,0 +1,55 @@
+package graft.engine.snapshot
+
+import java.nio.file.{Files, Path}
+import java.time.Instant
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{StorageCatalog, TableStore}
+
+/** Parquet snapshots with restore (S4/S7, L4).
+  *
+  * Reference: snapshot = ZSTD Parquet + metadata sidecar
+  * (src/routers/snapshots.py:190-237), restore = CTAS from the snapshot
+  * file then PK re-add (:526-548); auto-snapshot fires before destructive
+  * ops (CLAUDE.md:270-283). */
+object Snapshots {
+
+  def create(spark: SparkSession, store: TableStore, project: String,
+      bucket: String, table: String): StorageCatalog#SnapshotMeta = {
+    val cat = store.catalog
+    val meta = cat.getTable(project, bucket, table)
+      .getOrElse(throw new NoSuchElementException(s"$project/$bucket/$table"))
+    val id = UUID.randomUUID().toString
+    val dir = cat.root.resolve("snapshots").resolve(project).resolve(id)
+    val df = store.read(project, bucket, table)
+    df.write.option("compression", "zstd").parquet(dir.resolve("data").toString)
+    val rows = spark.read.parquet(dir.resolve("data").toString).count()
+    val snap = cat.SnapshotMeta(id, project, bucket, table, rows,
+      meta.schemaDdl, Instant.now.toString)
+    Files.writeString(dir.resolve("metadata.json"),
+      s"""{"id":"$id","table":"$project/$bucket/$table","rows":$rows}""")
+    cat.recordSnapshot(snap)
+    snap
+  }
+
+  /** Restore a snapshot over the (possibly dropped) table. */
+  def restore(spark: SparkSession, store: TableStore, snapshotId: String): Unit = {
+    val cat = store.catalog
+    val snap = cat.getSnapshot(snapshotId)
+      .getOrElse(throw new NoSuchElementException(s"no snapshot $snapshotId"))
+    val dir = cat.root.resolve("snapshots").resolve(snap.project).resolve(snap.id)
+    val df = spark.read.parquet(dir.resolve("data").toString)
+    if (cat.getTable(snap.project, snap.bucket, snap.table).isEmpty)
+      cat.createTable(snap.project, snap.bucket, snap.table, snap.schemaDdl, Nil)
+    store.overwrite(snap.project, snap.bucket, snap.table, df)
+  }
+
+  /** L4 trigger hook: snapshot-before-destructive-op. */
+  def autoSnapshotBefore(spark: SparkSession, store: TableStore,
+      project: String, bucket: String, table: String)(op: => Unit): Unit = {
+    create(spark, store, project, bucket, table)
+    op
+  }
+}

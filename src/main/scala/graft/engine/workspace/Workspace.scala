@@ -1,0 +1,75 @@
+package graft.engine.workspace
+
+import java.util.concurrent.{TimeUnit, TimeoutException}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.TableStore
+import graft.engine.query.FilterAlgebra
+
+/** The workspace / arbitrary-SQL surface (Q1-Q3, D11).
+  *
+  * Reference: workspaces ATTACH every project table read-only under
+  * `{bucket}_{table}` aliases (src/pgwire_server.py:107-152); ExecuteQuery
+  * opens an in-memory DB, attaches, executes with a timeout
+  * (src/grpc/handlers/query.py:38-161); workspace load is a filtered CTAS
+  * (src/database.py:3778-3836).
+  *
+  * Spark-native: each workspace is a `SparkSession.newSession()` (isolated
+  * temp-view namespace, shared cluster), tables mount as temp views, and
+  * the timeout cancels the session's job group — the Spark analog of
+  * `SET statement_timeout`. */
+object Workspace {
+
+  /** Mount all tables of a project's buckets as `{bucket}_{table}` views
+    * in an isolated session (ADR-013 naming convention). */
+  def openSession(spark: SparkSession, store: TableStore, project: String,
+      buckets: Seq[String], branch: Option[String] = None): SparkSession = {
+    val session = spark.newSession()
+    for (bucket <- buckets; meta <- store.catalog.listTables(project, bucket)) {
+      val (_, dir) = store.catalog.resolveForRead(project, bucket, meta.table, branch)
+      session.read.parquet(dir.toString)
+        .createOrReplaceTempView(s"${bucket}_${meta.table}")
+    }
+    session
+  }
+
+  /** Q1: execute arbitrary SQL with a timeout via job-group cancellation. */
+  def executeQuery(session: SparkSession, sql: String,
+      timeoutSeconds: Int = 300): Array[org.apache.spark.sql.Row] = {
+    val group = s"graft-query-${System.nanoTime()}"
+    session.sparkContext.setJobGroup(group, sql, interruptOnCancel = true)
+    try {
+      val fut = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        session.sql(sql).collect())
+      try fut.get(timeoutSeconds.toLong, TimeUnit.SECONDS)
+      catch {
+        case e: TimeoutException =>
+          session.sparkContext.cancelJobGroup(group)
+          throw new TimeoutException(s"query exceeded ${timeoutSeconds}s")
+      }
+    } finally session.sparkContext.clearJobGroup()
+  }
+
+  /** D11: workspace load — filtered CTAS from a stored table into a
+    * workspace-local table (columns / where / limit subset). */
+  def loadTable(session: SparkSession, store: TableStore, project: String,
+      bucket: String, table: String, dest: String,
+      columns: Seq[String] = Nil, where: Option[String] = None,
+      limit: Option[Int] = None, branch: Option[String] = None): DataFrame = {
+    val (_, dir) = store.catalog.resolveForRead(project, bucket, table, branch)
+    var df = session.read.parquet(dir.toString)
+    if (columns.nonEmpty) df = df.select(columns.map(col): _*)
+    where.foreach(w => df = df.filter(FilterAlgebra.freeFormWhere(w)))
+    limit.foreach(n => df = df.limit(n))
+    df.createOrReplaceTempView(dest)
+    df
+  }
+
+  /** Q3: workspace object management. */
+  def listObjects(session: SparkSession): Seq[String] =
+    session.catalog.listTables().collect().map(_.name).toSeq.sorted
+  def dropObject(session: SparkSession, name: String): Boolean =
+    session.catalog.dropTempView(name)
+}
