@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.imp.ImportPipeline
+import graft.engine.query.FilterAlgebra
+import graft.engine.query.FilterAlgebra.{Op, WhereFilter}
+
+class ImportPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: (Int, String, Int)*) =
+    rows.toDF("id", "name", "v")
+
+  test("dedup keeps exactly one stable winner per key") {
+    val staging = df((1, "a", 1), (1, "b", 2), (2, "c", 1))
+    val out = ImportPipeline.dedup(staging, Seq("id"), Seq(col("v")))
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "b"), (2, "c"))) // highest v wins
+  }
+
+  test("upsert: staging wins per PK, unmatched target rows survive") {
+    val target = df((1, "old", 1), (2, "keep", 1))
+    val staging = df((1, "new", 9), (3, "ins", 1))
+    val out = ImportPipeline.upsert(target, staging, Seq("id"), Seq(col("v")))
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "new"), (2, "keep"), (3, "ins")))
+  }
+
+  test("insertIfAbsent: existing keys never change") {
+    val target = df((1, "old", 1))
+    val staging = df((1, "new", 9), (2, "ins", 1))
+    val out = ImportPipeline.insertIfAbsent(target, staging, Seq("id"), Seq(col("v")))
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "old"), (2, "ins")))
+  }
+
+  test("insertStrict raises on duplicate keys (409 semantics)") {
+    val target = df((1, "a", 1))
+    val staging = df((1, "b", 1))
+    assertThrows[IllegalStateException] {
+      ImportPipeline.insertStrict(target, staging, Seq("id"))
+    }
+  }
+
+  test("deleteWhere: NULL predicate keeps the row (SQL DELETE semantics)") {
+    val d = Seq((1, Some("x")), (2, None), (3, Some("del")))
+      .toDF("id", "tag")
+    val out = ImportPipeline.deleteWhere(d, col("tag") === "del")
+      .orderBy("id").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2))
+  }
+
+  test("filter algebra: try-cast of garbage value yields no matches, not an error") {
+    val d = df((1, "a", 5))
+    val pred = FilterAlgebra.compile(WhereFilter("v", Op.Gt, Seq("not_a_number"), "INTEGER"))
+    assert(d.filter(pred).count() == 0)
+  }
+
+  test("free-form where deny-list blocks injection tokens") {
+    assertThrows[IllegalArgumentException] {
+      FilterAlgebra.freeFormWhere("1=1; drop table x")
+    }
+    assertThrows[IllegalArgumentException] {
+      FilterAlgebra.freeFormWhere("v > 1 -- comment")
+    }
+    // clean predicate parses
+    assert(FilterAlgebra.freeFormWhere("v > 1") != null)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.pipeline.{Multimodal, Similarity, TextAnalysis, TextDedup}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount edge cases: empty, whitespace-only, multi-space") {
+    val d = Seq("", "   ", "one", "a b  c", " padded ").toDF("t")
+    val out = d.select(TextAnalysis.tokenCount(col("t"))).as[Long].collect().toSeq
+    assert(out == Seq(0L, 0L, 1L, 3L, 1L))
+  }
+
+  test("wordOccurrences counts word-boundary matches only") {
+    val d = Seq("the theater the a table the").toDF("t")
+    val out = d.select(TextAnalysis.wordOccurrences(col("t"), "the")).as[Long].head()
+    assert(out == 3L) // 'theater' and 'table' don't count
+  }
+
+  test("rolling hash: deterministic, matches reference implementation") {
+    def rh(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 2147483647L)
+    val d = Seq("hello world", "spark", "").toDF("text")
+    val out = d.select(TextAnalysis.rollingHash("text")).as[Long].collect().toSeq
+    assert(out == Seq(rh("hello world"), rh("spark"), rh("")))
+  }
+
+  test("simhash: identical docs have distance 0, disjoint docs differ") {
+    val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val sigs = TextDedup.simHash(d, "doc_id", "text")
+      .orderBy("id").as[(Long, String)].collect()
+    assert(sigs(0)._2 == sigs(1)._2)
+    assert(sigs(0)._2 != sigs(2)._2)
+    assert(sigs.forall(_._2.length == 64))
+  }
+
+  test("minhash LSH finds the planted near-dup pairs (recall vs exact)") {
+    val docs = Tables.df(spark, sfDir, "documents")
+    val exact = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = TextDedup.minHashPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact) // banding recall 1.0 on this corpus + exact verify
+  }
+
+  test("ANN recall: bucketed top-1 finds true nearest for most queries") {
+    val e = Tables.df(spark, sfDir, "embeddings")
+    val queries = e.filter(col("vec_id") < 20)
+    val corpus = e.filter(col("vec_id") >= 20)
+    val exact1 = Similarity.bruteForceTopK(queries, corpus, 1)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    val ann = Similarity.annTopK(queries, corpus, 1, planes = 2)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    // planes=2 -> 4 buckets; recall won't be 1.0 but must beat random
+    val hits = exact1.count { case (q, c) => ann.get(q).contains(c) }
+    assert(ann.nonEmpty && hits >= exact1.size / 4)
+  }
+
+  test("multimodal: batched extraction is deterministic and md5 matches") {
+    val docs = Tables.df(spark, sfDir, "documents").limit(5)
+    val assets = Multimodal.toAssets(docs, "doc_id", "text")
+    val a = Multimodal.extractFeatures(spark, assets).collect().sortBy(_.asset_id)
+    val b = Multimodal.extractFeatures(spark, assets).collect().sortBy(_.asset_id)
+    assert(a.toSeq == b.toSeq)
+    val viaSql = assets.select(col("asset_id"), md5(col("content")).as("m"))
+      .as[(Long, String)].collect().toMap
+    a.foreach(f => assert(viaSql(f.asset_id) == f.content_md5))
+    a.foreach(f => assert(f.fake_width >= 16 && f.fake_height >= 16))
+  }
+
+  test("langId is total: always one of the configured languages") {
+    val langs = TextAnalysis.LangMarkers.map(_._1).toSet
+    val docs = Tables.df(spark, sfDir, "documents")
+    val preds = docs.select(TextAnalysis.langId(col("text"))).as[String]
+      .collect().toSet
+    assert(preds.subsetOf(langs))
+  }
+}

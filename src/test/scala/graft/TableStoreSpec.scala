@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{StorageCatalog, Tables, TableStore}
+import graft.engine.ddl.Ddl
+import graft.engine.snapshot.Snapshots
+
+class TableStoreSpec extends SparkSpec {
+
+  private def newStore() =
+    new TableStore(spark, new StorageCatalog(Files.createTempDirectory("graft-t")))
+
+  test("create/overwrite/append with versioned commits") {
+    val store = newStore()
+    val cust = Tables.df(spark, sfDir, "customer")
+    store.createTable("p", "b", "t", cust.schema)
+    assert(store.read("p", "b", "t").count() == 0)
+    store.overwrite("p", "b", "t", cust)
+    val n = store.read("p", "b", "t").count()
+    assert(n == cust.count())
+    store.append("p", "b", "t", cust.limit(10))
+    assert(store.read("p", "b", "t").count() == n + 10)
+    // version pointer advanced; old versions pruned to current-1
+    val meta = store.catalog.getTable("p", "b", "t").get
+    assert(meta.version == 2)
+  }
+
+  test("branch CoW isolates writes; live view falls back; pull reverts") {
+    val store = newStore()
+    val cust = Tables.df(spark, sfDir, "customer")
+    store.createTable("p", "b", "cust", cust.schema)
+    store.overwrite("p", "b", "cust", cust)
+    store.createTable("p", "b", "other", cust.schema)
+    store.overwrite("p", "b", "other", cust.limit(7))
+
+    store.writeToBranch("p", "dev", "b", "cust", cust.limit(3))
+    assert(store.read("p", "b", "cust", Some("dev")).count() == 3)
+    assert(store.read("p", "b", "cust").count() == cust.count()) // main intact
+    // un-CoW'd table: branch read falls back to main (live view)
+    assert(store.read("p", "b", "other", Some("dev")).count() == 7)
+
+    store.pullBranch("p", "dev", "b", "cust")
+    assert(store.read("p", "b", "cust", Some("dev")).count() == cust.count())
+  }
+
+  test("snapshot + restore after destructive op") {
+    val store = newStore()
+    val nation = Tables.df(spark, sfDir, "nation")
+    store.createTable("p", "b", "n", nation.schema)
+    store.overwrite("p", "b", "n", nation)
+    val snap = Snapshots.create(spark, store, "p", "b", "n")
+    assert(snap.rowCount == nation.count())
+    store.overwrite("p", "b", "n", nation.limit(0))
+    assert(store.read("p", "b", "n").count() == 0)
+    Snapshots.restore(spark, store, snap.id)
+    assert(store.read("p", "b", "n").count() == nation.count())
+  }
+
+  test("addPrimaryKey rejects duplicate keys, accepts unique ones") {
+    val store = newStore()
+    val li = Tables.df(spark, sfDir, "lineitem")
+    store.createTable("p", "b", "li", li.schema)
+    store.overwrite("p", "b", "li", li)
+    assertThrows[IllegalStateException] {
+      // (l_orderkey, l_linenumber) is NOT unique in this data
+      Ddl.addPrimaryKey(store, "p", "b", "li", Seq("l_orderkey", "l_linenumber"))
+    }
+    val orders = Tables.df(spark, sfDir, "orders")
+    store.createTable("p", "b", "o", orders.schema)
+    store.overwrite("p", "b", "o", orders)
+    Ddl.addPrimaryKey(store, "p", "b", "o", Seq("o_orderkey"))
+    assert(store.catalog.getTable("p", "b", "o").get.primaryKey == Seq("o_orderkey"))
+  }
+
+  test("linked bucket resolves to source project's data") {
+    val store = newStore()
+    val region = Tables.df(spark, sfDir, "region")
+    store.createTable("src_p", "src_b", "r", region.schema)
+    store.overwrite("src_p", "src_b", "r", region)
+    store.catalog.linkBucket("other_p", "linked", "src_p", "src_b")
+    assert(store.read("other_p", "linked", "r").count() == region.count())
+  }
+}

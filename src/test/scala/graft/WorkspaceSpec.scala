@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.TimeoutException
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{StorageCatalog, Tables, TableStore}
+import graft.engine.workspace.Workspace
+
+class WorkspaceSpec extends SparkSpec {
+
+  private def storeWithCustomer() = {
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-ws")))
+    val cust = Tables.df(spark, sfDir, "customer")
+    store.createTable("p", "sales", "customer", cust.schema)
+    store.overwrite("p", "sales", "customer", cust)
+    store
+  }
+
+  test("workspace sessions are isolated namespaces with {bucket}_{table} mounts") {
+    val store = storeWithCustomer()
+    val ws1 = Workspace.openSession(spark, store, "p", Seq("sales"))
+    assert(Workspace.listObjects(ws1).contains("sales_customer"))
+    // a second session doesn't see ws1's scratch objects
+    Workspace.loadTable(ws1, store, "p", "sales", "customer", "scratch")
+    val ws2 = Workspace.openSession(spark, store, "p", Seq("sales"))
+    assert(Workspace.listObjects(ws1).contains("scratch"))
+    assert(!Workspace.listObjects(ws2).contains("scratch"))
+  }
+
+  test("executeQuery returns rows; loadTable applies columns/where/limit") {
+    val store = storeWithCustomer()
+    val ws = Workspace.openSession(spark, store, "p", Seq("sales"))
+    Workspace.loadTable(ws, store, "p", "sales", "customer", "top",
+      columns = Seq("c_custkey", "c_name"), where = Some("c_custkey <= 10"),
+      limit = Some(5))
+    val rows = Workspace.executeQuery(ws, "SELECT COUNT(*) FROM top")
+    assert(rows.head.getLong(0) == 5)
+  }
+
+  test("executeQuery times out and cancels the job group") {
+    val store = storeWithCustomer()
+    val ws = Workspace.openSession(spark, store, "p", Seq("sales"))
+    // a pathological cross-join large enough to exceed the 1s budget
+    assertThrows[TimeoutException] {
+      Workspace.executeQuery(ws,
+        """SELECT COUNT(*) FROM sales_customer a, sales_customer b,
+          |  sales_customer c, sales_customer d
+          |WHERE a.c_acctbal + b.c_acctbal + c.c_acctbal + d.c_acctbal > 0
+          |""".stripMargin, timeoutSeconds = 1)
+    }
+  }
+
+  test("dropObject removes workspace temp views") {
+    val store = storeWithCustomer()
+    val ws = Workspace.openSession(spark, store, "p", Seq("sales"))
+    Workspace.loadTable(ws, store, "p", "sales", "customer", "tmp1")
+    assert(Workspace.dropObject(ws, "tmp1"))
+    assert(!Workspace.listObjects(ws).contains("tmp1"))
+  }
+}
