@@ -1,0 +1,23 @@
+package graft
+
+import graft.Queries.Q
+import graft.core.Tables
+import graft.streaming.EventsStream
+
+/** Oracle-checked batch twins of the streaming aggregations (§2.8
+  * parity-plus). The streaming variants are asserted equal to these twins
+  * in StreamingSpec; the twins are asserted equal to DuckDB here. */
+object StreamingQueries {
+
+  val all: Seq[Q] = Seq(
+    Q("st1_windowed_agg",
+      (s, dir) => EventsStream.windowedCountsBatch(
+          Tables.df(s, dir, "events"), 3600L * 1000)
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start,
+             |  event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin))
+  )
+}

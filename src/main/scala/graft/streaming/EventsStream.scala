@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table (parity-plus: the reference
+  * has NO streaming operators — SURVEY.md §2.8 — its closest temporal
+  * semantics are `_timestamp` + changeSince/changeUntil; this module shows
+  * the same analytics as incremental streams).
+  *
+  * Design rule: every streaming aggregation has a BATCH TWIN built from the
+  * identical column expressions, so batch results are the oracle for the
+  * stream (asserted in StreamingSpec). At scale the stream shuffles on the
+  * same keys as the batch plan; watermarks bound state. */
+object EventsStream {
+
+  /** Tumbling-window aggregate per event_type — batch twin. Window start
+    * is emitted as epoch millis so a SQL oracle can replay it exactly. */
+  def windowedCountsBatch(events: DataFrame, widthMs: Long): DataFrame =
+    events
+      .withColumn("window_start",
+        (floor(unix_millis(col("ts")) / widthMs) * widthMs).cast(LongType))
+      .groupBy("window_start", "event_type")
+      .agg(
+        count(lit(1)).cast(LongType).as("n_events"),
+        sum(col("value").cast(DecimalType(38, 4))).cast(DoubleType).as("total_value"))
+
+  /** The same aggregation as an incremental stream with a watermark.
+    * (`window()` buckets identically to the floor-div batch twin for
+    * UTC-aligned widths.) */
+  def windowedCountsStream(events: DataFrame, width: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_events"),
+        sum(col("value").cast(DecimalType(38, 4))).cast(DoubleType).as("total_value"))
+      .select(unix_millis(col("window.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Read the events parquet as a file-source stream (nanos handled the
+    * same way as the batch reader in core.Tables). */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(raw).parquet(dir)
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+  }
+
+  /** Run a streaming aggregation to completion against a static directory
+    * (memory sink, complete mode) and return the result table. */
+  def runToCompletion(spark: SparkSession, streamed: DataFrame,
+      name: String): DataFrame = {
+    val q: StreamingQuery = streamed.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  final case class UserEvent(user_id: Long, event_type: String, value: Double)
+  final case class UserState(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Stateful per-user running totals via mapGroupsWithState (the custom-
+    * state surface; timeout-free for the bounded demo). */
+  def userTotalsStream(events: Dataset[UserEvent]): Dataset[UserState] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserState](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(uid, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserState(uid, prev.n_events + batch.size,
+            prev.total_value + batch.map(_.value).sum)
+          state.update(next)
+          next
+      }
+  }
+}

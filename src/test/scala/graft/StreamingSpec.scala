@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.core.Tables
+import graft.streaming.EventsStream
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val eventsDir: String = {
+    val d = Files.createTempDirectory("graft-events")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    d.toString
+  }
+
+  test("streaming windowed agg equals its batch twin") {
+    val batch = EventsStream.windowedCountsBatch(
+        Tables.df(spark, sfDir, "events"), 3600L * 1000)
+      .orderBy("window_start", "event_type").collect().toSeq
+    val stream = EventsStream.runToCompletion(spark,
+      EventsStream.windowedCountsStream(
+        EventsStream.readEventsStream(spark, eventsDir), "1 hour", "10 minutes"),
+      "win_counts")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("stateful per-user totals accumulate across a stream") {
+    val batchTotals = Tables.df(spark, sfDir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val streamed = EventsStream.readEventsStream(spark, eventsDir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.UserEvent]
+    val q = EventsStream.userTotalsStream(streamed).writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("user_totals")
+      .start()
+    q.processAllAvailable(); q.stop()
+    // last update per user holds the final running total
+    val got = spark.table("user_totals")
+      .groupBy("user_id").agg(max("n_events").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == batchTotals)
+  }
+}
