@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.graftshim.{GraftExpressions, Shim}
+import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, RegexpFullMatch}
+
+/** Column/SQL-facing surface of the native expressions (implementations in
+  * org.apache.spark.sql.graftshim.GraftExpressions — see SURVEY.md §2.9). */
+object GraftFunctions {
+
+  def cosineSim(a: Column, b: Column): Column =
+    Shim.column(CosineSimilarity(Shim.expression(a), Shim.expression(b)))
+
+  def regexpFullMatch(s: Column, re: Column): Column =
+    Shim.column(RegexpFullMatch(Shim.expression(s), Shim.expression(re)))
+
+  /** DuckDB HISTOGRAM-shaped aggregate: value -> count map (§2.9), as a
+    * typed Aggregator usable through functions.udaf. */
+  class HistogramAgg extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(m: Map[String, Long], v: String): Map[String, Long] =
+      if (v == null) m else m.updated(v, m.getOrElse(v, 0L) + 1L)
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      b.foldLeft(a) { case (m, (k, n)) => m.updated(k, m.getOrElse(k, 0L) + n) }
+    def finish(m: Map[String, Long]): Map[String, Long] = m
+    def bufferEncoder = Encoders.kryo[Map[String, Long]]
+    def outputEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Register SQL-callable names (idempotent, session-scoped) so workspace
+    * passthrough SQL gains regexp_full_match / cosine_sim / histogram_map. */
+  def register(spark: SparkSession): Unit = {
+    Shim.registerFunction(spark, "regexp_full_match",
+      es => RegexpFullMatch(es(0), es(1)))
+    Shim.registerFunction(spark, "cosine_sim",
+      es => CosineSimilarity(es(0), es(1)))
+    spark.udf.register("histogram_map",
+      org.apache.spark.sql.functions.udaf(new HistogramAgg))
+  }
+}

@@ -21,16 +21,12 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Exact cosine similarity between two array<float|double> columns,
-    * accumulated in double, left-to-right (deterministic, matches the
-    * sequential accumulation a DuckDB oracle uses). */
-  def cosine(a: String, b: String): Column = {
-    def dot(x: String, y: String) =
-      s"""aggregate(zip_with($x, $y,
-         |  (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
-         |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
-    expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
-  }
+  /** Exact cosine similarity between two array<float|double> columns:
+    * the native fused expression (one codegen'd loop, no intermediate
+    * arrays). Accumulates left-to-right in double — deterministic and
+    * identical to the sequential accumulation a DuckDB oracle uses. */
+  def cosine(a: String, b: String): Column =
+    graft.functions.GraftFunctions.cosineSim(col(a), col(b))
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors. Ranking uses round(sim, 6) with id tie-break so the result

@@ -1,0 +1,87 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (SURVEY.md §2.9). In this package only for
+  * visibility of private[sql] type-coercion traits; logic is graft's own.
+  *
+  *  - CosineSimilarity: one fused whole-stage-codegen loop over two
+  *    float/double arrays (dot + both norms in a single pass — the
+  *    zip_with+aggregate formulation allocates an intermediate array per
+  *    row, this allocates nothing). Left-to-right double accumulation,
+  *    bit-identical to the sequential formulation a DuckDB oracle uses.
+  *  - RegexpFullMatch: DuckDB's anchored regex match for passthrough SQL
+  *    parity (the reference profiler uses it, src/database.py:5439-5472).
+  */
+object GraftExpressions {
+
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(
+      TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+      TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_sim"
+
+    private def elemIsFloat(e: Expression): Boolean =
+      e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val (xa, xb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      val n = math.min(xa.numElements(), xb.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      val fa = elemIsFloat(left); val fb = elemIsFloat(right)
+      var i = 0
+      while (i < n) {
+        val x: Double = if (fa) xa.getFloat(i).toDouble else xa.getDouble(i)
+        val y: Double = if (fb) xb.getFloat(i).toDouble else xb.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val getA = if (elemIsFloat(left)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
+        val getB = if (elemIsFloat(right)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+        s"""
+           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double dot = 0.0, na = 0.0, nb = 0.0;
+           |for (int i = 0; i < n; i++) {
+           |  double x = $getA; double y = $getB;
+           |  dot += x * y; na += x * x; nb += y * y;
+           |}
+           |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  case class RegexpFullMatch(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "regexp_full_match"
+
+    @transient private lazy val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+
+    override def nullSafeEval(s: Any, re: Any): Any = {
+      val p = cache.computeIfAbsent(re.asInstanceOf[UTF8String].toString,
+        java.util.regex.Pattern.compile)
+      java.lang.Boolean.valueOf(p.matcher(s.asInstanceOf[UTF8String].toString).matches())
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+}

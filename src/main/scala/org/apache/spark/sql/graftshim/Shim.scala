@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into Spark's private[sql] surface (Spark 4 moved Column
+  * to a ColumnNode wrapper; converting a Catalyst Expression to a user
+  * Column and registering expression builders both need package access).
+  * Lives under org.apache.spark.sql.* solely for visibility — contains no
+  * Spark-internal logic of its own. */
+object Shim {
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a native Expression builder as a SQL function (temp scope,
+    * idempotent) so passthrough SQL can call it by name. */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+}

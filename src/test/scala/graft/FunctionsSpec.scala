@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.GraftFunctions
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine_sim is bit-identical to the HOF formulation") {
+    val e = Tables.df(spark, sfDir, "embeddings").limit(50)
+    val pairs = e.select(col("vec_id").as("a_id"), col("embedding").as("av"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("embedding").as("bv")))
+      .filter(col("a_id") < col("b_id"))
+    def hofDot(x: String, y: String) =
+      s"""aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
+         |CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    val diff = pairs
+      .withColumn("native", GraftFunctions.cosineSim(col("av"), col("bv")))
+      .withColumn("hof", expr(
+        s"${hofDot("av", "bv")} / (sqrt(${hofDot("av", "av")}) * sqrt(${hofDot("bv", "bv")}))"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+  }
+
+  test("regexp_full_match anchors like DuckDB") {
+    GraftFunctions.register(spark)
+    val d = Seq("2024-01-01", "x2024-01-01", "2024-01-01x").toDF("s")
+    d.createOrReplaceTempView("rfm_test")
+    val matched = spark.sql(
+      "SELECT s FROM rfm_test WHERE regexp_full_match(s, '[0-9]{4}-[0-9]{2}-[0-9]{2}')")
+      .as[String].collect().toSeq
+    assert(matched == Seq("2024-01-01")) // substring matches rejected
+  }
+
+  test("cosine_sim callable from passthrough SQL") {
+    GraftFunctions.register(spark)
+    Tables.df(spark, sfDir, "embeddings").limit(3)
+      .createOrReplaceTempView("emb3")
+    val sims = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) AS s FROM emb3")
+      .as[Double].collect().toSeq
+    sims.foreach(s => assert(math.abs(s - 1.0) < 1e-9)) // self-sim = 1
+  }
+
+  test("histogram_map aggregates value->count like DuckDB HISTOGRAM") {
+    GraftFunctions.register(spark)
+    Seq("a", "b", "a", "c", "a").toDF("v").createOrReplaceTempView("hist_test")
+    val m = spark.sql("SELECT histogram_map(v) AS h FROM hist_test")
+      .as[Map[String, Long]].head()
+    assert(m == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+}
