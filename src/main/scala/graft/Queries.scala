@@ -130,7 +130,7 @@ object Queries {
         val target = li.filter(col("l_linenumber") <= 4)
         val staging = li.filter(col("l_linenumber") >= 4)
           .withColumn("l_quantity", col("l_quantity") + 100.0)
-        ImportPipeline.upsert(target, staging, pk, Seq(lit(1)))
+        ImportPipeline.upsert(target, staging, pk, Nil)
           .orderBy(pk.map(col): _*)
       },
       Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
@@ -146,7 +146,7 @@ object Queries {
         val li = t(s, dir, "lineitem").select((pk :+ "l_quantity").map(col): _*)
         val target = li.filter(col("l_linenumber") <= 4)
         val staging = li.withColumn("l_quantity", col("l_quantity") + 100.0)
-        ImportPipeline.insertIfAbsent(target, staging, pk, Seq(lit(1)))
+        ImportPipeline.insertIfAbsent(target, staging, pk, Nil)
           .orderBy(pk.map(col): _*)
       },
       Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
@@ -196,6 +196,8 @@ object Queries {
         val li = t(s, dir, "lineitem")
         val o = t(s, dir, "orders")
         val c = t(s, dir, "customer")
+        // customer is a dimension -> explicit broadcast; orders is left to
+        // AQE (auto-broadcasts while it fits, shuffle-joins at scale)
         li.join(o, li("l_orderkey") === o("o_orderkey"))
           .join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .groupBy("c_mktsegment")

@@ -57,17 +57,25 @@ object ImportPipeline {
   def withLoadTimestamp(df: DataFrame): DataFrame =
     df.withColumn("_timestamp", current_timestamp())
 
-  /** D7: pick exactly one row per key, winner = first by `order` columns
-    * descending. The reference's ON CONFLICT DO UPDATE is last-writer-wins
-    * per PK; we make the winner stable by requiring an explicit ordering
-    * (callers should pass enough columns to break all ties).
-    * Single shuffle on the dedup key; no driver-side state. */
-  def dedup(staging: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
-    staging.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-  }
+  /** D7: pick exactly one row per key.
+    *
+    * With `order` columns: winner = first by `order` descending (stable —
+    * callers pass enough columns to break all ties). Costs a shuffle+sort.
+    *
+    * With empty `order`: ANY one row per key — the non-determinism the
+    * reference's proto explicitly admits for UPDATE_DUPLICATES
+    * (proto/table.proto:181). Uses dropDuplicates = hash aggregation with
+    * MAP-SIDE partial combine: at 100 TB this shuffles one row per key per
+    * input partition instead of every row, and never sorts. Prefer it
+    * whenever the caller doesn't need a stable winner. */
+  def dedup(staging: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    if (order.isEmpty) staging.dropDuplicates(keys)
+    else {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
+      staging.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+    }
 
   /** D4: upsert (`ON CONFLICT DO UPDATE`, table_import.py:207-215).
     * Result = target rows whose key is absent from staging, plus one

@@ -73,6 +73,29 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Elementwise-min aggregator over fixed-length hash arrays: builds the
+    * whole MinHash signature in ONE hash aggregation with map-side partial
+    * combine — the shuffle carries one k-long array per doc per input
+    * partition, never the exploded (doc, position) rows. */
+  final class MinHashSigAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+    def reduce(buf: Array[Long], in: Seq[Long]): Array[Long] = {
+      var i = 0
+      while (i < k) { val v = in(i); if (v < buf(i)) buf(i) = v; i += 1 }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < k) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    def bufferEncoder = org.apache.spark.sql.Encoders.kryo[Array[Long]]
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** MinHash signature + LSH banding candidate pairs, verified with exact
     * Jaccard. numHashes must be divisible by bands; rows per band r =
     * numHashes/bands controls the S-curve: P(candidate) = 1-(1-j^r)^bands.
@@ -83,25 +106,34 @@ object TextDedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
     val sets = shingleSets(df, idCol, textCol, n).cache()
-    // k hash functions: xxhash64(shingle, i) for i in [0, numHashes)
-    val hashed = sets.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), posexplode(expr(
-        s"transform(sequence(0, ${numHashes - 1}), i -> xxhash64(s, i))")))
-      .toDF("id", "pos", "h")
-    val minhash = hashed.groupBy("id", "pos").agg(min("h").as("mh"))
-    // band signature: hash of the r minima in position order
-    val bandSigs = minhash
-      .withColumn("band", (col("pos") / r).cast(IntegerType))
-      .groupBy("id", "band")
-      .agg(expr(
-        """xxhash64(array_join(transform(array_sort(collect_list(struct(pos, mh))),
-          |  x -> cast(x.mh as string)), ','))""".stripMargin).as("sig"))
+    val sigAgg = org.apache.spark.sql.functions.udaf(new MinHashSigAgg(numHashes))
+    // k hash functions per shingle, elementwise-min aggregated per doc
+    val sigs = sets.select(col("id"), explode(col("sh")).as("s"))
+      .withColumn("hs", expr(
+        s"transform(sequence(0, ${numHashes - 1}), i -> xxhash64(s, i))"))
+      .groupBy("id").agg(sigAgg(col("hs")).as("sig"))
+    // band signature: hash of each r-wide slice of the signature
+    val bandSigs = sigs.select(col("id"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(array_join(slice(sig, b * $r + 1, $r), ',')))")))
+      .toDF("id", "band", "sig")
     val ca = bandSigs.select(col("band"), col("sig"), col("id").as("a_id"))
     val cb = bandSigs.select(col("band"), col("sig"), col("id").as("b_id"))
-    val candidates = ca.join(cb, Seq("band", "sig"))
+    val rawCandidates = ca.join(cb, Seq("band", "sig"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    // exact verification on candidates only
+    // cheap screen before the expensive set intersection: the fraction of
+    // agreeing signature positions estimates Jaccard (stderr ~ 1/sqrt(k));
+    // threshold/2 is >4 sigma below any true pair at k=64, and discards
+    // nearly all of the r=2 band-collision false positives
+    val estMin = threshold / 2
+    val siga = sigs.select(col("id").as("a_id"), col("sig").as("siga"))
+    val sigb = sigs.select(col("id").as("b_id"), col("sig").as("sigb"))
+    val candidates = rawCandidates.join(siga, "a_id").join(sigb, "b_id")
+      .filter(expr(
+        s"size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))") >=
+        lit(estMin * numHashes))
+      .select("a_id", "b_id")
+    // exact verification on screened candidates only
     val sa = sets.select(col("id").as("a_id"), col("sh").as("sha"), col("k").as("ka"))
     val sb = sets.select(col("id").as("b_id"), col("sh").as("shb"), col("k").as("kb"))
     candidates.join(sa, "a_id").join(sb, "b_id")
