@@ -1,0 +1,55 @@
+package graft
+
+import graft.Queries
+
+/** Physical-plan shape assertions: the scale properties SURVEY.md §4 calls
+  * for — predicate pushdown into the Parquet scan, column pruning,
+  * broadcast for dimension joins, whole-stage codegen on the agg path.
+  * These run on a cache-free session so scan-level details are visible. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    Queries.byName(name).fn(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("filter algebra pushes predicates into the parquet scan") {
+    val plan = planOf("p2_filter_algebra")
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,30.0)"))
+    assert(plan.contains("In(l_returnflag"))
+  }
+
+  test("projection prunes the read schema to selected columns") {
+    val plan = planOf("p1_projection")
+    assert(plan.contains("ReadSchema"))
+    // pruned scan must not read the unprojected measure columns
+    assert(!plan.contains("l_discount"))
+    assert(!plan.contains("l_shipdate"))
+  }
+
+  test("dimension join is planned as a broadcast hash join") {
+    val plan = planOf("q2_join_revenue")
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("aggregation path runs in whole-stage codegen") {
+    val df = Queries.byName("q1_agg_pricing").fn(spark, sfDir)
+    df.collect() // AQE: codegen stages appear only in the final plan
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen marker in the final-plan rendering
+    assert(plan.contains("*("))
+    assert(plan.contains("HashAggregate"))
+  }
+
+  test("unordered dedup over fixed-width rows is a hash agg, not a sort") {
+    import org.apache.spark.sql.functions.col
+    // the import path dedups on the PK projection (fixed-width columns);
+    // varlen columns would demote dropDuplicates to SortAggregate
+    val li = core.Tables.df(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+    val plan = engine.imp.ImportPipeline
+      .dedup(li, Seq("l_orderkey", "l_linenumber"), Nil)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("Window"))
+  }
+}
