@@ -18,6 +18,7 @@ object Bench {
   private val excluded = Set(
     "c1_import_export_roundtrip", "c3_schema_evolution", "c6_add_primary_key",
     "l1_snapshot_restore", "l2_branch_lifecycle", "d11_workspace_load",
+    "s2_csv_infer_gzip", "d3_append",
     // rows-only checks (not part of the oracle surface)
     "x4_simhash_pairs", "x6_ann_lsh", "x11_rolling_hash")
 
@@ -35,8 +36,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val headline = (Queries.all ++ PipelineQueries.all ++ StreamingQueries.all)
-      .filterNot(q => excluded.contains(q.name))
+    val headline =
+      (Queries.all ++ PipelineQueries.all ++ StreamingQueries.all ++ ExtraQueries.all)
+        .filterNot(q => excluded.contains(q.name))
 
     // cache every table once (count() materializes the cache)
     Tables.names.foreach { n =>

@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Queries.Q
+import graft.core.{StorageCatalog, Tables, TableStore}
+import graft.engine.imp.ImportPipeline
+import graft.engine.profile.Profiler
+import graft.engine.query.{Export, FilterAlgebra}
+import graft.engine.query.FilterAlgebra.{Op, WhereFilter}
+
+/** Coverage-completing queries: schema-inferring CSV (S2), append (D3),
+  * the reference's declared-but-unimplemented ops done properly in Spark
+  * (P6 fulltext, P7 ref-table filters, D12 table-to-table import), and the
+  * A3 cardinality profile. */
+object ExtraQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // S2 — schema-inferring CSV scan (gzip), driver-import style
+    Q("s2_csv_infer_gzip",
+      (s, dir) => {
+        val csvDir = Files.createTempDirectory("graft-s2").toString
+        Export.toCsv(Tables.df(s, dir, "nation"), csvDir, compression = Some("gzip"))
+        ImportPipeline.readCsv(s, csvDir, ImportPipeline.CsvOptions())
+          .orderBy("n_nationkey")
+      },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
+    // D3 — incremental append through the versioned store
+    Q("d3_append",
+      (s, dir) => {
+        val store = new TableStore(s,
+          new StorageCatalog(Files.createTempDirectory("graft-d3")))
+        val cust = Tables.df(s, dir, "customer")
+        store.createTable("p", "b", "customer", cust.schema)
+        store.overwrite("p", "b", "customer", cust)
+        store.append("p", "b", "customer", cust.filter(col("c_custkey") <= 100))
+        store.read("p", "b", "customer").orderBy("c_custkey")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT * FROM customer
+             |  UNION ALL SELECT * FROM customer WHERE c_custkey <= 100)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // P6 — fulltext search (OR-of-contains over string columns)
+    Q("p6_fulltext",
+      (s, dir) => Tables.df(s, dir, "documents")
+        .filter(FilterAlgebra.fulltextSearch(Seq("text", "lang", "source"), "merge"))
+        .groupBy("lang").agg(count(lit(1)).cast(LongType).as("n_hits"))
+        .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n_hits FROM documents
+             |WHERE text LIKE '%merge%' OR lang LIKE '%merge%' OR source LIKE '%merge%'
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // P7 — whereRefTableFilters: IN / NOT_IN against another table as
+    // semi/anti joins (no collected value lists)
+    Q("p7_ref_table_filter",
+      (s, dir) => {
+        val li = Tables.df(s, dir, "lineitem")
+        val refKeys = Tables.df(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+        def agg(df: org.apache.spark.sql.DataFrame, mode: String) =
+          df.groupBy("l_returnflag")
+            .agg(count(lit(1)).cast(LongType).as("n"),
+              sum(col("l_quantity").cast(DecimalType(38, 4))).cast(DoubleType)
+                .as("total_qty"))
+            .withColumn("mode", lit(mode))
+        agg(FilterAlgebra.refTableFilter(li, "l_orderkey", refKeys, "o_orderkey"), "in")
+          .unionByName(agg(FilterAlgebra.refTableFilter(
+            li, "l_orderkey", refKeys, "o_orderkey", negate = true), "not_in"))
+          .orderBy("mode", "l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS total_qty,
+             |  'in' AS mode
+             |FROM lineitem
+             |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+             |GROUP BY l_returnflag
+             |UNION ALL
+             |SELECT l_returnflag, COUNT(*),
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 'not_in'
+             |FROM lineitem
+             |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+             |GROUP BY l_returnflag
+             |ORDER BY mode, l_returnflag""".stripMargin)),
+
+    // D12 — table-to-table import with column mappings + filters
+    Q("d12_table_import",
+      (s, dir) => ImportPipeline.importFromTable(
+          Tables.df(s, dir, "events"),
+          Seq("event_id" -> "id", "event_type" -> "etype", "value" -> "v"),
+          Seq(WhereFilter("value", Op.Gt, Seq("50"), "DOUBLE")))
+        .orderBy("id"),
+      Some("""SELECT event_id AS id, event_type AS etype, value AS v
+             |FROM events WHERE value > 50 ORDER BY id""".stripMargin)),
+
+    // A3 — null % + cardinality ratio/class per column
+    Q("a3_cardinality",
+      (s, dir) => Profiler.cardinalityProfile(
+          Tables.df(s, dir, "documents"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("column_name"),
+      Some(Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS column_name,
+           |  ROUND(CAST(COUNT(*) - COUNT($c) AS DOUBLE) / COUNT(*) * 100, 4) AS null_pct,
+           |  ROUND(CAST(COUNT(DISTINCT $c) AS DOUBLE) / COUNT($c), 4) AS distinct_ratio,
+           |  CASE WHEN COUNT(DISTINCT $c) = COUNT($c) THEN 'unique'
+           |       WHEN COUNT(DISTINCT $c) = 1 THEN 'constant'
+           |       WHEN CAST(COUNT(DISTINCT $c) AS DOUBLE) / COUNT($c) > 0.9 THEN 'high'
+           |       WHEN CAST(COUNT(DISTINCT $c) AS DOUBLE) / COUNT($c) > 0.5 THEN 'medium'
+           |       WHEN CAST(COUNT(DISTINCT $c) AS DOUBLE) / COUNT($c) > 0.01 THEN 'low'
+           |       ELSE 'very_low' END AS cardinality_class
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")))
+  )
+}

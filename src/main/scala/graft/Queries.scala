@@ -340,6 +340,6 @@ object Queries {
   )
 
   lazy val byName: Map[String, Q] =
-    (all ++ PipelineQueries.all ++ StorageQueries.all ++ StreamingQueries.all)
-      .map(q => q.name -> q).toMap
+    (all ++ PipelineQueries.all ++ StorageQueries.all ++ StreamingQueries.all ++
+      ExtraQueries.all).map(q => q.name -> q).toMap
 }

@@ -11,7 +11,8 @@ object SparkEntry {
     Queries.byName("q1_agg_pricing").fn(spark, "/root/testdata/sf0.001")
 
   private def catalog =
-    Queries.all ++ PipelineQueries.all ++ StorageQueries.all ++ StreamingQueries.all
+    Queries.all ++ PipelineQueries.all ++ StorageQueries.all ++
+      StreamingQueries.all ++ ExtraQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -120,4 +120,18 @@ object ImportPipeline {
 
   /** D10: delete-all (empty filter set = `WHERE 1=1`, schema.py:428-430). */
   def deleteAll(df: DataFrame): DataFrame = df.limit(0)
+
+  /** D12 (parity-plus — `TableImportFromTableCommand` is declared in
+    * proto/table.proto:394-430 but its handler never registered in the
+    * reference): table-to-table import with column mappings (rename),
+    * where-filters and limit. */
+  def importFromTable(src: DataFrame,
+      columnMappings: Seq[(String, String)],
+      filters: Seq[graft.engine.query.FilterAlgebra.WhereFilter] = Nil,
+      limit: Option[Int] = None): DataFrame = {
+    var df = src
+    graft.engine.query.FilterAlgebra.compileAll(filters).foreach(p => df = df.filter(p))
+    df = df.select(columnMappings.map { case (s, d) => col(s).as(d) }: _*)
+    limit.fold(df)(df.limit)
+  }
 }

@@ -153,4 +153,28 @@ object Profiler {
   def widthHistogram(df: DataFrame, c: String, width: Double): DataFrame =
     df.groupBy(floor(col(c) / width).cast(LongType).as("bucket"))
       .agg(count(lit(1)).cast(LongType).as("bucket_count"))
+
+  /** A3: null % and cardinality ratio/class per column. Thresholds mirror
+    * the reference (src/database.py:5314-5329): unique / constant /
+    * high>0.9 / medium>0.5 / low>0.01 / very_low. One agg pass. */
+  def cardinalityProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("n"), aggs: _*)
+    cols.map { c =>
+      val ratio = col(s"nd_$c").cast(DoubleType) / col(s"nn_$c")
+      wide.select(
+        lit(c).as("column_name"),
+        round((col("n") - col(s"nn_$c")).cast(DoubleType) / col("n") * 100, 4)
+          .as("null_pct"),
+        round(ratio, 4).as("distinct_ratio"),
+        when(col(s"nd_$c") === col(s"nn_$c"), "unique")
+          .when(col(s"nd_$c") === 1, "constant")
+          .when(ratio > 0.9, "high")
+          .when(ratio > 0.5, "medium")
+          .when(ratio > 0.01, "low")
+          .otherwise("very_low").as("cardinality_class"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -129,4 +129,21 @@ object FilterAlgebra {
     raw
   }
   def freeFormWhere(raw: String): Column = expr(validateWhere(raw))
+
+  /** P7 (parity-plus — declared in proto/table.proto:469-484, never
+    * implemented by the reference): IN / NOT_IN filters against another
+    * table's column, as semi/anti joins (never a collected value list —
+    * the ref table may be huge; Spark broadcasts it only if small). */
+  def refTableFilter(df: org.apache.spark.sql.DataFrame,
+      column: String, refDf: org.apache.spark.sql.DataFrame,
+      refColumn: String, negate: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val keys = refDf.select(col(refColumn).as(column)).distinct()
+    df.join(keys, Seq(column), if (negate) "left_anti" else "left_semi")
+  }
+
+  /** P6 (parity-plus — declared in proto/table.proto:245-248, never
+    * implemented): naive fulltext = OR of contains() over the given
+    * string columns. */
+  def fulltextSearch(columns: Seq[String], needle: String): Column =
+    columns.map(c => col(c).contains(needle)).reduce(_ || _)
 }
