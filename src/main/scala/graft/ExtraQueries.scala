@@ -98,6 +98,42 @@ object ExtraQueries {
       Some("""SELECT event_id AS id, event_type AS etype, value AS v
              |FROM events WHERE value > 50 ORDER BY id""".stripMargin)),
 
+    // A11 — table-level quality score (reference scoring formula)
+    Q("a11_quality_summary",
+      (s, dir) => Profiler.qualitySummary(
+        Tables.df(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+      Some {
+        val numeric = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val allCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+        val qSel = numeric.map(c =>
+          s"QUANTILE_CONT($c, 0.25) AS q25_$c, QUANTILE_CONT($c, 0.75) AS q75_$c")
+          .mkString(", ")
+        val outSel = numeric.map { c =>
+          s"""(SUM(CASE WHEN $c < q25_$c - 1.5 * (q75_$c - q25_$c)
+             |           OR $c > q75_$c + 1.5 * (q75_$c - q25_$c)
+             |          THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) > 0.05)""".stripMargin
+        }.mkString(" , ")
+        val nullSel = allCols.map(c =>
+          s"(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) > 0.5)")
+          .mkString(" , ")
+        s"""WITH q AS (SELECT $qSel FROM lineitem),
+           |o(${numeric.map(c => s"ob_$c").mkString(",")}) AS
+           |  (SELECT $outSel FROM lineitem, q GROUP BY ${numeric.flatMap(c => Seq(s"q25_$c", s"q75_$c")).mkString(",")}),
+           |nl(${allCols.map(c => s"nb_$c").mkString(",")}) AS
+           |  (SELECT $nullSel FROM lineitem),
+           |counts AS (SELECT
+           |  (${allCols.map(c => s"CAST(nb_$c AS INT)").mkString(" + ")}) AS hn,
+           |  (${numeric.map(c => s"CAST(ob_$c AS INT)").mkString(" + ")}) AS oc
+           |  FROM o, nl)
+           |SELECT 100.0 - 5.0 * hn - 2.0 * oc AS quality_score,
+           |  CAST(hn AS BIGINT) AS high_null_cols,
+           |  CAST(oc AS BIGINT) AS outlier_cols
+           |FROM counts""".stripMargin
+      }),
+
     // A3 — null % + cardinality ratio/class per column
     Q("a3_cardinality",
       (s, dir) => Profiler.cardinalityProfile(

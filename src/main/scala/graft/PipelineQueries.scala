@@ -115,6 +115,32 @@ object PipelineQueries {
              |SELECT q_id, c_id, rank, ROUND(sim, 4) AS cosine_sim
              |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
 
+    // embedding-cosine near-dup pairs (exact baseline, oracle-checked)
+    Q("x13_embedding_neardup",
+      (s, dir) => Similarity.cosineNearDupPairs(
+          Tables.df(s, dir, "embeddings"), 0.4)
+        .orderBy("a_id", "b_id"),
+      Some("""WITH s AS (
+             |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |    list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             |    (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             |     sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+             |SELECT a_id, b_id, ROUND(sim, 4) AS cosine_sim
+             |FROM s WHERE sim >= 0.4
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // IVF-bucketed ANN (recall<1 by construction: rows-only + ScalaTest)
+    Q("x14_ann_ivf",
+      (s, dir) => {
+        val e = Tables.df(s, dir, "embeddings")
+        Similarity.ivfTopK(
+            e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20),
+            e.filter(col("vec_id") >= 20 && col("vec_id") < 36), 5, nprobe = 4)
+          .orderBy("q_id", "rank")
+      },
+      None),
+
     // LSH-bucketed ANN (recall<1 by construction: rows-only + ScalaTest)
     Q("x6_ann_lsh",
       (s, dir) => {

@@ -154,6 +154,40 @@ object Profiler {
     df.groupBy(floor(col(c) / width).cast(LongType).as("bucket"))
       .agg(count(lit(1)).cast(LongType).as("bucket_count"))
 
+  /** A11: table-level quality summary — the reference's scoring
+    * (src/database.py:5186-5257): 100 − 5·(cols >50% null) − 2·(numeric
+    * cols with >5% IQR outliers); plus issue counts. All inputs computed
+    * distributed; only the tiny per-column stat rows are combined. */
+  def qualitySummary(df: DataFrame, numericCols: Seq[String]): DataFrame = {
+    val n = df.count().toDouble
+    // per-column outlier fractions via one quantile pass + one count pass
+    val qAggs = numericCols.flatMap { c =>
+      Seq(expr(s"percentile($c, 0.25)").as(s"q25_$c"),
+        expr(s"percentile($c, 0.75)").as(s"q75_$c"))
+    }
+    val q = df.agg(qAggs.head, qAggs.tail: _*).collect()(0)
+    val outAggs = numericCols.zipWithIndex.map { case (c, i) =>
+      val (q25, q75) = (q.getDouble(2 * i), q.getDouble(2 * i + 1))
+      val iqr = q75 - q25
+      sum(when(col(c) < q25 - 1.5 * iqr || col(c) > q75 + 1.5 * iqr, 1L)
+        .otherwise(0L)).as(s"out_$c")
+    }
+    val nullAggs = df.columns.toSeq.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"))
+    val stats = df.agg((outAggs ++ nullAggs).head, (outAggs ++ nullAggs).tail: _*)
+      .collect()(0)
+    val outFrac = numericCols.indices.map(i => stats.getLong(i) / n)
+    val nullFrac = df.columns.indices.map(i =>
+      stats.getLong(numericCols.size + i) / n)
+    val highNullCols = nullFrac.count(_ > 0.5)
+    val outlierCols = outFrac.count(_ > 0.05)
+    val score = 100.0 - 5.0 * highNullCols - 2.0 * outlierCols
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((score, highNullCols.toLong, outlierCols.toLong))
+      .toDF("quality_score", "high_null_cols", "outlier_cols")
+  }
+
   /** A3: null % and cardinality ratio/class per column. Thresholds mirror
     * the reference (src/database.py:5314-5329): unique / constant /
     * high>0.9 / medium>0.5 / low>0.01 / very_low. One agg pass. */

@@ -75,6 +75,41 @@ object Similarity {
         round(col("sim"), 4).as("cosine_sim"))
   }
 
+  /** IVF-style ANN: corpus vectors are assigned to their nearest centroid
+    * (the "inverted file" partitioning); a query probes only its nprobe
+    * nearest centroids' buckets. Centroids are any deterministic sample of
+    * the corpus (a K-row DataFrame). At 100 TB the bucketed corpus is
+    * written partitioned by centroid id, so a probe is partition-pruned IO,
+    * and assignment is one broadcast-join pass (centroids are tiny). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val cent = broadcast(centroids
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centv")))
+    def assign(df: DataFrame, idC: String, vC: String, keep: Int) = {
+      val w = Window.partitionBy(col(idC))
+        .orderBy(round(col("csim"), 6).desc, col("cent_id"))
+      df.crossJoin(cent)
+        .withColumn("csim", cosine(vC, "centv"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("centv", "csim", "crank")
+    }
+    val bucketed = assign(
+      corpus.select(col("vec_id").as("c_id"), col("embedding").as("cv")),
+      "c_id", "cv", 1)
+    val probes = assign(
+      queries.select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+      "q_id", "qv", nprobe)
+    val scored = probes.join(bucketed, "cent_id")
+      .withColumn("sim", cosine("qv", "cv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("sim"), 6).desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank").cast(LongType).as("rank"),
+        round(col("sim"), 4).as("cosine_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (all pairs with sim >= t).
     * Brute force over the full cross product — the exact baseline the LSH
     * path approximates; keep for oracle checks and small corpora. */

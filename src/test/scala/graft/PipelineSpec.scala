@@ -61,6 +61,24 @@ class PipelineSpec extends SparkSpec {
     assert(ann.nonEmpty && hits >= exact1.size / 4)
   }
 
+  test("IVF ANN: nprobe=all centroids degrades to exact within buckets") {
+    val e = Tables.df(spark, sfDir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val corpus = e.filter(col("vec_id") >= 10)
+    val centroids = e.filter(col("vec_id") >= 10 && col("vec_id") < 26)
+    val exact1 = Similarity.bruteForceTopK(queries, corpus, 1)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    // probing every centroid searches the whole corpus -> recall 1.0
+    val ivfAll = Similarity.ivfTopK(queries, corpus, centroids, 1, nprobe = 16)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    assert(ivfAll == exact1)
+    // tight probing still finds a meaningful share of true nearest
+    val ivf2 = Similarity.ivfTopK(queries, corpus, centroids, 1, nprobe = 4)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    val hits = exact1.count { case (q, c) => ivf2.get(q).contains(c) }
+    assert(hits >= exact1.size / 4)
+  }
+
   test("multimodal: batched extraction is deterministic and md5 matches") {
     val docs = Tables.df(spark, sfDir, "documents").limit(5)
     val assets = Multimodal.toAssets(docs, "doc_id", "text")
