@@ -30,12 +30,16 @@ object ImportPipeline {
     case object FailOnDuplicates extends DedupMode
   }
 
+  /** `multiline` enables quoted embedded newlines (DuckDB COPY handles
+    * them by default) — but a multiline CSV file cannot be split across
+    * tasks, so leave it off unless the data needs it. */
   final case class CsvOptions(
       delimiter: String = ",",
       quote: String = "\"",
       escape: String = "\"",
       header: Boolean = true,
-      nullValue: String = "")
+      nullValue: String = "",
+      multiline: Boolean = false)
 
   /** S1/S2: CSV staging read. With a declared schema this mirrors the REST
     * import (staging shaped like the target, COPY coerces —
@@ -50,6 +54,7 @@ object ImportPipeline {
       .option("escape", opts.escape)
       .option("header", opts.header)
       .option("nullValue", opts.nullValue)
+      .option("multiLine", opts.multiline)
     schema.fold(r.option("inferSchema", true))(s => r.schema(s)).csv(path)
   }
 

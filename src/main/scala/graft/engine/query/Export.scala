@@ -26,6 +26,10 @@ object Export {
       compression: Option[String] = None): Unit = {
     val w = df.write.mode("overwrite")
       .option("header", true).option("delimiter", delimiter)
+      // write empty strings bare (Spark's default emptyValue is a literal
+      // "" token) — matches the reference's NULLSTR convention where empty
+      // and NULL coincide
+      .option("emptyValue", "")
     compression.fold(w)(c => w.option("compression", c)).csv(path)
   }
 

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.engine.imp.ImportPipeline
+import graft.engine.imp.ImportPipeline.CsvOptions
+import graft.engine.query.Export
+
+/** S1 fidelity: the reference's CSV import options (delimiter, quote,
+  * escape, header, nullValue — src/routers/table_import.py:134-164) must
+  * roundtrip values exactly, including embedded delimiters, quotes,
+  * newlines and NULLs. */
+class CsvOptionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tricky = Seq(
+    (1, Some("plain"), Some(1.5)),
+    (2, Some("comma, inside"), Some(-2.25)),
+    (3, Some("quote \" inside"), None),
+    (4, Some("pipe | inside"), Some(0.0)),
+    (5, None, Some(123.456)),
+    (6, Some(""), Some(1e-9)),
+    (7, Some("newline\ninside"), Some(9.9)))
+
+  private def roundtrip(opts: CsvOptions): Unit = {
+    val df = tricky.toDF("id", "s", "v")
+    val dir = Files.createTempDirectory("graft-csvopt").toString
+    // with a distinct null marker, empty strings stay quoted (`""`) so
+    // they survive; with the default marker ("") empty and NULL coincide
+    val w = df.write.mode("overwrite")
+      .option("header", opts.header)
+      .option("delimiter", opts.delimiter)
+      .option("quote", opts.quote)
+      .option("escape", opts.escape)
+      .option("nullValue", opts.nullValue)
+    (if (opts.nullValue == "") w.option("emptyValue", "") else w).csv(dir)
+    val back = ImportPipeline.readCsv(spark, dir, opts, Some(df.schema))
+      .orderBy("id")
+      .as[(Int, Option[String], Option[Double])].collect().toSeq
+    // with nullValue="" an empty string IS the null marker (same semantics
+    // as the reference's default NULLSTR) — expect None for "" then
+    val expected = tricky.sortBy(_._1).map {
+      case (id, Some(""), v) if opts.nullValue == "" => (id, None, v)
+      case row => row
+    }
+    assert(back == expected, s"roundtrip mismatch for $opts")
+  }
+
+  // multiline=true throughout: the fixture includes an embedded newline
+  // (DuckDB COPY accepts those by default; Spark needs the option)
+  test("default options (comma, double-quote)") {
+    roundtrip(CsvOptions(multiline = true))
+  }
+  test("pipe delimiter") {
+    roundtrip(CsvOptions(delimiter = "|", multiline = true))
+  }
+  test("custom quote and escape") {
+    roundtrip(CsvOptions(quote = "'", escape = "\\", multiline = true))
+  }
+  test("explicit null marker") {
+    roundtrip(CsvOptions(nullValue = "\\N", multiline = true))
+  }
+}
