@@ -98,6 +98,19 @@ object ExtraQueries {
       Some("""SELECT event_id AS id, event_type AS etype, value AS v
              |FROM events WHERE value > 50 ORDER BY id""".stripMargin)),
 
+    // D8 — `_timestamp` system-column stamping (values are load-time and
+    // non-deterministic; the oracle checks shape: every row stamped)
+    Q("d8_timestamp_stamp",
+      (s, dir) => {
+        val stamped = ImportPipeline.withLoadTimestamp(
+          Tables.df(s, dir, "customer"))
+        stamped.agg(
+          count(lit(1)).cast(LongType).as("n"),
+          sum(when(col("_timestamp").isNotNull, 1L).otherwise(0L))
+            .cast(LongType).as("n_stamped"))
+      },
+      Some("SELECT COUNT(*) AS n, COUNT(*) AS n_stamped FROM customer")),
+
     // A11 — table-level quality score (reference scoring formula)
     Q("a11_quality_summary",
       (s, dir) => Profiler.qualitySummary(

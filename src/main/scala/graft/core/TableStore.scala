@@ -83,6 +83,25 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog) {
     } finally lock.unlock()
   }
 
+  /** C8: ObjectInfo introspection — schema, PK, row count, on-disk bytes
+    * (reference: src/database.py:4437-4531). Row count is a distributed
+    * job; size walks the current version dir only. */
+  final case class TableInfo(table: String, schemaDdl: String,
+      primaryKey: Seq[String], rowCount: Long, sizeBytes: Long, version: Int)
+
+  def tableInfo(project: String, bucket: String, table: String): TableInfo = {
+    val meta = catalog.getTable(project, bucket, table)
+      .getOrElse(throw new NoSuchElementException(s"$project/$bucket/$table"))
+    val dir = catalog.versionDir(meta)
+    val size =
+      if (Files.exists(dir))
+        Files.walk(dir).iterator().asScala
+          .filter(Files.isRegularFile(_)).map(Files.size).sum
+      else 0L
+    TableInfo(table, meta.schemaDdl, meta.primaryKey,
+      read(project, bucket, table).count(), size, meta.version)
+  }
+
   // ----------------------------------------------------------- branches
 
   /** L1: CoW a table into a branch (directory copy on first write). */

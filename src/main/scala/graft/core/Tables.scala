@@ -27,7 +27,14 @@ object Tables {
       .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
   }
 
-  /** Mount all test tables as bare-named temp views (workspace semantics). */
-  def mountAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => df(spark, dir, n).createOrReplaceTempView(n))
+  /** Mount all test tables as bare-named temp views (workspace semantics).
+    * Idempotent per (session, dir): re-mounting skips the per-table file
+    * listing + schema read (it dominates passthrough-SQL latency). */
+  private val mounted =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+  def mountAll(spark: SparkSession, dir: String): Unit = {
+    val key = s"${System.identityHashCode(spark)}:$dir"
+    if (mounted.add(key))
+      names.foreach(n => df(spark, dir, n).createOrReplaceTempView(n))
+  }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.engine.imp.ImportPipeline
+
+/** ScalaCheck property tests for the dedup/merge algebra (SURVEY §5 plan):
+  * invariants the import pipeline must hold for ANY staging/target input,
+  * not just fixtures. Small row sets (a DataFrame job per case). */
+object DedupPropertySpec extends Properties("DedupAlgebra") {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private val rowsGen: Gen[List[(Int, Int, Int)]] = Gen.choose(0, 25).flatMap {
+    n => Gen.listOfN(n, for {
+      k <- Gen.choose(0, 6)     // small key space forces collisions
+      o <- Gen.choose(0, 100)   // ordering column
+      v <- Gen.choose(0, 1000)
+    } yield (k, o, v))
+  }
+
+  property("dedup: one row per key, winner = lexicographic max of (o,v)") =
+    Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "o", "v")
+      val out = ImportPipeline.dedup(df, Seq("k"), Seq(col("o"), col("v")))
+        .as[(Int, Int, Int)].collect().toList
+      val expect = rows.groupBy(_._1).view.mapValues(
+        _.maxBy(r => (r._2, r._3))).toMap
+      out.map(_._1).distinct.size == out.size &&
+        out.map(_._1).toSet == rows.map(_._1).toSet &&
+        out.forall(r => r == expect(r._1))
+    }
+
+  property("upsert: staging wins per key, others keep target, keys unique") =
+    Prop.forAll(rowsGen, rowsGen) { (t, s) =>
+      val target = ImportPipeline.dedup(t.toDF("k", "o", "v"), Seq("k"),
+        Seq(col("o"), col("v")))
+      val out = ImportPipeline.upsert(target, s.toDF("k", "o", "v"), Seq("k"),
+          Seq(col("o"), col("v")))
+        .as[(Int, Int, Int)].collect().toList
+      val sKeys = s.map(_._1).toSet
+      val sWinner = s.groupBy(_._1).view.mapValues(_.maxBy(r => (r._2, r._3))).toMap
+      out.map(_._1).distinct.size == out.size &&
+        out.map(_._1).toSet == t.map(_._1).toSet ++ sKeys &&
+        out.filter(r => sKeys.contains(r._1)).forall(r => r == sWinner(r._1))
+    }
+
+  property("insertIfAbsent: target rows unchanged, keys unique") =
+    Prop.forAll(rowsGen, rowsGen) { (t, s) =>
+      val target = ImportPipeline.dedup(t.toDF("k", "o", "v"), Seq("k"),
+        Seq(col("o"), col("v")))
+      val targetRows = target.as[(Int, Int, Int)].collect().toSet
+      val out = ImportPipeline.insertIfAbsent(target, s.toDF("k", "o", "v"),
+          Seq("k"), Seq(col("o"), col("v")))
+        .as[(Int, Int, Int)].collect().toList
+      targetRows.subsetOf(out.toSet) &&
+        out.groupBy(_._1).values.forall(_.size == 1)
+    }
+
+  property("deleteWhere partitions rows with its complement") =
+    Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "o", "v")
+      val pred = col("v") % 2 === 0
+      ImportPipeline.deleteWhere(df, pred).count() +
+        df.filter(pred).count() == rows.size
+    }
+}

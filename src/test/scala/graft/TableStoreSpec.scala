@@ -75,6 +75,19 @@ class TableStoreSpec extends SparkSpec {
     assert(store.catalog.getTable("p", "b", "o").get.primaryKey == Seq("o_orderkey"))
   }
 
+  test("tableInfo reports schema, pk, rows, bytes, version") {
+    val store = newStore()
+    val region = Tables.df(spark, sfDir, "region")
+    store.createTable("p", "b", "r", region.schema, primaryKey = Seq("r_regionkey"))
+    store.overwrite("p", "b", "r", region)
+    val info = store.tableInfo("p", "b", "r")
+    assert(info.rowCount == region.count())
+    assert(info.primaryKey == Seq("r_regionkey"))
+    assert(info.sizeBytes > 0)
+    assert(info.version == 1)
+    assert(info.schemaDdl.contains("r_name"))
+  }
+
   test("linked bucket resolves to source project's data") {
     val store = newStore()
     val region = Tables.df(spark, sfDir, "region")
