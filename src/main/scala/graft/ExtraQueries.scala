@@ -147,6 +147,56 @@ object ExtraQueries {
            |FROM counts""".stripMargin
       }),
 
+    // JSON metadata columns (§1.2: reference stores JSON as strings and
+    // parses on read) — extract + aggregate over events.props
+    Q("j1_json_props",
+      (s, dir) => Tables.df(s, dir, "events")
+        .withColumn("k_val",
+          get_json_object(col("props"), "$.k").cast(LongType))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).cast(LongType).as("n"),
+          sum(col("k_val")).cast(LongType).as("sum_k"),
+          min(col("k_val")).cast(LongType).as("min_k"),
+          max(col("k_val")).cast(LongType).as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+             |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // deep join tree: lineitem⋈orders⋈customer⋈nation⋈region with filter
+    // pushdown at every leaf (workspace analytics shape)
+    Q("q4_deep_join",
+      (s, dir) => {
+        val li = Tables.df(s, dir, "lineitem").filter(col("l_quantity") >= 10)
+        val o = Tables.df(s, dir, "orders").filter(col("o_orderstatus") =!= "P")
+        val c = Tables.df(s, dir, "customer")
+        val n = Tables.df(s, dir, "nation")
+        val r = Tables.df(s, dir, "region")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(DecimalType(38, 4))).cast(DoubleType).as("revenue"),
+            countDistinct(col("o_orderkey")).cast(LongType).as("n_orders"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+             |  COUNT(DISTINCT o_orderkey) AS n_orders
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE l_quantity >= 10 AND o_orderstatus <> 'P'
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
     // A3 — null % + cardinality ratio/class per column
     Q("a3_cardinality",
       (s, dir) => Profiler.cardinalityProfile(
