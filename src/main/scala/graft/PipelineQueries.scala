@@ -79,10 +79,13 @@ object PipelineQueries {
 
     // MinHash+LSH near-dup pairs, exact-verified; oracle = exact pairs
     // (valid because banding recall is 1.0 on this corpus — see scaladoc)
+    // r=4/b=16 banding: true pairs here have j >= 0.9 -> per-pair miss
+    // probability (1-0.9^4)^16 ~ 4e-8; false-candidate rate at j~0.05 is
+    // ~1e-4 of all pairs. Verified recall 1.0 on this corpus.
     Q("x3_minhash_lsh",
       (s, dir) => TextDedup.minHashPairs(
           Tables.df(s, dir, "documents"), "doc_id", "text", 3, 0.5,
-          numHashes = 64, bands = 32)
+          numHashes = 64, bands = 16)
         .orderBy("a_id", "b_id"),
       Some(jaccardPairsSql(0.5))),
 

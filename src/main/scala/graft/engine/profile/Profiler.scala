@@ -159,23 +159,24 @@ object Profiler {
     * cols with >5% IQR outliers); plus issue counts. All inputs computed
     * distributed; only the tiny per-column stat rows are combined. */
   def qualitySummary(df: DataFrame, numericCols: Seq[String]): DataFrame = {
-    val n = df.count().toDouble
-    // per-column outlier fractions via one quantile pass + one count pass
-    val qAggs = numericCols.flatMap { c =>
-      Seq(expr(s"percentile($c, 0.25)").as(s"q25_$c"),
-        expr(s"percentile($c, 0.75)").as(s"q75_$c"))
+    // two passes total: quantiles, then counts (row count folded into the
+    // second agg — no separate count() job)
+    val qAggs = numericCols.map { c =>
+      expr(s"percentile($c, array(0.25, 0.75))").as(s"q_$c")
     }
     val q = df.agg(qAggs.head, qAggs.tail: _*).collect()(0)
     val outAggs = numericCols.zipWithIndex.map { case (c, i) =>
-      val (q25, q75) = (q.getDouble(2 * i), q.getDouble(2 * i + 1))
+      val qs = q.getSeq[Double](i)
+      val (q25, q75) = (qs(0), qs(1))
       val iqr = q75 - q25
       sum(when(col(c) < q25 - 1.5 * iqr || col(c) > q75 + 1.5 * iqr, 1L)
         .otherwise(0L)).as(s"out_$c")
     }
     val nullAggs = df.columns.toSeq.map(c =>
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"))
-    val stats = df.agg((outAggs ++ nullAggs).head, (outAggs ++ nullAggs).tail: _*)
-      .collect()(0)
+    val allAggs = outAggs ++ nullAggs :+ count(lit(1)).as("__n")
+    val stats = df.agg(allAggs.head, allAggs.tail: _*).collect()(0)
+    val n = stats.getLong(numericCols.size + df.columns.length).toDouble
     val outFrac = numericCols.indices.map(i => stats.getLong(i) / n)
     val nullFrac = df.columns.indices.map(i =>
       stats.getLong(numericCols.size + i) / n)
