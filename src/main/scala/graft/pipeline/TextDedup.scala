@@ -91,7 +91,8 @@ object TextDedup {
       a
     }
     def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
-    def bufferEncoder = org.apache.spark.sql.Encoders.kryo[Array[Long]]
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     def outputEncoder =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
@@ -107,10 +108,12 @@ object TextDedup {
     val r = numHashes / bands
     val sets = shingleSets(df, idCol, textCol, n).cache()
     val sigAgg = org.apache.spark.sql.functions.udaf(new MinHashSigAgg(numHashes))
-    // k hash functions per shingle, elementwise-min aggregated per doc
+    // hash each shingle string ONCE, then derive the k hash functions by
+    // re-mixing the 8-byte value with the seed — 64x less string hashing
     val sigs = sets.select(col("id"), explode(col("sh")).as("s"))
+      .withColumn("h0", xxhash64(col("s")))
       .withColumn("hs", expr(
-        s"transform(sequence(0, ${numHashes - 1}), i -> xxhash64(s, i))"))
+        s"transform(sequence(0, ${numHashes - 1}), i -> xxhash64(h0, i))"))
       .groupBy("id").agg(sigAgg(col("hs")).as("sig"))
     // band signature: hash of each r-wide slice of the signature
     val bandSigs = sigs.select(col("id"), posexplode(expr(
