@@ -46,9 +46,12 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog) {
     meta
   }
 
-  /** Atomic overwrite: write v{N+1}, flip pointer, prune old versions. */
+  /** Atomic overwrite: write v{N+1}, flip pointer, prune old versions.
+    * `partitionBy` hive-partitions the version dir (dir-per-value): scans
+    * filtered on those columns prune partitions at planning time — the
+    * layout lever for time/tenant-sliced 100 TB tables. */
   def overwrite(project: String, bucket: String, table: String, df: DataFrame,
-      branch: Option[String] = None): TableMeta = {
+      branch: Option[String] = None, partitionBy: Seq[String] = Nil): TableMeta = {
     val lock = catalog.lockFor(catalog.key(project, bucket, table, branch))
     lock.lock()
     try {
@@ -57,7 +60,9 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog) {
         .getOrElse(throw new NoSuchElementException(s"$project/$bucket/$table"))
       val next = meta.copy(version = meta.version + 1, schemaDdl = df.schema.toDDL)
       val dir = catalog.tableDir(project, bucket, table, branch).resolve(s"v${next.version}")
-      df.write.mode("overwrite").parquet(dir.toString)
+      val w = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(dir.toString)
       branch match {
         case Some(b) => catalog.updateBranchTable(b, next)
         case None    => catalog.updateTable(next)

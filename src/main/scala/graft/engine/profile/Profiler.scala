@@ -189,6 +189,39 @@ object Profiler {
       .toDF("quality_score", "high_null_cols", "outlier_cols")
   }
 
+  /** Sketch-based profile for 100 TB tables — the scale path the exact
+    * profiler (oracle-parity mode) cannot take: exact percentile buffers
+    * every value per partition and exact countDistinct double-shuffles.
+    * This variant is one pass of mergeable sketches (HLL++ distinct,
+    * t-digest-style approx percentiles), constant memory per column.
+    * Accuracy bounds: rsd 5% on distinct, `accuracy` on percentiles. */
+  def fastProfile(df: DataFrame, cols: Seq[String],
+      accuracy: Int = 1000): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"nn_$c"),
+        approx_count_distinct(col(c), rsd = 0.05).as(s"nd_$c"),
+        min(col(c)).cast(DoubleType).as(s"mn_$c"),
+        max(col(c)).cast(DoubleType).as(s"mx_$c"),
+        avg(col(c)).as(s"avg_$c"),
+        expr(s"approx_percentile($c, array(0.25, 0.5, 0.75), $accuracy)")
+          .as(s"q_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    cols.map { c =>
+      wide.select(
+        lit(c).as("column_name"),
+        col(s"nn_$c").cast(LongType).as("non_null"),
+        col(s"nd_$c").cast(LongType).as("approx_distinct"),
+        col(s"mn_$c").as("min_value"),
+        col(s"mx_$c").as("max_value"),
+        round(col(s"avg_$c"), 4).as("avg_value"),
+        col(s"q_$c").getItem(0).cast(DoubleType).as("approx_q25"),
+        col(s"q_$c").getItem(1).cast(DoubleType).as("approx_median"),
+        col(s"q_$c").getItem(2).cast(DoubleType).as("approx_q75"))
+    }.reduce(_ unionByName _)
+  }
+
   /** A3: null % and cardinality ratio/class per column. Thresholds mirror
     * the reference (src/database.py:5314-5329): unique / constant /
     * high>0.9 / medium>0.5 / low>0.01 / very_low. One agg pass. */

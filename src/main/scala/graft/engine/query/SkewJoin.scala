@@ -1,0 +1,44 @@
+package graft.engine.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted join for skewed keys (SURVEY.md "Optimize for scale": skewed
+  * keys -> salting or AQE skew-join).
+  *
+  * AQE's skew-join handles sort-merge skew automatically; salting is for
+  * the cases AQE can't fix — a shuffled hash/broadcast-less join where one
+  * hot key swamps a task, or aggregations on a hot key. The big side gets
+  * a random-but-deterministic salt in [0, salts); the small side is
+  * replicated once per salt value. Key cardinality work per task drops by
+  * ~salts at the cost of replicating the small side. */
+object SkewJoin {
+
+  /** Equi-join big⋈small on `key`, salting the big side `salts` ways.
+    * Deterministic: salt = pmod(xxhash64(all big-side columns), salts) —
+    * ANY distribution works, it only needs to spread the hot key. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(salts > 0)
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+    val replicated = small
+      .withColumn("__salt", explode(expr(s"sequence(0, ${salts - 1})")))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Two-phase skew-safe aggregation: partial-aggregate on (key, salt),
+    * then final-aggregate on key. For algebraic aggregates (sum/count),
+    * this caps any single task's share of a hot key at ~1/salts. Spark's
+    * own partial aggregation usually covers this; use when a custom
+    * non-partial aggregate (e.g. collect_list cap) needs help. */
+  def saltedSum(df: DataFrame, key: String, valueCol: String,
+      salts: Int = 16): DataFrame = {
+    df.withColumn("__salt",
+        pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+  }
+}

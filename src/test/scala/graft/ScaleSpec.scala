@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{StorageCatalog, Tables, TableStore}
+import graft.engine.profile.Profiler
+import graft.engine.query.SkewJoin
+
+/** Scale-path features: partitioned layouts with pruning, salted skew
+  * joins, sketch-based profiling. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned table writes prune partitions at scan time") {
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-part")))
+    val events = Tables.df(spark, sfDir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    store.createTable("p", "b", "ev", events.schema)
+    store.overwrite("p", "b", "ev", events, partitionBy = Seq("event_date"))
+    val firstDate = events.agg(min("event_date")).collect()(0).getDate(0)
+    val filtered = store.read("p", "b", "ev")
+      .filter(col("event_date") === lit(firstDate))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["))
+    assert(plan.contains("event_date"))
+    // correctness: partition read returns exactly that day's rows
+    val expect = events.filter(col("event_date") === lit(firstDate)).count()
+    assert(filtered.count() == expect)
+  }
+
+  test("salted join equals plain join on skewed data") {
+    // heavily skewed: 90% of rows on one key
+    val big = (1 to 2000).map(i => (if (i <= 1800) 1 else i % 50, i))
+      .toDF("k", "v")
+    val small = (0 to 60).map(i => (i, s"name_$i")).toDF("k", "name")
+    val plain = big.join(small, "k").agg(count(lit(1)), sum("v"))
+      .collect()(0)
+    val salted = SkewJoin.saltedJoin(big, small, "k", salts = 8)
+      .agg(count(lit(1)), sum("v")).collect()(0)
+    assert(plain == salted)
+    val plainSum = big.groupBy("k").agg(sum("v").as("sum_v"))
+      .as[(Int, Long)].collect().toMap
+    val saltedSum = SkewJoin.saltedSum(big, "k", "v", salts = 8)
+      .as[(Int, Long)].collect().toMap
+    assert(plainSum == saltedSum)
+  }
+
+  test("fastProfile sketches stay within tolerance of exact stats") {
+    val li = Tables.df(spark, sfDir, "lineitem")
+    val fast = Profiler.fastProfile(li, Seq("l_extendedprice")).collect()(0)
+    val exactDistinct = li.select(countDistinct("l_extendedprice"))
+      .as[Long].head()
+    val exactMedian = li.selectExpr("percentile(l_extendedprice, 0.5)")
+      .as[Double].head()
+    val approxDistinct = fast.getAs[Long]("approx_distinct")
+    val approxMedian = fast.getAs[Double]("approx_median")
+    assert(math.abs(approxDistinct - exactDistinct).toDouble / exactDistinct < 0.15)
+    assert(math.abs(approxMedian - exactMedian) / exactMedian < 0.05)
+    assert(fast.getAs[Long]("non_null") == li.count())
+  }
+}
