@@ -197,6 +197,55 @@ object ExtraQueries {
              |WHERE l_quantity >= 10 AND o_orderstatus <> 'P'
              |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
 
+    // §2.6 — window functions: rank, lag, running sum per partition
+    // (workspace SQL usage pattern; fully tie-broken ordering)
+    Q("w1_window_funcs",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.df(s, dir, "orders")
+          .withColumn("order_rank", row_number().over(w).cast(LongType))
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .withColumn("running_total",
+            sum(col("o_totalprice").cast(DecimalType(38, 4)))
+              .over(w.rowsBetween(Window.unboundedPreceding, 0))
+              .cast(DoubleType))
+          .select("o_custkey", "o_orderkey", "order_rank", "prev_price",
+            "running_total")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  row_number() OVER w AS order_rank,
+             |  lag(o_totalprice, 1) OVER w AS prev_price,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER
+             |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |    AS running_total
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // §2.6 — ROLLUP hierarchy totals (null group keys coalesced to a
+    // sentinel so engine NULL-ordering differences can't bite)
+    Q("q5_rollup",
+      (s, dir) => Tables.df(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum(col("l_quantity").cast(DecimalType(38, 4))).cast(DoubleType)
+            .as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus"),
+      Some("""SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+             |  COALESCE(l_linestatus, '(all)') AS linestatus,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY returnflag, linestatus""".stripMargin)),
+
     // A3 — null % + cardinality ratio/class per column
     Q("a3_cardinality",
       (s, dir) => Profiler.cardinalityProfile(

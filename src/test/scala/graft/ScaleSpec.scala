@@ -31,6 +31,27 @@ class ScaleSpec extends SparkSpec {
     assert(filtered.count() == expect)
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    // default warehouse dir (static conf); tables dropped at test end
+    val li = Tables.df(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.df(spark, sfDir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("b_lineitem")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("b_orders")
+    val joined = spark.sql(
+      """SELECT /*+ MERGE(b_orders) */ sum(l_quantity * o_totalprice)
+        |FROM b_lineitem JOIN b_orders ON l_orderkey = o_orderkey
+        |""".stripMargin)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    // bucketed-on-key scan feeds the join with NO shuffle exchange
+    assert(!plan.contains("Exchange hashpartitioning"))
+    spark.sql("DROP TABLE b_lineitem"); spark.sql("DROP TABLE b_orders")
+  }
+
   test("salted join equals plain join on skewed data") {
     // heavily skewed: 90% of rows on one key
     val big = (1 to 2000).map(i => (if (i <= 1800) 1 else i % 50, i))
