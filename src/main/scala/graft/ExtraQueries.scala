@@ -246,6 +246,44 @@ object ExtraQueries {
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY returnflag, linestatus""".stripMargin)),
 
+    // §2.6 — set operations: INTERSECT / EXCEPT / UNION over key sets
+    Q("q6_set_ops",
+      (s, dir) => {
+        val o = Tables.df(s, dir, "orders")
+        val fKeys = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        val oKeys = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        def tag(df: org.apache.spark.sql.DataFrame, t: String) =
+          df.distinct().agg(count(lit(1)).cast(LongType).as("n"))
+            .withColumn("op", lit(t))
+        tag(fKeys.intersect(oKeys), "1_intersect")
+          .unionByName(tag(fKeys.except(oKeys), "2_except"))
+          .unionByName(tag(fKeys.union(oKeys), "3_union_distinct"))
+          .orderBy("op")
+      },
+      Some("""SELECT COUNT(*) AS n, '1_intersect' AS op FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |  INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+             |UNION ALL SELECT COUNT(*), '2_except' FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |  EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+             |UNION ALL SELECT COUNT(*), '3_union_distinct' FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |  UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+             |ORDER BY op""".stripMargin)),
+
+    // §1.2 — Keboola STRING_TABLE strategy: import all-VARCHAR, then the
+    // typed re-cast path recovers exact values (shortest-roundtrip casts)
+    Q("st_string_table",
+      (s, dir) => {
+        val typed = Tables.df(s, dir, "customer")
+        val asStrings = typed.select(
+          typed.schema.fields.map(f => col(f.name).cast(StringType).as(f.name)): _*)
+        val recast = asStrings.select(
+          typed.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+        recast.orderBy("c_custkey")
+      },
+      Some("SELECT * FROM customer ORDER BY c_custkey")),
+
     // A3 — null % + cardinality ratio/class per column
     Q("a3_cardinality",
       (s, dir) => Profiler.cardinalityProfile(

@@ -145,6 +145,39 @@ final class StorageCatalog(val root: Path) {
 
   private def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  /** Reload persisted state from catalog.json (inverse of persist).
+    * Jackson rides along on Spark's classpath. */
+  def reload(): Unit = {
+    val f = root.resolve("catalog.json")
+    if (!Files.exists(f)) return
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(Files.readString(f))
+    def metaOf(m: com.fasterxml.jackson.databind.JsonNode): TableMeta =
+      TableMeta(m.get("project").asText, m.get("bucket").asText,
+        m.get("table").asText, m.get("schemaDdl").asText,
+        (0 until m.get("pk").size()).map(i => m.get("pk").get(i).asText),
+        m.get("version").asInt)
+    tables.clear(); branchTables.clear(); bucketLinks.clear(); snapshots.clear()
+    node.get("tables").properties().forEach { e =>
+      tables.put(e.getKey, metaOf(e.getValue))
+    }
+    node.get("branchTables").properties().forEach { e =>
+      branchTables.put(e.getKey, metaOf(e.getValue))
+    }
+    node.get("links").properties().forEach { e =>
+      val Array(p, a) = e.getKey.split("/", 2)
+      val Array(sp, sb) = e.getValue.asText.split("/", 2)
+      bucketLinks.put((p, a), (sp, sb))
+    }
+    node.get("snapshots").properties().forEach { e =>
+      val m = e.getValue
+      snapshots.put(e.getKey, SnapshotMeta(e.getKey, m.get("project").asText,
+        m.get("bucket").asText, m.get("table").asText,
+        m.get("rowCount").asLong, m.get("schemaDdl").asText,
+        m.get("createdAt").asText))
+    }
+  }
+
   /** Persist as JSON (hand-rolled: no JSON dep in the build). */
   def persist(): Unit = {
     def metaJson(m: TableMeta) =

@@ -88,6 +88,24 @@ class TableStoreSpec extends SparkSpec {
     assert(info.schemaDdl.contains("r_name"))
   }
 
+  test("catalog survives restart: reload() restores full resolution state") {
+    val store = newStore()
+    val region = Tables.df(spark, sfDir, "region")
+    store.createTable("p", "b", "r", region.schema, primaryKey = Seq("r_regionkey"))
+    store.overwrite("p", "b", "r", region)
+    store.writeToBranch("p", "dev", "b", "r", region.limit(2))
+    store.catalog.linkBucket("p2", "alias", "p", "b")
+
+    // "restart": a fresh catalog instance over the same root
+    val reloaded = new graft.core.StorageCatalog(store.catalog.root)
+    reloaded.reload()
+    val store2 = new TableStore(spark, reloaded)
+    assert(reloaded.getTable("p", "b", "r").get.primaryKey == Seq("r_regionkey"))
+    assert(store2.read("p", "b", "r").count() == region.count())
+    assert(store2.read("p", "b", "r", Some("dev")).count() == 2)
+    assert(store2.read("p2", "alias", "r").count() == region.count())
+  }
+
   test("linked bucket resolves to source project's data") {
     val store = newStore()
     val region = Tables.df(spark, sfDir, "region")
