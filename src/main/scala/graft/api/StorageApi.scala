@@ -1,0 +1,173 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+import graft.core.TableStore
+import graft.engine.ddl.Ddl
+import graft.engine.imp.ImportPipeline
+import graft.engine.imp.ImportPipeline.DedupMode
+import graft.engine.profile.Profiler
+import graft.engine.query.{Export, FilterAlgebra}
+import graft.engine.snapshot.Snapshots
+import graft.engine.workspace.Workspace
+
+/** Typed command API over the engine — the Spark-native analog of the
+  * reference's gRPC command registry (~30 command->handler pairs,
+  * reference: src/grpc/servicer.py:94-129). Transport-free: commands are
+  * case classes, the registry is a total function. A client of the
+  * reference maps its driver commands onto these 1:1.
+  */
+object StorageApi {
+
+  sealed trait Command
+  final case class CreateTable(project: String, bucket: String, table: String,
+      schema: StructType, primaryKey: Seq[String] = Nil) extends Command
+  final case class DropTable(project: String, bucket: String, table: String)
+      extends Command
+  final case class ImportData(project: String, bucket: String, table: String,
+      staging: DataFrame, incremental: Boolean = false,
+      dedupMode: DedupMode = DedupMode.UpdateDuplicates,
+      stampTimestamp: Boolean = false) extends Command
+  final case class Preview(project: String, bucket: String, table: String,
+      columns: Seq[String] = Nil,
+      filters: Seq[FilterAlgebra.WhereFilter] = Nil,
+      limit: Int = 100) extends Command
+  final case class ExportTable(project: String, bucket: String, table: String,
+      path: String, format: String = "csv",
+      columns: Seq[String] = Nil,
+      filters: Seq[FilterAlgebra.WhereFilter] = Nil,
+      where: Option[String] = None, limit: Option[Int] = None,
+      compression: Option[String] = None) extends Command
+  final case class DeleteRows(project: String, bucket: String, table: String,
+      filters: Seq[FilterAlgebra.WhereFilter]) extends Command
+  final case class ProfileTable(project: String, bucket: String, table: String,
+      numericColumns: Seq[String]) extends Command
+  final case class AlterTable(project: String, bucket: String, table: String,
+      ops: Seq[SchemaOp]) extends Command
+  final case class AddPrimaryKey(project: String, bucket: String,
+      table: String, pk: Seq[String]) extends Command
+  final case class CreateSnapshot(project: String, bucket: String,
+      table: String) extends Command
+  final case class RestoreSnapshot(snapshotId: String) extends Command
+  final case class ExecuteQuery(project: String, buckets: Seq[String],
+      sql: String, timeoutSeconds: Int = 300) extends Command
+
+  sealed trait SchemaOp
+  final case class AddColumn(name: String, typeDdl: String,
+      default: Option[Any] = None) extends SchemaOp
+  final case class DropColumn(name: String) extends SchemaOp
+  final case class RenameColumn(from: String, to: String) extends SchemaOp
+  final case class CastColumn(name: String, typeDdl: String) extends SchemaOp
+
+  sealed trait Result
+  final case class Done(message: String) extends Result
+  final case class Rows(df: DataFrame) extends Result
+  final case class Count(n: Long) extends Result
+  final case class SnapshotRef(id: String) extends Result
+
+  /** The preview caps the reference enforces (default 100, max 10,000 —
+    * src/grpc/handlers/table.py:250-253). */
+  val PreviewDefaultLimit = 100
+  val PreviewMaxLimit = 10000
+
+  final class Handler(spark: SparkSession, store: TableStore) {
+
+    def execute(cmd: Command): Result = cmd match {
+      case CreateTable(p, b, t, schema, pk) =>
+        store.createTable(p, b, t, schema, pk)
+        Done(s"created $p/$b/$t")
+
+      case DropTable(p, b, t) =>
+        store.dropTable(p, b, t); Done(s"dropped $p/$b/$t")
+
+      case ImportData(p, b, t, staging0, incremental, mode, stamp) =>
+        val meta = store.catalog.getTable(p, b, t)
+          .getOrElse(throw new NoSuchElementException(s"$p/$b/$t"))
+        val staging =
+          if (stamp) ImportPipeline.withLoadTimestamp(staging0) else staging0
+        val pk = meta.primaryKey
+        val result =
+          if (!incremental) {
+            if (pk.nonEmpty) ImportPipeline.dedup(staging, pk, Nil) else staging
+          } else if (pk.isEmpty) store.read(p, b, t).unionByName(staging)
+          else mode match {
+            case DedupMode.UpdateDuplicates =>
+              ImportPipeline.upsert(store.read(p, b, t), staging, pk, Nil)
+            case DedupMode.InsertDuplicates =>
+              store.read(p, b, t).unionByName(staging)
+            case DedupMode.FailOnDuplicates =>
+              ImportPipeline.insertStrict(store.read(p, b, t), staging, pk)
+          }
+        store.overwrite(p, b, t, result)
+        Count(store.read(p, b, t).count())
+
+      case Preview(p, b, t, columns, filters, limit) =>
+        var df = store.read(p, b, t)
+        if (columns.nonEmpty) df = df.select(columns.map(col): _*)
+        FilterAlgebra.compileAll(filters).foreach(f => df = df.filter(f))
+        Rows(df.limit(math.min(math.max(limit, 1), PreviewMaxLimit)))
+
+      case ExportTable(p, b, t, path, format, columns, filters, where, limit, comp) =>
+        val df = Export.exportQuery(store.read(p, b, t), columns, filters,
+          where, limit)
+        format match {
+          case "csv" => Export.toCsv(df, path, compression = comp)
+          case "parquet" => Export.toParquet(df, path,
+            comp.getOrElse("snappy"))
+          case other => throw new IllegalArgumentException(s"format: $other")
+        }
+        Done(s"exported $p/$b/$t to $path")
+
+      case DeleteRows(p, b, t, filters) =>
+        val before = store.read(p, b, t).count()
+        val pred = FilterAlgebra.compileAll(filters)
+          .getOrElse(org.apache.spark.sql.functions.lit(true)) // delete-all
+        store.overwrite(p, b, t,
+          ImportPipeline.deleteWhere(store.read(p, b, t), pred))
+        Count(before - store.read(p, b, t).count())
+
+      case ProfileTable(p, b, t, numericCols) =>
+        Rows(Profiler.numericBaseStats(store.read(p, b, t), numericCols))
+
+      case AlterTable(p, b, t, ops) =>
+        var df = store.read(p, b, t)
+        ops.foreach {
+          case AddColumn(n, ddl, d) =>
+            df = Ddl.addColumn(df, n,
+              org.apache.spark.sql.types.DataType.fromDDL(ddl), d)
+          case DropColumn(n) => df = Ddl.dropColumn(df, n)
+          case RenameColumn(f, to) => df = Ddl.renameColumn(df, f, to)
+          case CastColumn(n, ddl) =>
+            df = Ddl.castColumn(df, n,
+              org.apache.spark.sql.types.DataType.fromDDL(ddl))
+        }
+        store.overwrite(p, b, t, df)
+        Done(s"altered $p/$b/$t (${ops.size} ops)")
+
+      case AddPrimaryKey(p, b, t, pk) =>
+        Ddl.addPrimaryKey(store, p, b, t, pk); Done(s"pk set on $p/$b/$t")
+
+      case CreateSnapshot(p, b, t) =>
+        SnapshotRef(Snapshots.create(spark, store, p, b, t).id)
+
+      case RestoreSnapshot(id) =>
+        Snapshots.restore(spark, store, id); Done(s"restored $id")
+
+      case ExecuteQuery(p, buckets, sql, timeout) =>
+        val session = Workspace.openSession(spark, store, p, buckets)
+        graft.functions.GraftFunctions.register(session)
+        Rows(session.createDataFrame(
+          Workspace.executeQuery(session, sql, timeout).toSeq.asJava,
+          session.sql(sql).schema))
+    }
+  }
+
+  private implicit class SeqAsJava[A](s: Seq[A]) {
+    def asJava: java.util.List[A] = {
+      val l = new java.util.ArrayList[A](s.size)
+      s.foreach(l.add); l
+    }
+  }
+}

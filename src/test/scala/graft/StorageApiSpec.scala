@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.api.StorageApi
+import graft.api.StorageApi._
+import graft.core.{StorageCatalog, Tables, TableStore}
+import graft.engine.query.FilterAlgebra.{Op, WhereFilter}
+
+/** End-to-end lifecycle through the command API — the shape of the
+  * reference's workflow e2e tests (create -> import -> preview -> profile
+  * -> schema ops -> PK -> delete rows -> snapshot -> destructive change ->
+  * restore -> export -> workspace SQL), reference:
+  * tests/test_workflows_e2e.py. */
+class StorageApiSpec extends SparkSpec {
+
+  test("full table lifecycle through the command registry") {
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-api")))
+    val api = new StorageApi.Handler(spark, store)
+    val cust = Tables.df(spark, sfDir, "customer")
+
+    // create + full import
+    api.execute(CreateTable("p", "sales", "customer", cust.schema))
+    val Count(n0) = api.execute(ImportData("p", "sales", "customer", cust))
+    assert(n0 == cust.count())
+
+    // preview with filter + cap
+    val Rows(prev) = api.execute(Preview("p", "sales", "customer",
+      columns = Seq("c_custkey", "c_name"),
+      filters = Seq(WhereFilter("c_custkey", Op.Le, Seq("50"), "BIGINT")),
+      limit = 10))
+    assert(prev.count() == 10)
+
+    // profile
+    val Rows(prof) = api.execute(ProfileTable("p", "sales", "customer",
+      Seq("c_acctbal")))
+    assert(prof.count() == 1)
+
+    // schema evolution + PK
+    api.execute(AlterTable("p", "sales", "customer", Seq(
+      AddColumn("tier", "STRING", Some("STANDARD")),
+      RenameColumn("c_name", "customer_name"))))
+    api.execute(AddPrimaryKey("p", "sales", "customer", Seq("c_custkey")))
+    assert(store.catalog.getTable("p", "sales", "customer").get
+      .primaryKey == Seq("c_custkey"))
+
+    // incremental upsert: modify 10 rows
+    val staging = store.read("p", "sales", "customer")
+      .filter(col("c_custkey") <= 10)
+      .withColumn("tier", lit("GOLD"))
+    val nStaged = staging.count()
+    val Count(n1) = api.execute(ImportData("p", "sales", "customer", staging,
+      incremental = true))
+    assert(n1 == n0)
+    assert(store.read("p", "sales", "customer")
+      .filter(col("tier") === "GOLD").count() == nStaged)
+
+    // snapshot -> destructive delete -> restore
+    val SnapshotRef(snap) = api.execute(CreateSnapshot("p", "sales", "customer"))
+    val expectDeleted = store.read("p", "sales", "customer")
+      .filter(col("c_custkey") > 100).count()
+    val Count(deleted) = api.execute(DeleteRows("p", "sales", "customer",
+      Seq(WhereFilter("c_custkey", Op.Gt, Seq("100"), "BIGINT"))))
+    assert(deleted == expectDeleted)
+    api.execute(RestoreSnapshot(snap))
+    assert(store.read("p", "sales", "customer").count() == n0)
+
+    // export csv
+    val out = Files.createTempDirectory("graft-api-out").toString
+    api.execute(ExportTable("p", "sales", "customer", out,
+      limit = Some(25)))
+    assert(spark.read.option("header", true).csv(out).count() == 25)
+
+    // workspace SQL over the mounted table
+    val Rows(q) = api.execute(StorageApi.ExecuteQuery("p", Seq("sales"),
+      "SELECT COUNT(*) AS n FROM sales_customer WHERE tier = 'GOLD'"))
+    assert(q.collect()(0).getLong(0) == nStaged)
+  }
+}
