@@ -277,9 +277,9 @@ object ExtraQueries {
       (s, dir) => {
         val typed = Tables.df(s, dir, "customer")
         val asStrings = typed.select(
-          typed.schema.fields.map(f => col(f.name).cast(StringType).as(f.name)): _*)
+          typed.schema.fields.toSeq.map(f => col(f.name).cast(StringType).as(f.name)): _*)
         val recast = asStrings.select(
-          typed.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+          typed.schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
         recast.orderBy("c_custkey")
       },
       Some("SELECT * FROM customer ORDER BY c_custkey")),

@@ -320,6 +320,32 @@ object Queries {
         }).mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
       }),
 
+    // Q1 — correlated EXISTS/NOT EXISTS subqueries through passthrough SQL
+    // (identical text on both engines; Catalyst decorrelates to semi joins)
+    Q("sql_exists_subquery", {
+      val sql =
+        """SELECT c_mktsegment,
+          |  COUNT(*) AS n_customers,
+          |  CAST(SUM(CASE WHEN EXISTS (
+          |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          |      AND o_totalprice > 200000.0) THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS with_big_order
+          |FROM customer
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+      (s: SparkSession, dir: String) => {
+        Tables.mountAll(s, dir)
+        s.sql(sql)
+      }
+    },
+      Some("""SELECT c_mktsegment,
+             |  COUNT(*) AS n_customers,
+             |  CAST(SUM(CASE WHEN EXISTS (
+             |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |      AND o_totalprice > 200000.0) THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS with_big_order
+             |FROM customer
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // Q1/Q2 — arbitrary-SQL passthrough surface: identical SQL text runs on
     // both engines (shared dialect subset), tables mounted as bare views
     Q("sql_passthrough", {

@@ -21,7 +21,7 @@ object SkewJoin {
       salts: Int = 16, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(big.columns.toSeq.map(col): _*), lit(salts.toLong)).cast("int"))
     val replicated = small
       .withColumn("__salt", explode(expr(s"sequence(0, ${salts - 1})")))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
@@ -35,7 +35,7 @@ object SkewJoin {
   def saltedSum(df: DataFrame, key: String, valueCol: String,
       salts: Int = 16): DataFrame = {
     df.withColumn("__salt",
-        pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+        pmod(xxhash64(df.columns.toSeq.map(col): _*), lit(salts.toLong)).cast("int"))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(col(key))
