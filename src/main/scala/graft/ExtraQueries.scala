@@ -292,8 +292,8 @@ object ExtraQueries {
         .orderBy("column_name"),
       Some(Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
         s"""SELECT '$c' AS column_name,
-           |  ROUND(CAST(COUNT(*) - COUNT($c) AS DOUBLE) / COUNT(*) * 100, 4) AS null_pct,
-           |  ROUND(CAST(COUNT(DISTINCT $c) AS DOUBLE) / COUNT($c), 4) AS distinct_ratio,
+           |  ROUND(CAST(COUNT(*) - COUNT($c) AS DOUBLE) / COUNT(*) * 100 + 1e-9, 4) AS null_pct,
+           |  ROUND(CAST(COUNT(DISTINCT $c) AS DOUBLE) / COUNT($c) + 1e-9, 4) AS distinct_ratio,
            |  CASE WHEN COUNT(DISTINCT $c) = COUNT($c) THEN 'unique'
            |       WHEN COUNT(DISTINCT $c) = 1 THEN 'constant'
            |       WHEN CAST(COUNT(DISTINCT $c) AS DOUBLE) / COUNT($c) > 0.9 THEN 'high'

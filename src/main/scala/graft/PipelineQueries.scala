@@ -115,7 +115,7 @@ object PipelineQueries {
              |     r AS (SELECT q_id, c_id, sim, row_number() OVER (
              |             PARTITION BY q_id ORDER BY round(sim, 6) DESC, c_id) AS rank
              |           FROM s)
-             |SELECT q_id, c_id, rank, ROUND(sim, 4) AS cosine_sim
+             |SELECT q_id, c_id, rank, ROUND(sim + 1e-9, 4) AS cosine_sim
              |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
 
     // embedding-cosine near-dup pairs (exact baseline, oracle-checked)
@@ -129,7 +129,7 @@ object PipelineQueries {
              |    (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
              |     sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim
              |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-             |SELECT a_id, b_id, ROUND(sim, 4) AS cosine_sim
+             |SELECT a_id, b_id, ROUND(sim + 1e-9, 4) AS cosine_sim
              |FROM s WHERE sim >= 0.4
              |ORDER BY a_id, b_id""".stripMargin)),
 
@@ -169,8 +169,8 @@ object PipelineQueries {
       (s, dir) => TextAnalysis.qualityFeatures(
           Tables.df(s, dir, "documents"), "text")
         .select(col("doc_id"), col("n_tokens"), col("n_chars"),
-          round(col("avg_token_len"), 4).as("avg_token_len"),
-          round(col("stopword_ratio"), 4).as("stopword_ratio"),
+          round(col("avg_token_len") + lit(1e-9), 4).as("avg_token_len"),
+          round(col("stopword_ratio") + lit(1e-9), 4).as("stopword_ratio"),
           col("quality_score"))
         .orderBy("doc_id"),
       Some {
@@ -180,12 +180,12 @@ object PipelineQueries {
         s"""SELECT doc_id,
            |  $tokens AS n_tokens,
            |  CAST(length(text) AS BIGINT) AS n_chars,
-           |  ROUND(CAST($nonSpace AS DOUBLE) / $tokens, 4) AS avg_token_len,
-           |  ROUND(CAST($stop AS DOUBLE) / $tokens, 4) AS stopword_ratio,
+           |  ROUND(CAST($nonSpace AS DOUBLE) / $tokens + 1e-9, 4) AS avg_token_len,
+           |  ROUND(CAST($stop AS DOUBLE) / $tokens + 1e-9, 4) AS stopword_ratio,
            |  ROUND(100.0 * (
            |    0.3 * least(1.0, $tokens / 200.0) +
            |    0.4 * (1.0 - CAST($stop AS DOUBLE) / $tokens) +
-           |    0.3 * least(1.0, (CAST($nonSpace AS DOUBLE) / $tokens) / 8.0)), 4)
+           |    0.3 * least(1.0, (CAST($nonSpace AS DOUBLE) / $tokens) / 8.0)) + 1e-9, 4)
            |    AS quality_score
            |FROM documents ORDER BY doc_id""".stripMargin
       }),

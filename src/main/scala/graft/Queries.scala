@@ -240,12 +240,12 @@ object Queries {
     Q("a4_moments",
       (s, dir) => Profiler.moments(t(s, dir, "lineitem"), "l_extendedprice"),
       Some("""SELECT
-             |  ROUND(AVG(l_extendedprice), 4) AS avg_value,
-             |  ROUND(STDDEV_SAMP(l_extendedprice), 4) AS stddev_value,
+             |  ROUND(AVG(l_extendedprice) + 1e-9, 4) AS avg_value,
+             |  ROUND(STDDEV_SAMP(l_extendedprice) + 1e-9, 4) AS stddev_value,
              |  ROUND(AVG(POWER(l_extendedprice - mu, 3))
-             |    / POWER(AVG(POWER(l_extendedprice - mu, 2)), 1.5), 4) AS skewness_value,
+             |    / POWER(AVG(POWER(l_extendedprice - mu, 2)), 1.5) + 1e-9, 4) AS skewness_value,
              |  ROUND(AVG(POWER(l_extendedprice - mu, 4))
-             |    / POWER(AVG(POWER(l_extendedprice - mu, 2)), 2) - 3, 4) AS kurtosis_value
+             |    / POWER(AVG(POWER(l_extendedprice - mu, 2)), 2) - 3 + 1e-9, 4) AS kurtosis_value
              |FROM lineitem,
              |  (SELECT AVG(l_extendedprice) AS mu FROM lineitem) m""".stripMargin)),
 
@@ -254,7 +254,7 @@ object Queries {
       (s, dir) => Profiler.percentiles(t(s, dir, "lineitem"), "l_extendedprice"),
       Some("SELECT " + Profiler.Quantiles.map { q =>
         val name = f"p${(q * 100).toInt}%02d"
-        s"ROUND(QUANTILE_CONT(l_extendedprice, ${q.toString}), 4) AS $name"
+        s"ROUND(QUANTILE_CONT(l_extendedprice, ${q.toString}) + 1e-9, 4) AS $name"
       }.mkString(", ") + " FROM lineitem")),
 
     // A6 — IQR outlier bounds + count
@@ -263,8 +263,8 @@ object Queries {
       Some("""WITH q AS (SELECT QUANTILE_CONT(l_extendedprice, 0.25) AS q25,
              |                  QUANTILE_CONT(l_extendedprice, 0.75) AS q75
              |           FROM lineitem)
-             |SELECT ROUND(q25 - (q75 - q25) * 1.5, 4) AS lower_bound,
-             |       ROUND(q75 + (q75 - q25) * 1.5, 4) AS upper_bound,
+             |SELECT ROUND(q25 - (q75 - q25) * 1.5 + 1e-9, 4) AS lower_bound,
+             |       ROUND(q75 + (q75 - q25) * 1.5 + 1e-9, 4) AS upper_bound,
              |       CAST(SUM(CASE WHEN l_extendedprice < q25 - (q75 - q25) * 1.5
              |                      OR l_extendedprice > q75 + (q75 - q25) * 1.5
              |                     THEN 1 ELSE 0 END) AS BIGINT) AS outlier_count
@@ -281,7 +281,7 @@ object Queries {
     // A8 — string length stats with FILTER-clause counts
     Q("a8_string_stats",
       (s, dir) => Profiler.stringStats(t(s, dir, "documents"), "text"),
-      Some("""SELECT ROUND(AVG(LENGTH(text)), 4) AS avg_length,
+      Some("""SELECT ROUND(AVG(LENGTH(text)) + 1e-9, 4) AS avg_length,
              |  CAST(MIN(LENGTH(text)) AS BIGINT) AS min_length,
              |  CAST(MAX(LENGTH(text)) AS BIGINT) AS max_length,
              |  CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_count,
@@ -316,7 +316,7 @@ object Queries {
         (for { i <- cols.indices; j <- cols.indices if i < j } yield {
           val (a, b) = (cols(i), cols(j))
           s"""SELECT '$a' AS col_a, '$b' AS col_b,
-             |  ROUND(CORR($a, $b), 4) AS corr_value FROM lineitem""".stripMargin
+             |  ROUND(CORR($a, $b) + 1e-9, 4) AS corr_value FROM lineitem""".stripMargin
         }).mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
       }),
 

@@ -23,8 +23,10 @@ object Tables {
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
+    // integer division: `/` would promote to double and lose precision on
+    // epoch-nanos (~1.7e18 > 2^53)
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
   /** Mount all test tables as bare-named temp views (workspace semantics).

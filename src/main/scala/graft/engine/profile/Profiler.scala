@@ -28,8 +28,11 @@ import org.apache.spark.sql.types._
 object Profiler {
 
   /** Round to 4 decimal places — the reference rounds all derived stats to
-    * 4 dp (src/database.py:5357-5360); also our float-parity canonicalizer. */
-  def r4(c: Column): Column = round(c, 4)
+    * 4 dp (src/database.py:5357-5360); also our float-parity canonicalizer.
+    * The 1e-9 nudge (>> 1-ulp engine noise, << the 5e-5 rounding quantum)
+    * pushes values sitting exactly on a .xxxx5 boundary off it the same
+    * way on both engines; oracle SQL applies the identical nudge. */
+  def r4(c: Column): Column = round(c + lit(1e-9), 4)
 
   /** A2: per-column base stats for a set of numeric columns, one output row
     * per column (min/max cast to double for a uniform schema). */
@@ -234,9 +237,9 @@ object Profiler {
       val ratio = col(s"nd_$c").cast(DoubleType) / col(s"nn_$c")
       wide.select(
         lit(c).as("column_name"),
-        round((col("n") - col(s"nn_$c")).cast(DoubleType) / col("n") * 100, 4)
+        round((col("n") - col(s"nn_$c")).cast(DoubleType) / col("n") * 100 + lit(1e-9), 4)
           .as("null_pct"),
-        round(ratio, 4).as("distinct_ratio"),
+        round(ratio + lit(1e-9), 4).as("distinct_ratio"),
         when(col(s"nd_$c") === col(s"nn_$c"), "unique")
           .when(col(s"nd_$c") === 1, "constant")
           .when(ratio > 0.9, "high")

@@ -40,7 +40,7 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("rank").cast(LongType).as("rank"),
-        round(col("sim"), 4).as("cosine_sim"))
+        round(col("sim") + lit(1e-9), 4).as("cosine_sim"))
   }
 
   /** Deterministic random-hyperplane signature: bit p = sign of
@@ -72,7 +72,7 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("rank").cast(LongType).as("rank"),
-        round(col("sim"), 4).as("cosine_sim"))
+        round(col("sim") + lit(1e-9), 4).as("cosine_sim"))
   }
 
   /** IVF-style ANN: corpus vectors are assigned to their nearest centroid
@@ -107,7 +107,7 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("rank").cast(LongType).as("rank"),
-        round(col("sim"), 4).as("cosine_sim"))
+        round(col("sim") + lit(1e-9), 4).as("cosine_sim"))
   }
 
   /** Embedding-cosine near-duplicate pairs (all pairs with sim >= t).
@@ -119,6 +119,6 @@ object Similarity {
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
       .withColumn("sim", cosine("av", "bv"))
       .filter(col("sim") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("cosine_sim"))
+      .select(col("a_id"), col("b_id"), round(col("sim") + lit(1e-9), 4).as("cosine_sim"))
   }
 }

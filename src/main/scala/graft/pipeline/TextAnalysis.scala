@@ -80,7 +80,7 @@ object TextAnalysis {
         round(lit(100.0) * (
           lit(0.3) * least(lit(1.0), col("n_tokens") / 200.0) +
           lit(0.4) * (lit(1.0) - col("stopword_ratio")) +
-          lit(0.3) * least(lit(1.0), col("avg_token_len") / 8.0)), 4))
+          lit(0.3) * least(lit(1.0), col("avg_token_len") / 8.0)) + lit(1e-9), 4))
   }
 
   /** Canonical-text fingerprint: md5 of lower/trim/space-collapsed text.

@@ -50,7 +50,7 @@ object EventsStream {
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     spark.readStream.schema(raw).parquet(dir)
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // int division
   }
 
   /** Run a streaming aggregation to completion against a static directory
