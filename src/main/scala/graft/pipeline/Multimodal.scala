@@ -44,6 +44,44 @@ object Multimodal {
         length(col(payloadCol)).cast(LongType).as("n_bytes"),
         lit("text/plain").as("mime")).as("meta"))
 
+  final case class ResizedAsset(asset_id: Long, content: Array[Byte],
+      n_bytes: Long, mime: String)
+
+  /** STUB "resize": a real image resize needs a codec; the Spark-side
+    * contract it models is real — binary in, binary out, metadata updated,
+    * pure per-partition map (no shuffle). Stand-in: keep every k-th byte,
+    * so tests can assert exact output shapes. */
+  def resizeStub(spark: SparkSession, assets: DataFrame,
+      factor: Int): Dataset[ResizedAsset] = {
+    require(factor > 0)
+    import spark.implicits._
+    assets.select("asset_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val out = bytes.grouped(factor).map(_.head).toArray
+          ResizedAsset(id, out, out.length.toLong, s"bin/resized;f=$factor")
+        }
+      }
+  }
+
+  final case class Frame(asset_id: Long, frame_no: Int, offset: Long,
+      frame_bytes: Array[Byte])
+
+  /** STUB "frame sampling": models video -> every-nth-frame extraction.
+    * Real plumbing: one input row explodes to N frame rows (flatMap over
+    * partitions, no driver involvement); the "frame" is a fixed-size byte
+    * window — a codec would decode real frames. */
+  def frameSampleStub(spark: SparkSession, assets: DataFrame,
+      frameSize: Int, everyNth: Int): Dataset[Frame] = {
+    import spark.implicits._
+    assets.select("asset_id", "content").as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        bytes.grouped(frameSize).zipWithIndex
+          .filter { case (_, i) => i % everyNth == 0 }
+          .map { case (chunk, i) => Frame(id, i, i.toLong * frameSize, chunk) }
+      }
+  }
+
   /** Batched per-partition feature extraction (mapPartitions — the Scala
     * analog of a pandas-batched UDF). The decode itself is the stub. */
   def extractFeatures(spark: SparkSession, assets: DataFrame): Dataset[AssetFeatures] = {

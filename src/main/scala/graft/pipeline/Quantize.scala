@@ -1,0 +1,40 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding quantization — the storage lever for 100 TB vector corpora:
+  * float32 -> int8 is a 4x footprint cut (and 4x scan-throughput gain)
+  * at a small recall cost, the standard trade in large retrieval systems.
+  *
+  * Symmetric per-vector scheme, pure Column algebra (codegen'd):
+  *   scale = max(|x_i|) / 127;  q_i = round(x_i / scale)
+  * Dequantize multiplies back. Both directions are deterministic. */
+object Quantize {
+
+  /** Quantize an array<float|double> column to (scale, array<tinyint>). */
+  def toInt8(vec: String): (Column, Column) = {
+    val absMax =
+      expr(s"aggregate($vec, CAST(0.0 AS DOUBLE), (m, v) -> greatest(m, abs(CAST(v AS DOUBLE))))")
+    val scale = when(absMax > 0, absMax / 127.0).otherwise(lit(1.0))
+    (scale, expr(
+      s"""transform($vec, v -> CAST(round(CAST(v AS DOUBLE) /
+         |  (CASE WHEN aggregate($vec, CAST(0.0 AS DOUBLE),
+         |          (m, v2) -> greatest(m, abs(CAST(v2 AS DOUBLE)))) > 0
+         |        THEN aggregate($vec, CAST(0.0 AS DOUBLE),
+         |          (m, v2) -> greatest(m, abs(CAST(v2 AS DOUBLE)))) / 127.0
+         |        ELSE 1.0 END), 0) AS TINYINT))""".stripMargin))
+  }
+
+  /** Add `q_scale` + `q_vec` columns for `vecCol`. */
+  def quantize(df: DataFrame, vecCol: String): DataFrame = {
+    val (scale, qvec) = toInt8(vecCol)
+    df.withColumn("q_scale", scale).withColumn("q_vec", qvec)
+  }
+
+  /** Reconstruct an approximate double vector from (q_scale, q_vec). */
+  def dequantize(df: DataFrame): DataFrame =
+    df.withColumn("deq_vec",
+      expr("transform(q_vec, v -> CAST(v AS DOUBLE) * q_scale)"))
+}

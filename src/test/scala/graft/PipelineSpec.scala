@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.pipeline.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.pipeline.{Multimodal, Quantize, Similarity, TextAnalysis, TextDedup}
 
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
@@ -89,6 +89,38 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     a.foreach(f => assert(viaSql(f.asset_id) == f.content_md5))
     a.foreach(f => assert(f.fake_width >= 16 && f.fake_height >= 16))
+  }
+
+  test("multimodal resize/frame-sample stubs: real plumbing, exact shapes") {
+    val docs = Tables.df(spark, sfDir, "documents").limit(10)
+    val assets = Multimodal.toAssets(docs, "doc_id", "text")
+    val sizes = assets.select(col("asset_id"),
+      length(col("content")).as("n")).as[(Long, Int)].collect().toMap
+    val resized = Multimodal.resizeStub(spark, assets, 4).collect()
+    resized.foreach { r =>
+      assert(r.n_bytes == (sizes(r.asset_id) + 3) / 4) // ceil(n/4)
+    }
+    val frames = Multimodal.frameSampleStub(spark, assets, 32, 2).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { f =>
+      assert(f.frame_no % 2 == 0 && f.frame_bytes.length <= 32 &&
+        f.offset == f.frame_no.toLong * 32)
+    }
+  }
+
+  test("int8 quantization preserves cosine similarity within tolerance") {
+    val e = Tables.df(spark, sfDir, "embeddings").limit(100)
+    val q = Quantize.dequantize(Quantize.quantize(e, "embedding"))
+    val drift = q
+      .withColumn("orig_self", Similarity.cosine("embedding", "embedding"))
+      .withColumn("cross", Similarity.cosine("embedding", "deq_vec"))
+      .select(min(col("cross"))).as[Double].head()
+    assert(drift > 0.995) // quantized vector stays nearly parallel
+    // quantized values are genuinely int8
+    val within = q.selectExpr(
+      "forall(q_vec, v -> v >= -127 AND v <= 127) AS ok")
+      .filter(!col("ok")).count()
+    assert(within == 0)
   }
 
   test("langId is total: always one of the configured languages") {
