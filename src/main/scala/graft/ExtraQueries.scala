@@ -284,6 +284,49 @@ object ExtraQueries {
       },
       Some("SELECT * FROM customer ORDER BY c_custkey")),
 
+    // §2.6 — GROUPING SETS through the shared-dialect passthrough surface
+    Q("q7_grouping_sets", {
+      val sql =
+        """SELECT COALESCE(l_returnflag, '(all)') AS rf,
+          |  COALESCE(l_linestatus, '(all)') AS ls,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY rf, ls""".stripMargin
+      (s: org.apache.spark.sql.SparkSession, dir: String) => {
+        Tables.mountAll(s, dir)
+        s.sql(sql)
+      }
+    },
+      Some("""SELECT COALESCE(l_returnflag, '(all)') AS rf,
+             |  COALESCE(l_linestatus, '(all)') AS ls,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY rf, ls""".stripMargin)),
+
+    // §2.6 — calendar bucketing: month-truncated revenue rollup
+    Q("q8_monthly_revenue",
+      (s, dir) => {
+        val li = Tables.df(s, dir, "lineitem")
+        val o = Tables.df(s, dir, "orders")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy(unix_millis(date_trunc("month", col("o_orderdate")))
+            .as("month_ms"))
+          .agg(
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(DecimalType(38, 4))).cast(DoubleType).as("revenue"),
+            count(lit(1)).cast(LongType).as("n_items"))
+          .orderBy("month_ms")
+      },
+      Some("""SELECT epoch_ms(date_trunc('month', o_orderdate)) AS month_ms,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY month_ms""".stripMargin)),
+
     // A3 — null % + cardinality ratio/class per column
     Q("a3_cardinality",
       (s, dir) => Profiler.cardinalityProfile(

@@ -133,6 +133,35 @@ object PipelineQueries {
              |FROM s WHERE sim >= 0.4
              |ORDER BY a_id, b_id""".stripMargin)),
 
+    // int8-quantized KNN: quantize -> dequantize -> exact top-k; shows the
+    // 4x-footprint retrieval path stays oracle-exact
+    Q("x15_quantized_knn",
+      (s, dir) => {
+        val e = Tables.df(s, dir, "embeddings")
+        val deq = pipeline.Quantize.dequantize(
+            pipeline.Quantize.quantize(e, "embedding"))
+          .select(col("vec_id"), col("deq_vec").as("embedding"))
+        Similarity.bruteForceTopK(
+            deq.filter(col("vec_id") < 5), deq.filter(col("vec_id") >= 5), 5)
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH d AS (
+             |  SELECT vec_id, list_transform(v, x -> round(x / scale) * scale) AS dv
+             |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+             |          list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') / 127.0 AS scale
+             |        FROM embeddings)),
+             |q AS (SELECT vec_id AS q_id, dv AS qv FROM d WHERE vec_id < 5),
+             |c AS (SELECT vec_id AS c_id, dv AS cv FROM d WHERE vec_id >= 5),
+             |s AS (SELECT q_id, c_id,
+             |        list_inner_product(qv, cv) /
+             |        (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS sim
+             |      FROM q, c),
+             |r AS (SELECT q_id, c_id, sim, row_number() OVER (
+             |        PARTITION BY q_id ORDER BY round(sim, 6) DESC, c_id) AS rank
+             |      FROM s)
+             |SELECT q_id, c_id, rank, ROUND(sim + 1e-9, 4) AS cosine_sim
+             |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
     // IVF-bucketed ANN (recall<1 by construction: rows-only + ScalaTest)
     Q("x14_ann_ivf",
       (s, dir) => {
