@@ -1,0 +1,19 @@
+package graft
+
+/** The driver's t1 smoke contract: SparkEntry.entry on sf0.001 returns
+  * rows, and every catalog query has distinct names and runnable fns. */
+class SmokeSpec extends SparkSpec {
+
+  test("entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("catalog is well-formed: unique names, oracle keys subset of queries") {
+    val qs = SparkEntry.queries
+    val names = (Queries.all ++ PipelineQueries.all ++ StorageQueries.all ++
+      StreamingQueries.all ++ ExtraQueries.all).map(_.name)
+    assert(names.distinct.size == names.size, "duplicate query names")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    assert(qs.size == names.size)
+  }
+}
