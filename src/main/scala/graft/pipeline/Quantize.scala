@@ -13,25 +13,20 @@ import org.apache.spark.sql.types._
   * Dequantize multiplies back. Both directions are deterministic. */
 object Quantize {
 
-  /** Quantize an array<float|double> column to (scale, array<tinyint>). */
-  def toInt8(vec: String): (Column, Column) = {
+  /** Per-vector scale column: max(|x_i|)/127 (1.0 for all-zero vectors). */
+  def scaleOf(vec: String): Column = {
     val absMax =
       expr(s"aggregate($vec, CAST(0.0 AS DOUBLE), (m, v) -> greatest(m, abs(CAST(v AS DOUBLE))))")
-    val scale = when(absMax > 0, absMax / 127.0).otherwise(lit(1.0))
-    (scale, expr(
-      s"""transform($vec, v -> CAST(round(CAST(v AS DOUBLE) /
-         |  (CASE WHEN aggregate($vec, CAST(0.0 AS DOUBLE),
-         |          (m, v2) -> greatest(m, abs(CAST(v2 AS DOUBLE)))) > 0
-         |        THEN aggregate($vec, CAST(0.0 AS DOUBLE),
-         |          (m, v2) -> greatest(m, abs(CAST(v2 AS DOUBLE)))) / 127.0
-         |        ELSE 1.0 END), 0) AS TINYINT))""".stripMargin))
+    when(absMax > 0, absMax / 127.0).otherwise(lit(1.0))
   }
 
-  /** Add `q_scale` + `q_vec` columns for `vecCol`. */
-  def quantize(df: DataFrame, vecCol: String): DataFrame = {
-    val (scale, qvec) = toInt8(vecCol)
-    df.withColumn("q_scale", scale).withColumn("q_vec", qvec)
-  }
+  /** Add `q_scale` + `q_vec` columns for `vecCol`. The scale lands in its
+    * own column first so the element transform references it — O(d) per
+    * vector, not O(d²) (recomputing the abs-max fold per element). */
+  def quantize(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("q_scale", scaleOf(vecCol))
+      .withColumn("q_vec", expr(
+        s"transform($vecCol, v -> CAST(round(CAST(v AS DOUBLE) / q_scale, 0) AS TINYINT))"))
 
   /** Reconstruct an approximate double vector from (q_scale, q_vec). */
   def dequantize(df: DataFrame): DataFrame =
