@@ -117,6 +117,8 @@ final class StorageCatalog(val root: Path) {
     snapshots.put(meta.id, meta); persist()
   }
   def getSnapshot(id: String): Option[SnapshotMeta] = snapshots.get(id)
+  def listSnapshots(): Seq[SnapshotMeta] = snapshots.values.toSeq
+  def removeSnapshot(id: String): Unit = { snapshots.remove(id); persist() }
 
   // ---------------------------------------------------- path resolution
 

@@ -52,4 +52,22 @@ object Snapshots {
     create(spark, store, project, bucket, table)
     op
   }
+
+  /** L4 retention: drop snapshots older than the cutoff (the reference
+    * keeps 90 d manual / 7 d auto, CLAUDE.md:280-281). Returns the ids
+    * pruned. `now` is injectable for deterministic tests. */
+  def pruneOlderThan(store: TableStore, cutoff: java.time.Instant): Seq[String] = {
+    val cat = store.catalog
+    val stale = cat.listSnapshots().filter(s =>
+      java.time.Instant.parse(s.createdAt).isBefore(cutoff))
+    stale.foreach { s =>
+      cat.removeSnapshot(s.id)
+      val dir = cat.root.resolve("snapshots").resolve(s.project).resolve(s.id)
+      if (Files.exists(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.delete(p))
+      }
+    }
+    stale.map(_.id)
+  }
 }

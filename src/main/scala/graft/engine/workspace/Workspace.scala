@@ -24,9 +24,17 @@ object Workspace {
 
   /** Mount all tables of a project's buckets as `{bucket}_{table}` views
     * in an isolated session (ADR-013 naming convention). */
+  /** Per-workspace resource posture (the reference's `SET threads=4` /
+    * `SET memory_limit='4GB'` per connection, src/config.py:52-53): session
+    * parallelism via shuffle partitions; memory is a cluster-manager
+    * concern on Spark (per-executor), noted for parity. */
+  val DefaultWorkspaceShufflePartitions = 4
+
   def openSession(spark: SparkSession, store: TableStore, project: String,
-      buckets: Seq[String], branch: Option[String] = None): SparkSession = {
+      buckets: Seq[String], branch: Option[String] = None,
+      shufflePartitions: Int = DefaultWorkspaceShufflePartitions): SparkSession = {
     val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
     for (bucket <- buckets; meta <- store.catalog.listTables(project, bucket)) {
       val (_, dir) = store.catalog.resolveForRead(project, bucket, meta.table, branch)
       session.read.parquet(dir.toString)

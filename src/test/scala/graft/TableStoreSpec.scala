@@ -59,6 +59,23 @@ class TableStoreSpec extends SparkSpec {
     assert(store.read("p", "b", "n").count() == nation.count())
   }
 
+  test("snapshot retention prunes by age, keeps younger snapshots") {
+    val store = newStore()
+    val region = Tables.df(spark, sfDir, "region")
+    store.createTable("p", "b", "r", region.schema)
+    store.overwrite("p", "b", "r", region)
+    val snap = Snapshots.create(spark, store, "p", "b", "r")
+    // cutoff before creation: nothing pruned
+    assert(Snapshots.pruneOlderThan(store,
+      java.time.Instant.parse(snap.createdAt).minusSeconds(60)).isEmpty)
+    assert(store.catalog.getSnapshot(snap.id).isDefined)
+    // cutoff after creation: pruned, dir gone
+    val pruned = Snapshots.pruneOlderThan(store,
+      java.time.Instant.parse(snap.createdAt).plusSeconds(60))
+    assert(pruned == Seq(snap.id))
+    assert(store.catalog.getSnapshot(snap.id).isEmpty)
+  }
+
   test("addPrimaryKey rejects duplicate keys, accepts unique ones") {
     val store = newStore()
     val li = Tables.df(spark, sfDir, "lineitem")
