@@ -18,6 +18,18 @@ object StreamingQueries {
              |  event_type, COUNT(*) AS n_events,
              |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin)),
+
+    Q("st2_sliding_window",
+      (s, dir) => EventsStream.slidingCountsBatch(
+          Tables.df(s, dir, "events"), 2 * 3600L * 1000, 3600L * 1000)
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT window_start, event_type, COUNT(*) AS n_events
+             |FROM (
+             |  SELECT event_type,
+             |    (epoch_ms(ts) // 3600000) * 3600000 - i * 3600000 AS window_start
+             |  FROM events, (SELECT UNNEST(range(0, 2)) AS i))
+             |GROUP BY 1, 2
              |ORDER BY window_start, event_type""".stripMargin))
   )
 }

@@ -27,6 +27,33 @@ object EventsStream {
         count(lit(1)).cast(LongType).as("n_events"),
         sum(col("value").cast(DecimalType(38, 4))).cast(DoubleType).as("total_value"))
 
+  /** Sliding-window aggregate — batch twin. Each event lands in
+    * width/slide windows; starts are the slide-grid points covering the
+    * event (matches Structured Streaming's `window(ts, width, slide)`
+    * assignment). Pure integer arithmetic -> oracle-exact. */
+  def slidingCountsBatch(events: DataFrame, widthMs: Long,
+      slideMs: Long): DataFrame = {
+    require(widthMs % slideMs == 0)
+    val k = (widthMs / slideMs).toInt
+    events
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("window_start", explode(expr(
+        s"transform(sequence(0, ${k - 1}), i -> " +
+          s"(ts_ms div $slideMs) * $slideMs - i * $slideMs)")))
+      .groupBy("window_start", "event_type")
+      .agg(count(lit(1)).cast(LongType).as("n_events"))
+  }
+
+  /** Sliding-window aggregate as a stream (same semantics as the twin). */
+  def slidingCountsStream(events: DataFrame, width: String, slide: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).cast(LongType).as("n_events"))
+      .select(unix_millis(col("window.start")).as("window_start"),
+        col("event_type"), col("n_events"))
+
   /** The same aggregation as an incremental stream with a watermark.
     * (`window()` buckets identically to the floor-div batch twin for
     * UTC-aligned widths.) */

@@ -31,6 +31,20 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("sliding-window stream equals its batch twin") {
+    val batch = EventsStream.slidingCountsBatch(
+        Tables.df(spark, sfDir, "events"), 2 * 3600L * 1000, 3600L * 1000)
+      .orderBy("window_start", "event_type").collect().toSeq
+    val stream = EventsStream.runToCompletion(spark,
+      EventsStream.slidingCountsStream(
+        EventsStream.readEventsStream(spark, eventsDir),
+        "2 hours", "1 hour", "10 minutes"),
+      "slide_counts")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stateful per-user totals accumulate across a stream") {
     val batchTotals = Tables.df(spark, sfDir, "events")
       .groupBy("user_id").agg(count(lit(1)).as("n"))
