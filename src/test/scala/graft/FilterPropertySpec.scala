@@ -1,0 +1,68 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.engine.query.FilterAlgebra
+import graft.engine.query.FilterAlgebra.{Op, WhereFilter}
+
+/** ScalaCheck properties for the filter-algebra compiler: the compiled
+  * Catalyst predicate must agree with a straightforward Scala model on
+  * arbitrary data and filter combinations. */
+object FilterPropertySpec extends Properties("FilterAlgebra") {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private val ops = Seq(Op.Eq, Op.Ne, Op.Gt, Op.Ge, Op.Lt, Op.Le)
+  private val rowsGen = Gen.choose(1, 40).flatMap(n =>
+    Gen.listOfN(n, Gen.choose(-20, 20)))
+  private val filterGen = for {
+    op <- Gen.oneOf(ops)
+    v <- Gen.choose(-20, 20)
+  } yield (op, v)
+
+  private def model(op: Op, v: Int)(x: Int): Boolean = op match {
+    case Op.Eq => x == v
+    case Op.Ne => x != v
+    case Op.Gt => x > v
+    case Op.Ge => x >= v
+    case Op.Lt => x < v
+    case Op.Le => x <= v
+  }
+
+  property("single comparison matches the Scala model") =
+    Prop.forAll(rowsGen, filterGen) { case (xs, (op, v)) =>
+      val df = xs.toDF("x")
+      val got = df.filter(FilterAlgebra.compile(
+        WhereFilter("x", op, Seq(v.toString), "INTEGER")))
+        .as[Int].collect().sorted.toSeq
+      got == xs.filter(model(op, v)).sorted
+    }
+
+  property("IN list = union of equalities; conjunction = intersection") =
+    Prop.forAll(rowsGen, Gen.nonEmptyListOf(Gen.choose(-20, 20)),
+        filterGen) { case (xs, inVals, (op2, v2)) =>
+      val df = xs.toDF("x")
+      val filters = Seq(
+        WhereFilter("x", Op.Eq, inVals.map(_.toString), "INTEGER"),
+        WhereFilter("x", op2, Seq(v2.toString), "INTEGER"))
+      val got = df.filter(FilterAlgebra.compileAll(filters).get)
+        .as[Int].collect().sorted.toSeq
+      val expect = xs.filter(x => inVals.contains(x) && model(op2, v2)(x)).sorted
+      got == expect
+    }
+
+  property("NOT IN is the complement of IN") =
+    Prop.forAll(rowsGen, Gen.nonEmptyListOf(Gen.choose(-20, 20))) {
+      (xs, inVals) =>
+        val df = xs.toDF("x")
+        val inCnt = df.filter(FilterAlgebra.compile(
+          WhereFilter("x", Op.Eq, inVals.map(_.toString), "INTEGER"))).count()
+        val notInCnt = df.filter(FilterAlgebra.compile(
+          WhereFilter("x", Op.Ne, inVals.map(_.toString), "INTEGER"))).count()
+        inCnt + notInCnt == xs.size
+    }
+}
