@@ -49,17 +49,19 @@ object Bench {
     headline.foreach { q =>
       try q.fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // timed pass
+    // timed pass; a failed query records -1 and is excluded from the total
+    // (never its wall-clock-to-failure — that would report broken as fast)
     val results = headline.map { q =>
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { q.fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":[${errors.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -145,7 +145,10 @@ final class StorageCatalog(val root: Path) {
 
   // ------------------------------------------------------------ persist
 
-  private def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  /** Single lock serializing catalog.json writes: writers hold per-TABLE
+    * locks, so two tables committing at once would otherwise interleave
+    * whole-file rewrites. */
+  private val persistLock = new ReentrantLock()
 
   /** Reload persisted state from catalog.json (inverse of persist).
     * Jackson rides along on Spark's classpath. */
@@ -180,20 +183,49 @@ final class StorageCatalog(val root: Path) {
     }
   }
 
-  /** Persist as JSON (hand-rolled: no JSON dep in the build). */
+  /** Persist as JSON via Jackson (same mapper family as reload — correct
+    * escaping of every control character), written to a temp file and
+    * atomically renamed so a crash mid-write can never corrupt the catalog
+    * (the documented atomic-commit protocol). Serialized behind a single
+    * lock: per-table write locks don't prevent two tables' commits from
+    * racing the whole-file rewrite. */
   def persist(): Unit = {
-    def metaJson(m: TableMeta) =
-      s"""{"project":${q(m.project)},"bucket":${q(m.bucket)},"table":${q(m.table)},
-         |"schemaDdl":${q(m.schemaDdl)},"pk":[${m.primaryKey.map(q).mkString(",")}],
-         |"version":${m.version}}""".stripMargin.replace("\n", "")
-    val json =
-      s"""{"tables":{${tables.map { case (k, m) => s"${q(k)}:${metaJson(m)}" }.mkString(",")}},
-         |"branchTables":{${branchTables.map { case (k, m) => s"${q(k)}:${metaJson(m)}" }.mkString(",")}},
-         |"links":{${bucketLinks.map { case ((p, a), (sp, sb)) => s"${q(s"$p/$a")}:${q(s"$sp/$sb")}" }.mkString(",")}},
-         |"snapshots":{${snapshots.map { case (k, m) =>
-             s"${q(k)}:{" + s""""project":${q(m.project)},"bucket":${q(m.bucket)},"table":${q(m.table)},"rowCount":${m.rowCount},"schemaDdl":${q(m.schemaDdl)},"createdAt":${q(m.createdAt)}}"""
-           }.mkString(",")}}}""".stripMargin.replace("\n", "")
-    Files.createDirectories(root)
-    Files.writeString(root.resolve("catalog.json"), json)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def metaNode(m: TableMeta) = {
+      val n = om.createObjectNode()
+      n.put("project", m.project); n.put("bucket", m.bucket)
+      n.put("table", m.table); n.put("schemaDdl", m.schemaDdl)
+      val pk = n.putArray("pk"); m.primaryKey.foreach(pk.add)
+      n.put("version", m.version); n
+    }
+    persistLock.lock()
+    try {
+      val rootNode = om.createObjectNode()
+      val t = rootNode.putObject("tables")
+      tables.toSeq.sortBy(_._1).foreach { case (k, m) =>
+        t.set[com.fasterxml.jackson.databind.JsonNode](k, metaNode(m))
+      }
+      val bt = rootNode.putObject("branchTables")
+      branchTables.toSeq.sortBy(_._1).foreach { case (k, m) =>
+        bt.set[com.fasterxml.jackson.databind.JsonNode](k, metaNode(m))
+      }
+      val ln = rootNode.putObject("links")
+      bucketLinks.toSeq.sortBy(_._1).foreach { case ((p, a), (sp, sb)) =>
+        ln.put(s"$p/$a", s"$sp/$sb")
+      }
+      val sn = rootNode.putObject("snapshots")
+      snapshots.toSeq.sortBy(_._1).foreach { case (k, m) =>
+        val n = sn.putObject(k)
+        n.put("project", m.project); n.put("bucket", m.bucket)
+        n.put("table", m.table); n.put("rowCount", m.rowCount)
+        n.put("schemaDdl", m.schemaDdl); n.put("createdAt", m.createdAt)
+      }
+      Files.createDirectories(root)
+      val tmp = root.resolve("catalog.json.tmp")
+      Files.writeString(tmp, om.writeValueAsString(rootNode))
+      Files.move(tmp, root.resolve("catalog.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally persistLock.unlock()
   }
 }

@@ -117,13 +117,23 @@ object FilterAlgebra {
     if (v.forall(_.isDigit)) timestamp_seconds(lit(v.toLong))
     else lit(v).cast(TimestampType)
 
-  /** Free-form WHERE passthrough (P5): same deny-list guard as the
-    * reference (src/database.py:5087-5094) then Spark's own SQL parser. */
-  private val denied = Seq(";", "--", "/*", "*/", "drop ", "delete ", "insert ",
-    "update ", "alter ", "create ", "truncate ", "exec ", "execute ")
+  /** Free-form WHERE passthrough (P5): the reference's deny-list guard
+    * (src/database.py:5087-5094), hardened: string literals are stripped
+    * first (so `o_comment = 'please create account'` passes), keywords are
+    * matched as whole tokens (so `drop\t`/`drop(` can't sneak past a
+    * trailing-space check), and reflective SQL functions (reflect,
+    * java_method — arbitrary static-method invocation) are blocked too. */
+  private val deniedTokens = Set("drop", "delete", "insert", "update", "alter",
+    "create", "truncate", "exec", "execute", "reflect", "java_method")
+  private val deniedSymbols = Seq(";", "--", "/*", "*/")
+  private val stringLiteral = "'(?:[^']|'')*'".r
+  private val identifier = "[a-z_][a-z0-9_]*".r
   def validateWhere(raw: String): String = {
-    val lower = raw.toLowerCase
-    denied.find(lower.contains).foreach { bad =>
+    val lower = stringLiteral.replaceAllIn(raw, "''").toLowerCase
+    deniedSymbols.find(lower.contains).foreach { bad =>
+      throw new IllegalArgumentException(s"disallowed token in where clause: '$bad'")
+    }
+    identifier.findAllIn(lower).find(deniedTokens.contains).foreach { bad =>
       throw new IllegalArgumentException(s"disallowed token in where clause: '$bad'")
     }
     raw

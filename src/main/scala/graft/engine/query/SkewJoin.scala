@@ -17,9 +17,18 @@ object SkewJoin {
   /** Equi-join big⋈small on `key`, salting the big side `salts` ways.
     * Deterministic: salt = pmod(xxhash64(all big-side columns), salts) —
     * ANY distribution works, it only needs to spread the hot key. */
+  /** Join types for which replicating the small side per salt is
+    * result-preserving. right/full_outer would emit one row per salt for
+    * every unmatched small-side key. */
+  private val supportedJoinTypes =
+    Set("inner", "left", "left_outer", "left_semi", "left_anti", "leftsemi", "leftanti")
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int = 16, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    require(supportedJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin supports ${supportedJoinTypes.mkString("/")}; " +
+        s"'$joinType' would duplicate unmatched small-side rows per salt")
     val salted = big.withColumn("__salt",
       pmod(xxhash64(big.columns.toSeq.map(col): _*), lit(salts.toLong)).cast("int"))
     val replicated = small

@@ -43,21 +43,32 @@ object Workspace {
     session
   }
 
-  /** Q1: execute arbitrary SQL with a timeout via job-group cancellation. */
+  /** Q1: execute arbitrary SQL with a timeout via job-group cancellation.
+    *
+    * The job group is set INSIDE the worker thread: Spark local properties
+    * are thread-local (inherited only at thread creation), so setting the
+    * group on the caller and running on a shared pool thread would leave
+    * the running jobs ungrouped and make cancelJobGroup a no-op. */
   def executeQuery(session: SparkSession, sql: String,
       timeoutSeconds: Int = 300): Array[org.apache.spark.sql.Row] = {
     val group = s"graft-query-${System.nanoTime()}"
-    session.sparkContext.setJobGroup(group, sql, interruptOnCancel = true)
-    try {
-      val fut = java.util.concurrent.CompletableFuture.supplyAsync(() =>
-        session.sql(sql).collect())
-      try fut.get(timeoutSeconds.toLong, TimeUnit.SECONDS)
-      catch {
-        case e: TimeoutException =>
-          session.sparkContext.cancelJobGroup(group)
-          throw new TimeoutException(s"query exceeded ${timeoutSeconds}s")
-      }
-    } finally session.sparkContext.clearJobGroup()
+    val result =
+      new java.util.concurrent.CompletableFuture[Array[org.apache.spark.sql.Row]]()
+    val worker = new Thread(() => {
+      session.sparkContext.setJobGroup(group, sql, interruptOnCancel = true)
+      try result.complete(session.sql(sql).collect())
+      catch { case t: Throwable => result.completeExceptionally(t) }
+      finally session.sparkContext.clearJobGroup()
+    }, group)
+    worker.setDaemon(true)
+    worker.start()
+    try result.get(timeoutSeconds.toLong, TimeUnit.SECONDS)
+    catch {
+      case _: TimeoutException =>
+        session.sparkContext.cancelJobGroup(group)
+        throw new TimeoutException(s"query exceeded ${timeoutSeconds}s")
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    }
   }
 
   /** D11: workspace load — filtered CTAS from a stored table into a

@@ -70,4 +70,18 @@ class ImportPipelineSpec extends SparkSpec {
     // clean predicate parses
     assert(FilterAlgebra.freeFormWhere("v > 1") != null)
   }
+
+  test("deny-list tokenizes: literals pass, tab/paren variants and reflect blocked") {
+    // a string literal containing a keyword is legitimate data, not injection
+    assert(FilterAlgebra.validateWhere("c = 'please create account'") != null)
+    assert(FilterAlgebra.validateWhere("c = 'it''s a drop'") != null)
+    // keyword followed by tab / newline / paren must still be caught
+    assertThrows[IllegalArgumentException](FilterAlgebra.validateWhere("1=1 drop\ttable x"))
+    assertThrows[IllegalArgumentException](FilterAlgebra.validateWhere("1=1 drop\ntable x"))
+    // reflective functions invoke arbitrary static methods
+    assertThrows[IllegalArgumentException](
+      FilterAlgebra.validateWhere("reflect('java.lang.System','exit',0) = ''"))
+    assertThrows[IllegalArgumentException](
+      FilterAlgebra.validateWhere("java_method('a','b') = ''"))
+  }
 }

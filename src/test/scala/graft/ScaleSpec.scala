@@ -67,6 +67,12 @@ class ScaleSpec extends SparkSpec {
     val saltedSum = SkewJoin.saltedSum(big, "k", "v", salts = 8)
       .as[(Int, Long)].collect().toMap
     assert(plainSum == saltedSum)
+    // replication-unsafe join types are rejected (would duplicate unmatched
+    // small-side rows once per salt)
+    assertThrows[IllegalArgumentException](
+      SkewJoin.saltedJoin(big, small, "k", salts = 8, joinType = "right"))
+    assertThrows[IllegalArgumentException](
+      SkewJoin.saltedJoin(big, small, "k", salts = 8, joinType = "full_outer"))
   }
 
   test("fastProfile sketches stay within tolerance of exact stats") {

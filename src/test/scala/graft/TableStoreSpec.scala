@@ -123,6 +123,17 @@ class TableStoreSpec extends SparkSpec {
     assert(store2.read("p2", "alias", "r").count() == region.count())
   }
 
+  test("persist round-trips control characters and quotes in metadata") {
+    val store = newStore()
+    val ddl = "a VARCHAR DEFAULT 'line1\nline2\t\"quoted\"\\'"
+    store.catalog.createTable("p", "b", "weird", ddl, primaryKey = Seq("a"))
+    val reloaded = new graft.core.StorageCatalog(store.catalog.root)
+    reloaded.reload()
+    assert(reloaded.getTable("p", "b", "weird").get.schemaDdl == ddl)
+    // no stale temp file left behind by the write-rename protocol
+    assert(!java.nio.file.Files.exists(store.catalog.root.resolve("catalog.json.tmp")))
+  }
+
   test("linked bucket resolves to source project's data") {
     val store = newStore()
     val region = Tables.df(spark, sfDir, "region")
