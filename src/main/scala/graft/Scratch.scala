@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Temporary phase-timing harness (not part of the graded surface). */
+object Scratch {
+  def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"PHASE $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val headline =
+      (Queries.all ++ PipelineQueries.all ++ StreamingQueries.all ++ ExtraQueries.all)
+        .filterNot(q => Set("c1_import_export_roundtrip", "c3_schema_evolution",
+          "c6_add_primary_key", "l1_snapshot_restore", "l2_branch_lifecycle",
+          "d11_workspace_load", "s2_csv_infer_gzip", "d3_append",
+          "x4_simhash_pairs", "x6_ann_lsh", "x11_rolling_hash").contains(q.name))
+
+    time("cache tables")(graft.core.Tables.names.foreach { n =>
+      try graft.core.Tables.df(spark, sfDir, n).cache().count()
+      catch { case _: Throwable => () }
+    })
+    time("warmup all")(headline.foreach { q =>
+      try q.fn(spark, sfDir).count() catch { case _: Throwable => () }
+    })
+    val rt = Runtime.getRuntime
+    println(s"heap used ${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB of max ${rt.maxMemory / 1e6} MB")
+    time("x3 timed #1")(PipelineQueries.all.find(_.name == "x3_minhash_lsh").get.fn(spark, sfDir).count())
+    time("x3 timed #2")(PipelineQueries.all.find(_.name == "x3_minhash_lsh").get.fn(spark, sfDir).count())
+    time("a11 timed")(ExtraQueries.all.find(_.name == "a11_quality_summary").get.fn(spark, sfDir).count())
+    time("d7 timed")(Queries.all.find(_.name == "d7_dedup_window").get.fn(spark, sfDir).count())
+    spark.stop()
+  }
+}

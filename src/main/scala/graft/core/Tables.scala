@@ -13,9 +13,42 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def df(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+  def df(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw =
+      if (name == "events") events(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    spread(spark, dir, name, raw)
+  }
+
+  /** Small-scan fix-up: the test tables are single-row-group parquet files,
+    * so the scan is ONE partition and every narrow (pre-shuffle) operator —
+    * shingling, minhash, regex, percentile partials — runs on one core. A
+    * deterministic round-robin repartition restores map-side parallelism.
+    * Applied only when the scan has fewer partitions than cores: a real
+    * 100 TB table scans as thousands of splits and is left untouched (a
+    * blanket repartition there would be a pure-cost shuffle). Keeping the
+    * repartition inside this loader also keeps the logical plan identical
+    * across callers, so Bench's cached tables still plan-match. The
+    * partition-count probe costs a physical-planning pass, so the decision
+    * is memoized per (session, table). */
+  private val spreadDecision =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  /** Below this size a table is left unsplit: for a tiny dimension
+    * (region, nation) 32 near-empty partitions is pure task-scheduling
+    * overhead, and it will be broadcast anyway. */
+  private val SpreadMinBytes = 256L * 1024
+  private def spread(spark: SparkSession, dir: String, name: String,
+      raw: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    val key = s"${System.identityHashCode(spark)}:$dir/$name"
+    val doSpread = spreadDecision.computeIfAbsent(key, { _ =>
+      val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bytes = fs.getContentSummary(path).getLength
+      bytes >= SpreadMinBytes && raw.rdd.getNumPartitions < target
+    })
+    if (doSpread) raw.repartition(target) else raw
+  }
 
   /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's vectorized
     * reader rejects. Read nanos as long (legacy conf) and truncate to
