@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Temporary phase-timing harness (not part of the graded surface). */
 object Scratch {
@@ -17,32 +18,34 @@ object Scratch {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val headline =
-      (Queries.all ++ PipelineQueries.all ++ StreamingQueries.all ++ ExtraQueries.all)
-        .filterNot(q => Set("c1_import_export_roundtrip", "c3_schema_evolution",
-          "c6_add_primary_key", "l1_snapshot_restore", "l2_branch_lifecycle",
-          "d11_workspace_load", "s2_csv_infer_gzip", "d3_append",
-          "x4_simhash_pairs", "x6_ann_lsh", "x11_rolling_hash").contains(q.name))
+    val df = graft.core.Tables.df(spark, sfDir, "lineitem")
+    time("cache lineitem")(df.cache().count())
+    val numericCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
-    time("cache tables")(graft.core.Tables.names.foreach { n =>
-      try graft.core.Tables.df(spark, sfDir, n).cache().count()
-      catch { case _: Throwable => () }
-    })
-    time("warmup all")(headline.foreach { q =>
-      try q.fn(spark, sfDir).count() catch { case _: Throwable => () }
-    })
-    val rt = Runtime.getRuntime
-    println(s"heap used ${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB of max ${rt.maxMemory / 1e6} MB")
-    time("x3 timed #1")(PipelineQueries.all.find(_.name == "x3_minhash_lsh").get.fn(spark, sfDir).count())
-    time("x3 timed #2")(PipelineQueries.all.find(_.name == "x3_minhash_lsh").get.fn(spark, sfDir).count())
-    time("a11 timed")(ExtraQueries.all.find(_.name == "a11_quality_summary").get.fn(spark, sfDir).count())
-    time("d7 timed")(Queries.all.find(_.name == "d7_dedup_window").get.fn(spark, sfDir).count())
+    // warm
+    time("a11 warm")(graft.engine.profile.Profiler.qualitySummary(df, numericCols).count())
+
+    // pass 1: percentiles
+    val qAggs = numericCols.map(c => expr(s"percentile($c, array(0.25, 0.75))").as(s"q_$c"))
+    val q = time("pass1 percentiles x4")(df.agg(qAggs.head, qAggs.tail: _*).collect()(0))
+    // pass 1 single col versions
+    numericCols.foreach { c =>
+      time(s"percentile pair $c")(df.agg(expr(s"percentile($c, array(0.25, 0.75))")).collect())
+    }
+    // pass 2
+    val outAggs = numericCols.zipWithIndex.map { case (c, i) =>
+      val qs = q.getSeq[Double](i); val (q25, q75) = (qs(0), qs(1)); val iqr = q75 - q25
+      sum(when(col(c) < q25 - 1.5 * iqr || col(c) > q75 + 1.5 * iqr, 1L).otherwise(0L)).as(s"out_$c")
+    }
+    val nullAggs = df.columns.toSeq.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"))
+    val allAggs = outAggs ++ nullAggs :+ count(lit(1)).as("__n")
+    time("pass2 counts")(df.agg(allAggs.head, allAggs.tail: _*).collect())
+    time("a11 e2e again")(graft.engine.profile.Profiler.qualitySummary(df, numericCols).count())
     spark.stop()
   }
 }

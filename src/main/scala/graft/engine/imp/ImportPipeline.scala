@@ -82,26 +82,40 @@ object ImportPipeline {
         .drop("__rn")
     }
 
+  /** Merge core for D4/D5: one winner per key from the union of both
+    * sides, picked by `max_by` over a (side-priority, order...) struct —
+    * lexicographic struct comparison makes the preferred side win
+    * outright and breaks ties within a side by `order` (matching the
+    * windowed dedup's ORDER BY ... DESC winner).
+    *
+    * Scale rationale: ONE hash aggregation with map-side partial combine
+    * — a single shuffle keyed by the PK — instead of the previous
+    * dedup-shuffle + anti-join + union (three shuffles, two of them over
+    * the full target). Assumes the target is PK-unique (enforced by
+    * addPrimaryKey), which is what makes "all target rows for a key"
+    * equal to "the one target row". */
+  private def mergeByPriority(preferred: DataFrame, other: DataFrame,
+      cols: Seq[String], keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val union = preferred.select(cols.map(col): _*).withColumn("__src", lit(1))
+      .unionByName(other.select(cols.map(col): _*).withColumn("__src", lit(0)))
+    val priority = struct(col("__src") +: order: _*)
+    union.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(cols.map(col): _*), priority).as("__w"))
+      .select(col("__w.*"))
+  }
+
   /** D4: upsert (`ON CONFLICT DO UPDATE`, table_import.py:207-215).
     * Result = target rows whose key is absent from staging, plus one
     * deduped row per staging key. Last-writer-wins per PK. */
   def upsert(target: DataFrame, staging: DataFrame, keys: Seq[String],
-      order: Seq[Column]): DataFrame = {
-    val cols = target.columns.toSeq
-    val incoming = dedup(staging.select(cols.map(col): _*), keys, order)
-    val kept = target.join(incoming.select(keys.map(col): _*), keys, "left_anti")
-    kept.unionByName(incoming)
-  }
+      order: Seq[Column]): DataFrame =
+    mergeByPriority(staging, target, target.columns.toSeq, keys, order)
 
   /** D5: `ON CONFLICT DO NOTHING` (table_import.py:216-222) — insert only
     * keys not already present; existing rows never change. */
   def insertIfAbsent(target: DataFrame, staging: DataFrame, keys: Seq[String],
-      order: Seq[Column]): DataFrame = {
-    val cols = target.columns.toSeq
-    val incoming = dedup(staging.select(cols.map(col): _*), keys, order)
-      .join(target.select(keys.map(col): _*), keys, "left_anti")
-    target.unionByName(incoming)
-  }
+      order: Seq[Column]): DataFrame =
+    mergeByPriority(target, staging, target.columns.toSeq, keys, order)
 
   /** D6: fail_on_duplicates — plain insert, but any PK collision (within
     * staging or against the target) raises, mirroring the reference's

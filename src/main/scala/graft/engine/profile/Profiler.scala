@@ -68,26 +68,33 @@ object Profiler {
   /** The reference's quantile vector (src/database.py:5351). */
   val Quantiles: Seq[Double] = Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
 
-  /** A5: exact interpolated percentiles, one column per quantile. */
+  /** A5: exact interpolated percentiles, one column per quantile. All
+    * quantiles come from ONE percentile(col, array(...)) aggregate — one
+    * value buffer and one sort, instead of one full buffer per quantile. */
   def percentiles(df: DataFrame, c: String): DataFrame = {
-    val aggs = Quantiles.map { q =>
-      val name = s"p${(q * 100).toInt match { case v => f"$v%02d" }}"
-      r4(expr(s"percentile($c, ${q.toString})")).as(name)
+    val vec = graft.functions.GraftFunctions.exactPercentiles(col(c), Quantiles)
+    val wide = df.agg(vec.as("qv"))
+    val outs = Quantiles.zipWithIndex.map { case (q, i) =>
+      r4(col("qv").getItem(i)).as(f"p${(q * 100).toInt}%02d")
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    wide.select(outs: _*)
   }
 
   /** A6: IQR outlier count — bounds q25 ± 1.5*IQR, then count outside
-    * (src/database.py:5372-5386). Two passes, same as the reference. */
+    * (src/database.py:5372-5386). Two passes, same as the reference.
+    * The 1-row bounds side MUST be broadcast: a plain crossJoin plans a
+    * CartesianProduct that re-executes the percentile subplan once per
+    * left-side partition (32x the quantile work); broadcasting computes
+    * it exactly once. Both quantiles come from one array-percentile. */
   def iqrOutliers(df: DataFrame, c: String): DataFrame = {
-    val q = df.agg(
-      expr(s"percentile($c, 0.25)").as("q25"),
-      expr(s"percentile($c, 0.75)").as("q75"))
+    val q = df.agg(graft.functions.GraftFunctions
+      .exactPercentiles(col(c), Seq(0.25, 0.75)).as("qv"))
     val bounds = q.select(
-      col("q25"), col("q75"),
-      (col("q25") - (col("q75") - col("q25")) * 1.5).as("lo"),
-      (col("q75") + (col("q75") - col("q25")) * 1.5).as("hi"))
-    df.crossJoin(bounds)
+      col("qv").getItem(0).as("q25"), col("qv").getItem(1).as("q75"))
+      .select(
+        (col("q25") - (col("q75") - col("q25")) * 1.5).as("lo"),
+        (col("q75") + (col("q75") - col("q25")) * 1.5).as("hi"))
+    df.crossJoin(broadcast(bounds))
       .agg(
         r4(first(col("lo"))).as("lower_bound"),
         r4(first(col("hi"))).as("upper_bound"),
@@ -165,7 +172,8 @@ object Profiler {
     // two passes total: quantiles, then counts (row count folded into the
     // second agg — no separate count() job)
     val qAggs = numericCols.map { c =>
-      expr(s"percentile($c, array(0.25, 0.75))").as(s"q_$c")
+      graft.functions.GraftFunctions
+        .exactPercentiles(col(c), Seq(0.25, 0.75)).as(s"q_$c")
     }
     val q = df.agg(qAggs.head, qAggs.tail: _*).collect()(0)
     val outAggs = numericCols.zipWithIndex.map { case (c, i) =>

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.graftshim.{GraftExpressions, Shim}
-import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, RegexpFullMatch}
+import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, ExactPercentiles, RegexpFullMatch}
 
 /** Column/SQL-facing surface of the native expressions (implementations in
   * org.apache.spark.sql.graftshim.GraftExpressions — see SURVEY.md §2.9). */
@@ -14,6 +14,14 @@ object GraftFunctions {
 
   def regexpFullMatch(s: Column, re: Column): Column =
     Shim.column(RegexpFullMatch(Shim.expression(s), Shim.expression(re)))
+
+  /** Exact interpolated percentiles over a numeric column (QUANTILE_CONT
+    * semantics, identical values to Spark's `percentile`), via the native
+    * primitive-buffer aggregate. Returns array<double>, one per quantile. */
+  def exactPercentiles(c: Column, percentages: Seq[Double]): Column =
+    Shim.column(
+      ExactPercentiles(Shim.expression(c.cast("double")), percentages)
+        .toAggregateExpression())
 
   /** DuckDB HISTOGRAM-shaped aggregate: value -> count map (§2.9), as a
     * typed Aggregator usable through functions.udaf. */

@@ -86,13 +86,24 @@ object Similarity {
     val cent = broadcast(centroids
       .select(col("vec_id").as("cent_id"), col("embedding").as("centv")))
     def assign(df: DataFrame, idC: String, vC: String, keep: Int) = {
-      val w = Window.partitionBy(col(idC))
-        .orderBy(round(col("csim"), 6).desc, col("cent_id"))
-      df.crossJoin(cent)
-        .withColumn("csim", cosine(vC, "centv"))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("centv", "csim", "crank")
+      val scored = df.crossJoin(cent).withColumn("csim", cosine(vC, "centv"))
+      if (keep == 1) {
+        // nearest centroid per vector = one max_by hash aggregation with
+        // map-side partial combine (the broadcast cross join is narrow, so
+        // partials collapse to one row per vector BEFORE the shuffle) — no
+        // sort, and the shuffle carries each embedding once, not K times.
+        scored.groupBy(col(idC))
+          .agg(
+            max_by(col("cent_id"),
+              struct(round(col("csim"), 6), -col("cent_id"))).as("cent_id"),
+            first(col(vC)).as(vC)) // constant per vector id
+      } else {
+        val w = Window.partitionBy(col(idC))
+          .orderBy(round(col("csim"), 6).desc, col("cent_id"))
+        scored.withColumn("crank", row_number().over(w))
+          .filter(col("crank") <= keep)
+          .drop("centv", "csim", "crank")
+      }
     }
     val bucketed = assign(
       corpus.select(col("vec_id").as("c_id"), col("embedding").as("cv")),

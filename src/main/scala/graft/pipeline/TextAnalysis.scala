@@ -25,9 +25,11 @@ object TextAnalysis {
     when(trim(c) === "", lit(0L))
       .otherwise(size(split(trim(c), " +")).cast(LongType))
 
-  /** Count of non-overlapping occurrences of `needle` (left-to-right). */
+  /** Count of non-overlapping occurrences of `needle` (left-to-right).
+    * Literal `replace`, not regexp_replace: same semantics, no regex
+    * engine in the hot loop (the DuckDB oracle uses replace() too). */
   def occurrences(c: Column, needle: String): Column =
-    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(needle), "")))
+    ((length(c) - length(replace(c, lit(needle), lit(""))))
       / needle.length).cast(LongType)
 
   /** Word-boundary occurrences: pads with spaces and counts ` needle `.

@@ -107,14 +107,19 @@ object TextDedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
     val sets = shingleSets(df, idCol, textCol, n).cache()
-    val sigAgg = org.apache.spark.sql.functions.udaf(new MinHashSigAgg(numHashes))
-    // hash each shingle string ONCE, then derive the k hash functions by
-    // re-mixing the 8-byte value with the seed — 64x less string hashing
-    val sigs = sets.select(col("id"), explode(col("sh")).as("s"))
-      .withColumn("h0", xxhash64(col("s")))
-      .withColumn("hs", expr(
-        s"transform(sequence(0, ${numHashes - 1}), i -> xxhash64(h0, i))"))
-      .groupBy("id").agg(sigAgg(col("hs")).as("sig"))
+    // Signature as a pure map-side expression: hash each shingle string
+    // ONCE, then hash-function i = min over shingles of xxhash64(h0, i).
+    // No explode (the exploded form is |docs|·|shingles| rows), no
+    // aggregation, no shuffle — the whole signature computes inside one
+    // codegen'd projection. (MinHashSigAgg remains the merge path for
+    // streaming/incremental signature maintenance, where per-batch partial
+    // signatures genuinely need an elementwise-min combine.)
+    val sigs = sets
+      .withColumn("h0s", expr("transform(sh, s -> xxhash64(s))"))
+      .select(col("id"), expr(
+        s"""transform(sequence(0, ${numHashes - 1}),
+           |  i -> array_min(transform(h0s, h -> xxhash64(h, i))))""".stripMargin)
+        .as("sig"))
     // band signature: hash of each r-wide slice of the signature
     val bandSigs = sigs.select(col("id"), posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(array_join(slice(sig, b * $r + 1, $r), ',')))")))

@@ -1,8 +1,11 @@
 package org.apache.spark.sql.graftshim
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -63,6 +66,91 @@ object GraftExpressions {
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
+  }
+
+  /** Growable primitive double buffer (no boxing). */
+  final class DoubleBuf(var arr: Array[Double], var n: Int) {
+    def add(v: Double): Unit = {
+      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, math.max(16, arr.length * 2))
+      arr(n) = v; n += 1
+    }
+    def addAll(o: DoubleBuf): Unit = {
+      if (n + o.n > arr.length)
+        arr = java.util.Arrays.copyOf(arr, math.max(n + o.n, arr.length * 2))
+      System.arraycopy(o.arr, 0, arr, n, o.n); n += o.n
+    }
+  }
+
+  /** Exact interpolated percentiles (QUANTILE_CONT), same math as Spark's
+    * built-in `percentile` but over a PRIMITIVE double buffer: the builtin
+    * aggregates into an OpenHashMap[AnyRef, Long] — every row boxes, and
+    * high-cardinality doubles (every value distinct) degrade it badly
+    * (~1.5 s per 600k-row column). This buffers raw doubles (8 B/row,
+    * amortized-growth array), merges by arraycopy, and sorts once at eval
+    * (~50 ms for 600k). Exact percentiles at any scale mean buffering the
+    * column; the sketch path for 100 TB tables is Profiler.fastProfile. */
+  case class ExactPercentiles(
+      child: Expression,
+      percentages: Seq[Double],
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[DoubleBuf] with UnaryLike[Expression] {
+
+    override def prettyName: String = "exact_percentiles"
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def createAggregationBuffer(): DoubleBuf =
+      new DoubleBuf(new Array[Double](1024), 0)
+
+    override def update(buf: DoubleBuf, input: InternalRow): DoubleBuf = {
+      val v = child.eval(input)
+      if (v != null) buf.add(v.asInstanceOf[Double])
+      buf
+    }
+
+    override def merge(buf: DoubleBuf, other: DoubleBuf): DoubleBuf = {
+      buf.addAll(other); buf
+    }
+
+    /** Identical interpolation to Percentile.getPercentile: index =
+      * (n-1)*p; linear between floor and ceil neighbors. */
+    override def eval(buf: DoubleBuf): Any = {
+      if (buf.n == 0) return null
+      java.util.Arrays.sort(buf.arr, 0, buf.n)
+      val out = percentages.map { p =>
+        val index = (buf.n - 1) * p
+        val lower = math.floor(index).toInt
+        val higher = math.ceil(index).toInt
+        if (lower == higher) buf.arr(lower)
+        else buf.arr(lower) * (higher - index) + buf.arr(higher) * (index - lower)
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override def serialize(buf: DoubleBuf): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.n)
+      bb.putInt(buf.n)
+      var i = 0
+      while (i < buf.n) { bb.putDouble(buf.arr(i)); i += 1 }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): DoubleBuf = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt()
+      val arr = new Array[Double](math.max(n, 16))
+      var i = 0
+      while (i < n) { arr(i) = bb.getDouble(); i += 1 }
+      new DoubleBuf(arr, n)
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): ExactPercentiles =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): ExactPercentiles =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(newChild: Expression): ExactPercentiles =
+      copy(child = newChild)
   }
 
   case class RegexpFullMatch(left: Expression, right: Expression)

@@ -44,6 +44,23 @@ class FunctionsSpec extends SparkSpec {
     sims.foreach(s => assert(math.abs(s - 1.0) < 1e-9)) // self-sim = 1
   }
 
+  test("exact_percentiles matches Spark's builtin percentile bit-for-bit") {
+    val li = Tables.df(spark, sfDir, "lineitem")
+    val qs = Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+    for (c <- Seq("l_extendedprice", "l_quantity", "l_discount")) {
+      val native = li.agg(GraftFunctions.exactPercentiles(col(c), qs))
+        .as[Seq[Double]].head()
+      val builtin = li.agg(
+          expr(s"percentile(cast($c as double), array(${qs.mkString(",")}))"))
+        .as[Seq[Double]].head()
+      assert(native == builtin, s"mismatch on $c")
+    }
+    // empty input -> null, like the builtin
+    val empty = Tables.df(spark, sfDir, "lineitem").limit(0)
+    assert(empty.agg(GraftFunctions.exactPercentiles(col("l_tax"), Seq(0.5)))
+      .collect()(0).isNullAt(0))
+  }
+
   test("histogram_map aggregates value->count like DuckDB HISTOGRAM") {
     GraftFunctions.register(spark)
     Seq("a", "b", "a", "c", "a").toDF("v").createOrReplaceTempView("hist_test")
