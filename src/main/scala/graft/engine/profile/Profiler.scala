@@ -40,7 +40,7 @@ object Profiler {
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
+        graft.functions.GraftFunctions.exactDistinctCount(col(c)).as(s"nd_$c"),
         min(col(c)).cast(DoubleType).as(s"mn_$c"),
         max(col(c)).cast(DoubleType).as(s"mx_$c"))
     }
@@ -238,7 +238,8 @@ object Profiler {
     * high>0.9 / medium>0.5 / low>0.01 / very_low. One agg pass. */
   def cardinalityProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"))
+      Seq(count(col(c)).as(s"nn_$c"),
+        graft.functions.GraftFunctions.exactDistinctCount(col(c)).as(s"nd_$c"))
     }
     val wide = df.agg(count(lit(1)).as("n"), aggs: _*)
     cols.map { c =>

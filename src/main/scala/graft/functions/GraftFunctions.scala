@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.graftshim.{GraftExpressions, Shim}
-import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, ExactPercentiles, RegexpFullMatch}
+import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, ExactPercentiles, HashedDistinctCount, RegexpFullMatch}
 
 /** Column/SQL-facing surface of the native expressions (implementations in
   * org.apache.spark.sql.graftshim.GraftExpressions — see SURVEY.md §2.9). */
@@ -22,6 +22,17 @@ object GraftFunctions {
     Shim.column(
       ExactPercentiles(Shim.expression(c.cast("double")), percentages)
         .toAggregateExpression())
+
+  /** Exact-on-this-universe distinct count in one aggregation pass: the
+    * column is hashed to 64 bits (nulls excluded, like COUNT(DISTINCT)),
+    * and a primitive hash-set aggregate counts distinct hashes — no
+    * Expand, no second shuffle. See HashedDistinctCount's scaladoc for the
+    * collision bound; use fastProfile's HLL++ for unbounded cardinality. */
+  def exactDistinctCount(c: Column): Column = {
+    import org.apache.spark.sql.functions.{when, xxhash64}
+    val hashed = when(c.isNotNull, xxhash64(c))
+    Shim.column(HashedDistinctCount(Shim.expression(hashed)).toAggregateExpression())
+  }
 
   /** DuckDB HISTOGRAM-shaped aggregate: value -> count map (§2.9), as a
     * typed Aggregator usable through functions.udaf. */

@@ -61,6 +61,20 @@ class FunctionsSpec extends SparkSpec {
       .collect()(0).isNullAt(0))
   }
 
+  test("exactDistinctCount matches countDistinct, excludes nulls") {
+    val li = Tables.df(spark, sfDir, "lineitem")
+    for (c <- Seq("l_extendedprice", "l_quantity", "l_returnflag", "l_orderkey")) {
+      val native = li.agg(GraftFunctions.exactDistinctCount(col(c))).as[Long].head()
+      val builtin = li.agg(countDistinct(col(c))).as[Long].head()
+      assert(native == builtin, s"mismatch on $c")
+    }
+    val withNulls = Seq(Some(1), None, Some(2), Some(1), None).toDF("v")
+    assert(withNulls.agg(GraftFunctions.exactDistinctCount(col("v")))
+      .as[Long].head() == 2L)
+    assert(withNulls.limit(0).agg(GraftFunctions.exactDistinctCount(col("v")))
+      .as[Long].head() == 0L)
+  }
+
   test("histogram_map aggregates value->count like DuckDB HISTOGRAM") {
     GraftFunctions.register(spark)
     Seq("a", "b", "a", "c", "a").toDF("v").createOrReplaceTempView("hist_test")
