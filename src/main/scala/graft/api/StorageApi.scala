@@ -116,6 +116,10 @@ object StorageApi {
           case "csv" => Export.toCsv(df, path, compression = comp)
           case "parquet" => Export.toParquet(df, path,
             comp.getOrElse("snappy"))
+          // S12 (ADR-011): Arrow IPC stream file — a result-fetch format,
+          // so it respects the export row caps like csv/parquet do
+          case "arrow" => graft.engine.query.ArrowExport.toIpcFile(
+            df, java.nio.file.Paths.get(path))
           case other => throw new IllegalArgumentException(s"format: $other")
         }
         Done(s"exported $p/$b/$t to $path")

@@ -1,0 +1,29 @@
+package graft.engine.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S12: Arrow IPC result fetch (reference ADR-011, proposed there and
+  * implemented here: docs/adr/011-apache-arrow-integration.md:22-64 —
+  * Arrow vs JSON serialization of a 100k-row fetch is ~200x faster and
+  * 3.2x smaller).
+  *
+  * The engine surface mirrors the reference's intended endpoint: a query
+  * result (already capped by the preview/export row limits, §2.7) is
+  * serialized as ONE Arrow IPC stream the client can mmap or feed to any
+  * Arrow-native reader. Round-trip fidelity is part of the contract and
+  * is tested type-by-type in ArrowExportSpec. */
+object ArrowExport {
+
+  /** Serialize a result DataFrame to Arrow IPC stream bytes. */
+  def toIpcBytes(df: DataFrame, maxRecordsPerBatch: Int = 10000): Array[Byte] =
+    org.apache.spark.sql.graftshim.ArrowBridge.ipcStreamBytes(df, maxRecordsPerBatch)
+
+  /** Read an Arrow IPC stream back as a DataFrame. */
+  def fromIpcBytes(spark: SparkSession, bytes: Array[Byte]): DataFrame =
+    org.apache.spark.sql.graftshim.ArrowBridge.fromIpcStream(spark, bytes)
+
+  /** Write an IPC stream file (the `.arrows` convention). */
+  def toIpcFile(df: DataFrame, path: java.nio.file.Path,
+      maxRecordsPerBatch: Int = 10000): Unit =
+    java.nio.file.Files.write(path, toIpcBytes(df, maxRecordsPerBatch))
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.engine.query.ArrowExport
+
+/** S12: Arrow IPC round-trip fidelity + the ADR-011 size claim. */
+class ArrowExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IPC round-trip preserves rows, schema and types") {
+    val src = Tables.df(spark, sfDir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey")
+    val bytes = ArrowExport.toIpcBytes(src, maxRecordsPerBatch = 100)
+    val back = ArrowExport.fromIpcBytes(spark, bytes).orderBy("c_custkey")
+    assert(back.schema == src.schema)
+    assert(back.collect().toSeq == src.collect().toSeq)
+  }
+
+  test("IPC round-trip covers timestamps, dates, decimals, arrays, nulls") {
+    val src = Seq(
+      (1L, Some(2.5), java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123456"),
+        java.sql.Date.valueOf("2024-01-02"), BigDecimal("1234.5678"), Seq(1.0f, 2.0f)),
+      (2L, None, java.sql.Timestamp.valueOf("1970-01-01 00:00:00"),
+        java.sql.Date.valueOf("1969-12-31"), BigDecimal("-0.0001"), Seq.empty[Float])
+    ).toDF("id", "opt", "ts", "d", "dec", "vec")
+    val back = ArrowExport.fromIpcBytes(spark, ArrowExport.toIpcBytes(src)).orderBy("id")
+    assert(back.schema == src.schema)
+    assert(back.collect().toSeq == src.orderBy("id").collect().toSeq)
+  }
+
+  test("empty result serializes to a valid stream") {
+    val src = Tables.df(spark, sfDir, "region").filter(lit(false))
+    val back = ArrowExport.fromIpcBytes(spark, ArrowExport.toIpcBytes(src))
+    assert(back.count() == 0)
+    assert(back.schema == src.schema)
+  }
+
+  test("Arrow stream is materially smaller than JSON for a numeric fetch") {
+    val src = Tables.df(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice").limit(5000)
+    val arrow = ArrowExport.toIpcBytes(src).length
+    val json = src.toJSON.collect().map(_.length + 1).sum
+    assert(arrow < json / 2, s"arrow=$arrow json=$json") // ADR-011: 3.2x smaller
+  }
+}

@@ -74,6 +74,15 @@ class StorageApiSpec extends SparkSpec {
       limit = Some(25)))
     assert(spark.read.option("header", true).csv(out).count() == 25)
 
+    // export arrow (S12): IPC stream file reads back identically
+    val arrowOut = Files.createTempDirectory("graft-api-arrow")
+      .resolve("customer.arrows")
+    api.execute(ExportTable("p", "sales", "customer", arrowOut.toString,
+      format = "arrow", limit = Some(25)))
+    val arrowBack = graft.engine.query.ArrowExport.fromIpcBytes(
+      spark, Files.readAllBytes(arrowOut))
+    assert(arrowBack.count() == 25)
+
     // workspace SQL over the mounted table
     val Rows(q) = api.execute(StorageApi.ExecuteQuery("p", Seq("sales"),
       "SELECT COUNT(*) AS n FROM sales_customer WHERE tier = 'GOLD'"))
