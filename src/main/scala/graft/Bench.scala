@@ -20,7 +20,7 @@ object Bench {
     "l1_snapshot_restore", "l2_branch_lifecycle", "d11_workspace_load",
     "s2_csv_infer_gzip", "d3_append",
     // rows-only checks (not part of the oracle surface)
-    "x4_simhash_pairs", "x6_ann_lsh", "x11_rolling_hash")
+    "x4_simhash_pairs", "x6_ann_lsh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

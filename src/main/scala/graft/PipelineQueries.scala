@@ -247,12 +247,18 @@ object PipelineQueries {
              |  md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // Rabin-Karp rolling hash (engine-defined: rows-only + ScalaTest golden)
+    // Rabin-Karp rolling hash — oracle-checked: the polynomial recurrence
+    // replays exactly in DuckDB via list_reduce (init value prepended;
+    // both engines fold codepoints left-to-right mod 2^31-1)
     Q("x11_rolling_hash",
       (s, dir) => Tables.df(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.rollingHash("text").as("rh"))
         .orderBy("doc_id"),
-      None),
+      Some("""SELECT doc_id, list_reduce(
+             |  list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(string_split(text, ''), ch -> CAST(ord(ch) AS BIGINT))),
+             |  (h, b) -> (h * 31 + b) % 2147483647) AS rh
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // multimodal: binary assets -> batched mapPartitions feature extraction
     Q("x12_multimodal_features",
