@@ -238,6 +238,30 @@ object PipelineQueries {
            |FROM documents GROUP BY source ORDER BY source""".stripMargin
       }),
 
+    // BPE-ish pre-tokenizer counts (the token-budget meter of an LLM data
+    // pipeline), rolled up per source next to the whitespace counts
+    Q("x16_bpe_tokens",
+      (s, dir) => Tables.df(s, dir, "documents")
+        .withColumn("n_bpe", TextAnalysis.bpeTokenCount(col("text")))
+        .withColumn("n_ws", TextAnalysis.tokenCount(col("text")))
+        .groupBy("source")
+        .agg(
+          sum(col("n_bpe")).cast(LongType).as("total_bpe"),
+          (sum(col("n_bpe")).cast(DoubleType) / count(lit(1))).as("avg_bpe"),
+          (sum(col("n_bpe")).cast(DoubleType) /
+            sum(col("n_ws")).cast(DoubleType)).as("bpe_per_word"))
+        .orderBy("source"),
+      Some {
+        val bpe = "CAST(len(regexp_extract_all(text, " +
+          "'''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +')) AS BIGINT)"
+        val ws = "CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)"
+        s"""SELECT source,
+           |  CAST(SUM($bpe) AS BIGINT) AS total_bpe,
+           |  CAST(SUM($bpe) AS DOUBLE) / COUNT(*) AS avg_bpe,
+           |  CAST(SUM($bpe) AS DOUBLE) / CAST(SUM($ws) AS DOUBLE) AS bpe_per_word
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin
+      }),
+
     // canonical md5 fingerprint (content-addressed dedup key)
     Q("x10_fingerprint",
       (s, dir) => Tables.df(s, dir, "documents")

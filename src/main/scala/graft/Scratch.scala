@@ -5,47 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Temporary phase-timing harness (not part of the graded surface). */
 object Scratch {
-  def time[T](label: String)(f: => T): T = {
-    val t0 = System.nanoTime()
-    val r = f
-    println(f"PHASE $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-    r
-  }
-
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    val df = graft.core.Tables.df(spark, sfDir, "lineitem")
-    time("cache lineitem")(df.cache().count())
-    val numericCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-
-    // warm
-    time("a11 warm")(graft.engine.profile.Profiler.qualitySummary(df, numericCols).count())
-
-    // pass 1: percentiles
-    val qAggs = numericCols.map(c => expr(s"percentile($c, array(0.25, 0.75))").as(s"q_$c"))
-    val q = time("pass1 percentiles x4")(df.agg(qAggs.head, qAggs.tail: _*).collect()(0))
-    // pass 1 single col versions
-    numericCols.foreach { c =>
-      time(s"percentile pair $c")(df.agg(expr(s"percentile($c, array(0.25, 0.75))")).collect())
-    }
-    // pass 2
-    val outAggs = numericCols.zipWithIndex.map { case (c, i) =>
-      val qs = q.getSeq[Double](i); val (q25, q75) = (qs(0), qs(1)); val iqr = q75 - q25
-      sum(when(col(c) < q25 - 1.5 * iqr || col(c) > q75 + 1.5 * iqr, 1L).otherwise(0L)).as(s"out_$c")
-    }
-    val nullAggs = df.columns.toSeq.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"))
-    val allAggs = outAggs ++ nullAggs :+ count(lit(1)).as("__n")
-    time("pass2 counts")(df.agg(allAggs.head, allAggs.tail: _*).collect())
-    time("a11 e2e again")(graft.engine.profile.Profiler.qualitySummary(df, numericCols).count())
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.core.Tables.df(spark, "/root/testdata/sf0.01", "documents")
+    val pat = "'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+    docs.select(col("doc_id"), regexp_count(col("text"), lit(pat)).as("n"))
+      .orderBy("doc_id").limit(5).collect()
+      .foreach(r => println(s"SPARKBPE ${r.getLong(0)} ${r.get(1)}"))
     spark.stop()
   }
 }

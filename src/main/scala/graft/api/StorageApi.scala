@@ -43,7 +43,8 @@ object StorageApi {
   final case class DeleteRows(project: String, bucket: String, table: String,
       filters: Seq[FilterAlgebra.WhereFilter]) extends Command
   final case class ProfileTable(project: String, bucket: String, table: String,
-      numericColumns: Seq[String]) extends Command
+      numericColumns: Seq[String], stringColumns: Seq[String] = Nil,
+      mode: String = "basic") extends Command
   final case class AlterTable(project: String, bucket: String, table: String,
       ops: Seq[SchemaOp]) extends Command
   final case class AddPrimaryKey(project: String, bucket: String,
@@ -132,8 +133,14 @@ object StorageApi {
           ImportPipeline.deleteWhere(store.read(p, b, t), pred))
         Count(before - store.read(p, b, t).count())
 
-      case ProfileTable(p, b, t, numericCols) =>
-        Rows(Profiler.numericBaseStats(store.read(p, b, t), numericCols))
+      // mode=basic keeps the wide per-column base stats; the other
+      // reference modes (distribution/quality/full, src/database.py:5132+)
+      // return the assembled long-format profile
+      case ProfileTable(p, b, t, numericCols, stringCols, mode) =>
+        if (mode == "basic")
+          Rows(Profiler.numericBaseStats(store.read(p, b, t), numericCols))
+        else
+          Rows(Profiler.profile(store.read(p, b, t), numericCols, stringCols, mode))
 
       case AlterTable(p, b, t, ops) =>
         var df = store.read(p, b, t)

@@ -233,6 +233,60 @@ object Profiler {
     }.reduce(_ unionByName _)
   }
 
+  /** Long-format row builder for the assembled profile: every stat column
+    * becomes one (section, column_name, stat_name, stat_value) row; values
+    * are stringified so heterogeneous stats share one schema (the
+    * reference assembles the same data as JSON, src/database.py:5132+). */
+  private def longRows(section: String, src: DataFrame, idCol: String): DataFrame = {
+    val stats = src.columns.filterNot(_ == idCol).toSeq
+    val casted = src.select(
+      col(idCol).cast(StringType).as("column_name") +:
+        stats.map(c => col(c).cast(StringType).as(c)): _*)
+    casted.unpivot(Array(col("column_name")), stats.map(col).toArray,
+        "stat_name", "stat_value")
+      .withColumn("section", lit(section))
+      .select("section", "column_name", "stat_name", "stat_value")
+  }
+
+  private def withName(src: DataFrame, c: String): DataFrame =
+    src.withColumn("column_name", lit(c))
+
+  /** The reference's assembled profile endpoint (modes basic | full |
+    * distribution | quality, src/database.py:5132-5499), in long format.
+    * Batches whole-table aggregations where the reference loops per
+    * column; per-column single-row frames (moments, percentiles) union
+    * into the same shape. */
+  def profile(df: DataFrame, numericCols: Seq[String],
+      stringCols: Seq[String] = Nil, mode: String = "basic"): DataFrame = {
+    def base = longRows("base_stats", numericBaseStats(df, numericCols), "column_name")
+    def dist = numericCols.map { c =>
+        longRows("moments", withName(moments(df, c), c), "column_name")
+          .unionByName(longRows("percentiles", withName(percentiles(df, c), c), "column_name"))
+          .unionByName(longRows("outliers", withName(iqrOutliers(df, c), c), "column_name"))
+      }.reduce(_ unionByName _)
+    def strings = stringCols.map { c =>
+        longRows("string_stats", withName(stringStats(df, c), c), "column_name")
+          .unionByName(
+            longRows("patterns", patternCounts(df, c)
+              .withColumnRenamed("pattern_name", "column_name")
+              .withColumn("column_name", concat(lit(s"$c:"), col("column_name"))),
+              "column_name"))
+      }.reduceOption(_ unionByName _)
+    def quality =
+      longRows("cardinality", cardinalityProfile(df, df.columns.toSeq), "column_name")
+        .unionByName(longRows("quality",
+          qualitySummary(df, numericCols).withColumn("column_name", lit("_table")),
+          "column_name"))
+    mode.toLowerCase match {
+      case "basic" => base
+      case "distribution" => base.unionByName(dist)
+      case "quality" => quality
+      case "full" =>
+        (Seq(base, dist) ++ strings.toSeq :+ quality).reduce(_ unionByName _)
+      case other => throw new IllegalArgumentException(s"profile mode: $other")
+    }
+  }
+
   /** A3: null % and cardinality ratio/class per column. Thresholds mirror
     * the reference (src/database.py:5314-5329): unique / constant /
     * high>0.9 / medium>0.5 / low>0.01 / very_low. One agg pass. */

@@ -25,6 +25,19 @@ object TextAnalysis {
     when(trim(c) === "", lit(0L))
       .otherwise(size(split(trim(c), " +")).cast(LongType))
 
+  /** GPT-2-style pre-tokenizer pattern (simplified for cross-engine
+    * parity: contraction suffixes, space-prefixed letter runs, digit
+    * runs, punctuation runs, residual spaces). Both Java regex and RE2
+    * use leftmost, first-alternative matching, so token counts agree
+    * between Spark and a DuckDB regexp_extract_all oracle. */
+  val BpePretokenPattern: String =
+    "'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  /** BPE-ish subword-budget token count: number of pre-tokenizer matches
+    * (the unit LLM data pipelines meter before byte-pair merges). */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit(BpePretokenPattern)).cast(LongType)
+
   /** Count of non-overlapping occurrences of `needle` (left-to-right).
     * Literal `replace`, not regexp_replace: same semantics, no regex
     * engine in the hot loop (the DuckDB oracle uses replace() too). */

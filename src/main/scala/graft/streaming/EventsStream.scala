@@ -68,6 +68,17 @@ object EventsStream {
       .select(unix_millis(col("window.start")).as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: emit the FIRST event per key, with state
+    * bounded by the watermark horizon (dropDuplicatesWithinWatermark
+    * drops a key's state once the watermark passes it — at 100 TB/day
+    * the state store holds only the horizon's keys, not all history).
+    * The batch twin for a horizon covering the whole input is
+    * dropDuplicates on the same keys. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Read the events parquet as a file-source stream (nanos handled the
     * same way as the batch reader in core.Tables). */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
@@ -81,11 +92,12 @@ object EventsStream {
   }
 
   /** Run a streaming aggregation to completion against a static directory
-    * (memory sink, complete mode) and return the result table. */
+    * (memory sink, complete mode by default; dedup-style operators need
+    * Append) and return the result table. */
   def runToCompletion(spark: SparkSession, streamed: DataFrame,
-      name: String): DataFrame = {
+      name: String, mode: OutputMode = OutputMode.Complete): DataFrame = {
     val q: StreamingQuery = streamed.writeStream
-      .outputMode(OutputMode.Complete)
+      .outputMode(mode)
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -83,6 +83,18 @@ class StorageApiSpec extends SparkSpec {
       spark, Files.readAllBytes(arrowOut))
     assert(arrowBack.count() == 25)
 
+    // assembled profile (full mode): every section present, stats sane
+    val Rows(fullProf) = api.execute(ProfileTable("p", "sales", "customer",
+      numericColumns = Seq("c_acctbal"), stringColumns = Seq("customer_name"),
+      mode = "full"))
+    val sections = fullProf.select("section").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(Set("base_stats", "moments", "percentiles", "outliers",
+      "string_stats", "patterns", "cardinality", "quality").subsetOf(sections))
+    val nRowsStat = fullProf.filter(col("section") === "base_stats" &&
+      col("stat_name") === "n_rows").collect()(0).getString(3)
+    assert(nRowsStat.toLong == store.read("p", "sales", "customer").count())
+
     // workspace SQL over the mounted table
     val Rows(q) = api.execute(StorageApi.ExecuteQuery("p", Seq("sales"),
       "SELECT COUNT(*) AS n FROM sales_customer WHERE tier = 'GOLD'"))

@@ -45,6 +45,20 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming dedup emits one event per key, matching batch distinct") {
+    val keys = Seq("user_id", "event_type")
+    val batchKeys = Tables.df(spark, sfDir, "events")
+      .select(keys.map(col): _*).distinct().count()
+    // horizon covers the whole bounded input -> exact equality with batch
+    val streamed = EventsStream.runToCompletion(spark,
+      EventsStream.dedupStream(
+        EventsStream.readEventsStream(spark, eventsDir), keys, "30 days"),
+      "dedup_events", OutputMode.Append)
+    assert(streamed.count() == batchKeys)
+    assert(streamed.select(keys.map(col): _*).distinct().count() == batchKeys)
+    assert(batchKeys > 0)
+  }
+
   test("stateful per-user totals accumulate across a stream") {
     val batchTotals = Tables.df(spark, sfDir, "events")
       .groupBy("user_id").agg(count(lit(1)).as("n"))
