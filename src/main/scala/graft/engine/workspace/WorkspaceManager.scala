@@ -1,0 +1,97 @@
+package graft.engine.workspace
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.TableStore
+
+/** Workspace session governance — the reference's PG Wire connection
+  * limits (reference: duckdb-api-service/src/config.py:75-79 — 100
+  * connections total, 5 per workspace, 1 h idle timeout) and the
+  * workspace size cap (src/database.py:378 — 10 GB default), applied to
+  * Spark-session workspaces.
+  *
+  * Size semantics: the reference caps the workspace's DuckDB file; here a
+  * workspace is a set of mounted views, so the cap applies to the total
+  * size of tables LOADED into the workspace (loadTable), using the
+  * catalog's physical dir sizes — the same "how much did this tenant
+  * materialize" number. */
+final class WorkspaceManager(
+    spark: SparkSession,
+    store: TableStore,
+    maxTotalSessions: Int = 100,
+    maxSessionsPerWorkspace: Int = 5,
+    idleTimeoutMs: Long = 60L * 60 * 1000,
+    sizeLimitBytes: Long = 10L << 30) {
+
+  final class WsSession(
+      val id: String, val workspace: String, val session: SparkSession) {
+    @volatile var lastUsedMs: Long = System.currentTimeMillis()
+    @volatile var loadedBytes: Long = 0L
+    def touch(): Unit = lastUsedMs = System.currentTimeMillis()
+  }
+
+  private val sessions = new ConcurrentHashMap[String, WsSession]()
+  private val counter = new java.util.concurrent.atomic.AtomicLong()
+
+  def activeCount: Int = sessions.size()
+  def activeCount(workspace: String): Int =
+    sessions.values.asScala.count(_.workspace == workspace)
+
+  /** Open a session for `workspace`, enforcing both connection caps
+    * (throws IllegalStateException — the reference's 429/exhausted path). */
+  def open(project: String, buckets: Seq[String], workspace: String,
+      branch: Option[String] = None): WsSession = synchronized {
+    reapIdle()
+    if (sessions.size() >= maxTotalSessions)
+      throw new IllegalStateException(
+        s"connection limit reached ($maxTotalSessions total)")
+    if (activeCount(workspace) >= maxSessionsPerWorkspace)
+      throw new IllegalStateException(
+        s"workspace '$workspace' connection limit reached ($maxSessionsPerWorkspace)")
+    val s = Workspace.openSession(spark, store, project, buckets, branch)
+    val ws = new WsSession(s"$workspace-${counter.incrementAndGet()}", workspace, s)
+    sessions.put(ws.id, ws)
+    ws
+  }
+
+  def close(id: String): Boolean = sessions.remove(id) != null
+
+  /** Drop sessions idle past the timeout (the reference's 1 h reaper). */
+  def reapIdle(nowMs: Long = System.currentTimeMillis()): Int = {
+    val dead = sessions.values.asScala
+      .filter(ws => nowMs - ws.lastUsedMs > idleTimeoutMs).toList
+    dead.foreach(ws => sessions.remove(ws.id))
+    dead.size
+  }
+
+  /** Workspace load with the size cap enforced BEFORE the load runs:
+    * the loaded table's physical size counts against the workspace's
+    * cumulative budget (reference: workspace_size_limit check,
+    * src/database.py:374-390). */
+  def loadTable(ws: WsSession, project: String, bucket: String,
+      table: String, dest: String, columns: Seq[String] = Nil,
+      where: Option[String] = None, limit: Option[Int] = None,
+      branch: Option[String] = None): Unit = {
+    ws.touch()
+    val (_, dir) = store.catalog.resolveForRead(project, bucket, table, branch)
+    val bytes = dirSize(dir)
+    if (ws.loadedBytes + bytes > sizeLimitBytes)
+      throw new IllegalStateException(
+        s"workspace size limit exceeded: ${ws.loadedBytes + bytes} > $sizeLimitBytes bytes")
+    Workspace.loadTable(ws.session, store, project, bucket, table, dest,
+      columns, where, limit, branch)
+    ws.loadedBytes += bytes
+  }
+
+  private def dirSize(dir: java.nio.file.Path): Long = {
+    val s = java.nio.file.Files.walk(dir)
+    try s.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(java.nio.file.Files.size).sum
+    finally s.close()
+  }
+}

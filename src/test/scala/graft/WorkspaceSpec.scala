@@ -60,4 +60,37 @@ class WorkspaceSpec extends SparkSpec {
     assert(Workspace.dropObject(ws, "tmp1"))
     assert(!Workspace.listObjects(ws).contains("tmp1"))
   }
+
+  test("manager enforces per-workspace and total connection caps") {
+    val store = storeWithCustomer()
+    val mgr = new graft.engine.workspace.WorkspaceManager(spark, store,
+      maxTotalSessions = 3, maxSessionsPerWorkspace = 2)
+    val a1 = mgr.open("p", Seq("sales"), "wsA")
+    mgr.open("p", Seq("sales"), "wsA")
+    // 3rd session on wsA exceeds the per-workspace cap of 2
+    assertThrows[IllegalStateException](mgr.open("p", Seq("sales"), "wsA"))
+    mgr.open("p", Seq("sales"), "wsB")
+    // 4th session overall exceeds the total cap of 3
+    assertThrows[IllegalStateException](mgr.open("p", Seq("sales"), "wsB"))
+    // closing frees the slot
+    assert(mgr.close(a1.id))
+    mgr.open("p", Seq("sales"), "wsB")
+    assert(mgr.activeCount == 3)
+  }
+
+  test("manager reaps idle sessions and enforces the size limit") {
+    val store = storeWithCustomer()
+    val mgr = new graft.engine.workspace.WorkspaceManager(spark, store,
+      idleTimeoutMs = 1000, sizeLimitBytes = 50 * 1024)
+    val ws = mgr.open("p", Seq("sales"), "wsC")
+    // customer parquet is >50 KB -> the load is rejected before running
+    assertThrows[IllegalStateException](
+      mgr.loadTable(ws, "p", "sales", "customer", "big"))
+    // a fake-idle session is reaped; an active one survives
+    val ws2 = mgr.open("p", Seq("sales"), "wsC")
+    ws.lastUsedMs = System.currentTimeMillis() - 10_000
+    assert(mgr.reapIdle() == 1)
+    assert(mgr.activeCount == 1)
+    assert(mgr.close(ws2.id))
+  }
 }
