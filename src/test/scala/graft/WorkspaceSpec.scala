@@ -80,10 +80,23 @@ class WorkspaceSpec extends SparkSpec {
 
   test("manager reaps idle sessions and enforces the size limit") {
     val store = storeWithCustomer()
+    // Probe the materialized size and set the cap just under it, so the
+    // test is independent of parquet file-count/footer layout choices.
+    val (_, dir) = store.catalog.resolveForRead("p", "sales", "customer", None)
+    val stored = {
+      val s = Files.walk(dir)
+      try {
+        val it = s.iterator()
+        var sum = 0L
+        while (it.hasNext) { val p = it.next(); if (Files.isRegularFile(p)) sum += Files.size(p) }
+        sum
+      } finally s.close()
+    }
+    assert(stored > 1, "fixture table must have a nonzero on-disk size")
     val mgr = new graft.engine.workspace.WorkspaceManager(spark, store,
-      idleTimeoutMs = 1000, sizeLimitBytes = 50 * 1024)
+      idleTimeoutMs = 1000, sizeLimitBytes = stored - 1)
     val ws = mgr.open("p", Seq("sales"), "wsC")
-    // customer parquet is >50 KB -> the load is rejected before running
+    // the table's physical size exceeds the cap -> rejected before running
     assertThrows[IllegalStateException](
       mgr.loadTable(ws, "p", "sales", "customer", "big"))
     // a fake-idle session is reaped; an active one survives
