@@ -89,19 +89,23 @@ object StorageApi {
         val staging =
           if (stamp) ImportPipeline.withLoadTimestamp(staging0) else staging0
         val pk = meta.primaryKey
-        val result =
-          if (!incremental) {
-            if (pk.nonEmpty) ImportPipeline.dedup(staging, pk, Nil) else staging
-          } else if (pk.isEmpty) store.read(p, b, t).unionByName(staging)
-          else mode match {
-            case DedupMode.UpdateDuplicates =>
-              ImportPipeline.upsert(store.read(p, b, t), staging, pk, Nil)
-            case DedupMode.InsertDuplicates =>
-              store.read(p, b, t).unionByName(staging)
-            case DedupMode.FailOnDuplicates =>
-              ImportPipeline.insertStrict(store.read(p, b, t), staging, pk)
-          }
-        store.overwrite(p, b, t, result)
+        // Full load rewrites; incremental modes go through the store's
+        // manifest commits — O(staging) bytes written, never O(table)
+        // (reference: src/routers/table_import.py:185-222).
+        if (!incremental)
+          store.overwrite(p, b, t,
+            if (pk.nonEmpty) ImportPipeline.dedup(staging, pk, Nil) else staging)
+        else if (pk.isEmpty) store.append(p, b, t, staging)
+        else mode match {
+          case DedupMode.UpdateDuplicates =>
+            store.upsert(p, b, t, staging, pk)
+          case DedupMode.InsertDuplicates =>
+            store.append(p, b, t, staging)
+          case DedupMode.FailOnDuplicates =>
+            // validate (raises on any PK collision), then append staging only
+            ImportPipeline.insertStrict(store.read(p, b, t), staging, pk)
+            store.append(p, b, t, staging)
+        }
         Count(store.read(p, b, t).count())
 
       case Preview(p, b, t, columns, filters, limit) =>

@@ -1,0 +1,72 @@
+package graft.core
+
+import java.nio.file.{Files, Path}
+
+/** One immutable data root of a committed table version.
+  *
+  * `path` is relative to the catalog root (so manifests stay valid when the
+  * whole store moves, and branch manifests can reference main's segments).
+  * `bucket` is the PK-hash bucket this leaf holds (`-1` for an unbucketed
+  * root). A bucketed leaf points at one `__gb=k` partition directory; the
+  * bucket id lives only here — it is derivable from the PK, so it is never
+  * stored in the data files.
+  */
+final case class ManifestEntry(path: String, bucket: Int)
+
+/** Version manifest: `v{N+1}` = {prior version's surviving roots + newly
+  * written roots}. This is what makes incremental commits O(staging) instead
+  * of a full-table rewrite — the Spark-native analog of the reference's
+  * `INSERT INTO` append (reference: src/routers/table_import.py:185-206),
+  * expressed as file-set metadata the way table formats do it.
+  *
+  * `numBuckets > 0` means every entry is a PK-hash bucket leaf
+  * (`pmod(xxhash64(bucketKeys), numBuckets)`), which lets upsert touch only
+  * the buckets staging hashes into. `numBuckets == 0` is a plain file list.
+  */
+final case class Manifest(
+    entries: Seq[ManifestEntry], numBuckets: Int, bucketKeys: Seq[String]) {
+  def isBucketed: Boolean = numBuckets > 0
+}
+
+object Manifest {
+  val FileName = "manifest.json"
+
+  def fileOf(versionDir: Path): Path = versionDir.resolve(FileName)
+
+  def readFrom(versionDir: Path): Option[Manifest] = {
+    val f = fileOf(versionDir)
+    if (!Files.exists(f)) None
+    else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n = om.readTree(Files.readString(f))
+      val es = n.get("entries")
+      val entries = (0 until es.size()).map { i =>
+        ManifestEntry(es.get(i).get("path").asText, es.get(i).get("bucket").asInt)
+      }
+      val bk = n.get("bucketKeys")
+      Some(Manifest(entries, n.get("numBuckets").asInt,
+        (0 until bk.size()).map(bk.get(_).asText)))
+    }
+  }
+
+  /** Written tmp-then-rename like catalog.json: a crash mid-write can never
+    * leave a torn manifest, and the version only becomes visible when the
+    * catalog pointer flips anyway. */
+  def writeTo(versionDir: Path, m: Manifest): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    val arr = root.putArray("entries")
+    m.entries.foreach { e =>
+      val n = arr.addObject(); n.put("path", e.path); n.put("bucket", e.bucket); ()
+    }
+    root.put("numBuckets", m.numBuckets)
+    val bk = root.putArray("bucketKeys")
+    m.bucketKeys.foreach(bk.add)
+    Files.createDirectories(versionDir)
+    val tmp = versionDir.resolve(FileName + ".tmp")
+    Files.writeString(tmp, om.writeValueAsString(root))
+    Files.move(tmp, fileOf(versionDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+}

@@ -93,6 +93,14 @@ final class StorageCatalog(val root: Path) {
   def updateBranchTable(branch: String, meta: TableMeta): Unit =
     recordBranchTable(branch, meta)
 
+  /** All branches holding a CoW copy of this table, with their metas —
+    * the GC consults these so branch manifests keep main's roots alive. */
+  def branchesOf(project: String, bucket: String, table: String): Seq[(String, TableMeta)] =
+    branchTables.toSeq.collect {
+      case (k, m) if m.project == project && m.bucket == bucket && m.table == table =>
+        (k.substring(s"$project@".length, k.indexOf('/')), m)
+    }
+
   /** L3: branch pull — drop the branch copy; reads fall back to main. */
   def pullBranchTable(project: String, branch: String, bucket: String,
       table: String): Unit = {

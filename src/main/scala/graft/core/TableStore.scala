@@ -3,38 +3,95 @@ package graft.core
 import java.nio.file.{Files, Path}
 import java.util.Comparator
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 import org.apache.spark.sql.types.StructType
 
-/** Parquet-backed table store with atomic versioned commits and per-table
-  * write locks.
+/** Parquet-backed table store with atomic versioned commits, per-table write
+  * locks, and manifest-based incremental commits.
   *
   * Commit protocol (SURVEY.md §7.4 risk 3): every write lands in a NEW
   * `v{N+1}/` directory; the catalog pointer flips only after the write
   * completes. Readers holding the old version's files are never disturbed
-  * (Parquet dirs are immutable once committed) — the Spark-native
-  * equivalent of the reference's staging-db-then-merge atomicity
-  * (reference: src/routers/table_import.py:323-397, staging decision
-  * CLAUDE.md:237). Old versions are pruned, keeping one for in-flight
-  * readers.
+  * (data roots are immutable once committed) — the Spark-native equivalent
+  * of the reference's staging-db-then-merge atomicity (reference:
+  * src/routers/table_import.py:323-397).
   *
-  * Scale: a "table" here is a Parquet directory — on a cluster the same
+  * Incremental commits: a version is a MANIFEST (list of immutable data
+  * roots), so `append` writes only the staging rows and commits
+  * {prior roots + new root} — O(staging), matching the reference's
+  * `INSERT INTO` append (src/routers/table_import.py:185-206) instead of a
+  * full-table rewrite. `upsert`/`insertIfAbsent` keep the table laid out in
+  * PK-hash buckets and rewrite only the buckets staging hashes into.
+  * Branch copy-on-write is a manifest copy — O(1) metadata, no data copied
+  * until the branch writes.
+  *
+  * Scale: a "table" here is a set of Parquet roots — on a cluster the same
   * code writes to object storage with as many output partitions as the
   * DataFrame has; nothing in the commit path is single-node except the
-  * pointer flip, which is O(1) metadata.
+  * pointer flip, which is O(1) metadata. At 100 TB, `numBuckets` rises with
+  * table size (buckets are the upsert rewrite unit), and `compact()` folds
+  * accumulated append roots back into one.
   */
 final class TableStore(spark: SparkSession, val catalog: StorageCatalog) {
 
   import catalog.TableMeta
 
+  /** Internal PK-hash bucket partition column (never stored in data files —
+    * `partitionBy` strips it; leaves are addressed by the manifest). */
+  private val BucketCol = "__gb"
+
+  /** Default upsert bucket count. Sized so a local test table's bucket is a
+    * few files; at 100 TB this is a per-table knob (buckets ~ table/1 GB). */
+  val DefaultNumBuckets = 64
+
+  // -------------------------------------------------------------- reads
+
   def read(project: String, bucket: String, table: String,
-      branch: Option[String] = None): DataFrame = {
-    val (_, dir) = catalog.resolveForRead(project, bucket, table, branch)
-    spark.read.parquet(dir.toString)
+      branch: Option[String] = None): DataFrame =
+    readWith(spark, project, bucket, table, branch)
+
+  /** Manifest-aware read bound to `session` (workspaces mount views in
+    * isolated sessions, so the DataFrame must be built there). */
+  def readWith(session: SparkSession, project: String, bucket: String,
+      table: String, branch: Option[String] = None): DataFrame = {
+    val (meta, vdir) = catalog.resolveForRead(project, bucket, table, branch)
+    loadVersion(session, meta, vdir)
   }
+
+  private def loadVersion(session: SparkSession, meta: TableMeta,
+      vdir: Path): DataFrame =
+    Manifest.readFrom(vdir) match {
+      case None => session.read.parquet(vdir.toString) // legacy plain version
+      case Some(m) if m.entries.isEmpty =>
+        session.createDataFrame(
+          session.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType.fromDDL(meta.schemaDdl))
+      case Some(m) =>
+        m.entries
+          .map(e => session.read.parquet(catalog.root.resolve(e.path).toString))
+          .reduce(_.unionByName(_))
+    }
+
+  /** Physical data roots of the current version (manifest entries, or the
+    * version dir itself for legacy plain versions). */
+  def dataPaths(project: String, bucket: String, table: String,
+      branch: Option[String] = None): Seq[Path] = {
+    val (_, vdir) = catalog.resolveForRead(project, bucket, table, branch)
+    Manifest.readFrom(vdir)
+      .map(_.entries.map(e => catalog.root.resolve(e.path)))
+      .getOrElse(Seq(vdir))
+  }
+
+  /** On-disk bytes of the current version's data roots. */
+  def dataSize(project: String, bucket: String, table: String,
+      branch: Option[String] = None): Long =
+    dataPaths(project, bucket, table, branch).map(walkSize).sum
 
   def schemaOf(project: String, bucket: String, table: String): StructType =
     StructType.fromDDL(catalog.getTable(project, bucket, table).get.schemaDdl)
+
+  // ------------------------------------------------------------- writes
 
   /** Create an empty table with declared schema + PK (C1). */
   def createTable(project: String, bucket: String, table: String,
@@ -46,38 +103,117 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog) {
     meta
   }
 
-  /** Atomic overwrite: write v{N+1}, flip pointer, prune old versions.
-    * `partitionBy` hive-partitions the version dir (dir-per-value): scans
-    * filtered on those columns prune partitions at planning time — the
-    * layout lever for time/tenant-sliced 100 TB tables. */
+  /** Atomic overwrite: write one new data root, commit a one-entry manifest,
+    * flip pointer, GC unreferenced roots. `partitionBy` hive-partitions the
+    * root (dir-per-value): scans filtered on those columns prune partitions
+    * at planning time — the layout lever for time/tenant-sliced 100 TB
+    * tables. */
   def overwrite(project: String, bucket: String, table: String, df: DataFrame,
-      branch: Option[String] = None, partitionBy: Seq[String] = Nil): TableMeta = {
-    val lock = catalog.lockFor(catalog.key(project, bucket, table, branch))
-    lock.lock()
-    try {
-      val meta = branch.flatMap(b => catalog.getBranchTable(project, b, bucket, table))
-        .orElse(catalog.getTable(project, bucket, table))
-        .getOrElse(throw new NoSuchElementException(s"$project/$bucket/$table"))
-      val next = meta.copy(version = meta.version + 1, schemaDdl = df.schema.toDDL)
-      val dir = catalog.tableDir(project, bucket, table, branch).resolve(s"v${next.version}")
-      val w = df.write.mode("overwrite")
-      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-        .parquet(dir.toString)
-      branch match {
-        case Some(b) => catalog.updateBranchTable(b, next)
-        case None    => catalog.updateTable(next)
-      }
-      prune(catalog.tableDir(project, bucket, table, branch), next.version)
-      next
-    } finally lock.unlock()
-  }
+      branch: Option[String] = None, partitionBy: Seq[String] = Nil): TableMeta =
+    withWriteLock(project, bucket, table, branch) { meta =>
+      val entry = writeSegment(df, tableDirOf(project, bucket, table, branch), partitionBy)
+      commit(project, bucket, table, branch, meta,
+        Manifest(Seq(entry), 0, Nil), df.schema.toDDL)
+    }
 
-  /** Append = union with current + atomic overwrite (D3). */
+  /** D3: incremental append — writes ONLY the staging rows as a new data
+    * root and commits {prior roots + new root}. O(staging) bytes written,
+    * never O(table) (reference append semantics:
+    * src/routers/table_import.py:185-206). Staging is coerced to the table
+    * schema (the reference's COPY coercion); extra columns are an error. */
   def append(project: String, bucket: String, table: String, df: DataFrame,
-      branch: Option[String] = None): TableMeta = {
-    val current = read(project, bucket, table, branch)
-    overwrite(project, bucket, table, current.unionByName(df), branch)
-  }
+      branch: Option[String] = None): TableMeta =
+    withWriteLock(project, bucket, table, branch) { meta =>
+      val tdir = tableDirOf(project, bucket, table, branch)
+      val vdir = tdir.resolve(s"v${meta.version}")
+      val staged = alignTo(df, meta.schemaDdl)
+      val next = Manifest.readFrom(vdir) match {
+        case Some(m) if m.isBucketed =>
+          // keep the bucketed layout invariant so upsert stays incremental
+          m.copy(entries = m.entries ++
+            writeBucketedSegment(staged, tdir, m.bucketKeys, m.numBuckets))
+        case Some(m) =>
+          m.copy(entries = m.entries :+ writeSegment(staged, tdir, Nil))
+        case None =>
+          // current version is a legacy plain dir: adopt it as an entry
+          Manifest(Seq(
+            ManifestEntry(relPath(vdir), -1),
+            writeSegment(staged, tdir, Nil)), 0, Nil)
+      }
+      commit(project, bucket, table, branch, meta, next, meta.schemaDdl)
+    }
+
+  /** D4: incremental upsert (`ON CONFLICT DO UPDATE`,
+    * src/routers/table_import.py:207-215). The table is kept in PK-hash
+    * buckets; only buckets that staging hashes into are read, merged
+    * (last-writer-wins via [[graft.engine.imp.ImportPipeline.upsert]]) and
+    * rewritten — bytes written ~ touched-buckets + staging, not table size.
+    * The first upsert on an unbucketed table pays a one-time full
+    * re-bucketing. */
+  def upsert(project: String, bucket: String, table: String, staging: DataFrame,
+      keys: Seq[String], order: Seq[Column] = Nil,
+      branch: Option[String] = None,
+      numBuckets: Int = DefaultNumBuckets): TableMeta =
+    mergeIncremental(project, bucket, table, staging, keys, order, branch,
+      numBuckets, preferStaging = true)
+
+  /** D5: incremental insert-if-absent (`ON CONFLICT DO NOTHING`,
+    * src/routers/table_import.py:216-222) — same bucket-wise rewrite with
+    * the target side winning collisions. */
+  def insertIfAbsent(project: String, bucket: String, table: String,
+      staging: DataFrame, keys: Seq[String], order: Seq[Column] = Nil,
+      branch: Option[String] = None,
+      numBuckets: Int = DefaultNumBuckets): TableMeta =
+    mergeIncremental(project, bucket, table, staging, keys, order, branch,
+      numBuckets, preferStaging = false)
+
+  private def mergeIncremental(project: String, bucket: String, table: String,
+      staging: DataFrame, keys: Seq[String], order: Seq[Column],
+      branch: Option[String], numBuckets: Int,
+      preferStaging: Boolean): TableMeta =
+    withWriteLock(project, bucket, table, branch) { meta =>
+      require(keys.nonEmpty, "merge requires non-empty keys")
+      val tdir = tableDirOf(project, bucket, table, branch)
+      val vdir = tdir.resolve(s"v${meta.version}")
+      val staged = alignTo(staging, meta.schemaDdl)
+      def merge(target: DataFrame) =
+        if (preferStaging)
+          graft.engine.imp.ImportPipeline.upsert(target, staged, keys, order)
+        else
+          graft.engine.imp.ImportPipeline.insertIfAbsent(target, staged, keys, order)
+      val next = Manifest.readFrom(vdir) match {
+        case Some(m) if m.isBucketed && m.bucketKeys == keys =>
+          // incremental path: rewrite only the buckets staging touches
+          val touched = staged
+            .select(bucketExpr(keys, m.numBuckets).as(BucketCol))
+            .distinct().collect().map(_.getInt(0)).toSet
+          val (hit, untouched) = m.entries.partition(e => touched(e.bucket))
+          val target =
+            if (hit.isEmpty)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                StructType.fromDDL(meta.schemaDdl))
+            else hit.map(e => spark.read.parquet(catalog.root.resolve(e.path).toString))
+              .reduce(_.unionByName(_))
+          Manifest(untouched ++
+            writeBucketedSegment(merge(target), tdir, keys, m.numBuckets),
+            m.numBuckets, keys)
+        case _ =>
+          // one-time (re-)bucketing: merge against the full current version
+          val target = loadVersion(spark, meta, vdir)
+          Manifest(writeBucketedSegment(merge(target), tdir, keys, numBuckets),
+            numBuckets, keys)
+      }
+      commit(project, bucket, table, branch, meta, next, meta.schemaDdl)
+    }
+
+  /** Fold accumulated append/upsert roots back into a single root (the
+    * maintenance story for long-lived tables: manifests grow by one entry
+    * per append; compaction restores big scan units). */
+  def compact(project: String, bucket: String, table: String,
+      branch: Option[String] = None, partitionBy: Seq[String] = Nil): TableMeta =
+    overwrite(project, bucket, table, read(project, bucket, table, branch),
+      branch, partitionBy)
 
   def dropTable(project: String, bucket: String, table: String): Unit = {
     val lock = catalog.lockFor(catalog.key(project, bucket, table))
@@ -90,39 +226,36 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog) {
 
   /** C8: ObjectInfo introspection — schema, PK, row count, on-disk bytes
     * (reference: src/database.py:4437-4531). Row count is a distributed
-    * job; size walks the current version dir only. */
+    * job; size sums the current version's data roots only. */
   final case class TableInfo(table: String, schemaDdl: String,
       primaryKey: Seq[String], rowCount: Long, sizeBytes: Long, version: Int)
 
   def tableInfo(project: String, bucket: String, table: String): TableInfo = {
     val meta = catalog.getTable(project, bucket, table)
       .getOrElse(throw new NoSuchElementException(s"$project/$bucket/$table"))
-    val dir = catalog.versionDir(meta)
-    val size =
-      if (Files.exists(dir))
-        Files.walk(dir).iterator().asScala
-          .filter(Files.isRegularFile(_)).map(Files.size).sum
-      else 0L
     TableInfo(table, meta.schemaDdl, meta.primaryKey,
-      read(project, bucket, table).count(), size, meta.version)
+      read(project, bucket, table).count(),
+      dataSize(project, bucket, table), meta.version)
   }
 
   // ----------------------------------------------------------- branches
 
-  /** L1: CoW a table into a branch (directory copy on first write). */
+  /** L1: CoW a table into a branch — a MANIFEST copy referencing main's
+    * immutable roots. O(1) metadata; no data is copied until the branch
+    * writes (main's GC protects roots referenced by branch manifests). */
   def copyOnWriteToBranch(project: String, branch: String, bucket: String,
       table: String): TableMeta = {
     catalog.getBranchTable(project, branch, bucket, table).getOrElse {
       val main = catalog.getTable(project, bucket, table)
         .getOrElse(throw new NoSuchElementException(s"$project/$bucket/$table"))
-      // materialize the branch copy as a fresh v-dir written from main
-      val branchMeta = main.copy(version = main.version)
-      val dst = catalog.tableDir(project, bucket, table, Some(branch))
-        .resolve(s"v${branchMeta.version}")
-      spark.read.parquet(catalog.versionDir(main).toString)
-        .write.mode("overwrite").parquet(dst.toString)
-      catalog.recordBranchTable(branch, branchMeta)
-      branchMeta
+      val mainVdir = catalog.versionDir(main)
+      val manifest = Manifest.readFrom(mainVdir)
+        .getOrElse(Manifest(Seq(ManifestEntry(relPath(mainVdir), -1)), 0, Nil))
+      val branchVdir = catalog.tableDir(project, bucket, table, Some(branch))
+        .resolve(s"v${main.version}")
+      Manifest.writeTo(branchVdir, manifest)
+      catalog.recordBranchTable(branch, main)
+      main
     }
   }
 
@@ -133,24 +266,157 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog) {
     overwrite(project, bucket, table, df, Some(branch))
   }
 
-  /** L3: pull — delete branch copy; branch reads fall back to main. */
+  /** L3: pull — delete branch copy; branch reads fall back to main. The
+    * branch dir holds only branch-local roots + manifests, so main's data
+    * is untouched (and its next GC stops protecting on our behalf). */
   def pullBranch(project: String, branch: String, bucket: String,
       table: String): Unit = {
     catalog.pullBranchTable(project, branch, bucket, table)
     deleteRecursively(catalog.tableDir(project, bucket, table, Some(branch)))
   }
 
+  // ----------------------------------------------------- write plumbing
+
+  private def withWriteLock(project: String, bucket: String, table: String,
+      branch: Option[String])(body: TableMeta => TableMeta): TableMeta = {
+    val lock = catalog.lockFor(catalog.key(project, bucket, table, branch))
+    lock.lock()
+    try {
+      val meta = branch
+        .flatMap(b => catalog.getBranchTable(project, b, bucket, table))
+        .orElse(catalog.getTable(project, bucket, table))
+        .getOrElse(throw new NoSuchElementException(s"$project/$bucket/$table"))
+      body(meta)
+    } finally lock.unlock()
+  }
+
+  private def commit(project: String, bucket: String, table: String,
+      branch: Option[String], meta: TableMeta, manifest: Manifest,
+      schemaDdl: String): TableMeta = {
+    val next = meta.copy(version = meta.version + 1, schemaDdl = schemaDdl)
+    Manifest.writeTo(
+      tableDirOf(project, bucket, table, branch).resolve(s"v${next.version}"),
+      manifest)
+    branch match {
+      case Some(b) => catalog.updateBranchTable(b, next)
+      case None    => catalog.updateTable(next)
+    }
+    gc(project, bucket, table, branch, next.version)
+    next
+  }
+
+  private def tableDirOf(project: String, bucket: String, table: String,
+      branch: Option[String]): Path =
+    catalog.tableDir(project, bucket, table, branch)
+
+  private def newSegmentDir(tableDir: Path): Path =
+    tableDir.resolve("seg").resolve(java.util.UUID.randomUUID().toString)
+
+  private def relPath(p: Path): String =
+    catalog.root.toAbsolutePath.normalize
+      .relativize(p.toAbsolutePath.normalize).toString
+
+  private def writeSegment(df: DataFrame, tableDir: Path,
+      partitionBy: Seq[String]): ManifestEntry = {
+    val seg = newSegmentDir(tableDir)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(seg.toString)
+    ManifestEntry(relPath(seg), -1)
+  }
+
+  private def bucketExpr(keys: Seq[String], numBuckets: Int): Column =
+    pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int")
+
+  /** Write `df` hive-partitioned by PK-hash bucket and return one manifest
+    * leaf per non-empty bucket. The bucket column is stripped by
+    * `partitionBy` — bucket identity lives in the manifest only. */
+  private def writeBucketedSegment(df: DataFrame, tableDir: Path,
+      keys: Seq[String], numBuckets: Int): Seq[ManifestEntry] = {
+    val seg = newSegmentDir(tableDir)
+    df.withColumn(BucketCol, bucketExpr(keys, numBuckets))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(seg.toString)
+    val children = Files.list(seg)
+    try children.iterator().asScala
+      .filter(_.getFileName.toString.startsWith(s"$BucketCol="))
+      .map { leaf =>
+        val k = leaf.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
+        ManifestEntry(relPath(leaf), k)
+      }.toSeq.sortBy(_.bucket)
+    finally children.close()
+  }
+
+  /** Coerce staging to the table's declared schema (the reference's COPY
+    * coercion on import, src/routers/table_import.py:326-335). Missing
+    * columns fail analysis; extra columns are rejected explicitly. */
+  private def alignTo(df: DataFrame, schemaDdl: String): DataFrame = {
+    val schema = StructType.fromDDL(schemaDdl)
+    val extra = df.columns.toSet -- schema.fieldNames.toSet
+    require(extra.isEmpty,
+      s"staging has columns not in the table schema: ${extra.mkString(", ")}")
+    df.select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType)): _*)
+  }
+
+  // --------------------------------------------------------------- GC
+
+  /** Manifest-aware GC, run after each commit: deletes version dirs older
+    * than current-1 and segment roots that no RETAINED manifest references.
+    * Retained = {current, current-1} of main AND of every branch of this
+    * table (branch CoW manifests reference main's roots cross-directory). */
+  private def gc(project: String, bucket: String, table: String,
+      branch: Option[String], currentVersion: Int): Unit = {
+    val dir = tableDirOf(project, bucket, table, branch)
+    if (!Files.exists(dir)) return
+    val protectedSet = protectedPaths(project, bucket, table)
+    def unreferenced(candidate: Path): Boolean = {
+      val rel = relPath(candidate)
+      !protectedSet.exists(q => q == rel || q.startsWith(rel + "/"))
+    }
+    val top = Files.list(dir)
+    val versionDirs = try top.iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("v") && n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit) &&
+        n.drop(1).toInt < currentVersion - 1
+    }.toList finally top.close()
+    versionDirs.filter(unreferenced).foreach(deleteRecursively)
+    val segRoot = dir.resolve("seg")
+    if (Files.exists(segRoot)) {
+      val segs = Files.list(segRoot)
+      val orphans = try segs.iterator().asScala.toList.filter(unreferenced)
+      finally segs.close()
+      orphans.foreach(deleteRecursively)
+    }
+  }
+
+  /** Root-relative paths that must survive GC: every entry of the retained
+    * manifests (current + previous version) of main and all branches, plus
+    * retained legacy plain version dirs themselves. */
+  private def protectedPaths(project: String, bucket: String,
+      table: String): Set[String] = {
+    val contexts: Seq[(Option[String], TableMeta)] =
+      catalog.getTable(project, bucket, table).map((None: Option[String], _)).toSeq ++
+        catalog.branchesOf(project, bucket, table).map { case (b, m) => (Some(b), m) }
+    contexts.flatMap { case (br, m) =>
+      Seq(m.version, m.version - 1).filter(_ >= 0).flatMap { v =>
+        val vdir = tableDirOf(project, bucket, table, br).resolve(s"v$v")
+        if (!Files.exists(vdir)) Nil
+        else Manifest.readFrom(vdir) match {
+          case Some(man) => man.entries.map(_.path)
+          case None      => Seq(relPath(vdir))
+        }
+      }
+    }.toSet
+  }
+
   // ------------------------------------------------------------ helpers
 
-  private def prune(tableDir: Path, current: Int): Unit =
-    if (Files.exists(tableDir)) {
-      Files.list(tableDir).iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
-            n.drop(1).toInt < current - 1 // keep current + one for readers
-        }
-        .foreach(deleteRecursively)
+  private def walkSize(p: Path): Long =
+    if (!Files.exists(p)) 0L
+    else {
+      val s = Files.walk(p)
+      try s.iterator().asScala
+        .filter(Files.isRegularFile(_)).map(Files.size).sum
+      finally s.close()
     }
 
   private def deleteRecursively(p: Path): Unit =

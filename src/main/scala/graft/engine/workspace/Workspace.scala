@@ -36,8 +36,7 @@ object Workspace {
     val session = spark.newSession()
     session.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
     for (bucket <- buckets; meta <- store.catalog.listTables(project, bucket)) {
-      val (_, dir) = store.catalog.resolveForRead(project, bucket, meta.table, branch)
-      session.read.parquet(dir.toString)
+      store.readWith(session, project, bucket, meta.table, branch)
         .createOrReplaceTempView(s"${bucket}_${meta.table}")
     }
     session
@@ -77,8 +76,7 @@ object Workspace {
       bucket: String, table: String, dest: String,
       columns: Seq[String] = Nil, where: Option[String] = None,
       limit: Option[Int] = None, branch: Option[String] = None): DataFrame = {
-    val (_, dir) = store.catalog.resolveForRead(project, bucket, table, branch)
-    var df = session.read.parquet(dir.toString)
+    var df = store.readWith(session, project, bucket, table, branch)
     if (columns.nonEmpty) df = df.select(columns.map(col): _*)
     where.foreach(w => df = df.filter(FilterAlgebra.freeFormWhere(w)))
     limit.foreach(n => df = df.limit(n))

@@ -77,21 +77,12 @@ final class WorkspaceManager(
       where: Option[String] = None, limit: Option[Int] = None,
       branch: Option[String] = None): Unit = {
     ws.touch()
-    val (_, dir) = store.catalog.resolveForRead(project, bucket, table, branch)
-    val bytes = dirSize(dir)
+    val bytes = store.dataSize(project, bucket, table, branch)
     if (ws.loadedBytes + bytes > sizeLimitBytes)
       throw new IllegalStateException(
         s"workspace size limit exceeded: ${ws.loadedBytes + bytes} > $sizeLimitBytes bytes")
     Workspace.loadTable(ws.session, store, project, bucket, table, dest,
       columns, where, limit, branch)
     ws.loadedBytes += bytes
-  }
-
-  private def dirSize(dir: java.nio.file.Path): Long = {
-    val s = java.nio.file.Files.walk(dir)
-    try s.iterator().asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .map(java.nio.file.Files.size).sum
-    finally s.close()
   }
 }

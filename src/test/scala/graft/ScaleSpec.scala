@@ -75,6 +75,100 @@ class ScaleSpec extends SparkSpec {
       SkewJoin.saltedJoin(big, small, "k", salts = 8, joinType = "full_outer"))
   }
 
+  test("append writes bytes proportional to staging, not table size") {
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-inc")))
+    val li = Tables.df(spark, sfDir, "lineitem")
+    store.createTable("p", "b", "li", li.schema)
+    store.overwrite("p", "b", "li", li)
+    val total = li.count()
+    def treeSize(p: java.nio.file.Path): Long = {
+      val s = Files.walk(p)
+      try {
+        var sum = 0L
+        val it = s.iterator()
+        while (it.hasNext) {
+          val f = it.next(); if (Files.isRegularFile(f)) sum += Files.size(f)
+        }
+        sum
+      } finally s.close()
+    }
+    val tdir = store.catalog.tableDir("p", "b", "li")
+    val before = treeSize(tdir)
+    store.append("p", "b", "li", li.limit(50))
+    // the commit added only the staging root + a manifest — not a rewrite
+    val written = treeSize(tdir) - before
+    assert(written > 0)
+    assert(written < before / 10,
+      s"append wrote $written bytes against a $before-byte table")
+    assert(store.read("p", "b", "li").count() == total + 50)
+  }
+
+  test("bucketed upsert rewrites only the buckets staging touches") {
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-ups")))
+    val orders = Tables.df(spark, sfDir, "orders")
+    store.createTable("p", "b", "o", orders.schema, primaryKey = Seq("o_orderkey"))
+    store.overwrite("p", "b", "o", orders)
+    val pk = Seq("o_orderkey")
+    // first upsert pays the one-time bucketing of the whole table
+    val stage1 = orders.limit(20).withColumn("o_totalprice", lit(1.0))
+    store.upsert("p", "b", "o", stage1, pk)
+    val manifest1 = graft.core.Manifest.readFrom(
+      store.catalog.versionDir(store.catalog.getTable("p", "b", "o").get)).get
+    assert(manifest1.isBucketed && manifest1.bucketKeys == pk)
+    // second upsert: small staging -> only its hash buckets rewritten
+    val stage2 = orders.limit(5).withColumn("o_totalprice", lit(2.0))
+    val touched = stage2.select(
+      pmod(xxhash64(col("o_orderkey")), lit(store.DefaultNumBuckets.toLong))
+        .cast("int")).distinct().collect().map(_.getInt(0)).toSet
+    store.upsert("p", "b", "o", stage2, pk)
+    val manifest2 = graft.core.Manifest.readFrom(
+      store.catalog.versionDir(store.catalog.getTable("p", "b", "o").get)).get
+    val kept = manifest1.entries.map(_.path).toSet
+      .intersect(manifest2.entries.map(_.path).toSet)
+    // every untouched bucket's leaf survived as the SAME file set
+    assert(kept == manifest1.entries.filterNot(e => touched(e.bucket)).map(_.path).toSet)
+    // correctness: read-back equals the algebraic upsert of both stagings
+    import graft.engine.imp.ImportPipeline
+    val expected = ImportPipeline.upsert(
+      ImportPipeline.upsert(orders, stage1, pk, Nil), stage2, pk, Nil)
+    val got = store.read("p", "b", "o")
+    assert(got.count() == orders.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("branch copy-on-write copies no data until the branch writes") {
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-cow")))
+    val cust = Tables.df(spark, sfDir, "customer")
+    store.createTable("p", "b", "c", cust.schema)
+    store.overwrite("p", "b", "c", cust)
+    store.copyOnWriteToBranch("p", "dev", "b", "c")
+    // branch dir holds only a manifest referencing main's roots
+    val branchDir = store.catalog.tableDir("p", "b", "c", Some("dev"))
+    val files = {
+      val s = Files.walk(branchDir)
+      try {
+        val b = scala.collection.mutable.ListBuffer.empty[String]
+        val it = s.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (Files.isRegularFile(f)) b += f.getFileName.toString
+        }
+        b.toList
+      } finally s.close()
+    }
+    assert(files == List("manifest.json"))
+    assert(store.read("p", "b", "c", Some("dev")).count() == cust.count())
+    // main keeps advancing; branch read survives main's GC (protected roots)
+    store.overwrite("p", "b", "c", cust.limit(10))
+    store.overwrite("p", "b", "c", cust.limit(20))
+    store.overwrite("p", "b", "c", cust.limit(30))
+    assert(store.read("p", "b", "c", Some("dev")).count() == cust.count())
+    assert(store.read("p", "b", "c").count() == 30)
+  }
+
   test("fastProfile sketches stay within tolerance of exact stats") {
     val li = Tables.df(spark, sfDir, "lineitem")
     val fast = Profiler.fastProfile(li, Seq("l_extendedprice")).collect()(0)

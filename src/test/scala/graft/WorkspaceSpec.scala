@@ -82,16 +82,7 @@ class WorkspaceSpec extends SparkSpec {
     val store = storeWithCustomer()
     // Probe the materialized size and set the cap just under it, so the
     // test is independent of parquet file-count/footer layout choices.
-    val (_, dir) = store.catalog.resolveForRead("p", "sales", "customer", None)
-    val stored = {
-      val s = Files.walk(dir)
-      try {
-        val it = s.iterator()
-        var sum = 0L
-        while (it.hasNext) { val p = it.next(); if (Files.isRegularFile(p)) sum += Files.size(p) }
-        sum
-      } finally s.close()
-    }
+    val stored = store.dataSize("p", "sales", "customer")
     assert(stored > 1, "fixture table must have a nonzero on-disk size")
     val mgr = new graft.engine.workspace.WorkspaceManager(spark, store,
       idleTimeoutMs = 1000, sizeLimitBytes = stored - 1)
