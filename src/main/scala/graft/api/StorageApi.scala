@@ -173,9 +173,9 @@ object StorageApi {
       case ExecuteQuery(p, buckets, sql, timeout) =>
         val session = Workspace.openSession(spark, store, p, buckets)
         graft.functions.GraftFunctions.register(session)
-        Rows(session.createDataFrame(
-          Workspace.executeQuery(session, sql, timeout).toSeq.asJava,
-          session.sql(sql).schema))
+        // one analysis: rows and schema come from the same executed plan
+        val (rows, schema) = Workspace.executeQueryWithSchema(session, sql, timeout)
+        Rows(session.createDataFrame(rows.toSeq.asJava, schema))
     }
   }
 

@@ -22,8 +22,12 @@ object ArrowExport {
   def fromIpcBytes(spark: SparkSession, bytes: Array[Byte]): DataFrame =
     org.apache.spark.sql.graftshim.ArrowBridge.fromIpcStream(spark, bytes)
 
-  /** Write an IPC stream file (the `.arrows` convention). */
+  /** Write an IPC stream file (the `.arrows` convention), streamed batch
+    * by batch — the file can exceed driver memory. */
   def toIpcFile(df: DataFrame, path: java.nio.file.Path,
-      maxRecordsPerBatch: Int = 10000): Unit =
-    java.nio.file.Files.write(path, toIpcBytes(df, maxRecordsPerBatch))
+      maxRecordsPerBatch: Int = 10000): Unit = {
+    val out = java.nio.file.Files.newOutputStream(path)
+    try org.apache.spark.sql.graftshim.ArrowBridge.ipcStream(df, out, maxRecordsPerBatch)
+    finally out.close()
+  }
 }

@@ -42,20 +42,34 @@ object Workspace {
     session
   }
 
-  /** Q1: execute arbitrary SQL with a timeout via job-group cancellation.
+  /** Result-fetch hard cap, enforced IN THE PLAN (a `LIMIT` on top of the
+    * query, so Spark plans a CollectLimit instead of materializing an
+    * unbounded result on the driver). The reference caps previews at
+    * 10,000 rows (src/grpc/handlers/table.py:250-253) but lets ExecuteQuery
+    * stringify whatever comes back — a driver-OOM hazard a 100 TB engine
+    * must not copy. Bulk results belong to the export sinks. */
+  val ExecuteQueryMaxRows = 10000
+
+  /** Q1: execute arbitrary SQL with a timeout via job-group cancellation,
+    * returning (capped rows, result schema). The schema comes from the one
+    * analyzed plan — callers must not re-analyze the SQL just for it.
     *
     * The job group is set INSIDE the worker thread: Spark local properties
     * are thread-local (inherited only at thread creation), so setting the
     * group on the caller and running on a shared pool thread would leave
     * the running jobs ungrouped and make cancelJobGroup a no-op. */
-  def executeQuery(session: SparkSession, sql: String,
-      timeoutSeconds: Int = 300): Array[org.apache.spark.sql.Row] = {
+  def executeQueryWithSchema(session: SparkSession, sql: String,
+      timeoutSeconds: Int = 300, maxRows: Int = ExecuteQueryMaxRows)
+      : (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
     val group = s"graft-query-${System.nanoTime()}"
-    val result =
-      new java.util.concurrent.CompletableFuture[Array[org.apache.spark.sql.Row]]()
+    val result = new java.util.concurrent.CompletableFuture[
+      (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]()
     val worker = new Thread(() => {
       session.sparkContext.setJobGroup(group, sql, interruptOnCancel = true)
-      try result.complete(session.sql(sql).collect())
+      try {
+        val df = session.sql(sql)
+        result.complete((df.limit(maxRows).collect(), df.schema))
+      }
       catch { case t: Throwable => result.completeExceptionally(t) }
       finally session.sparkContext.clearJobGroup()
     }, group)
@@ -69,6 +83,11 @@ object Workspace {
       case e: java.util.concurrent.ExecutionException => throw e.getCause
     }
   }
+
+  def executeQuery(session: SparkSession, sql: String,
+      timeoutSeconds: Int = 300,
+      maxRows: Int = ExecuteQueryMaxRows): Array[org.apache.spark.sql.Row] =
+    executeQueryWithSchema(session, sql, timeoutSeconds, maxRows)._1
 
   /** D11: workspace load — filtered CTAS from a stored table into a
     * workspace-local table (columns / where / limit subset). */

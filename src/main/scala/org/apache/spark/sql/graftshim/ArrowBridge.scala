@@ -25,8 +25,14 @@ import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnVector, Columna
   * path; bulk exports go through the Parquet sinks. */
 object ArrowBridge {
 
-  /** Serialize a DataFrame's full result to one Arrow IPC stream. */
-  def ipcStreamBytes(df: DataFrame, maxRecordsPerBatch: Int = 10000): Array[Byte] = {
+  /** Serialize a DataFrame's result to an Arrow IPC stream written to
+    * `out`, batch by batch. Rows are pulled with `executeToIterator()`
+    * (one partition resident on the driver at a time) and flushed every
+    * `maxRecordsPerBatch` rows, so driver memory is bounded by one
+    * partition + one Arrow batch — never the whole result, which is what
+    * an uncapped `collect` would hold. */
+  def ipcStream(df: DataFrame, out: java.io.OutputStream,
+      maxRecordsPerBatch: Int = 10000): Unit = {
     val spark = df.sparkSession
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val arrowSchema = ArrowUtils.toArrowSchema(
@@ -36,22 +42,35 @@ object ArrowBridge {
     val root = VectorSchemaRoot.create(arrowSchema, allocator)
     try {
       val writer = ArrowWriter.create(root)
-      val out = new ByteArrayOutputStream()
       val stream = new ArrowStreamWriter(root, null, out)
       stream.start()
-      val rows = df.queryExecution.executedPlan.executeCollect()
-      rows.grouped(math.max(1, maxRecordsPerBatch)).foreach { batch =>
-        batch.foreach(writer.write)
+      val rows = df.queryExecution.executedPlan.executeToIterator()
+      var inBatch = 0
+      def flush(): Unit = if (inBatch > 0) {
         writer.finish()
         stream.writeBatch()
         writer.reset()
+        inBatch = 0
       }
+      rows.foreach { r =>
+        writer.write(r)
+        inBatch += 1
+        if (inBatch >= math.max(1, maxRecordsPerBatch)) flush()
+      }
+      flush()
       stream.end()
-      out.toByteArray
     } finally {
       root.close()
       allocator.close()
     }
+  }
+
+  /** Serialize a DataFrame's full result to one in-memory Arrow IPC
+    * stream (result-fetch surface — callers cap rows like previews do). */
+  def ipcStreamBytes(df: DataFrame, maxRecordsPerBatch: Int = 10000): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ipcStream(df, out, maxRecordsPerBatch)
+    out.toByteArray
   }
 
   /** Deserialize an Arrow IPC stream back into a DataFrame (fetch-side

@@ -53,6 +53,21 @@ class WorkspaceSpec extends SparkSpec {
     }
   }
 
+  test("unbounded SELECT is capped in the plan, not collected whole") {
+    val store = storeWithCustomer()
+    val ws = Workspace.openSession(spark, store, "p", Seq("sales"))
+    // a cross join far larger than the cap; the LIMIT lands in the plan
+    // (CollectLimit), so only maxRows rows ever reach the driver
+    val rows = Workspace.executeQuery(ws,
+      "SELECT a.c_custkey FROM sales_customer a CROSS JOIN sales_customer b",
+      maxRows = 37)
+    assert(rows.length == 37)
+    // default cap applies when none is given
+    val capped = Workspace.executeQuery(ws,
+      "SELECT a.c_custkey FROM sales_customer a CROSS JOIN sales_customer b")
+    assert(capped.length == Workspace.ExecuteQueryMaxRows)
+  }
+
   test("dropObject removes workspace temp views") {
     val store = storeWithCustomer()
     val ws = Workspace.openSession(spark, store, "p", Seq("sales"))
