@@ -1,0 +1,148 @@
+package graft.engine.imp
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.SparkSession
+
+/** S8: remote object-store I/O — per-import credential wiring and URL
+  * resolution for s3/azure/gcs/http sources, the Spark-native analog of the
+  * reference's httpfs setup (reference:
+  * src/grpc/handlers/import_export.py:141-270 — `_build_file_url` provider
+  * cases and the `SET s3_access_key_id/...` connection settings).
+  *
+  * Spark reads object stores through Hadoop filesystems, so credentials map
+  * to Hadoop conf keys (`fs.s3a.*`, `fs.azure.*`, `fs.gs.*`) instead of SQL
+  * SETs, and DuckDB's URL schemes map to the Hadoop connector schemes
+  * (s3 -> s3a, azure -> abfss/wasbs, gcs -> gs). HTTP(S) has no Hadoop
+  * filesystem: presigned URLs are STAGED — downloaded once to a local
+  * spool file, then read like any local source — mirroring the reference's
+  * presigned-download flow. At cluster scale the staging spool would be a
+  * shared scratch bucket; the download is one object, not a data path.
+  *
+  * The jars for s3a/abfs/gcs connectors are deploy-time classpath concerns;
+  * everything here only sets configuration, so it is testable with
+  * `file://` and a localhost HTTP server (no egress).
+  */
+object RemoteIO {
+
+  sealed trait Provider
+  object Provider {
+    case object S3 extends Provider
+    case object Abs extends Provider // Azure Blob Storage
+    case object Gcs extends Provider
+    case object Http extends Provider // presigned URLs + local paths
+  }
+
+  /** proto ImportExportShared.S3Credentials (import_export.py:216-225). */
+  final case class S3Credentials(key: String, secret: String,
+      region: Option[String] = None, token: Option[String] = None)
+
+  /** Azure account key credential (the reference ships azure creds the
+    * same per-import way; account name addresses the conf key). */
+  final case class AzureCredentials(account: String, accountKey: String)
+
+  /** GCS service-account keyfile reference. */
+  final case class GcsCredentials(keyFile: String)
+
+  sealed trait Credentials
+  final case class S3Creds(c: S3Credentials) extends Credentials
+  final case class AzureCreds(c: AzureCredentials) extends Credentials
+  final case class GcsCreds(c: GcsCredentials) extends Credentials
+  case object NoCreds extends Credentials
+
+  /** Mirror of `_build_file_url` (import_export.py:141-210), emitting
+    * Hadoop-scheme URLs:
+    *  - S3  -> `s3a://root/path/file`
+    *  - ABS -> `wasbs://...` form `wasbs://container@account/...` is
+    *    deploy-specific; we keep `root` verbatim as the authority
+    *  - GCS -> `gs://root/path/file`
+    *  - HTTP: local absolute paths pass through; a presigned URL (has
+    *    query params) is used as-is; otherwise path segments append. */
+  def buildFileUrl(provider: Provider, root: String, path: String = "",
+      fileName: String = ""): String = {
+    def joined(scheme: String): String = {
+      val segs = Seq(path, fileName).filter(_.nonEmpty)
+        .map(_.stripPrefix("/").stripSuffix("/"))
+      (s"$scheme://${root.stripSuffix("/")}" +: segs).mkString("/")
+    }
+    provider match {
+      case Provider.S3  => joined("s3a")
+      case Provider.Abs => joined("wasbs")
+      case Provider.Gcs => joined("gs")
+      case Provider.Http =>
+        if (root.startsWith("/")) { // local filesystem path
+          val segs = Seq(path, fileName).filter(_.nonEmpty)
+            .map(_.stripPrefix("/").stripSuffix("/"))
+          (root.stripSuffix("/") +: segs).mkString("/")
+        } else if (root.contains("?")) root // presigned: complete as-is
+        else {
+          val segs = Seq(path, fileName).filter(_.nonEmpty)
+            .map(_.stripPrefix("/").stripSuffix("/"))
+          (root.stripSuffix("/") +: segs).mkString("/")
+        }
+    }
+  }
+
+  /** Apply per-import credentials to the session's Hadoop configuration —
+    * the Spark equivalent of the reference's `SET s3_access_key_id=...`
+    * connection settings (import_export.py:264-270). */
+  def applyCredentials(spark: SparkSession, creds: Credentials): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    creds match {
+      case S3Creds(c) =>
+        conf.set("fs.s3a.access.key", c.key)
+        conf.set("fs.s3a.secret.key", c.secret)
+        c.region.foreach(conf.set("fs.s3a.endpoint.region", _))
+        c.token match {
+          case Some(t) =>
+            conf.set("fs.s3a.session.token", t)
+            conf.set("fs.s3a.aws.credentials.provider",
+              "org.apache.hadoop.fs.s3a.auth.TemporaryAWSCredentialsProvider")
+          case None =>
+            conf.set("fs.s3a.aws.credentials.provider",
+              "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider")
+        }
+      case AzureCreds(c) =>
+        conf.set(s"fs.azure.account.key.${c.account}.blob.core.windows.net",
+          c.accountKey)
+      case GcsCreds(c) =>
+        conf.set("google.cloud.auth.service.account.enable", "true")
+        conf.set("google.cloud.auth.service.account.json.keyfile", c.keyFile)
+      case NoCreds => ()
+    }
+  }
+
+  /** Download an http(s) URL (e.g. presigned) to a local spool file and
+    * return its path — the reference's presigned-download step. Other
+    * schemes (and local paths) pass through untouched: Hadoop reads them
+    * directly, no copy. */
+  def stageIfHttp(url: String, spoolDir: Path): String =
+    if (url.startsWith("http://") || url.startsWith("https://")) {
+      Files.createDirectories(spoolDir)
+      // keep the file extension so format sniffing (csv/gz) still works
+      val name = url.takeWhile(_ != '?').split('/').last match {
+        case "" => "download"
+        case n  => n
+      }
+      val dest = spoolDir.resolve(
+        s"${java.util.UUID.randomUUID().toString.take(8)}-$name")
+      val client = java.net.http.HttpClient.newHttpClient()
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .GET().build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofFile(dest))
+      require(resp.statusCode() / 100 == 2,
+        s"download failed: HTTP ${resp.statusCode()} for $url")
+      dest.toString
+    } else url
+
+  /** Resolve a (provider, root/path/file, credentials) triple to a path
+    * Spark can read: wires credentials, builds the URL, stages http. */
+  def resolve(spark: SparkSession, provider: Provider, root: String,
+      path: String = "", fileName: String = "",
+      creds: Credentials = NoCreds,
+      spoolDir: Path = Files.createTempDirectory("graft-spool")): String = {
+    applyCredentials(spark, creds)
+    stageIfHttp(buildFileUrl(provider, root, path, fileName), spoolDir)
+  }
+}
