@@ -30,6 +30,21 @@ object StorageApi {
       staging: DataFrame, incremental: Boolean = false,
       dedupMode: DedupMode = DedupMode.UpdateDuplicates,
       stampTimestamp: Boolean = false) extends Command
+  /** S8: import from a remote/staged file URL — provider + per-import
+    * credentials resolve through [[graft.engine.imp.RemoteIO]] (the
+    * reference's TableImportCommand file path,
+    * src/grpc/handlers/import_export.py:60-140). `.parquet` sources read
+    * as parquet; everything else as CSV with `csv` options. */
+  final case class ImportFromUrl(project: String, bucket: String, table: String,
+      provider: graft.engine.imp.RemoteIO.Provider, root: String,
+      path: String = "", fileName: String = "",
+      credentials: graft.engine.imp.RemoteIO.Credentials =
+        graft.engine.imp.RemoteIO.NoCreds,
+      csv: ImportPipeline.CsvOptions = ImportPipeline.CsvOptions(),
+      useTableSchema: Boolean = true,
+      incremental: Boolean = false,
+      dedupMode: DedupMode = DedupMode.UpdateDuplicates,
+      stampTimestamp: Boolean = false) extends Command
   final case class Preview(project: String, bucket: String, table: String,
       columns: Seq[String] = Nil,
       filters: Seq[FilterAlgebra.WhereFilter] = Nil,
@@ -54,6 +69,10 @@ object StorageApi {
   final case class RestoreSnapshot(snapshotId: String) extends Command
   final case class ExecuteQuery(project: String, buckets: Seq[String],
       sql: String, timeoutSeconds: Int = 300) extends Command
+  /** A13: project/branch filesystem stats rollup
+    * (reference: src/database.py:3010-3036, 3974-4006). */
+  final case class ProjectStats(project: String,
+      branch: Option[String] = None) extends Command
 
   sealed trait SchemaOp
   final case class AddColumn(name: String, typeDdl: String,
@@ -67,6 +86,8 @@ object StorageApi {
   final case class Rows(df: DataFrame) extends Result
   final case class Count(n: Long) extends Result
   final case class SnapshotRef(id: String) extends Result
+  final case class Stats(bucketCount: Int, tableCount: Int,
+      sizeBytes: Long) extends Result
 
   /** The preview caps the reference enforces (default 100, max 10,000 —
     * src/grpc/handlers/table.py:250-253). */
@@ -75,13 +96,23 @@ object StorageApi {
 
   final class Handler(spark: SparkSession, store: TableStore) {
 
+    /** Hierarchical snapshot config (L4) — gates the auto-snapshot
+      * triggers on the destructive handlers below. */
+    val snapshotConfig = new graft.engine.snapshot.SnapshotConfig.Registry(store.catalog)
+
+    private def withTrigger(p: String, b: String, t: String, trigger: String)(
+        op: => Unit): Unit =
+      Snapshots.autoSnapshotIfConfigured(
+        spark, store, snapshotConfig, p, b, t, trigger)(op)
+
     def execute(cmd: Command): Result = cmd match {
       case CreateTable(p, b, t, schema, pk) =>
         store.createTable(p, b, t, schema, pk)
         Done(s"created $p/$b/$t")
 
       case DropTable(p, b, t) =>
-        store.dropTable(p, b, t); Done(s"dropped $p/$b/$t")
+        withTrigger(p, b, t, "drop_table") { store.dropTable(p, b, t) }
+        Done(s"dropped $p/$b/$t")
 
       case ImportData(p, b, t, staging0, incremental, mode, stamp) =>
         val meta = store.catalog.getTable(p, b, t)
@@ -108,6 +139,17 @@ object StorageApi {
         }
         Count(store.read(p, b, t).count())
 
+      case ImportFromUrl(p, b, t, provider, root, path, fileName, creds,
+          csv, useTableSchema, incremental, mode, stamp) =>
+        val url = graft.engine.imp.RemoteIO.resolve(
+          spark, provider, root, path, fileName, creds)
+        val staging =
+          if (url.takeWhile(_ != '?').endsWith(".parquet"))
+            spark.read.parquet(url)
+          else ImportPipeline.readCsv(spark, url, csv,
+            if (useTableSchema) Some(store.schemaOf(p, b, t)) else None)
+        execute(ImportData(p, b, t, staging, incremental, mode, stamp))
+
       case Preview(p, b, t, columns, filters, limit) =>
         var df = store.read(p, b, t)
         if (columns.nonEmpty) df = df.select(columns.map(col): _*)
@@ -133,8 +175,11 @@ object StorageApi {
         val before = store.read(p, b, t).count()
         val pred = FilterAlgebra.compileAll(filters)
           .getOrElse(org.apache.spark.sql.functions.lit(true)) // delete-all
-        store.overwrite(p, b, t,
+        val doDelete = () => store.overwrite(p, b, t,
           ImportPipeline.deleteWhere(store.read(p, b, t), pred))
+        if (filters.isEmpty) // D10 delete-all — the truncate-class trigger
+          withTrigger(p, b, t, "delete_all_rows") { doDelete(); () }
+        else doDelete()
         Count(before - store.read(p, b, t).count())
 
       // mode=basic keeps the wide per-column base stats; the other
@@ -147,6 +192,8 @@ object StorageApi {
           Rows(Profiler.profile(store.read(p, b, t), numericCols, stringCols, mode))
 
       case AlterTable(p, b, t, ops) =>
+        if (ops.exists(_.isInstanceOf[DropColumn]))
+          withTrigger(p, b, t, "drop_column") { () } // snapshot BEFORE the op
         var df = store.read(p, b, t)
         ops.foreach {
           case AddColumn(n, ddl, d) =>
@@ -169,6 +216,10 @@ object StorageApi {
 
       case RestoreSnapshot(id) =>
         Snapshots.restore(spark, store, id); Done(s"restored $id")
+
+      case ProjectStats(p, branch) =>
+        val s = store.statsForProject(p, branch)
+        Stats(s.bucketCount, s.tableCount, s.sizeBytes)
 
       case ExecuteQuery(p, buckets, sql, timeout) =>
         val session = Workspace.openSession(spark, store, p, buckets)

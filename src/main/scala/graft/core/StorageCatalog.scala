@@ -33,7 +33,8 @@ final class StorageCatalog(val root: Path) {
 
   final case class SnapshotMeta(
       id: String, project: String, bucket: String, table: String,
-      rowCount: Long, schemaDdl: String, createdAt: String)
+      rowCount: Long, schemaDdl: String, createdAt: String,
+      kind: String = "manual") // "manual" | "auto" — retention differs (L4)
 
   // catalog state (thread-safe; persisted on mutation)
   private val tables = TrieMap.empty[String, TableMeta]
@@ -42,6 +43,9 @@ final class StorageCatalog(val root: Path) {
   /** bucket links: (project, linkedBucket) -> (srcProject, srcBucket) (L5). */
   private val bucketLinks = TrieMap.empty[(String, String), (String, String)]
   private val snapshots = TrieMap.empty[String, SnapshotMeta]
+  /** Free-form persisted settings (snapshot config hierarchy lives here —
+    * the analog of the reference's snapshot_settings metadata table). */
+  private val settings = TrieMap.empty[String, String]
 
   /** Per-table write mutex — same semantics as the reference's
     * TableLockManager (src/database.py:37-165): single writer per table,
@@ -78,6 +82,10 @@ final class StorageCatalog(val root: Path) {
     tables.values.filter(m => m.project == project && m.bucket == bucket)
       .toSeq.sortBy(_.table)
 
+  def listTablesOfProject(project: String): Seq[TableMeta] =
+    tables.values.filter(_.project == project)
+      .toSeq.sortBy(m => (m.bucket, m.table))
+
   // ------------------------------------------------------------ branches
 
   /** L1: record a CoW copy of a table into a branch. */
@@ -92,6 +100,13 @@ final class StorageCatalog(val root: Path) {
 
   def updateBranchTable(branch: String, meta: TableMeta): Unit =
     recordBranchTable(branch, meta)
+
+  /** All tables CoW-copied into `branch` for this project (A13 branch
+    * stats count only copied tables, reference: src/database.py:3010-3036). */
+  def listBranchTables(project: String, branch: String): Seq[TableMeta] =
+    branchTables.toSeq.collect {
+      case (k, m) if m.project == project && k.startsWith(s"$project@$branch/") => m
+    }.sortBy(m => (m.bucket, m.table))
 
   /** All branches holding a CoW copy of this table, with their metas —
     * the GC consults these so branch manifests keep main's roots alive. */
@@ -127,6 +142,14 @@ final class StorageCatalog(val root: Path) {
   def getSnapshot(id: String): Option[SnapshotMeta] = snapshots.get(id)
   def listSnapshots(): Seq[SnapshotMeta] = snapshots.values.toSeq
   def removeSnapshot(id: String): Unit = { snapshots.remove(id); persist() }
+
+  // ------------------------------------------------------------ settings
+
+  def putSetting(key: String, value: String): Unit = {
+    settings.put(key, value); persist()
+  }
+  def getSetting(key: String): Option[String] = settings.get(key)
+  def removeSetting(key: String): Unit = { settings.remove(key); persist() }
 
   // ---------------------------------------------------- path resolution
 
@@ -187,8 +210,13 @@ final class StorageCatalog(val root: Path) {
       snapshots.put(e.getKey, SnapshotMeta(e.getKey, m.get("project").asText,
         m.get("bucket").asText, m.get("table").asText,
         m.get("rowCount").asLong, m.get("schemaDdl").asText,
-        m.get("createdAt").asText))
+        m.get("createdAt").asText,
+        // absent in catalogs written before snapshot kinds existed
+        Option(m.get("kind")).map(_.asText).getOrElse("manual")))
     }
+    Option(node.get("settings")).foreach(_.properties().forEach { e =>
+      settings.put(e.getKey, e.getValue.asText)
+    })
   }
 
   /** Persist as JSON via Jackson (same mapper family as reload — correct
@@ -227,7 +255,10 @@ final class StorageCatalog(val root: Path) {
         n.put("project", m.project); n.put("bucket", m.bucket)
         n.put("table", m.table); n.put("rowCount", m.rowCount)
         n.put("schemaDdl", m.schemaDdl); n.put("createdAt", m.createdAt)
+        n.put("kind", m.kind)
       }
+      val st = rootNode.putObject("settings")
+      settings.toSeq.sortBy(_._1).foreach { case (k, v) => st.put(k, v) }
       Files.createDirectories(root)
       val tmp = root.resolve("catalog.json.tmp")
       Files.writeString(tmp, om.writeValueAsString(rootNode))

@@ -238,6 +238,32 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog) {
       dataSize(project, bucket, table), meta.version)
   }
 
+  /** A13: project/branch rollup — bucket/table counts + physical bytes
+    * (reference: get_project_stats / get_branch_stats,
+    * src/database.py:3010-3036, 3974-4006). Main stats sum each table's
+    * current data roots; branch stats count only CoW-copied tables and
+    * only bytes physically materialized under the branch dir (an
+    * un-written branch copy is a manifest referencing main — its physical
+    * footprint is 0, which is the point of O(1) CoW). */
+  final case class ProjectStats(bucketCount: Int, tableCount: Int, sizeBytes: Long)
+
+  def statsForProject(project: String,
+      branch: Option[String] = None): ProjectStats = branch match {
+    case None =>
+      val metas = catalog.listTablesOfProject(project)
+      ProjectStats(metas.map(_.bucket).distinct.size, metas.size,
+        metas.map(m => dataSize(project, m.bucket, m.table)).sum)
+    case Some(b) =>
+      val metas = catalog.listBranchTables(project, b)
+      val branchRoot = catalog.projectDir(project, Some(b)).toAbsolutePath.normalize
+      val bytes = metas.map { m =>
+        dataPaths(project, m.bucket, m.table, Some(b))
+          .filter(_.toAbsolutePath.normalize.startsWith(branchRoot))
+          .map(walkSize).sum
+      }.sum
+      ProjectStats(metas.map(_.bucket).distinct.size, metas.size, bytes)
+  }
+
   // ----------------------------------------------------------- branches
 
   /** L1: CoW a table into a branch — a MANIFEST copy referencing main's

@@ -1,0 +1,160 @@
+package graft.engine.snapshot
+
+import graft.core.StorageCatalog
+
+/** L4: hierarchical snapshot configuration — system -> project -> bucket ->
+  * table, each level overriding only the keys it sets, with per-key source
+  * tracking (reference: src/snapshot_config.py:1-281, ADR-004; the
+  * partial-override PATCH shape is src/routers/snapshot_settings.py:77-97).
+  *
+  * Settings persist in the storage catalog (the reference keeps them in
+  * metadata.duckdb), so they survive restarts like table metadata does.
+  */
+object SnapshotConfig {
+
+  /** The four auto-snapshot triggers (snapshot_config.py:20-26). */
+  val ValidTriggers: Set[String] =
+    Set("drop_table", "truncate_table", "delete_all_rows", "drop_column")
+
+  /** A PARTIAL override: unset fields inherit from the level above. */
+  final case class Settings(
+      triggers: Map[String, Boolean] = Map.empty,
+      manualDays: Option[Int] = None,
+      autoDays: Option[Int] = None,
+      enabled: Option[Boolean] = None)
+
+  /** Fully-resolved config + where each key came from
+    * ("system" | "project" | "bucket" | "table"). */
+  final case class Effective(
+      triggers: Map[String, Boolean],
+      manualDays: Int, autoDays: Int, enabled: Boolean,
+      sources: Map[String, String])
+
+  /** System defaults (snapshot_config.py:19-31): snapshot before DROP
+    * TABLE only; manual snapshots kept 90 d, auto 7 d. */
+  val SystemDefaults: Effective = Effective(
+    triggers = Map("drop_table" -> true, "truncate_table" -> false,
+      "delete_all_rows" -> false, "drop_column" -> false),
+    manualDays = 90, autoDays = 7, enabled = true,
+    sources = Map("drop_table" -> "system", "truncate_table" -> "system",
+      "delete_all_rows" -> "system", "drop_column" -> "system",
+      "manual_days" -> "system", "auto_days" -> "system",
+      "enabled" -> "system"))
+
+  /** Mirror of validate_config (snapshot_config.py:238-281). */
+  def validate(s: Settings): Seq[String] = {
+    val triggerErrs = s.triggers.keys.toSeq.collect {
+      case k if !ValidTriggers(k) => s"Unknown trigger: $k"
+    }
+    val retentionErrs = Seq("manual_days" -> s.manualDays, "auto_days" -> s.autoDays)
+      .collect {
+        case (k, Some(v)) if v < 1    => s"Retention $k must be a positive integer"
+        case (k, Some(v)) if v > 3650 => s"Retention $k cannot exceed 3650 days"
+      }
+    triggerErrs ++ retentionErrs
+  }
+
+  /** Catalog-backed settings store + resolver. */
+  final class Registry(catalog: StorageCatalog) {
+
+    private def keyOf(project: String, bucket: Option[String],
+        table: Option[String]): String = (bucket, table) match {
+      case (Some(b), Some(t)) => s"snapshot/table/$project/$b/$t"
+      case (Some(b), None)    => s"snapshot/bucket/$project/$b"
+      case _                  => s"snapshot/project/$project"
+    }
+
+    def set(project: String, bucket: Option[String], table: Option[String],
+        s: Settings): Unit = {
+      val errs = validate(s)
+      require(errs.isEmpty, errs.mkString("; "))
+      catalog.putSetting(keyOf(project, bucket, table), toJson(s))
+    }
+
+    def clear(project: String, bucket: Option[String] = None,
+        table: Option[String] = None): Unit =
+      catalog.removeSetting(keyOf(project, bucket, table))
+
+    /** Only the local (non-inherited) override at this level, if any. */
+    def localOf(project: String, bucket: Option[String] = None,
+        table: Option[String] = None): Option[Settings] =
+      catalog.getSetting(keyOf(project, bucket, table)).map(fromJson)
+
+    /** resolve_snapshot_config (snapshot_config.py:88-141): layer project,
+      * bucket, table onto the system defaults; every key a level sets is
+      * attributed to that level in `sources`. */
+    def resolve(project: String, bucket: Option[String] = None,
+        table: Option[String] = None): Effective = {
+      val layers: Seq[(String, Option[Settings])] =
+        Seq("project" -> localOf(project)) ++
+          bucket.map(b => "bucket" -> localOf(project, Some(b))) ++
+          table.flatMap(t => bucket.map(b =>
+            "table" -> localOf(project, Some(b), Some(t))))
+      layers.foldLeft(SystemDefaults) {
+        case (acc, (_, None)) => acc
+        case (acc, (level, Some(s))) =>
+          var eff = acc
+          s.triggers.foreach { case (k, v) =>
+            eff = eff.copy(triggers = eff.triggers + (k -> v),
+              sources = eff.sources + (k -> level))
+          }
+          s.manualDays.foreach(d => eff = eff.copy(manualDays = d,
+            sources = eff.sources + ("manual_days" -> level)))
+          s.autoDays.foreach(d => eff = eff.copy(autoDays = d,
+            sources = eff.sources + ("auto_days" -> level)))
+          s.enabled.foreach(e => eff = eff.copy(enabled = e,
+            sources = eff.sources + ("enabled" -> level)))
+          eff
+      }
+    }
+
+    /** should_create_snapshot (snapshot_config.py:163-210): master switch
+      * first, then the specific trigger. */
+    def shouldSnapshot(project: String, bucket: String, table: String,
+        trigger: String): Boolean = {
+      val eff = resolve(project, Some(bucket), Some(table))
+      eff.enabled && eff.triggers.getOrElse(trigger, false)
+    }
+
+    /** get_retention_days (snapshot_config.py:213-235): manual snapshots
+      * use manual_days; every auto kind uses auto_days. */
+    def retentionDays(project: String, bucket: String, table: String,
+        snapshotKind: String): Int = {
+      val eff = resolve(project, Some(bucket), Some(table))
+      if (snapshotKind == "manual") eff.manualDays else eff.autoDays
+    }
+  }
+
+  // ------------------------------------------------------------- JSON
+
+  private def toJson(s: Settings): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = om.createObjectNode()
+    if (s.triggers.nonEmpty) {
+      val t = n.putObject("auto_snapshot_triggers")
+      s.triggers.toSeq.sortBy(_._1).foreach { case (k, v) => t.put(k, v) }
+    }
+    if (s.manualDays.nonEmpty || s.autoDays.nonEmpty) {
+      val r = n.putObject("retention")
+      s.manualDays.foreach(r.put("manual_days", _))
+      s.autoDays.foreach(r.put("auto_days", _))
+    }
+    s.enabled.foreach(n.put("enabled", _))
+    om.writeValueAsString(n)
+  }
+
+  private def fromJson(json: String): Settings = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = om.readTree(json)
+    val triggers = Option(n.get("auto_snapshot_triggers")).map { t =>
+      val b = Map.newBuilder[String, Boolean]
+      t.properties().forEach(e => b += (e.getKey -> e.getValue.asBoolean()))
+      b.result()
+    }.getOrElse(Map.empty[String, Boolean])
+    val r = Option(n.get("retention"))
+    Settings(triggers,
+      r.flatMap(x => Option(x.get("manual_days")).map(_.asInt)),
+      r.flatMap(x => Option(x.get("auto_days")).map(_.asInt)),
+      Option(n.get("enabled")).map(_.asBoolean))
+  }
+}

@@ -17,7 +17,8 @@ import graft.core.{StorageCatalog, TableStore}
 object Snapshots {
 
   def create(spark: SparkSession, store: TableStore, project: String,
-      bucket: String, table: String): StorageCatalog#SnapshotMeta = {
+      bucket: String, table: String,
+      kind: String = "manual"): StorageCatalog#SnapshotMeta = {
     val cat = store.catalog
     val meta = cat.getTable(project, bucket, table)
       .getOrElse(throw new NoSuchElementException(s"$project/$bucket/$table"))
@@ -27,9 +28,9 @@ object Snapshots {
     df.write.option("compression", "zstd").parquet(dir.resolve("data").toString)
     val rows = spark.read.parquet(dir.resolve("data").toString).count()
     val snap = cat.SnapshotMeta(id, project, bucket, table, rows,
-      meta.schemaDdl, Instant.now.toString)
+      meta.schemaDdl, Instant.now.toString, kind)
     Files.writeString(dir.resolve("metadata.json"),
-      s"""{"id":"$id","table":"$project/$bucket/$table","rows":$rows}""")
+      s"""{"id":"$id","table":"$project/$bucket/$table","rows":$rows,"kind":"$kind"}""")
     cat.recordSnapshot(snap)
     snap
   }
@@ -46,11 +47,28 @@ object Snapshots {
     store.overwrite(snap.project, snap.bucket, snap.table, df)
   }
 
-  /** L4 trigger hook: snapshot-before-destructive-op. */
+  /** L4 trigger hook: snapshot-before-destructive-op. Unconditional
+    * variant — callers that resolved the trigger themselves. */
   def autoSnapshotBefore(spark: SparkSession, store: TableStore,
       project: String, bucket: String, table: String)(op: => Unit): Unit = {
-    create(spark, store, project, bucket, table)
+    create(spark, store, project, bucket, table, kind = "auto")
     op
+  }
+
+  /** L4 trigger hook resolved through the hierarchical config: snapshots
+    * (kind=auto) only when the effective config enables `trigger` for this
+    * table (reference: should_create_snapshot,
+    * src/snapshot_config.py:163-210; trigger points CLAUDE.md:270-283).
+    * Returns the snapshot id if one was taken. */
+  def autoSnapshotIfConfigured(spark: SparkSession, store: TableStore,
+      config: SnapshotConfig.Registry, project: String, bucket: String,
+      table: String, trigger: String)(op: => Unit): Option[String] = {
+    val snap =
+      if (config.shouldSnapshot(project, bucket, table, trigger))
+        Some(create(spark, store, project, bucket, table, kind = "auto").id)
+      else None
+    op
+    snap
   }
 
   /** L4 retention: drop snapshots older than the cutoff (the reference
@@ -60,6 +78,29 @@ object Snapshots {
     val cat = store.catalog
     val stale = cat.listSnapshots().filter(s =>
       java.time.Instant.parse(s.createdAt).isBefore(cutoff))
+    stale.foreach { s =>
+      cat.removeSnapshot(s.id)
+      val dir = cat.root.resolve("snapshots").resolve(s.project).resolve(s.id)
+      if (Files.exists(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.delete(p))
+      }
+    }
+    stale.map(_.id)
+  }
+
+  /** L4 retention resolved through the hierarchical config: each snapshot
+    * expires after its table's effective manual_days/auto_days for its
+    * kind (reference: get_retention_days, src/snapshot_config.py:213-235).
+    * `now` is injectable for deterministic tests. Returns pruned ids. */
+  def pruneExpired(store: TableStore, config: SnapshotConfig.Registry,
+      now: java.time.Instant = java.time.Instant.now): Seq[String] = {
+    val cat = store.catalog
+    val stale = cat.listSnapshots().filter { s =>
+      val days = config.retentionDays(s.project, s.bucket, s.table, s.kind)
+      java.time.Instant.parse(s.createdAt)
+        .plus(java.time.Duration.ofDays(days.toLong)).isBefore(now)
+    }
     stale.foreach { s =>
       cat.removeSnapshot(s.id)
       val dir = cat.root.resolve("snapshots").resolve(s.project).resolve(s.id)

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.{StorageCatalog, Tables, TableStore}
+import graft.engine.snapshot.{SnapshotConfig, Snapshots}
+import graft.engine.snapshot.SnapshotConfig.Settings
+
+/** L4 hierarchical snapshot settings: system -> project -> bucket -> table
+  * resolution, trigger gating on the destructive command handlers, and
+  * kind-aware retention (reference behavior: tests/test_snapshots_e2e.py,
+  * src/snapshot_config.py). */
+class SnapshotConfigSpec extends SparkSpec {
+
+  private def newStore() =
+    new TableStore(spark, new StorageCatalog(Files.createTempDirectory("graft-sc")))
+
+  test("resolution walks system -> project -> bucket -> table with sources") {
+    val reg = new SnapshotConfig.Registry(newStore().catalog)
+    // system defaults
+    val base = reg.resolve("p", Some("b"), Some("t"))
+    assert(base.triggers("drop_table") && !base.triggers("delete_all_rows"))
+    assert(base.manualDays == 90 && base.autoDays == 7 && base.enabled)
+    assert(base.sources("drop_table") == "system")
+    // project layer overrides only what it sets
+    reg.set("p", None, None, Settings(autoDays = Some(3)))
+    // bucket layer flips a trigger
+    reg.set("p", Some("b"), None,
+      Settings(triggers = Map("delete_all_rows" -> true)))
+    // table layer overrides the bucket's trigger back off and retunes manual
+    reg.set("p", Some("b"), Some("t2"),
+      Settings(triggers = Map("delete_all_rows" -> false),
+        manualDays = Some(30)))
+
+    val atBucket = reg.resolve("p", Some("b"), Some("t"))
+    assert(atBucket.autoDays == 3 && atBucket.sources("auto_days") == "project")
+    assert(atBucket.triggers("delete_all_rows"))
+    assert(atBucket.sources("delete_all_rows") == "bucket")
+
+    val atTable = reg.resolve("p", Some("b"), Some("t2"))
+    assert(!atTable.triggers("delete_all_rows"))
+    assert(atTable.sources("delete_all_rows") == "table")
+    assert(atTable.manualDays == 30 && atTable.sources("manual_days") == "table")
+    assert(atTable.manualDays == 30 && atTable.autoDays == 3) // mixed levels
+    // a different bucket sees only the project layer
+    val otherBucket = reg.resolve("p", Some("other"), Some("t"))
+    assert(!otherBucket.triggers("delete_all_rows") && otherBucket.autoDays == 3)
+    // master switch disables everything
+    reg.set("p", Some("b"), Some("t3"), Settings(enabled = Some(false)))
+    assert(!reg.shouldSnapshot("p", "b", "t3", "drop_table"))
+  }
+
+  test("invalid settings are rejected; config survives catalog reload") {
+    val store = newStore()
+    val reg = new SnapshotConfig.Registry(store.catalog)
+    assertThrows[IllegalArgumentException](
+      reg.set("p", None, None, Settings(triggers = Map("bogus" -> true))))
+    assertThrows[IllegalArgumentException](
+      reg.set("p", None, None, Settings(manualDays = Some(0))))
+    assertThrows[IllegalArgumentException](
+      reg.set("p", None, None, Settings(autoDays = Some(4000))))
+    reg.set("p", None, None, Settings(autoDays = Some(14)))
+    val reloaded = new StorageCatalog(store.catalog.root)
+    reloaded.reload()
+    assert(new SnapshotConfig.Registry(reloaded).resolve("p").autoDays == 14)
+  }
+
+  test("destructive handlers auto-snapshot per the effective config") {
+    val store = newStore()
+    val api = new graft.api.StorageApi.Handler(spark, store)
+    val region = Tables.df(spark, sfDir, "region")
+    def mk(t: String) = {
+      store.createTable("p", "b", t, region.schema)
+      store.overwrite("p", "b", t, region)
+    }
+    def snapsOf(t: String) =
+      store.catalog.listSnapshots().filter(s => s.table == t)
+
+    // drop_table triggers by default (system config), kind=auto
+    mk("t1")
+    api.execute(graft.api.StorageApi.DropTable("p", "b", "t1"))
+    assert(snapsOf("t1").map(_.kind) == Seq("auto"))
+
+    // delete-all does NOT trigger by default...
+    mk("t2")
+    api.execute(graft.api.StorageApi.DeleteRows("p", "b", "t2", Nil))
+    assert(snapsOf("t2").isEmpty)
+    assert(store.read("p", "b", "t2").count() == 0)
+    // ...until enabled at some level of the hierarchy
+    api.snapshotConfig.set("p", Some("b"), None,
+      Settings(triggers = Map("delete_all_rows" -> true, "drop_column" -> true)))
+    mk("t3")
+    api.execute(graft.api.StorageApi.DeleteRows("p", "b", "t3", Nil))
+    assert(snapsOf("t3").map(_.kind) == Seq("auto"))
+
+    // drop_column snapshots BEFORE the column disappears
+    mk("t4")
+    api.execute(graft.api.StorageApi.AlterTable("p", "b", "t4",
+      Seq(graft.api.StorageApi.DropColumn("r_name"))))
+    val snap = snapsOf("t4").head
+    assert(snap.kind == "auto" && snap.schemaDdl.contains("r_name"))
+    assert(!store.read("p", "b", "t4").columns.contains("r_name"))
+  }
+
+  test("retention prunes by kind: auto expires before manual") {
+    val store = newStore()
+    val reg = new SnapshotConfig.Registry(store.catalog)
+    val region = Tables.df(spark, sfDir, "region")
+    store.createTable("p", "b", "r", region.schema)
+    store.overwrite("p", "b", "r", region)
+    val manual = Snapshots.create(spark, store, "p", "b", "r", kind = "manual")
+    val auto = Snapshots.create(spark, store, "p", "b", "r", kind = "auto")
+    val t0 = java.time.Instant.parse(manual.createdAt)
+    // at +8 days: auto (7 d) expired, manual (90 d) alive
+    val pruned = Snapshots.pruneExpired(store, reg,
+      t0.plus(java.time.Duration.ofDays(8)))
+    assert(pruned == Seq(auto.id))
+    assert(store.catalog.getSnapshot(manual.id).isDefined)
+    // a table-level auto_days override extends the auto window
+    val auto2 = Snapshots.create(spark, store, "p", "b", "r", kind = "auto")
+    reg.set("p", Some("b"), Some("r"), Settings(autoDays = Some(30)))
+    assert(Snapshots.pruneExpired(store, reg,
+      t0.plus(java.time.Duration.ofDays(8))).isEmpty)
+    assert(store.catalog.getSnapshot(auto2.id).isDefined)
+    // at +91 days everything is expired
+    val all = Snapshots.pruneExpired(store, reg,
+      t0.plus(java.time.Duration.ofDays(91)))
+    assert(all.toSet == Set(manual.id, auto2.id))
+  }
+}

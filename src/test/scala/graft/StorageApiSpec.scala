@@ -16,6 +16,33 @@ import graft.engine.query.FilterAlgebra.{Op, WhereFilter}
   * tests/test_workflows_e2e.py. */
 class StorageApiSpec extends SparkSpec {
 
+  test("project and branch stats roll up counts and physical bytes") {
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-stats")))
+    val api = new StorageApi.Handler(spark, store)
+    val region = Tables.df(spark, sfDir, "region")
+    val nation = Tables.df(spark, sfDir, "nation")
+    for ((b, t, df) <- Seq(("b1", "r", region), ("b1", "n", nation),
+        ("b2", "n2", nation))) {
+      store.createTable("p", b, t, df.schema)
+      store.overwrite("p", b, t, df)
+    }
+    val Stats(buckets, tables, bytes) = api.execute(ProjectStats("p"))
+    assert(buckets == 2 && tables == 3)
+    assert(bytes == Seq(("b1", "r"), ("b1", "n"), ("b2", "n2"))
+      .map { case (b, t) => store.dataSize("p", b, t) }.sum)
+    // empty project
+    assert(api.execute(ProjectStats("nope")) == Stats(0, 0, 0L))
+    // un-written CoW branch copy: counted, but zero physical bytes
+    store.copyOnWriteToBranch("p", "dev", "b1", "r")
+    val Stats(bb, bt, bbytes) = api.execute(ProjectStats("p", Some("dev")))
+    assert(bb == 1 && bt == 1 && bbytes == 0L)
+    // after a branch write the copy has a real footprint
+    store.writeToBranch("p", "dev", "b1", "n", nation.limit(3))
+    val Stats(bb2, bt2, bbytes2) = api.execute(ProjectStats("p", Some("dev")))
+    assert(bb2 == 1 && bt2 == 2 && bbytes2 > 0L)
+  }
+
   test("full table lifecycle through the command registry") {
     val store = new TableStore(spark,
       new StorageCatalog(Files.createTempDirectory("graft-api")))
