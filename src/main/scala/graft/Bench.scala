@@ -19,8 +19,8 @@ object Bench {
     "c1_import_export_roundtrip", "c3_schema_evolution", "c6_add_primary_key",
     "l1_snapshot_restore", "l2_branch_lifecycle", "d11_workspace_load",
     "s2_csv_infer_gzip", "d3_append",
-    // rows-only checks (not part of the oracle surface)
-    "x4_simhash_pairs", "x6_ann_lsh")
+    // rows-only check (recall<1 ANN, not part of the oracle surface)
+    "x6_ann_lsh")
 
   def main(args: Array[String]): Unit = {
     // sampled FIRST: 1-min load average before any of our own Spark work

@@ -90,11 +90,43 @@ object PipelineQueries {
       Some(jaccardPairsSql(0.5))),
 
     // SimHash banded near-dup candidates (hash-defined output: rows-only)
+    // Oracle-checkable: the md5-digit simhash is engine-neutral and the
+    // 8-band/8-bit layout has recall 1.0 for hamming<=6 (pigeonhole), so
+    // the banded Spark result equals DuckDB's all-pairs hamming filter.
     Q("x4_simhash_pairs",
       (s, dir) => TextDedup.simHashPairs(
           Tables.df(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
         .orderBy("a_id", "b_id"),
-      None),
+      Some("""WITH tok AS (
+             |  SELECT doc_id AS id, w, COUNT(*)::BIGINT AS wt
+             |  FROM (SELECT doc_id,
+             |          unnest(string_split_regex(trim(text), ' +')) AS w
+             |        FROM documents)
+             |  GROUP BY 1, 2
+             |), contrib AS (
+             |  SELECT id, bb.bit AS bit,
+             |    CASE WHEN
+             |      ((strpos('0123456789abcdef',
+             |          substring(md5(w), CAST(floor(bit / 4) AS INT) + 1, 1)) - 1
+             |        >> (bit % 4)) & 1) = 1
+             |      THEN wt ELSE -wt END AS c
+             |  FROM tok, (SELECT unnest(range(0, 64)) AS bit) bb
+             |), bits AS (
+             |  SELECT id, bit, SUM(c) AS v FROM contrib GROUP BY 1, 2
+             |), sh AS (
+             |  SELECT id,
+             |    SUM(CASE WHEN v > 0 AND bit < 32
+             |        THEN (1::BIGINT << bit) ELSE 0 END) AS lo,
+             |    SUM(CASE WHEN v > 0 AND bit >= 32
+             |        THEN (1::BIGINT << (bit - 32)) ELSE 0 END) AS hi
+             |  FROM bits GROUP BY 1
+             |)
+             |SELECT a.id AS a_id, b.id AS b_id,
+             |  (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::BIGINT
+             |    AS hamming
+             |FROM sh a JOIN sh b ON a.id < b.id
+             |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
+             |ORDER BY a_id, b_id""".stripMargin)),
 
     // brute-force cosine top-k (exact ANN baseline)
     Q("x5_knn_cosine",

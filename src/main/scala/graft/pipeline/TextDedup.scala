@@ -153,16 +153,25 @@ object TextDedup {
   }
 
   /** 64-bit SimHash per document from word tokens (weight = token count).
-    * Output: (id, simhash bits as 64-char '0'/'1' string). */
+    * Output: (id, simhash bits as 64-char '0'/'1' string).
+    *
+    * The per-token hash is built from md5 hex digits (bit b = bit b%4 of
+    * hex digit b/4): md5 is bit-identical across engines, which makes the
+    * whole simhash — and therefore the verified pair set — differentially
+    * testable against another SQL engine, unlike engine-private hashes. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = df
       .select(col(idCol).as("id"),
         explode(expr(s"split(trim($textCol), ' +')")).as("w"))
       .groupBy("id", "w").agg(count(lit(1)).as("wt"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("hx", md5(col("w")))
     // contribution of each token to each of the 64 bit positions
     val contrib = tokens.select(col("id"), posexplode(expr(
-      "transform(sequence(0, 63), b -> CASE WHEN (shiftright(h, b) & 1) = 1 THEN wt ELSE -wt END)")))
+      """transform(sequence(0, 63), b -> CASE WHEN
+        |  (shiftright(instr('0123456789abcdef',
+        |     substring(hx, CAST(floor(b / 4) AS INT) + 1, 1)) - 1,
+        |   b % 4) & 1) = 1
+        |  THEN wt ELSE -wt END)""".stripMargin)))
       .toDF("id", "bit", "c")
     contrib.groupBy("id", "bit").agg(sum("c").as("v"))
       .groupBy("id")
@@ -174,9 +183,17 @@ object TextDedup {
 
   /** SimHash near-dup candidate pairs: band the 64 bits into `bands`
     * equal slices, join on any identical slice, then verify true hamming
-    * distance <= maxHamming. */
+    * distance <= maxHamming.
+    *
+    * With `maxHamming < bands`, recall is exactly 1.0 by pigeonhole
+    * (<= maxHamming differing bits cannot touch every band, so some band
+    * matches verbatim and the pair is a candidate) — the banded result
+    * EQUALS the all-pairs hamming filter, which is what the differential
+    * oracle computes. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, bands: Int = 8): DataFrame = {
+    require(maxHamming < bands,
+      s"recall-1.0 banding needs maxHamming < bands ($maxHamming >= $bands)")
     val sigs = simHash(df, idCol, textCol).cache()
     val width = 64 / bands
     val banded = sigs.select(col("id"), col("simhash"),
