@@ -60,6 +60,8 @@ final class WorkspaceManager(
 
   def close(id: String): Boolean = sessions.remove(id) != null
 
+  def get(id: String): Option[WsSession] = Option(sessions.get(id))
+
   /** Drop sessions idle past the timeout (the reference's 1 h reaper). */
   def reapIdle(nowMs: Long = System.currentTimeMillis()): Int = {
     val dead = sessions.values.asScala

@@ -1,0 +1,36 @@
+package graft.server
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{StorageCatalog, TableStore}
+
+/** Launchable network endpoint: `runMain graft.server.ServeMain <dataRoot>
+  * [port]` (env: GRAFT_API_KEY for auth, GRAFT_CPUS for parallelism).
+  * Reloads the catalog from dataRoot and serves the workspace SQL surface
+  * until interrupted — the reference's `python -m src.pgwire_server`
+  * equivalent. */
+object ServeMain {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ServeMain <dataRoot> [port]")
+    val root = Paths.get(args(0))
+    val port = if (args.length > 1) args(1).toInt else 8765
+    val cpus = sys.env.getOrElse("GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-sql-server")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val catalog = new StorageCatalog(root)
+    catalog.reload()
+    val server = new SqlHttpServer(spark, new TableStore(spark, catalog),
+      port, sys.env.get("GRAFT_API_KEY")).start()
+    println(s"graft sql server listening on :${server.boundPort} (root=$root)")
+    Thread.currentThread().join() // serve until interrupted
+  }
+}

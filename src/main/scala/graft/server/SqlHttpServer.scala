@@ -1,0 +1,199 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.TableStore
+import graft.engine.workspace.{Workspace, WorkspaceManager}
+
+/** Q2: the network query surface — workspace SQL reachable from OUTSIDE
+  * the JVM.
+  *
+  * The reference exposes workspaces over PG-wire with per-connection
+  * auth, statement timeout and connection limits
+  * (reference: src/pgwire_server.py:64-330, limits src/config.py:75-79).
+  * Speaking the Postgres binary protocol is transport plumbing, not query
+  * semantics; this server keeps the reference's SEMANTICS — sessions,
+  * mounted `{bucket}_{table}` views, statement timeout, connection caps,
+  * API-key auth, capped result fetch — over HTTP/JSON + Arrow IPC, using
+  * only the JDK's built-in server (no new dependencies). Arrow responses
+  * are the ADR-011 result-fetch format; JSON is the debug/CLI format.
+  *
+  * Surface:
+  *   GET  /health                          -> {"status":"ok"}
+  *   POST /sessions        {project, buckets[], workspace, branch?}
+  *                                         -> {"sessionId": "..."}
+  *   POST /sessions/{id}/query  {sql, timeoutSeconds?, maxRows?}
+  *        Accept: application/json (default) or
+  *                application/vnd.apache.arrow.stream
+  *   GET  /sessions/{id}/objects           -> {"objects": [...]}
+  *   POST /sessions/{id}/load   {bucket, table, dest, columns?, where?, limit?}
+  *   DELETE /sessions/{id}
+  *
+  * All engine-side governance (session caps, idle reaping, workspace size
+  * limits, plan-level row caps, timeout via job-group cancellation) lives
+  * in WorkspaceManager/Workspace — the server is a thin transport. */
+final class SqlHttpServer(
+    spark: SparkSession,
+    store: TableStore,
+    port: Int = 0,
+    apiKey: Option[String] = None,
+    manager: Option[WorkspaceManager] = None) {
+
+  private val om = new ObjectMapper()
+  private val mgr = manager.getOrElse(new WorkspaceManager(spark, store))
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // requests run on a small pool; Spark parallelism is inside the jobs
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+
+  def boundPort: Int = server.getAddress.getPort
+
+  // --------------------------------------------------------- handlers
+
+  server.createContext("/health", (ex: HttpExchange) => handle(ex) {
+    respondJson(ex, 200, """{"status":"ok"}""")
+  })
+
+  server.createContext("/sessions", (ex: HttpExchange) => handle(ex) {
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    (ex.getRequestMethod, path.split("/").drop(2).toList) match {
+      case ("POST", Nil) => // open session
+        val body = om.readTree(ex.getRequestBody.readAllBytes())
+        val project = reqField(body, "project")
+        val workspace = reqField(body, "workspace")
+        val buckets = Option(body.get("buckets")).map(b =>
+          (0 until b.size()).map(b.get(_).asText)).getOrElse(Seq.empty)
+        val branch = Option(body.get("branch")).map(_.asText)
+        val ws = mgr.open(project, buckets, workspace, branch)
+        respondJson(ex, 200, s"""{"sessionId":"${ws.id}"}""")
+      case ("DELETE", id :: Nil) =>
+        if (mgr.close(id)) respondJson(ex, 200, """{"closed":true}""")
+        else respondJson(ex, 404, """{"error":"no such session"}""")
+      case ("GET", id :: "objects" :: Nil) =>
+        withSession(ex, id) { ws =>
+          val names = Workspace.listObjects(ws.session)
+          val arr = om.createObjectNode()
+          val a = arr.putArray("objects"); names.foreach(a.add)
+          respondJson(ex, 200, om.writeValueAsString(arr))
+        }
+      case ("POST", id :: "query" :: Nil) =>
+        withSession(ex, id) { ws =>
+          val body = om.readTree(ex.getRequestBody.readAllBytes())
+          val sql = reqField(body, "sql")
+          val timeout = Option(body.get("timeoutSeconds")).map(_.asInt)
+            .getOrElse(300)
+          val maxRows = Option(body.get("maxRows")).map(_.asInt)
+            .getOrElse(Workspace.ExecuteQueryMaxRows)
+          ws.touch()
+          val wantsArrow = Option(ex.getRequestHeaders.getFirst("Accept"))
+            .exists(_.contains("application/vnd.apache.arrow.stream"))
+          if (wantsArrow) {
+            // Arrow IPC result fetch (ADR-011): capped in the plan, then
+            // serialized from the already-bounded local rows
+            val (rows, schema) =
+              Workspace.executeQueryWithSchema(ws.session, sql, timeout, maxRows)
+            val list = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length)
+            rows.foreach(list.add)
+            val bytes = graft.engine.query.ArrowExport.toIpcBytes(
+              ws.session.createDataFrame(list, schema))
+            ex.getResponseHeaders.set("Content-Type",
+              "application/vnd.apache.arrow.stream")
+            ex.sendResponseHeaders(200, bytes.length.toLong)
+            ex.getResponseBody.write(bytes)
+          } else {
+            val (rows, schema) =
+              Workspace.executeQueryWithSchema(ws.session, sql, timeout, maxRows)
+            val root = om.createObjectNode()
+            val cols = root.putArray("columns")
+            schema.fieldNames.foreach(cols.add)
+            val data = root.putArray("rows")
+            rows.foreach { r =>
+              val jr = data.addArray()
+              (0 until r.length).foreach { i =>
+                r.get(i) match {
+                  case null                => jr.addNull()
+                  case b: java.lang.Boolean => jr.add(b.booleanValue())
+                  case n: java.lang.Integer => jr.add(n.intValue())
+                  case n: java.lang.Long    => jr.add(n.longValue())
+                  case n: java.lang.Double  => jr.add(n.doubleValue())
+                  case n: java.lang.Float   => jr.add(n.floatValue())
+                  case n: java.math.BigDecimal => jr.add(n)
+                  case other               => jr.add(other.toString)
+                }
+              }
+            }
+            root.put("rowCount", rows.length)
+            respondJson(ex, 200, om.writeValueAsString(root))
+          }
+        }
+      case ("POST", id :: "load" :: Nil) =>
+        withSession(ex, id) { ws =>
+          val body = om.readTree(ex.getRequestBody.readAllBytes())
+          val columns = Option(body.get("columns")).map(c =>
+            (0 until c.size()).map(c.get(_).asText)).getOrElse(Seq.empty)
+          mgr.loadTable(ws, reqField(body, "project"),
+            reqField(body, "bucket"), reqField(body, "table"),
+            reqField(body, "dest"), columns,
+            Option(body.get("where")).map(_.asText),
+            Option(body.get("limit")).map(_.asInt),
+            Option(body.get("branch")).map(_.asText))
+          respondJson(ex, 200, """{"loaded":true}""")
+        }
+      case _ => respondJson(ex, 404, """{"error":"not found"}""")
+    }
+  })
+
+  def start(): SqlHttpServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+
+  // ---------------------------------------------------------- plumbing
+
+  /** Auth + error envelope around every handler (the reference returns
+    * 401 on bad keys, 408 on statement timeout, 429 on exhausted
+    * connection limits — pgwire_server.py auth/timeout paths). */
+  private def handle(ex: HttpExchange)(body: => Unit): Unit =
+    try {
+      val authed = apiKey.forall { k =>
+        Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .contains(s"Bearer $k")
+      }
+      if (!authed) respondJson(ex, 401, """{"error":"unauthorized"}""")
+      else body
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        respondJson(ex, 408, """{"error":"statement timeout"}""")
+      case e: IllegalStateException => // connection/size limits
+        respondJson(ex, 429, errJson(e))
+      case e: Exception =>
+        respondJson(ex, 400, errJson(e))
+    } finally ex.close()
+
+  private def withSession(ex: HttpExchange, id: String)(
+      body: mgr.WsSession => Unit): Unit =
+    mgr.get(id) match {
+      case Some(ws) => body(ws)
+      case None     => respondJson(ex, 404, """{"error":"no such session"}""")
+    }
+
+  private def reqField(n: JsonNode, name: String): String =
+    Option(n.get(name)).map(_.asText)
+      .getOrElse(throw new IllegalArgumentException(s"missing field: $name"))
+
+  private def errJson(e: Exception): String = {
+    val n = om.createObjectNode()
+    n.put("error", Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+    om.writeValueAsString(n)
+  }
+
+  private def respondJson(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.core.{StorageCatalog, Tables, TableStore}
+import graft.server.SqlHttpServer
+
+/** Q2 network surface: the engine reachable from outside the JVM over
+  * HTTP/JSON + Arrow, with the reference's session/auth/timeout/cap
+  * semantics enforced engine-side. */
+class SqlHttpServerSpec extends SparkSpec {
+
+  private val om = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+
+  private def post(url: String, body: String, headers: (String, String)*) = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+  }
+  private def get(url: String, headers: (String, String)*) = {
+    val b = HttpRequest.newBuilder(URI.create(url)).GET()
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+  }
+
+  private def fixture() = {
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-http")))
+    val nation = Tables.df(spark, sfDir, "nation")
+    store.createTable("p", "geo", "nation", nation.schema)
+    store.overwrite("p", "geo", "nation", nation)
+    store
+  }
+
+  test("sessions, query, objects, load and close over HTTP") {
+    val server = new SqlHttpServer(spark, fixture()).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    try {
+      assert(new String(get(s"$base/health").body()).contains("ok"))
+      val open = post(s"$base/sessions",
+        """{"project":"p","buckets":["geo"],"workspace":"w1"}""")
+      assert(open.statusCode() == 200)
+      val sid = om.readTree(open.body()).get("sessionId").asText
+      // query over the mounted view
+      val q = post(s"$base/sessions/$sid/query",
+        """{"sql":"SELECT n_nationkey, n_name FROM geo_nation ORDER BY n_nationkey LIMIT 3"}""")
+      assert(q.statusCode() == 200)
+      val qr = om.readTree(q.body())
+      assert(qr.get("rowCount").asInt == 3)
+      assert(qr.get("columns").get(0).asText == "n_nationkey")
+      assert(qr.get("rows").get(0).get(0).asInt == 0)
+      // load a filtered CTAS, see it in objects
+      val ld = post(s"$base/sessions/$sid/load",
+        """{"project":"p","bucket":"geo","table":"nation","dest":"small","limit":5}""")
+      assert(ld.statusCode() == 200)
+      val objs = new String(get(s"$base/sessions/$sid/objects").body())
+      assert(objs.contains("geo_nation") && objs.contains("small"))
+      // maxRows caps in the plan
+      val capped = post(s"$base/sessions/$sid/query",
+        """{"sql":"SELECT * FROM geo_nation","maxRows":4}""")
+      assert(om.readTree(capped.body()).get("rowCount").asInt == 4)
+      // close, then the session is gone
+      val del = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/sessions/$sid")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode() == 200)
+      assert(post(s"$base/sessions/$sid/query",
+        """{"sql":"SELECT 1"}""").statusCode() == 404)
+    } finally server.stop()
+  }
+
+  test("arrow content negotiation round-trips typed results") {
+    val server = new SqlHttpServer(spark, fixture()).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    try {
+      val sid = om.readTree(post(s"$base/sessions",
+        """{"project":"p","buckets":["geo"],"workspace":"w1"}""").body())
+        .get("sessionId").asText
+      val resp = post(s"$base/sessions/$sid/query",
+        """{"sql":"SELECT n_nationkey, n_name FROM geo_nation ORDER BY n_nationkey"}""",
+        "Accept" -> "application/vnd.apache.arrow.stream")
+      assert(resp.statusCode() == 200)
+      assert(resp.headers().firstValue("Content-Type").get
+        .contains("arrow"))
+      val back = graft.engine.query.ArrowExport
+        .fromIpcBytes(spark, resp.body()).orderBy("n_nationkey")
+      assert(back.count() == 25)
+      assert(back.columns.toSeq == Seq("n_nationkey", "n_name"))
+    } finally server.stop()
+  }
+
+  test("auth, bad SQL, timeouts and connection caps map to HTTP codes") {
+    val store = fixture()
+    val mgr = new graft.engine.workspace.WorkspaceManager(spark, store,
+      maxTotalSessions = 1)
+    val server = new SqlHttpServer(spark, store,
+      apiKey = Some("sekrit"), manager = Some(mgr)).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    try {
+      // 401 without the key
+      assert(post(s"$base/sessions", """{"project":"p","buckets":["geo"],"workspace":"w"}""")
+        .statusCode() == 401)
+      val auth = "Authorization" -> "Bearer sekrit"
+      val sid = om.readTree(post(s"$base/sessions",
+        """{"project":"p","buckets":["geo"],"workspace":"w"}""", auth).body())
+        .get("sessionId").asText
+      // 429 when the connection cap is exhausted
+      assert(post(s"$base/sessions",
+        """{"project":"p","buckets":["geo"],"workspace":"w"}""", auth)
+        .statusCode() == 429)
+      // 400 on analysis errors
+      assert(post(s"$base/sessions/$sid/query",
+        """{"sql":"SELECT nope FROM geo_nation"}""", auth).statusCode() == 400)
+      // 408 on statement timeout (pathological cross join, 1s budget)
+      val slow = post(s"$base/sessions/$sid/query",
+        """{"sql":"SELECT COUNT(*) FROM geo_nation a, geo_nation b, geo_nation c, geo_nation d, geo_nation e, geo_nation f WHERE a.n_nationkey + b.n_nationkey + c.n_nationkey + d.n_nationkey + e.n_nationkey + f.n_nationkey > 0","timeoutSeconds":1}""",
+        auth)
+      assert(slow.statusCode() == 408)
+    } finally server.stop()
+  }
+}
