@@ -35,6 +35,16 @@ object StorageApi {
     * reference's TableImportCommand file path,
     * src/grpc/handlers/import_export.py:60-140). `.parquet` sources read
     * as parquet; everything else as CSV with `csv` options. */
+  /** S11 integration: import a REGISTERED file by its id — the
+    * reference's staged-file import flow (imports reference file ids
+    * minted by the Files API, src/routers/files.py:340-500). */
+  final case class ImportStagedFile(project: String, bucket: String,
+      table: String, fileId: String,
+      csv: ImportPipeline.CsvOptions = ImportPipeline.CsvOptions(),
+      useTableSchema: Boolean = true,
+      incremental: Boolean = false,
+      dedupMode: DedupMode = DedupMode.UpdateDuplicates,
+      stampTimestamp: Boolean = false) extends Command
   final case class ImportFromUrl(project: String, bucket: String, table: String,
       provider: graft.engine.imp.RemoteIO.Provider, root: String,
       path: String = "", fileName: String = "",
@@ -100,6 +110,9 @@ object StorageApi {
       * triggers on the destructive handlers below. */
     val snapshotConfig = new graft.engine.snapshot.SnapshotConfig.Registry(store.catalog)
 
+    /** Files API registry (S11) — staged-file imports resolve here. */
+    val files = new graft.engine.files.FileStore(store.catalog)
+
     private def withTrigger(p: String, b: String, t: String, trigger: String)(
         op: => Unit): Unit =
       Snapshots.autoSnapshotIfConfigured(
@@ -138,6 +151,17 @@ object StorageApi {
             store.append(p, b, t, staging)
         }
         Count(store.read(p, b, t).count())
+
+      case ImportStagedFile(p, b, t, fileId, csv, useTableSchema,
+          incremental, mode, stamp) =>
+        val f = files.get(p, fileId).getOrElse(
+          throw new NoSuchElementException(s"no such file: $p/$fileId"))
+        val path = files.pathOf(f).toString
+        val staging =
+          if (path.endsWith(".parquet")) spark.read.parquet(path)
+          else ImportPipeline.readCsv(spark, path, csv,
+            if (useTableSchema) Some(store.schemaOf(p, b, t)) else None)
+        execute(ImportData(p, b, t, staging, incremental, mode, stamp))
 
       case ImportFromUrl(p, b, t, provider, root, path, fileName, creds,
           csv, useTableSchema, incremental, mode, stamp) =>

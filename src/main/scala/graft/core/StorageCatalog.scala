@@ -150,6 +150,8 @@ final class StorageCatalog(val root: Path) {
   }
   def getSetting(key: String): Option[String] = settings.get(key)
   def removeSetting(key: String): Unit = { settings.remove(key); persist() }
+  def settingsWithPrefix(prefix: String): Map[String, String] =
+    settings.toMap.filter(_._1.startsWith(prefix))
 
   // ---------------------------------------------------- path resolution
 

@@ -1,0 +1,189 @@
+package graft.engine.files
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.security.MessageDigest
+import java.time.Instant
+import java.util.UUID
+
+import scala.collection.concurrent.TrieMap
+
+import graft.core.StorageCatalog
+
+/** S11: the Files API store — the reference's ingestion front door
+  * (reference: src/routers/files.py:98-720).
+  *
+  * 3-stage upload workflow (files.py:110-184 docstring):
+  *   1. PREPARE  — returns an upload key; the session expires in 24 h
+  *   2. UPLOAD   — bytes land in `staging/`
+  *   3. REGISTER — file moves to `permanent/{fileId}/`, gets a sha256 and
+  *                 a catalog record; imports can then reference the id
+  *
+  * File records persist in the storage catalog (the reference keeps them
+  * in metadata.duckdb), so the registry survives restarts. Layout under
+  * the catalog root:
+  *   files/{project}/staging/{uploadKey}           — in-flight uploads
+  *   files/{project}/permanent/{fileId}/{name}     — registered objects
+  */
+final class FileStore(
+    val catalog: StorageCatalog,
+    maxFileSizeBytes: Long = 2L << 30,     // files.py MAX_FILE_SIZE_BYTES
+    stagingTtlHours: Int = 24) {           // files.py STAGING_TTL_HOURS
+
+  final case class UploadSession(
+      key: String, project: String, filename: String, contentType: String,
+      createdAt: Instant, expiresAt: Instant,
+      stagingPath: Option[Path] = None)
+
+  final case class FileInfo(
+      id: String, project: String, name: String, sizeBytes: Long,
+      sha256: String, contentType: String, tags: Seq[String],
+      createdAt: String, relPath: String)
+
+  // upload sessions are transient (the reference holds them in-process too)
+  private val sessions = TrieMap.empty[String, UploadSession]
+
+  private def projectDir(project: String): Path =
+    catalog.root.resolve("files").resolve(project)
+
+  // ------------------------------------------------------------- stages
+
+  /** Stage 1: PREPARE (files.py:110-184). */
+  def prepare(project: String, filename: String,
+      contentType: String = "application/octet-stream",
+      sizeBytes: Option[Long] = None,
+      now: Instant = Instant.now): UploadSession = {
+    // S3-style keys may contain '/' path segments; only traversal out of
+    // the object dir is forbidden
+    require(filename.nonEmpty && !filename.startsWith("/") &&
+      !filename.split("/").contains("..") && !filename.contains("\\"),
+      s"invalid filename: $filename")
+    sizeBytes.foreach(s => require(s <= maxFileSizeBytes,
+      s"file_too_large: $s > $maxFileSizeBytes bytes"))
+    val s = UploadSession(UUID.randomUUID().toString, project, filename,
+      contentType, now, now.plusSeconds(stagingTtlHours.toLong * 3600))
+    sessions.put(s.key, s)
+    s
+  }
+
+  /** Stage 2: UPLOAD to staging (files.py:197-339). */
+  def upload(uploadKey: String, bytes: Array[Byte],
+      now: Instant = Instant.now): UploadSession = {
+    val s = sessions.getOrElse(uploadKey,
+      throw new NoSuchElementException(s"upload_session_not_found: $uploadKey"))
+    require(now.isBefore(s.expiresAt), s"upload session expired: $uploadKey")
+    require(bytes.length.toLong <= maxFileSizeBytes,
+      s"file_too_large: ${bytes.length} > $maxFileSizeBytes bytes")
+    val staging = projectDir(s.project).resolve("staging").resolve(uploadKey)
+    Files.createDirectories(staging.getParent)
+    Files.write(staging, bytes)
+    val updated = s.copy(stagingPath = Some(staging))
+    sessions.put(uploadKey, updated)
+    updated
+  }
+
+  /** Stage 3: REGISTER — staging -> permanent + catalog record
+    * (files.py:353-500). */
+  def register(uploadKey: String, tags: Seq[String] = Nil): FileInfo = {
+    val s = sessions.getOrElse(uploadKey,
+      throw new NoSuchElementException(s"upload_session_not_found: $uploadKey"))
+    val staging = s.stagingPath
+      .getOrElse(throw new IllegalStateException(s"file_not_uploaded: $uploadKey"))
+    require(Files.exists(staging), s"staging file missing: $uploadKey")
+    val id = UUID.randomUUID().toString
+    val dest = projectDir(s.project).resolve("permanent").resolve(id)
+      .resolve(s.filename)
+    Files.createDirectories(dest.getParent)
+    Files.move(staging, dest, StandardCopyOption.ATOMIC_MOVE)
+    sessions.remove(uploadKey)
+    val info = FileInfo(id, s.project, s.filename, Files.size(dest),
+      sha256Of(dest), s.contentType, tags, Instant.now.toString,
+      catalog.root.relativize(dest.toAbsolutePath.normalize).toString)
+    catalog.putSetting(recordKey(s.project, id), toJson(info))
+    info
+  }
+
+  /** One-shot PUT (the S3-compatible write path, s3_compat.py:704-795):
+    * prepare+upload+register collapsed, keyed by object name. Replaces an
+    * existing object of the same name, like S3 PUT does. */
+  def putObject(project: String, name: String, bytes: Array[Byte],
+      contentType: String = "application/octet-stream"): FileInfo = {
+    byName(project, name).foreach(f => delete(f.project, f.id))
+    val s = prepare(project, name, contentType, Some(bytes.length.toLong))
+    upload(s.key, bytes)
+    register(s.key)
+  }
+
+  // ------------------------------------------------------------ queries
+
+  def list(project: String): Seq[FileInfo] =
+    catalog.settingsWithPrefix(s"file/$project/").values.map(fromJson)
+      .toSeq.sortBy(_.name)
+
+  def get(project: String, id: String): Option[FileInfo] =
+    catalog.getSetting(recordKey(project, id)).map(fromJson)
+
+  def byName(project: String, name: String): Option[FileInfo] =
+    list(project).find(_.name == name)
+
+  def pathOf(info: FileInfo): Path = catalog.root.resolve(info.relPath)
+
+  def delete(project: String, id: String): Boolean =
+    get(project, id) match {
+      case None => false
+      case Some(info) =>
+        catalog.removeSetting(recordKey(project, id))
+        val dir = pathOf(info).getParent
+        if (Files.exists(dir)) {
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(p => Files.delete(p))
+        }
+        true
+    }
+
+  /** Reap expired upload sessions + their staging leftovers (the 24 h TTL,
+    * files.py:122 "expires after 24 hours if not completed"). */
+  def expireSessions(now: Instant = Instant.now): Int = {
+    val dead = sessions.values.filter(s => !now.isBefore(s.expiresAt)).toList
+    dead.foreach { s =>
+      sessions.remove(s.key)
+      s.stagingPath.foreach(Files.deleteIfExists(_))
+    }
+    dead.size
+  }
+
+  // ------------------------------------------------------------ helpers
+
+  private def recordKey(project: String, id: String) = s"file/$project/$id"
+
+  private def sha256Of(p: Path): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val in = Files.newInputStream(p)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def toJson(f: FileInfo): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = om.createObjectNode()
+    n.put("id", f.id); n.put("project", f.project); n.put("name", f.name)
+    n.put("sizeBytes", f.sizeBytes); n.put("sha256", f.sha256)
+    n.put("contentType", f.contentType)
+    val t = n.putArray("tags"); f.tags.foreach(t.add)
+    n.put("createdAt", f.createdAt); n.put("relPath", f.relPath)
+    om.writeValueAsString(n)
+  }
+
+  private def fromJson(json: String): FileInfo = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = om.readTree(json)
+    FileInfo(n.get("id").asText, n.get("project").asText,
+      n.get("name").asText, n.get("sizeBytes").asLong,
+      n.get("sha256").asText, n.get("contentType").asText,
+      (0 until n.get("tags").size()).map(n.get("tags").get(_).asText),
+      n.get("createdAt").asText, n.get("relPath").asText)
+  }
+}

@@ -2,6 +2,7 @@ package graft.server
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
+import java.nio.file.Files
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
@@ -43,10 +44,20 @@ final class SqlHttpServer(
     store: TableStore,
     port: Int = 0,
     apiKey: Option[String] = None,
-    manager: Option[WorkspaceManager] = None) {
+    manager: Option[WorkspaceManager] = None,
+    fileStore: Option[graft.engine.files.FileStore] = None) {
 
   private val om = new ObjectMapper()
   private val mgr = manager.getOrElse(new WorkspaceManager(spark, store))
+  val files: graft.engine.files.FileStore =
+    fileStore.getOrElse(new graft.engine.files.FileStore(store.catalog))
+  /** HMAC secret for presigned URLs (the reference derives one per
+    * deployment, s3_compat.py:169-215). */
+  private val signingKey: Array[Byte] = {
+    val seed = apiKey.getOrElse(java.util.UUID.randomUUID().toString)
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"graft-presign:$seed".getBytes(StandardCharsets.UTF_8))
+  }
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // requests run on a small pool; Spark parallelism is inside the jobs
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
@@ -148,6 +159,132 @@ final class SqlHttpServer(
     }
   })
 
+  // S11: Files API — the reference's 3-stage upload front door
+  // (src/routers/files.py:98-720) over the same transport:
+  //   POST /projects/{p}/files/prepare {filename, contentType?, sizeBytes?}
+  //   PUT  /projects/{p}/files/upload/{uploadKey}   (raw body)
+  //   POST /projects/{p}/files {uploadKey, tags?}   (register)
+  //   GET  /projects/{p}/files            GET /projects/{p}/files/{id}
+  //   GET  /projects/{p}/files/{id}/download        DELETE /projects/{p}/files/{id}
+  server.createContext("/projects", (ex: HttpExchange) => handle(ex) {
+    val segs = ex.getRequestURI.getPath.stripSuffix("/").split("/").drop(1).toList
+    (ex.getRequestMethod, segs) match {
+      case ("POST", "projects" :: p :: "files" :: "prepare" :: Nil) =>
+        val body = om.readTree(ex.getRequestBody.readAllBytes())
+        val s = files.prepare(p, reqField(body, "filename"),
+          Option(body.get("contentType")).map(_.asText)
+            .getOrElse("application/octet-stream"),
+          Option(body.get("sizeBytes")).map(_.asLong))
+        respondJson(ex, 200,
+          s"""{"uploadKey":"${s.key}","uploadUrl":"/projects/$p/files/upload/${s.key}","expiresAt":"${s.expiresAt}"}""")
+      case ("PUT", "projects" :: _ :: "files" :: "upload" :: key :: Nil) =>
+        val s = files.upload(key, ex.getRequestBody.readAllBytes())
+        respondJson(ex, 200, s"""{"uploadKey":"$key","stagedBytes":${Files.size(s.stagingPath.get)}}""")
+      case ("POST", "projects" :: _ :: "files" :: Nil) =>
+        val body = om.readTree(ex.getRequestBody.readAllBytes())
+        val tags = Option(body.get("tags")).map(t =>
+          (0 until t.size()).map(t.get(_).asText).toSeq).getOrElse(Nil)
+        respondJson(ex, 201, fileJson(files.register(reqField(body, "uploadKey"), tags)))
+      case ("GET", "projects" :: p :: "files" :: Nil) =>
+        respondJson(ex, 200,
+          files.list(p).map(fileJson).mkString("""{"files":[""", ",", "]}"))
+      case ("GET", "projects" :: p :: "files" :: id :: Nil) =>
+        files.get(p, id) match {
+          case Some(f) => respondJson(ex, 200, fileJson(f))
+          case None    => respondJson(ex, 404, """{"error":"file not found"}""")
+        }
+      case ("GET", "projects" :: p :: "files" :: id :: "download" :: Nil) =>
+        files.get(p, id) match {
+          case Some(f) =>
+            val bytes = Files.readAllBytes(files.pathOf(f))
+            ex.getResponseHeaders.set("Content-Type", f.contentType)
+            ex.sendResponseHeaders(200, bytes.length.toLong)
+            ex.getResponseBody.write(bytes)
+          case None => respondJson(ex, 404, """{"error":"file not found"}""")
+        }
+      case ("DELETE", "projects" :: p :: "files" :: id :: Nil) =>
+        if (files.delete(p, id)) respondJson(ex, 200, """{"deleted":true}""")
+        else respondJson(ex, 404, """{"error":"file not found"}""")
+      case _ => respondJson(ex, 404, """{"error":"not found"}""")
+    }
+  })
+
+  // S10: S3-compatible object surface over the file store
+  // (reference: src/routers/s3_compat.py:621-1100 — GET/PUT/DELETE/HEAD
+  // object, ListObjectsV2 XML, presigned URLs). Bucket name = project.
+  server.createContext("/s3", (ex: HttpExchange) => {
+    val uri = ex.getRequestURI
+    val segs = uri.getPath.stripSuffix("/").split("/").drop(2).toList
+    val query = parseQuery(uri.getRawQuery)
+    val method = ex.getRequestMethod
+    // presigned GET/HEAD bypasses bearer auth after signature verification
+    val presigned = (method == "GET" || method == "HEAD") &&
+      query.contains("X-Graft-Signature") && (segs match {
+        case bucket :: keyParts if keyParts.nonEmpty =>
+          verifyPresign(method, bucket, keyParts.mkString("/"),
+            query.getOrElse("X-Graft-Expires", "0"),
+            query("X-Graft-Signature"))
+        case _ => false
+      })
+    handleWith(ex, skipAuth = presigned) {
+      (method, segs) match {
+        case ("PUT", bucket :: keyParts) if keyParts.nonEmpty =>
+          val key = keyParts.mkString("/")
+          val bytes = ex.getRequestBody.readAllBytes()
+          val info = files.putObject(bucket, key, bytes,
+            Option(ex.getRequestHeaders.getFirst("Content-Type"))
+              .getOrElse("application/octet-stream"))
+          ex.getResponseHeaders.set("ETag", "\"" + md5Hex(bytes) + "\"")
+          respondJson(ex, 200, s"""{"stored":"${info.id}"}""")
+        case (m @ ("GET" | "HEAD"), bucket :: keyParts) if keyParts.nonEmpty =>
+          files.byName(bucket, keyParts.mkString("/")) match {
+            case Some(f) =>
+              val bytes = Files.readAllBytes(files.pathOf(f))
+              ex.getResponseHeaders.set("Content-Type", f.contentType)
+              ex.getResponseHeaders.set("ETag", "\"" + md5Hex(bytes) + "\"")
+              if (m == "HEAD") ex.sendResponseHeaders(200, -1)
+              else {
+                ex.sendResponseHeaders(200, bytes.length.toLong)
+                ex.getResponseBody.write(bytes)
+              }
+            case None => respondXmlError(ex, 404, "NoSuchKey")
+          }
+        case ("DELETE", bucket :: keyParts) if keyParts.nonEmpty =>
+          files.byName(bucket, keyParts.mkString("/"))
+            .map(f => files.delete(bucket, f.id)) match {
+            case Some(true) => ex.sendResponseHeaders(204, -1)
+            case _          => respondXmlError(ex, 404, "NoSuchKey")
+          }
+        case ("GET", bucket :: Nil) => // ListObjectsV2
+          val prefix = query.getOrElse("prefix", "")
+          val objs = files.list(bucket).filter(_.name.startsWith(prefix))
+          val xml = new StringBuilder(
+            s"""<?xml version="1.0" encoding="UTF-8"?><ListBucketResult><Name>$bucket</Name><Prefix>$prefix</Prefix><KeyCount>${objs.size}</KeyCount>""")
+          objs.foreach(f => xml.append(
+            s"<Contents><Key>${f.name}</Key><Size>${f.sizeBytes}</Size><LastModified>${f.createdAt}</LastModified></Contents>"))
+          xml.append("</ListBucketResult>")
+          val bytes = xml.toString.getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "application/xml")
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
+        case _ => respondJson(ex, 404, """{"error":"not found"}""")
+      }
+    }
+  })
+
+  // POST /s3-presign {bucket, key, method?, expiresSeconds?} -> {url}
+  server.createContext("/s3-presign", (ex: HttpExchange) => handle(ex) {
+    val body = om.readTree(ex.getRequestBody.readAllBytes())
+    val bucket = reqField(body, "bucket")
+    val key = reqField(body, "key")
+    val method = Option(body.get("method")).map(_.asText).getOrElse("GET")
+    val ttl = Option(body.get("expiresSeconds")).map(_.asLong).getOrElse(3600L)
+    val expires = System.currentTimeMillis() / 1000 + ttl
+    val sig = sign(method, bucket, key, expires.toString)
+    respondJson(ex, 200,
+      s"""{"url":"/s3/$bucket/$key?X-Graft-Expires=$expires&X-Graft-Signature=$sig"}""")
+  })
+
   def start(): SqlHttpServer = { server.start(); this }
   def stop(): Unit = server.stop(0)
 
@@ -157,8 +294,12 @@ final class SqlHttpServer(
     * 401 on bad keys, 408 on statement timeout, 429 on exhausted
     * connection limits — pgwire_server.py auth/timeout paths). */
   private def handle(ex: HttpExchange)(body: => Unit): Unit =
+    handleWith(ex, skipAuth = false)(body)
+
+  private def handleWith(ex: HttpExchange, skipAuth: Boolean)(
+      body: => Unit): Unit =
     try {
-      val authed = apiKey.forall { k =>
+      val authed = skipAuth || apiKey.forall { k =>
         Option(ex.getRequestHeaders.getFirst("Authorization"))
           .contains(s"Bearer $k")
       }
@@ -169,9 +310,62 @@ final class SqlHttpServer(
         respondJson(ex, 408, """{"error":"statement timeout"}""")
       case e: IllegalStateException => // connection/size limits
         respondJson(ex, 429, errJson(e))
+      case e: NoSuchElementException =>
+        respondJson(ex, 404, errJson(e))
       case e: Exception =>
         respondJson(ex, 400, errJson(e))
     } finally ex.close()
+
+  // ------------------------------------------------- files/s3 plumbing
+
+  private def parseQuery(raw: String): Map[String, String] =
+    Option(raw).filter(_.nonEmpty).map(_.split("&").toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+        case Array(k)    => Some(k -> "")
+        case _           => None
+      }
+    }.toMap).getOrElse(Map.empty)
+
+  /** HMAC-SHA256 presign (the reference's signed-URL scheme,
+    * s3_compat.py:216-290): sign(method, bucket/key, expiry). */
+  private def sign(method: String, bucket: String, key: String,
+      expires: String): String = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(signingKey, "HmacSHA256"))
+    mac.doFinal(s"$method\n$bucket/$key\n$expires".getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def verifyPresign(method: String, bucket: String, key: String,
+      expires: String, sig: String): Boolean =
+    expires.forall(_.isDigit) && expires.nonEmpty &&
+      expires.toLong >= System.currentTimeMillis() / 1000 &&
+      java.security.MessageDigest.isEqual(
+        sig.getBytes(StandardCharsets.UTF_8),
+        sign(method, bucket, key, expires).getBytes(StandardCharsets.UTF_8))
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  private def fileJson(f: graft.engine.files.FileStore#FileInfo): String = {
+    val n = om.createObjectNode()
+    n.put("id", f.id); n.put("name", f.name); n.put("sizeBytes", f.sizeBytes)
+    n.put("sha256", f.sha256); n.put("contentType", f.contentType)
+    val t = n.putArray("tags"); f.tags.foreach(t.add)
+    n.put("createdAt", f.createdAt)
+    om.writeValueAsString(n)
+  }
+
+  private def respondXmlError(ex: HttpExchange, code: Int, s3Code: String): Unit = {
+    val bytes =
+      s"""<?xml version="1.0" encoding="UTF-8"?><Error><Code>$s3Code</Code></Error>"""
+        .getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/xml")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+  }
 
   private def withSession(ex: HttpExchange, id: String)(
       body: mgr.WsSession => Unit): Unit =

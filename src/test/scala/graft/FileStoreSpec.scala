@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import graft.core.{StorageCatalog, Tables, TableStore}
+import graft.engine.files.FileStore
+
+/** S11 Files API: the 3-stage upload workflow, registry persistence, TTL
+  * expiry, and staged-file imports (reference behavior:
+  * tests around src/routers/files.py). */
+class FileStoreSpec extends SparkSpec {
+
+  private def fixture() = {
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-files")))
+    (store, new FileStore(store.catalog))
+  }
+
+  test("prepare -> upload -> register moves staging to permanent with sha256") {
+    val (_, fs) = fixture()
+    val s = fs.prepare("p", "data.csv", "text/csv")
+    // register before upload is rejected
+    assertThrows[IllegalStateException](fs.register(s.key))
+    val content = "a,b\n1,2\n".getBytes("UTF-8")
+    fs.upload(s.key, content)
+    val info = fs.register(s.key, tags = Seq("stage"))
+    assert(info.name == "data.csv" && info.sizeBytes == content.length)
+    assert(info.sha256 ==
+      java.security.MessageDigest.getInstance("SHA-256").digest(content)
+        .map("%02x".format(_)).mkString)
+    assert(info.tags == Seq("stage"))
+    // staging file is gone, permanent exists, listed, fetchable
+    assert(Files.readAllBytes(fs.pathOf(info)).sameElements(content))
+    assert(fs.list("p").map(_.id) == Seq(info.id))
+    assert(fs.get("p", info.id).contains(info))
+    // unknown upload key and traversal-y filenames are rejected
+    assertThrows[NoSuchElementException](fs.upload("nope", content))
+    assertThrows[IllegalArgumentException](fs.prepare("p", "../evil"))
+    // registry survives a catalog reload
+    val reloaded = new StorageCatalog(fs.catalog.root)
+    reloaded.reload()
+    assert(new FileStore(reloaded).list("p").map(_.id) == Seq(info.id))
+    // delete removes record + bytes
+    assert(fs.delete("p", info.id))
+    assert(fs.list("p").isEmpty && !Files.exists(fs.pathOf(info)))
+  }
+
+  test("upload sessions expire after the TTL and staging is reaped") {
+    val (_, fs) = fixture()
+    val t0 = Instant.parse("2026-01-01T00:00:00Z")
+    val s = fs.prepare("p", "late.csv", now = t0)
+    fs.upload(s.key, "x".getBytes, now = t0.plusSeconds(60))
+    // at +25h the session is expired: uploads rejected, reaper collects it
+    assertThrows[IllegalArgumentException](
+      fs.upload(s.key, "y".getBytes, now = t0.plusSeconds(25 * 3600)))
+    assert(fs.expireSessions(t0.plusSeconds(25 * 3600)) == 1)
+    assertThrows[NoSuchElementException](fs.register(s.key))
+  }
+
+  test("staged file id drives an import through the command registry") {
+    val (store, _) = fixture()
+    val api = new graft.api.StorageApi.Handler(spark, store)
+    val nation = Tables.df(spark, sfDir, "nation")
+    // stage a CSV through the handler's own file store
+    val csvDir = Files.createTempDirectory("graft-fs-csv")
+    graft.engine.query.Export.toCsv(nation, csvDir.toString)
+    val csvFile = Files.list(csvDir).filter(_.toString.endsWith(".csv"))
+      .findFirst().get()
+    val sess = api.files.prepare("p", "nation.csv", "text/csv")
+    api.files.upload(sess.key, Files.readAllBytes(csvFile))
+    val reg = api.files.register(sess.key)
+    store.createTable("p", "b", "nation", nation.schema)
+    val res = api.execute(graft.api.StorageApi.ImportStagedFile(
+      "p", "b", "nation", reg.id))
+    assert(res == graft.api.StorageApi.Count(nation.count()))
+    // the imported rows round-trip exactly
+    assert(store.read("p", "b", "nation").exceptAll(nation).isEmpty)
+  }
+}

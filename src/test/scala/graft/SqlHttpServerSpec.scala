@@ -95,6 +95,81 @@ class SqlHttpServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("files API over HTTP: prepare/upload/register/list/download/delete") {
+    val server = new SqlHttpServer(spark, fixture()).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    try {
+      val prep = post(s"$base/projects/p/files/prepare",
+        """{"filename":"doc.csv","contentType":"text/csv"}""")
+      assert(prep.statusCode() == 200)
+      val key = om.readTree(prep.body()).get("uploadKey").asText
+      val up = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/projects/p/files/upload/$key"))
+        .PUT(HttpRequest.BodyPublishers.ofString("a,b\n1,2\n")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(up.statusCode() == 200)
+      val reg = post(s"$base/projects/p/files", s"""{"uploadKey":"$key"}""")
+      assert(reg.statusCode() == 201)
+      val id = om.readTree(reg.body()).get("id").asText
+      assert(new String(get(s"$base/projects/p/files").body()).contains(id))
+      val dl = get(s"$base/projects/p/files/$id/download")
+      assert(new String(dl.body()) == "a,b\n1,2\n")
+      assert(client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/projects/p/files/$id")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
+      assert(get(s"$base/projects/p/files/$id").statusCode() == 404)
+    } finally server.stop()
+  }
+
+  test("s3-compatible surface: put/get/head/list/presign semantics") {
+    val server = new SqlHttpServer(spark, fixture(),
+      apiKey = Some("k3y")).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    val auth = "Authorization" -> "Bearer k3y"
+    try {
+      // PUT returns the S3 md5 ETag
+      val body = "col\nv1\nv2\n"
+      val put = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/s3/p/stage/in.csv"))
+        .PUT(HttpRequest.BodyPublishers.ofString(body))
+        .header("Authorization", "Bearer k3y")
+        .header("Content-Type", "text/csv").build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(put.statusCode() == 200)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(body.getBytes).map("%02x".format(_)).mkString
+      assert(put.headers().firstValue("ETag").get == "\"" + md5 + "\"")
+      // GET/HEAD round-trip; unauthenticated GET is rejected
+      assert(new String(get(s"$base/s3/p/stage/in.csv", auth).body()) == body)
+      assert(get(s"$base/s3/p/stage/in.csv").statusCode() == 401)
+      val head = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/s3/p/stage/in.csv"))
+        .method("HEAD", HttpRequest.BodyPublishers.noBody())
+        .header("Authorization", "Bearer k3y").build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(head.statusCode() == 200 &&
+        head.headers().firstValue("ETag").get.contains(md5))
+      // ListObjectsV2-style XML with prefix filter
+      val ls = new String(get(s"$base/s3/p?prefix=stage/", auth).body())
+      assert(ls.contains("<Key>stage/in.csv</Key>") && ls.contains("<KeyCount>1"))
+      // presigned URL: GET succeeds with NO auth header; tampering fails
+      val pre = om.readTree(post(s"$base/s3-presign",
+        """{"bucket":"p","key":"stage/in.csv"}""", auth).body())
+        .get("url").asText
+      assert(new String(get(s"$base$pre").body()) == body)
+      assert(get(s"$base${pre.dropRight(1)}0").statusCode() == 401)
+      // missing key is an S3-style XML error
+      assert(new String(get(s"$base/s3/p/absent.csv", auth).body())
+        .contains("NoSuchKey"))
+      // DELETE then 404
+      assert(client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/s3/p/stage/in.csv")).DELETE()
+        .header("Authorization", "Bearer k3y").build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 204)
+      assert(get(s"$base/s3/p/stage/in.csv", auth).statusCode() == 404)
+    } finally server.stop()
+  }
+
   test("auth, bad SQL, timeouts and connection caps map to HTTP codes") {
     val store = fixture()
     val mgr = new graft.engine.workspace.WorkspaceManager(spark, store,
