@@ -30,11 +30,6 @@ object StorageApi {
       staging: DataFrame, incremental: Boolean = false,
       dedupMode: DedupMode = DedupMode.UpdateDuplicates,
       stampTimestamp: Boolean = false) extends Command
-  /** S8: import from a remote/staged file URL — provider + per-import
-    * credentials resolve through [[graft.engine.imp.RemoteIO]] (the
-    * reference's TableImportCommand file path,
-    * src/grpc/handlers/import_export.py:60-140). `.parquet` sources read
-    * as parquet; everything else as CSV with `csv` options. */
   /** S11 integration: import a REGISTERED file by its id — the
     * reference's staged-file import flow (imports reference file ids
     * minted by the Files API, src/routers/files.py:340-500). */
@@ -45,6 +40,11 @@ object StorageApi {
       incremental: Boolean = false,
       dedupMode: DedupMode = DedupMode.UpdateDuplicates,
       stampTimestamp: Boolean = false) extends Command
+  /** S8: import from a remote file URL — provider + per-import
+    * credentials resolve through [[graft.engine.imp.RemoteIO]] (the
+    * reference's TableImportCommand file path,
+    * src/grpc/handlers/import_export.py:60-140). `.parquet` sources read
+    * as parquet; everything else as CSV with `csv` options. */
   final case class ImportFromUrl(project: String, bucket: String, table: String,
       provider: graft.engine.imp.RemoteIO.Provider, root: String,
       path: String = "", fileName: String = "",
@@ -113,12 +113,38 @@ object StorageApi {
     /** Files API registry (S11) — staged-file imports resolve here. */
     val files = new graft.engine.files.FileStore(store.catalog)
 
+    /** L7: one operations_log record + metrics observation per command
+      * (reference: src/database.py:939-971, src/metrics.py:88-101). */
+    val opLog = new graft.engine.ops.OpLog(store.catalog)
+
     private def withTrigger(p: String, b: String, t: String, trigger: String)(
         op: => Unit): Unit =
       Snapshots.autoSnapshotIfConfigured(
         spark, store, snapshotConfig, p, b, t, trigger)(op)
 
-    def execute(cmd: Command): Result = cmd match {
+    private def ctx(cmd: Command): (String, String) = cmd match {
+      case c: RestoreSnapshot => ("", c.snapshotId)
+      case other: Product =>
+        val ss = other.productIterator.collect { case s: String => s }.toSeq
+        (ss.headOption.getOrElse(""), ss.slice(1, 3).mkString("/"))
+    }
+
+    def execute(cmd: Command): Result = {
+      val t0 = System.nanoTime()
+      val (project, target) = ctx(cmd)
+      def ms = (System.nanoTime() - t0) / 1000000
+      try {
+        val r = dispatch(cmd)
+        opLog.record(cmd.getClass.getSimpleName, project, target, ms, "success")
+        r
+      } catch {
+        case e: Throwable =>
+          opLog.record(cmd.getClass.getSimpleName, project, target, ms, "error")
+          throw e
+      }
+    }
+
+    private def dispatch(cmd: Command): Result = cmd match {
       case CreateTable(p, b, t, schema, pk) =>
         store.createTable(p, b, t, schema, pk)
         Done(s"created $p/$b/$t")
@@ -161,7 +187,7 @@ object StorageApi {
           if (path.endsWith(".parquet")) spark.read.parquet(path)
           else ImportPipeline.readCsv(spark, path, csv,
             if (useTableSchema) Some(store.schemaOf(p, b, t)) else None)
-        execute(ImportData(p, b, t, staging, incremental, mode, stamp))
+        dispatch(ImportData(p, b, t, staging, incremental, mode, stamp))
 
       case ImportFromUrl(p, b, t, provider, root, path, fileName, creds,
           csv, useTableSchema, incremental, mode, stamp) =>
@@ -172,7 +198,7 @@ object StorageApi {
             spark.read.parquet(url)
           else ImportPipeline.readCsv(spark, url, csv,
             if (useTableSchema) Some(store.schemaOf(p, b, t)) else None)
-        execute(ImportData(p, b, t, staging, incremental, mode, stamp))
+        dispatch(ImportData(p, b, t, staging, incremental, mode, stamp))
 
       case Preview(p, b, t, columns, filters, limit) =>
         var df = store.read(p, b, t)

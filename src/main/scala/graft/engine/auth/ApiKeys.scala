@@ -1,0 +1,81 @@
+package graft.engine.auth
+
+import java.security.{MessageDigest, SecureRandom}
+
+import graft.core.StorageCatalog
+
+/** L8: API-key auth — admin + per-project/branch keys with scopes
+  * (reference: src/auth.py:25-168; keys are stored as SHA-256 hashes,
+  * src/database.py:334-355).
+  *
+  * Key formats (auth.py:63-107):
+  *   project key:  `proj_{project}_{hex16}`                  (admin scope)
+  *   branch key:   `proj_{project}_branch_{branch}_{scope}_{hex16}`
+  *                 with scope `admin` | `read`
+  *
+  * Only the SHA-256 of a key persists (catalog settings) — a leaked
+  * catalog never reveals live credentials, same as the reference. */
+final class ApiKeys(catalog: StorageCatalog) {
+
+  final case class KeyInfo(project: String, branch: Option[String],
+      scope: String, createdAt: String)
+
+  private val rng = new SecureRandom()
+
+  private def randomHex16(): String = {
+    val b = new Array[Byte](8); rng.nextBytes(b)
+    b.map("%02x".format(_)).mkString
+  }
+
+  private def sha256(s: String): String =
+    MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def recordKey(hash: String) = s"apikey/$hash"
+
+  private def store(key: String, info: KeyInfo): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = om.createObjectNode()
+    n.put("project", info.project)
+    info.branch.foreach(n.put("branch", _))
+    n.put("scope", info.scope); n.put("createdAt", info.createdAt)
+    catalog.putSetting(recordKey(sha256(key)), om.writeValueAsString(n))
+    key
+  }
+
+  /** Mint a project admin key (auth.py:25-60). Returns the KEY — shown
+    * once; only its hash persists. */
+  def generateProjectKey(project: String): String =
+    store(s"proj_${project}_${randomHex16()}",
+      KeyInfo(project, None, "admin", java.time.Instant.now.toString))
+
+  /** Mint a branch-scoped key, scope `admin` or `read` (auth.py:63-107). */
+  def generateBranchKey(project: String, branch: String, scope: String): String = {
+    require(scope == "admin" || scope == "read",
+      s"Invalid scope: $scope. Must be 'admin' or 'read'")
+    store(s"proj_${project}_branch_${branch}_${scope}_${randomHex16()}",
+      KeyInfo(project, Some(branch), scope, java.time.Instant.now.toString))
+  }
+
+  /** Verify a presented key against the stored hashes. */
+  def verify(key: String): Option[KeyInfo] =
+    catalog.getSetting(recordKey(sha256(key))).map { json =>
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      KeyInfo(n.get("project").asText,
+        Option(n.get("branch")).map(_.asText),
+        n.get("scope").asText, n.get("createdAt").asText)
+    }
+
+  /** Authorize `key` for `project`, requiring admin scope iff `write`.
+    * Read keys authorize reads only; any valid key is project-scoped. */
+  def authorize(key: String, project: String, write: Boolean): Boolean =
+    verify(key).exists(info =>
+      info.project == project && (!write || info.scope == "admin"))
+
+  def revoke(key: String): Boolean = {
+    val k = recordKey(sha256(key))
+    val existed = catalog.getSetting(k).isDefined
+    if (existed) catalog.removeSetting(k)
+    existed
+  }
+}

@@ -1,0 +1,142 @@
+package graft.engine.ops
+
+import java.nio.file.{Files, Path, StandardOpenOption}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.LongAdder
+
+import scala.jdk.CollectionConverters._
+
+import graft.core.StorageCatalog
+
+/** L7: operation log + metrics.
+  *
+  * The reference inserts one `operations_log` row per command and exports
+  * ~60 Prometheus series (reference: src/database.py:939-971,
+  * src/metrics.py:55-269). Here the log is an append-only JSONL file under
+  * the catalog root (durable, greppable, no DB dependency) and metrics
+  * are in-process counters/histograms rendered in the Prometheus text
+  * exposition format for the server's /metrics endpoint. */
+final class OpLog(catalog: StorageCatalog) {
+
+  private val logPath: Path = catalog.root.resolve("operations_log.jsonl")
+  private val lock = new Object
+
+  final case class OpRecord(ts: String, operation: String, project: String,
+      target: String, durationMs: Long, status: String)
+
+  def record(operation: String, project: String, target: String,
+      durationMs: Long, status: String): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = om.createObjectNode()
+    n.put("ts", java.time.Instant.now.toString)
+    n.put("operation", operation); n.put("project", project)
+    n.put("target", target); n.put("durationMs", durationMs)
+    n.put("status", status)
+    val line = om.writeValueAsString(n) + "\n"
+    lock.synchronized {
+      Files.createDirectories(catalog.root)
+      Files.writeString(logPath, line,
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
+    Metrics.opCount.inc(Seq(operation, status))
+    Metrics.opDuration.observe(Seq(operation), durationMs / 1000.0)
+  }
+
+  /** Most recent `n` records, newest first. */
+  def recent(n: Int): Seq[OpRecord] = {
+    if (!Files.exists(logPath)) return Nil
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    Files.readAllLines(logPath).asScala.takeRight(n).reverseIterator.map { l =>
+      val j = om.readTree(l)
+      OpRecord(j.get("ts").asText, j.get("operation").asText,
+        j.get("project").asText, j.get("target").asText,
+        j.get("durationMs").asLong, j.get("status").asText)
+    }.toSeq
+  }
+}
+
+/** Minimal Prometheus-style metrics registry: labeled counters and
+  * histograms with text exposition (the subset of src/metrics.py the
+  * engine itself can observe). Process-global like prometheus_client's
+  * default registry. */
+object Metrics {
+
+  final class Counter(val name: String, val help: String, labels: Seq[String]) {
+    private[Metrics] val cells = new ConcurrentHashMap[Seq[String], LongAdder]()
+    def inc(labelValues: Seq[String] = Nil, by: Long = 1): Unit =
+      cells.computeIfAbsent(labelValues, _ => new LongAdder).add(by)
+    def get(labelValues: Seq[String] = Nil): Long =
+      Option(cells.get(labelValues)).map(_.sum()).getOrElse(0L)
+    private[Metrics] def expose: String =
+      s"# HELP $name $help\n# TYPE $name counter\n" +
+        cells.asScala.toSeq.sortBy(_._1.mkString(","))
+          .map { case (lv, v) => s"$name${fmt(labels, lv)} ${v.sum()}" }
+          .mkString("", "\n", "\n")
+  }
+
+  final class Histogram(val name: String, val help: String,
+      labels: Seq[String], buckets: Seq[Double]) {
+    private[Metrics] final class Cell {
+      val counts = buckets.map(_ => new LongAdder).toArray
+      val count = new LongAdder
+      val sum = new java.util.concurrent.atomic.DoubleAdder
+    }
+    private[Metrics] val cells = new ConcurrentHashMap[Seq[String], Cell]()
+    def observe(labelValues: Seq[String], v: Double): Unit = {
+      val c = cells.computeIfAbsent(labelValues, _ => new Cell)
+      buckets.indices.foreach(i => if (v <= buckets(i)) c.counts(i).add(1))
+      c.count.add(1); c.sum.add(v)
+    }
+    private[Metrics] def expose: String =
+      s"# HELP $name $help\n# TYPE $name histogram\n" +
+        cells.asScala.toSeq.sortBy(_._1.mkString(",")).map { case (lv, c) =>
+          val bs = buckets.indices.map(i =>
+            s"${name}_bucket${fmt(labels :+ "le", lv :+ buckets(i).toString)} ${c.counts(i).sum()}")
+          (bs :+
+            s"${name}_bucket${fmt(labels :+ "le", lv :+ "+Inf")} ${c.count.sum()}" :+
+            s"${name}_sum${fmt(labels, lv)} ${c.sum.sum()}" :+
+            s"${name}_count${fmt(labels, lv)} ${c.count.sum()}").mkString("\n")
+        }.mkString("", "\n", "\n")
+  }
+
+  private def fmt(labels: Seq[String], values: Seq[String]): String =
+    if (labels.isEmpty) ""
+    else labels.zip(values)
+      .map { case (k, v) => s"""$k="${v.replace("\"", "\\\"")}"""" }
+      .mkString("{", ",", "}")
+
+  private val DurationBuckets =
+    Seq(0.01, 0.05, 0.1, 0.5, 1.0, 5.0, 30.0, 120.0)
+
+  // the reference's core series (metrics.py:55-101, 209-221)
+  val requestCount = new Counter("graft_http_requests_total",
+    "HTTP requests", Seq("endpoint", "method", "status"))
+  val requestDuration = new Histogram("graft_http_request_duration_seconds",
+    "HTTP request duration", Seq("endpoint"), DurationBuckets)
+  val opCount = new Counter("graft_operations_total",
+    "Storage operations", Seq("operation", "status"))
+  val opDuration = new Histogram("graft_operation_duration_seconds",
+    "Storage operation duration", Seq("operation"), DurationBuckets)
+  val queryCount = new Counter("graft_workspace_queries_total",
+    "Workspace SQL queries", Seq("status"))
+  val idempotencyHits = new Counter("graft_idempotency_cache_hits_total",
+    "Idempotent replays served from cache", Nil)
+  val idempotencyConflicts = new Counter("graft_idempotency_conflicts_total",
+    "Idempotency keys reused with a different request", Nil)
+
+  private val all: Seq[() => String] = Seq(
+    () => requestCount.expose, () => requestDuration.expose,
+    () => opCount.expose, () => opDuration.expose,
+    () => queryCount.expose, () => idempotencyHits.expose,
+    () => idempotencyConflicts.expose)
+
+  /** Prometheus text exposition of every registered series. */
+  def expose(): String = all.map(_()).mkString
+
+  /** Test hook: zero every series (process-global registry). */
+  def resetForTest(): Unit = {
+    Seq(requestCount, opCount, queryCount, idempotencyHits,
+      idempotencyConflicts).foreach(_.cells.clear())
+    Seq(requestDuration, opDuration).foreach(_.cells.clear())
+  }
+}

@@ -28,7 +28,8 @@ final class WorkspaceManager(
     sizeLimitBytes: Long = 10L << 30) {
 
   final class WsSession(
-      val id: String, val workspace: String, val session: SparkSession) {
+      val id: String, val workspace: String, val project: String,
+      val session: SparkSession) {
     @volatile var lastUsedMs: Long = System.currentTimeMillis()
     @volatile var loadedBytes: Long = 0L
     def touch(): Unit = lastUsedMs = System.currentTimeMillis()
@@ -53,7 +54,7 @@ final class WorkspaceManager(
       throw new IllegalStateException(
         s"workspace '$workspace' connection limit reached ($maxSessionsPerWorkspace)")
     val s = Workspace.openSession(spark, store, project, buckets, branch)
-    val ws = new WsSession(s"$workspace-${counter.incrementAndGet()}", workspace, s)
+    val ws = new WsSession(s"$workspace-${counter.incrementAndGet()}", workspace, project, s)
     sessions.put(ws.id, ws)
     ws
   }

@@ -35,6 +35,14 @@ import graft.engine.workspace.{Workspace, WorkspaceManager}
   *   GET  /sessions/{id}/objects           -> {"objects": [...]}
   *   POST /sessions/{id}/load   {bucket, table, dest, columns?, where?, limit?}
   *   DELETE /sessions/{id}
+  *   /projects/{p}/files/...               -> Files API (S11, 3-stage upload)
+  *   /s3/{bucket}/{key}, /s3-presign       -> S3-compatible store (S10)
+  *   POST|DELETE /keys                     -> mint/revoke scoped keys (L8)
+  *   GET /metrics, /ops                    -> Prometheus series, op log (L7)
+  *
+  * Cross-cutting: per-project/branch API keys with admin|read scopes
+  * (L8), X-Idempotency-Key replay with conflict detection (L6), and
+  * request metrics (L7) wrap every route.
   *
   * All engine-side governance (session caps, idle reaping, workspace size
   * limits, plan-level row caps, timeout via job-group cancellation) lives
@@ -51,6 +59,18 @@ final class SqlHttpServer(
   private val mgr = manager.getOrElse(new WorkspaceManager(spark, store))
   val files: graft.engine.files.FileStore =
     fileStore.getOrElse(new graft.engine.files.FileStore(store.catalog))
+  /** L8: per-project/branch API keys (admin|read scopes). The global
+    * `apiKey` is the deployment's admin credential; project keys minted
+    * here authorize only their project (writes need admin scope). */
+  val apiKeys = new graft.engine.auth.ApiKeys(store.catalog)
+  /** L6: idempotency replay cache — X-Idempotency-Key on a mutating
+    * request replays the cached response for 10 min (reference:
+    * src/middleware/idempotency.py:29-100). */
+  private val IdempotencyTtlMs = 600000L
+  private final case class CachedResponse(method: String, path: String,
+      status: Int, contentType: String, body: Array[Byte], at: Long)
+  private val idemCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedResponse]()
   /** HMAC secret for presigned URLs (the reference derives one per
     * deployment, s3_compat.py:169-215). */
   private val signingKey: Array[Byte] = {
@@ -76,6 +96,7 @@ final class SqlHttpServer(
       case ("POST", Nil) => // open session
         val body = om.readTree(ex.getRequestBody.readAllBytes())
         val project = reqField(body, "project")
+        requireAccess(ex, project, write = false)
         val workspace = reqField(body, "workspace")
         val buckets = Option(body.get("buckets")).map(b =>
           (0 until b.size()).map(b.get(_).asText)).getOrElse(Seq.empty)
@@ -94,6 +115,7 @@ final class SqlHttpServer(
         }
       case ("POST", id :: "query" :: Nil) =>
         withSession(ex, id) { ws =>
+          requireAccess(ex, ws.project, write = false)
           val body = om.readTree(ex.getRequestBody.readAllBytes())
           val sql = reqField(body, "sql")
           val timeout = Option(body.get("timeoutSeconds")).map(_.asInt)
@@ -101,6 +123,7 @@ final class SqlHttpServer(
           val maxRows = Option(body.get("maxRows")).map(_.asInt)
             .getOrElse(Workspace.ExecuteQueryMaxRows)
           ws.touch()
+          graft.engine.ops.Metrics.queryCount.inc(Seq("submitted"))
           val wantsArrow = Option(ex.getRequestHeaders.getFirst("Accept"))
             .exists(_.contains("application/vnd.apache.arrow.stream"))
           if (wantsArrow) {
@@ -144,6 +167,7 @@ final class SqlHttpServer(
         }
       case ("POST", id :: "load" :: Nil) =>
         withSession(ex, id) { ws =>
+          requireAccess(ex, ws.project, write = false)
           val body = om.readTree(ex.getRequestBody.readAllBytes())
           val columns = Option(body.get("columns")).map(c =>
             (0 until c.size()).map(c.get(_).asText)).getOrElse(Seq.empty)
@@ -168,6 +192,12 @@ final class SqlHttpServer(
   //   GET  /projects/{p}/files/{id}/download        DELETE /projects/{p}/files/{id}
   server.createContext("/projects", (ex: HttpExchange) => handle(ex) {
     val segs = ex.getRequestURI.getPath.stripSuffix("/").split("/").drop(1).toList
+    // files are project-scoped: reads need any project key, writes admin
+    segs match {
+      case "projects" :: p :: _ =>
+        requireAccess(ex, p, write = ex.getRequestMethod != "GET")
+      case _ => ()
+    }
     (ex.getRequestMethod, segs) match {
       case ("POST", "projects" :: p :: "files" :: "prepare" :: Nil) =>
         val body = om.readTree(ex.getRequestBody.readAllBytes())
@@ -227,6 +257,11 @@ final class SqlHttpServer(
         case _ => false
       })
     handleWith(ex, skipAuth = presigned) {
+      segs match { // bucket name = project; mutations need admin scope
+        case bucket :: _ =>
+          requireAccess(ex, bucket, write = method == "PUT" || method == "DELETE")
+        case _ => ()
+      }
       (method, segs) match {
         case ("PUT", bucket :: keyParts) if keyParts.nonEmpty =>
           val key = keyParts.mkString("/")
@@ -278,6 +313,7 @@ final class SqlHttpServer(
     val bucket = reqField(body, "bucket")
     val key = reqField(body, "key")
     val method = Option(body.get("method")).map(_.asText).getOrElse("GET")
+    requireAccess(ex, bucket, write = method != "GET" && method != "HEAD")
     val ttl = Option(body.get("expiresSeconds")).map(_.asLong).getOrElse(3600L)
     val expires = System.currentTimeMillis() / 1000 + ttl
     val sig = sign(method, bucket, key, expires.toString)
@@ -285,36 +321,179 @@ final class SqlHttpServer(
       s"""{"url":"/s3/$bucket/$key?X-Graft-Expires=$expires&X-Graft-Signature=$sig"}""")
   })
 
+  // L7: Prometheus text exposition + recent operations log
+  server.createContext("/metrics", (ex: HttpExchange) =>
+    handleWith(ex, skipAuth = true) { // scrape endpoint, counters only
+      val bytes = graft.engine.ops.Metrics.expose()
+        .getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type",
+        "text/plain; version=0.0.4; charset=utf-8")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+    })
+
+  server.createContext("/ops", (ex: HttpExchange) => handle(ex) {
+    val n = parseQuery(ex.getRequestURI.getRawQuery)
+      .get("limit").map(_.toInt).getOrElse(50)
+    val recs = new graft.engine.ops.OpLog(store.catalog).recent(n)
+    val root = om.createObjectNode()
+    val arr = root.putArray("operations")
+    recs.foreach { r =>
+      val o = arr.addObject()
+      o.put("ts", r.ts); o.put("operation", r.operation)
+      o.put("project", r.project); o.put("target", r.target)
+      o.put("durationMs", r.durationMs); o.put("status", r.status)
+    }
+    respondJson(ex, 200, om.writeValueAsString(root))
+  })
+
+  // L8: key management — mint/revoke project + branch keys (admin only)
+  //   POST /keys {project, branch?, scope?} -> {key}   DELETE /keys {key}
+  server.createContext("/keys", (ex: HttpExchange) => handle(ex) {
+    ex.getAttribute("principal") match {
+      case Admin => ()
+      case _ => throw new SecurityException("key management is admin-only")
+    }
+    val body = om.readTree(ex.getRequestBody.readAllBytes())
+    ex.getRequestMethod match {
+      case "POST" =>
+        val project = reqField(body, "project")
+        val key = Option(body.get("branch")).map(_.asText) match {
+          case Some(b) => apiKeys.generateBranchKey(project, b,
+            Option(body.get("scope")).map(_.asText).getOrElse("read"))
+          case None => apiKeys.generateProjectKey(project)
+        }
+        respondJson(ex, 201, s"""{"key":"$key"}""")
+      case "DELETE" =>
+        if (apiKeys.revoke(reqField(body, "key")))
+          respondJson(ex, 200, """{"revoked":true}""")
+        else respondJson(ex, 404, """{"error":"unknown key"}""")
+      case _ => respondJson(ex, 404, """{"error":"not found"}""")
+    }
+  })
+
   def start(): SqlHttpServer = { server.start(); this }
   def stop(): Unit = server.stop(0)
 
   // ---------------------------------------------------------- plumbing
 
-  /** Auth + error envelope around every handler (the reference returns
-    * 401 on bad keys, 408 on statement timeout, 429 on exhausted
-    * connection limits — pgwire_server.py auth/timeout paths). */
+  // ------------------------------------------------------ auth + envelope
+
+  private sealed trait Principal
+  private case object Admin extends Principal
+  private final case class Scoped(info: apiKeys.KeyInfo) extends Principal
+
+  /** Resolve the caller: deployment admin key -> Admin; a minted
+    * project/branch key -> Scoped; open deployment (no apiKey) -> Admin. */
+  private def principalOf(ex: HttpExchange): Option[Principal] = {
+    val bearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
+    (apiKey, bearer) match {
+      case (None, None)                  => Some(Admin)
+      case (Some(k), Some(b)) if b == k  => Some(Admin)
+      case (None, Some(b))               => apiKeys.verify(b).map(Scoped(_))
+      case (Some(_), Some(b))            => apiKeys.verify(b).map(Scoped(_))
+      case (Some(_), None)               => None
+    }
+  }
+
+  /** Project-scope enforcement inside handlers (L8): scoped keys only
+    * reach their own project, and writes need admin scope. */
+  private def requireAccess(ex: HttpExchange, project: String,
+      write: Boolean): Unit =
+    ex.getAttribute("principal") match {
+      case Admin => ()
+      case Scoped(info)
+        if info.project == project && (!write || info.scope == "admin") => ()
+      case _ => throw new SecurityException(s"forbidden for project $project")
+    }
+
+  /** Auth + idempotency + metrics + error envelope around every handler
+    * (the reference returns 401 on bad keys, 403 on scope violations,
+    * 408 on statement timeout, 429 on exhausted connection limits). */
   private def handle(ex: HttpExchange)(body: => Unit): Unit =
     handleWith(ex, skipAuth = false)(body)
 
   private def handleWith(ex: HttpExchange, skipAuth: Boolean)(
-      body: => Unit): Unit =
+      body: => Unit): Unit = {
+    val t0 = System.nanoTime()
+    val endpoint = ex.getRequestURI.getPath.split("/")
+      .drop(1).headOption.getOrElse("")
     try {
-      val authed = skipAuth || apiKey.forall { k =>
-        Option(ex.getRequestHeaders.getFirst("Authorization"))
-          .contains(s"Bearer $k")
+      principalOf(ex) match {
+        case None if !skipAuth =>
+          respondJson(ex, 401, """{"error":"unauthorized"}""")
+        case p =>
+          ex.setAttribute("principal", p.getOrElse(Admin))
+          if (!replayIdempotent(ex)) body
       }
-      if (!authed) respondJson(ex, 401, """{"error":"unauthorized"}""")
-      else body
     } catch {
       case _: java.util.concurrent.TimeoutException =>
         respondJson(ex, 408, """{"error":"statement timeout"}""")
+      case e: SecurityException =>
+        respondJson(ex, 403, errJson(e))
       case e: IllegalStateException => // connection/size limits
         respondJson(ex, 429, errJson(e))
       case e: NoSuchElementException =>
         respondJson(ex, 404, errJson(e))
       case e: Exception =>
         respondJson(ex, 400, errJson(e))
-    } finally ex.close()
+    } finally {
+      val status = Option(ex.getAttribute("status")).fold("200")(_.toString)
+      graft.engine.ops.Metrics.requestCount.inc(
+        Seq(endpoint, ex.getRequestMethod, status))
+      graft.engine.ops.Metrics.requestDuration.observe(
+        Seq(endpoint), (System.nanoTime() - t0) / 1e9)
+      ex.close()
+    }
+  }
+
+  /** L6: replay a cached response when a fresh X-Idempotency-Key repeats
+    * on a mutating request; a key reused with a different request is a
+    * conflict (reference: idempotency.py:47-100). Returns true when the
+    * response was served here. */
+  private def replayIdempotent(ex: HttpExchange): Boolean = {
+    val method = ex.getRequestMethod
+    if (method == "GET" || method == "HEAD") return false
+    val keyOpt = Option(ex.getRequestHeaders.getFirst("X-Idempotency-Key"))
+    keyOpt match {
+      case None => false
+      case Some(k) =>
+        val now = System.currentTimeMillis()
+        idemCache.entrySet().removeIf(e => now - e.getValue.at > IdempotencyTtlMs)
+        Option(idemCache.get(k)) match {
+          case Some(c)
+            if c.method != method || c.path != ex.getRequestURI.getPath =>
+            graft.engine.ops.Metrics.idempotencyConflicts.inc()
+            respondJson(ex, 409,
+              """{"error":"idempotency key reused with a different request"}""")
+            true
+          case Some(c) =>
+            graft.engine.ops.Metrics.idempotencyHits.inc()
+            ex.getResponseHeaders.set("Content-Type", c.contentType)
+            ex.getResponseHeaders.set("X-Idempotency-Replay", "true")
+            ex.setAttribute("status", c.status)
+            ex.sendResponseHeaders(c.status, c.body.length.toLong)
+            ex.getResponseBody.write(c.body)
+            true
+          case None =>
+            ex.setAttribute("idemKey", k) // cache on response
+            false
+        }
+    }
+  }
+
+  /** Record a response for metrics + idempotency capture. */
+  private def recordResponse(ex: HttpExchange, status: Int,
+      contentType: String, body: Array[Byte]): Unit = {
+    ex.setAttribute("status", status)
+    Option(ex.getAttribute("idemKey")).foreach { k =>
+      if (status < 500)
+        idemCache.put(k.toString, CachedResponse(ex.getRequestMethod,
+          ex.getRequestURI.getPath, status, contentType, body,
+          System.currentTimeMillis()))
+    }
+  }
 
   // ------------------------------------------------- files/s3 plumbing
 
@@ -362,6 +541,7 @@ final class SqlHttpServer(
     val bytes =
       s"""<?xml version="1.0" encoding="UTF-8"?><Error><Code>$s3Code</Code></Error>"""
         .getBytes(StandardCharsets.UTF_8)
+    recordResponse(ex, code, "application/xml", bytes)
     ex.getResponseHeaders.set("Content-Type", "application/xml")
     ex.sendResponseHeaders(code, bytes.length.toLong)
     ex.getResponseBody.write(bytes)
@@ -386,6 +566,7 @@ final class SqlHttpServer(
 
   private def respondJson(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
+    recordResponse(ex, code, "application/json", bytes)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length.toLong)
     ex.getResponseBody.write(bytes)

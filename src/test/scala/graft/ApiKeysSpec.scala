@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.StorageCatalog
+import graft.engine.auth.ApiKeys
+
+/** L8: key formats, scope enforcement, hash-only persistence
+  * (reference: src/auth.py:25-168). No Spark needed. */
+class ApiKeysSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def newKeys() = {
+    val cat = new StorageCatalog(Files.createTempDirectory("graft-keys"))
+    (cat, new ApiKeys(cat))
+  }
+
+  test("key formats and verification round-trip") {
+    val (_, keys) = newKeys()
+    val pk = keys.generateProjectKey("proj1")
+    assert(pk.matches("proj_proj1_[0-9a-f]{16}"))
+    val bk = keys.generateBranchKey("proj1", "dev", "read")
+    assert(bk.matches("proj_proj1_branch_dev_read_[0-9a-f]{16}"))
+    assert(keys.verify(pk).exists(i => i.project == "proj1" && i.scope == "admin"))
+    assert(keys.verify(bk).exists(i =>
+      i.project == "proj1" && i.branch.contains("dev") && i.scope == "read"))
+    assert(keys.verify("proj_proj1_0000000000000000").isEmpty)
+    assertThrows[IllegalArgumentException](
+      keys.generateBranchKey("p", "b", "superuser"))
+  }
+
+  test("authorize: project isolation and read/write scopes") {
+    val (_, keys) = newKeys()
+    val admin = keys.generateProjectKey("p1")
+    val read = keys.generateBranchKey("p1", "main", "read")
+    assert(keys.authorize(admin, "p1", write = true))
+    assert(keys.authorize(read, "p1", write = false))
+    assert(!keys.authorize(read, "p1", write = true))    // read can't write
+    assert(!keys.authorize(admin, "p2", write = false))  // wrong project
+    assert(keys.revoke(read) && !keys.authorize(read, "p1", write = false))
+    assert(!keys.revoke(read)) // already gone
+  }
+
+  test("only SHA-256 hashes persist; registry survives reload") {
+    val (cat, keys) = newKeys()
+    val key = keys.generateProjectKey("p1")
+    val persisted = Files.readString(cat.root.resolve("catalog.json"))
+    assert(!persisted.contains(key), "raw key must never persist")
+    val reloaded = new StorageCatalog(cat.root)
+    reloaded.reload()
+    assert(new ApiKeys(reloaded).verify(key).isDefined)
+  }
+}

@@ -170,6 +170,65 @@ class SqlHttpServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("project keys scope access; idempotency replays; metrics expose") {
+    graft.engine.ops.Metrics.resetForTest()
+    val store = fixture()
+    val server = new SqlHttpServer(spark, store, apiKey = Some("root")).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    val admin = "Authorization" -> "Bearer root"
+    try {
+      // mint keys (admin-only; a non-admin bearer is rejected)
+      val pKey = om.readTree(post(s"$base/keys",
+        """{"project":"p"}""", admin).body()).get("key").asText
+      val rKey = om.readTree(post(s"$base/keys",
+        """{"project":"p","branch":"main","scope":"read"}""", admin).body())
+        .get("key").asText
+      assert(post(s"$base/keys", """{"project":"p"}""",
+        "Authorization" -> s"Bearer $pKey").statusCode() == 403)
+      // a project key opens sessions + queries ITS project only
+      val pAuth = "Authorization" -> s"Bearer $pKey"
+      val sid = om.readTree(post(s"$base/sessions",
+        """{"project":"p","buckets":["geo"],"workspace":"w"}""", pAuth)
+        .body()).get("sessionId").asText
+      assert(om.readTree(post(s"$base/sessions/$sid/query",
+        """{"sql":"SELECT COUNT(*) AS n FROM geo_nation"}""", pAuth).body())
+        .get("rows").get(0).get(0).asLong == 25)
+      assert(post(s"$base/sessions",
+        """{"project":"OTHER","buckets":[],"workspace":"w"}""", pAuth)
+        .statusCode() == 403)
+      // read-scoped key: reads ok, file writes forbidden, revocation works
+      val rAuth = "Authorization" -> s"Bearer $rKey"
+      assert(get(s"$base/projects/p/files", rAuth).statusCode() == 200)
+      assert(post(s"$base/projects/p/files/prepare",
+        """{"filename":"x.csv"}""", rAuth).statusCode() == 403)
+      assert(client.send(HttpRequest.newBuilder(URI.create(s"$base/keys"))
+        .method("DELETE", HttpRequest.BodyPublishers.ofString(
+          s"""{"key":"$rKey"}""")).header("Authorization", "Bearer root")
+        .build(), HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
+      assert(get(s"$base/projects/p/files", rAuth).statusCode() == 401)
+
+      // idempotency: same key replays the SAME session, no second open
+      val idem = "X-Idempotency-Key" -> "op-123"
+      val r1 = post(s"$base/sessions",
+        """{"project":"p","buckets":["geo"],"workspace":"w2"}""", admin, idem)
+      val r2 = post(s"$base/sessions",
+        """{"project":"p","buckets":["geo"],"workspace":"w2"}""", admin, idem)
+      assert(om.readTree(r1.body()).get("sessionId").asText ==
+        om.readTree(r2.body()).get("sessionId").asText)
+      assert(r2.headers().firstValue("X-Idempotency-Replay").isPresent)
+      // reusing the key against a different path is a conflict
+      assert(post(s"$base/s3-presign",
+        """{"bucket":"p","key":"k"}""", admin, idem).statusCode() == 409)
+
+      // metrics exposition carries request/op/idempotency series
+      val metrics = new String(get(s"$base/metrics").body())
+      assert(metrics.contains("graft_http_requests_total{endpoint=\"sessions\""))
+      assert(metrics.contains("graft_idempotency_cache_hits_total 1"))
+      assert(metrics.contains("graft_workspace_queries_total{status=\"submitted\"}"))
+      assert(metrics.contains("graft_http_request_duration_seconds_bucket"))
+    } finally server.stop()
+  }
+
   test("auth, bad SQL, timeouts and connection caps map to HTTP codes") {
     val store = fixture()
     val mgr = new graft.engine.workspace.WorkspaceManager(spark, store,

@@ -16,6 +16,23 @@ import graft.engine.query.FilterAlgebra.{Op, WhereFilter}
   * tests/test_workflows_e2e.py. */
 class StorageApiSpec extends SparkSpec {
 
+  test("every command leaves an operations_log record with status") {
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-oplog")))
+    val api = new StorageApi.Handler(spark, store)
+    val region = Tables.df(spark, sfDir, "region")
+    api.execute(CreateTable("p", "b", "r", region.schema))
+    api.execute(ImportData("p", "b", "r", region))
+    assertThrows[NoSuchElementException](
+      api.execute(ImportData("p", "nope", "missing", region)))
+    val recs = api.opLog.recent(10)
+    assert(recs.map(r => (r.operation, r.status)).take(3) == Seq(
+      ("ImportData", "error"), ("ImportData", "success"),
+      ("CreateTable", "success"))) // newest first
+    assert(recs.forall(r => r.durationMs >= 0 && r.project == "p"))
+    assert(recs.find(_.operation == "CreateTable").get.target == "b/r")
+  }
+
   test("project and branch stats roll up counts and physical bytes") {
     val store = new TableStore(spark,
       new StorageCatalog(Files.createTempDirectory("graft-stats")))
