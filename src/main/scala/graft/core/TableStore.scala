@@ -33,7 +33,13 @@ import org.apache.spark.sql.types.StructType
   * table size (buckets are the upsert rewrite unit), and `compact()` folds
   * accumulated append roots back into one.
   */
-final class TableStore(spark: SparkSession, val catalog: StorageCatalog) {
+final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
+    /** Auto-compaction threshold: when a commit would leave more data
+      * roots than this, the table is folded back into one root (bucketed
+      * tables into one bucketed segment, preserving the incremental-upsert
+      * layout). Keeps scan-unit count bounded under append-heavy load —
+      * the Spark-side analog of a table format's compaction job. */
+    val autoCompactEntries: Int = 256) {
 
   import catalog.TableMeta
 
@@ -215,6 +221,27 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog) {
     overwrite(project, bucket, table, read(project, bucket, table, branch),
       branch, partitionBy)
 
+  /** Inline auto-compaction, applied at commit time: if the manifest being
+    * committed exceeds [[autoCompactEntries]] roots, fold it into one root
+    * (bucketed tables into one fresh bucketed segment so upsert stays
+    * incremental). The pre-fold segments drop out of the retained manifest
+    * set and are GC'd after the next commit. O(table) when it fires, but it
+    * fires once per `autoCompactEntries` O(staging) commits — the amortized
+    * cost is the same bounded-manifest bargain LSM/table formats make. */
+  private def maybeAutoCompact(tdir: Path, m: Manifest): Manifest =
+    // a bucketed table can never fold below numBuckets leaves, so only
+    // fire when appends have stacked extra segments beyond that floor
+    if (m.entries.size <= math.max(autoCompactEntries, m.numBuckets)) m
+    else {
+      val df = m.entries
+        .map(e => spark.read.parquet(catalog.root.resolve(e.path).toString))
+        .reduce(_.unionByName(_))
+      if (m.isBucketed)
+        Manifest(writeBucketedSegment(df, tdir, m.bucketKeys, m.numBuckets),
+          m.numBuckets, m.bucketKeys)
+      else Manifest(Seq(writeSegment(df, tdir, Nil)), 0, Nil)
+    }
+
   def dropTable(project: String, bucket: String, table: String): Unit = {
     val lock = catalog.lockFor(catalog.key(project, bucket, table))
     lock.lock()
@@ -320,9 +347,9 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog) {
       branch: Option[String], meta: TableMeta, manifest: Manifest,
       schemaDdl: String): TableMeta = {
     val next = meta.copy(version = meta.version + 1, schemaDdl = schemaDdl)
-    Manifest.writeTo(
-      tableDirOf(project, bucket, table, branch).resolve(s"v${next.version}"),
-      manifest)
+    val tdir = tableDirOf(project, bucket, table, branch)
+    Manifest.writeTo(tdir.resolve(s"v${next.version}"),
+      maybeAutoCompact(tdir, manifest))
     branch match {
       case Some(b) => catalog.updateBranchTable(b, next)
       case None    => catalog.updateTable(next)

@@ -104,6 +104,34 @@ class ScaleSpec extends SparkSpec {
     assert(store.read("p", "b", "li").count() == total + 50)
   }
 
+  test("auto-compaction folds the manifest once it exceeds the threshold") {
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-cmp")),
+      autoCompactEntries = 3)
+    val nation = Tables.df(spark, sfDir, "nation")
+    store.createTable("p", "b", "n", nation.schema)
+    store.overwrite("p", "b", "n", nation)
+    def manifest() = graft.core.Manifest.readFrom(
+      store.catalog.versionDir(store.catalog.getTable("p", "b", "n").get)).get
+    // two appends stay incremental (1 -> 2 -> 3 entries, under the cap)
+    store.append("p", "b", "n", nation.limit(2))
+    store.append("p", "b", "n", nation.limit(2))
+    assert(manifest().entries.size == 3)
+    // the third would commit 4 entries -> folds back to one root
+    store.append("p", "b", "n", nation.limit(2))
+    assert(manifest().entries.size == 1)
+    assert(store.read("p", "b", "n").count() == nation.count() + 6)
+    // bucketed tables fold into a single bucketed segment (layout preserved)
+    val pk = Seq("n_nationkey")
+    store.upsert("p", "b", "n", nation.limit(1), pk, numBuckets = 4)
+    store.append("p", "b", "n", nation.limit(2)) // bucketed append: +<=4 leaves
+    val folded = manifest()
+    assert(folded.isBucketed && folded.bucketKeys == pk)
+    assert(folded.entries.size <= 4)
+    assert(folded.entries.map(_.path).map(p => p.take(p.lastIndexOf('/')))
+      .distinct.size == 1, "all leaves should live in one compacted segment")
+  }
+
   test("bucketed upsert rewrites only the buckets staging touches") {
     val store = new TableStore(spark,
       new StorageCatalog(Files.createTempDirectory("graft-ups")))
