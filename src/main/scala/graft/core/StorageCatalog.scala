@@ -86,6 +86,29 @@ final class StorageCatalog(val root: Path) {
     tables.values.filter(_.project == project)
       .toSeq.sortBy(m => (m.bucket, m.table))
 
+  /** All projects known to the catalog: any with a table, a declared
+    * (possibly empty) bucket, or a bucket link. */
+  def listProjects: Seq[String] =
+    (tables.values.map(_.project) ++
+      settingsWithPrefix("bucket/").keys.map(_.split("/")(1)) ++
+      bucketLinks.keys.map(_._1)).toSeq.distinct.sorted
+
+  /** Declared buckets of a project: explicitly created ones (persisted as
+    * `bucket/{p}/{name}` settings, value = description) plus any bucket
+    * that holds tables, plus linked aliases. */
+  def declareBucket(project: String, name: String, description: String = ""): Unit =
+    putSetting(s"bucket/$project/$name", description)
+
+  def listBuckets(project: String): Seq[(String, String)] = {
+    val declared = settingsWithPrefix(s"bucket/$project/")
+      .map { case (k, v) => (k.split("/", 3)(2), v) }
+    val implied = tables.values.filter(_.project == project).map(_.bucket)
+      .map(b => (b, "")).toMap
+    val linked = bucketLinks.keys.filter(_._1 == project)
+      .map { case (_, alias) => (alias, "") }.toMap
+    (implied ++ linked ++ declared).toSeq.sortBy(_._1)
+  }
+
   // ------------------------------------------------------------ branches
 
   /** L1: record a CoW copy of a table into a branch. */

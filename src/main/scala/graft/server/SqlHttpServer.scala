@@ -142,27 +142,7 @@ final class SqlHttpServer(
           } else {
             val (rows, schema) =
               Workspace.executeQueryWithSchema(ws.session, sql, timeout, maxRows)
-            val root = om.createObjectNode()
-            val cols = root.putArray("columns")
-            schema.fieldNames.foreach(cols.add)
-            val data = root.putArray("rows")
-            rows.foreach { r =>
-              val jr = data.addArray()
-              (0 until r.length).foreach { i =>
-                r.get(i) match {
-                  case null                => jr.addNull()
-                  case b: java.lang.Boolean => jr.add(b.booleanValue())
-                  case n: java.lang.Integer => jr.add(n.intValue())
-                  case n: java.lang.Long    => jr.add(n.longValue())
-                  case n: java.lang.Double  => jr.add(n.doubleValue())
-                  case n: java.lang.Float   => jr.add(n.floatValue())
-                  case n: java.math.BigDecimal => jr.add(n)
-                  case other               => jr.add(other.toString)
-                }
-              }
-            }
-            root.put("rowCount", rows.length)
-            respondJson(ex, 200, om.writeValueAsString(root))
+            respondJson(ex, 200, om.writeValueAsString(dfJson(rows, schema)))
           }
         }
       case ("POST", id :: "load" :: Nil) =>
@@ -304,6 +284,183 @@ final class SqlHttpServer(
           ex.getResponseBody.write(bytes)
         case _ => respondJson(ex, 404, """{"error":"not found"}""")
       }
+    }
+  })
+
+  // Storage-management REST surface — the reference's project/bucket/table
+  // routers (src/routers/buckets.py, tables.py, table_import.py) as a thin
+  // transport over the typed StorageApi registry. This is what the CLI
+  // (graft.cli.Cli) drives.
+  //   GET  /storage/projects                                  (admin)
+  //   GET|POST /storage/projects/{p}/buckets
+  //   GET|POST /storage/projects/{p}/buckets/{b}/tables
+  //   GET|DELETE /storage/projects/{p}/buckets/{b}/tables/{t}
+  //   GET  .../tables/{t}/preview?limit=&columns=
+  //   POST .../tables/{t}/import   {fileId, incremental?, dedupMode?}
+  //   POST .../tables/{t}/export   {format?} -> {fileId, rowsExported}
+  //   POST .../tables/{t}/profile?mode=
+  private lazy val storageApi = new graft.api.StorageApi.Handler(spark, store)
+
+  server.createContext("/storage", (ex: HttpExchange) => handle(ex) {
+    import graft.api.StorageApi._
+    val segs = ex.getRequestURI.getPath.stripSuffix("/").split("/").drop(2).toList
+    val query = parseQuery(ex.getRequestURI.getRawQuery)
+    val method = ex.getRequestMethod
+    segs match {
+      case "projects" :: p :: _ :: _ =>
+        requireAccess(ex, p, write = method != "GET")
+      case _ => () // /storage/projects list: admin-gated below
+    }
+    def body = om.readTree(ex.getRequestBody.readAllBytes())
+    (method, segs) match {
+      case ("GET", "projects" :: Nil) =>
+        ex.getAttribute("principal") match {
+          case Admin => ()
+          case _ => throw new SecurityException("project listing is admin-only")
+        }
+        val root = om.createObjectNode()
+        val arr = root.putArray("projects")
+        store.catalog.listProjects.foreach { p =>
+          val s = store.statsForProject(p)
+          val o = arr.addObject()
+          o.put("id", p); o.put("bucketCount", s.bucketCount)
+          o.put("tableCount", s.tableCount); o.put("sizeBytes", s.sizeBytes); ()
+        }
+        root.put("total", root.get("projects").size())
+        respondJson(ex, 200, om.writeValueAsString(root))
+
+      case ("GET", "projects" :: p :: "buckets" :: Nil) =>
+        val root = om.createObjectNode()
+        val arr = root.putArray("buckets")
+        store.catalog.listBuckets(p).foreach { case (name, desc) =>
+          val (sp, sb) = store.catalog.resolveBucket(p, name)
+          val o = arr.addObject()
+          o.put("name", name)
+          o.put("tableCount", store.catalog.listTables(p, name).size)
+          o.put("description", desc)
+          o.put("isLinked", (sp, sb) != ((p, name)))
+          if ((sp, sb) != ((p, name))) { o.put("sourceProject", sp); o.put("sourceBucket", sb) }
+          ()
+        }
+        root.put("total", root.get("buckets").size())
+        respondJson(ex, 200, om.writeValueAsString(root))
+
+      case ("POST", "projects" :: p :: "buckets" :: Nil) =>
+        val b = body
+        val name = reqField(b, "name")
+        store.catalog.declareBucket(p, name,
+          Option(b.get("description")).map(_.asText).getOrElse(""))
+        respondJson(ex, 201, s"""{"name":"$name"}""")
+
+      case ("GET", "projects" :: p :: "buckets" :: b :: "tables" :: Nil) =>
+        val root = om.createObjectNode()
+        val arr = root.putArray("tables")
+        store.catalog.listTables(p, b).foreach { m =>
+          val info = store.tableInfo(p, b, m.table)
+          val o = arr.addObject()
+          o.put("name", m.table); o.put("rowCount", info.rowCount)
+          o.put("sizeBytes", info.sizeBytes)
+          val pk = o.putArray("primaryKey"); m.primaryKey.foreach(pk.add); ()
+        }
+        root.put("total", root.get("tables").size())
+        respondJson(ex, 200, om.writeValueAsString(root))
+
+      case ("POST", "projects" :: p :: "buckets" :: b :: "tables" :: Nil) =>
+        val n = body
+        val name = reqField(n, "name")
+        val cols = Option(n.get("columns")).filter(_.isArray).getOrElse(
+          throw new IllegalArgumentException("missing field: columns"))
+        val schema = org.apache.spark.sql.types.StructType(
+          (0 until cols.size()).map { i =>
+            val c = cols.get(i)
+            org.apache.spark.sql.types.StructField(reqField(c, "name"),
+              sqlTypeToSpark(reqField(c, "type")))
+          })
+        val pk = Option(n.get("primaryKey")).map(a =>
+          (0 until a.size()).map(a.get(_).asText).toSeq).getOrElse(Nil)
+        storageApi.execute(CreateTable(p, b, name, schema, pk))
+        val o = om.createObjectNode()
+        o.put("name", name)
+        val pkArr = o.putArray("primaryKey"); pk.foreach(pkArr.add)
+        respondJson(ex, 201, om.writeValueAsString(o))
+
+      case ("GET", "projects" :: p :: "buckets" :: b :: "tables" :: t :: Nil) =>
+        val info = store.tableInfo(p, b, t)
+        val o = om.createObjectNode()
+        o.put("name", t); o.put("schemaDdl", info.schemaDdl)
+        o.put("rowCount", info.rowCount); o.put("sizeBytes", info.sizeBytes)
+        o.put("version", info.version)
+        val pk = o.putArray("primaryKey"); info.primaryKey.foreach(pk.add)
+        respondJson(ex, 200, om.writeValueAsString(o))
+
+      case ("DELETE", "projects" :: p :: "buckets" :: b :: "tables" :: t :: Nil) =>
+        storageApi.execute(DropTable(p, b, t))
+        respondJson(ex, 200, """{"dropped":true}""")
+
+      case ("GET", "projects" :: p :: "buckets" :: b :: "tables" :: t :: "preview" :: Nil) =>
+        val limit = query.get("limit").map(_.toInt).getOrElse(PreviewDefaultLimit)
+        val columns = query.get("columns").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val Rows(df) = storageApi.execute(Preview(p, b, t, columns, Nil, limit)): @unchecked
+        val payload = dfJson(df.collect(), df.schema)
+        payload.put("totalRowCount", store.read(p, b, t).count())
+        respondJson(ex, 200, om.writeValueAsString(payload))
+
+      case ("POST", "projects" :: p :: "buckets" :: b :: "tables" :: t :: "import" :: Nil) =>
+        val n = body
+        val mode = Option(n.get("dedupMode")).map(_.asText).getOrElse("update") match {
+          case "insert" => graft.engine.imp.ImportPipeline.DedupMode.InsertDuplicates
+          case "fail"   => graft.engine.imp.ImportPipeline.DedupMode.FailOnDuplicates
+          case _        => graft.engine.imp.ImportPipeline.DedupMode.UpdateDuplicates
+        }
+        val csv = graft.engine.imp.ImportPipeline.CsvOptions(
+          delimiter = Option(n.get("delimiter")).map(_.asText).getOrElse(","))
+        storageApi.files.expireSessions()
+        val Count(after) = storageApi.execute(ImportStagedFile(p, b, t,
+          reqField(n, "fileId"), csv,
+          incremental = Option(n.get("incremental")).exists(_.asBoolean),
+          dedupMode = mode)): @unchecked
+        respondJson(ex, 200,
+          s"""{"tableRowsAfter":$after,"tableSizeBytes":${store.dataSize(p, b, t)}}""")
+
+      case ("POST", "projects" :: p :: "buckets" :: b :: "tables" :: t :: "export" :: Nil) =>
+        // reference shape: export lands in the file store, the client then
+        // downloads the file id (cli/commands/tables.py:302-346). Single
+        // CSV object => coalesce(1); bulk exports go through the parquet
+        // ExportTable command instead.
+        val rows = store.read(p, b, t).count()
+        val tmp = Files.createTempDirectory("graft-export")
+        try {
+          graft.engine.query.Export.toCsv(store.read(p, b, t).coalesce(1),
+            tmp.resolve("csv").toString)
+          val part = Files.list(tmp.resolve("csv")).iterator()
+          var bytes: Array[Byte] = Array.emptyByteArray
+          while (part.hasNext) {
+            val f = part.next()
+            if (f.getFileName.toString.startsWith("part-"))
+              bytes = Files.readAllBytes(f)
+          }
+          val stamp = java.time.Instant.now().toEpochMilli
+          val info = files.putObject(p, s"exports/$b.$t-$stamp.csv", bytes, "text/csv")
+          respondJson(ex, 200,
+            s"""{"fileId":"${info.id}","rowsExported":$rows}""")
+        } finally deleteTree(tmp)
+
+      case ("POST", "projects" :: p :: "buckets" :: b :: "tables" :: t :: "profile" :: Nil) =>
+        val mode = query.getOrElse("mode", "basic")
+        val df = store.read(p, b, t)
+        val numeric = df.schema.fields.filter(f =>
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+          .map(_.name).toSeq
+        val strings = df.schema.fields.filter(
+          _.dataType == org.apache.spark.sql.types.StringType).map(_.name).toSeq
+        val Rows(prof) = storageApi.execute(
+          ProfileTable(p, b, t, numeric, strings, mode)): @unchecked
+        val payload = dfJson(prof.collect(), prof.schema)
+        payload.put("rowCount", store.read(p, b, t).count())
+        respondJson(ex, 200, om.writeValueAsString(payload))
+
+      case _ => respondJson(ex, 404, """{"error":"not found"}""")
     }
   })
 
@@ -546,6 +703,54 @@ final class SqlHttpServer(
     ex.sendResponseHeaders(code, bytes.length.toLong)
     ex.getResponseBody.write(bytes)
   }
+
+  /** Result-set JSON envelope: {"columns":[...],"rows":[[...]],"rowCount":n}. */
+  private def dfJson(rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType)
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
+    val root = om.createObjectNode()
+    val cols = root.putArray("columns")
+    schema.fieldNames.foreach(cols.add)
+    val data = root.putArray("rows")
+    rows.foreach { r =>
+      val jr = data.addArray()
+      (0 until r.length).foreach { i =>
+        r.get(i) match {
+          case null                => jr.addNull()
+          case b: java.lang.Boolean => jr.add(b.booleanValue())
+          case n: java.lang.Integer => jr.add(n.intValue())
+          case n: java.lang.Long    => jr.add(n.longValue())
+          case n: java.lang.Double  => jr.add(n.doubleValue())
+          case n: java.lang.Float   => jr.add(n.floatValue())
+          case n: java.math.BigDecimal => jr.add(n)
+          case other               => jr.add(other.toString)
+        }
+      }
+    }
+    root.put("rowCount", rows.length)
+    root
+  }
+
+  /** CLI column types -> Spark (the reference CLI's type vocabulary,
+    * cli/commands/tables.py:89-101). */
+  private def sqlTypeToSpark(t: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    t.trim.toUpperCase match {
+      case "VARCHAR" | "STRING" | "TEXT" => StringType
+      case "INTEGER" | "INT"             => IntegerType
+      case "BIGINT" | "LONG"             => LongType
+      case "DOUBLE" | "FLOAT8"           => DoubleType
+      case "BOOLEAN" | "BOOL"            => BooleanType
+      case "DATE"                        => DateType
+      case "TIMESTAMP"                   => TimestampType
+      case other => DataType.fromDDL(other) // any Spark DDL type passes through
+    }
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
 
   private def withSession(ex: HttpExchange, id: String)(
       body: mgr.WsSession => Unit): Unit =
