@@ -18,9 +18,7 @@ object Bench {
   private val excluded = Set(
     "c1_import_export_roundtrip", "c3_schema_evolution", "c6_add_primary_key",
     "l1_snapshot_restore", "l2_branch_lifecycle", "d11_workspace_load",
-    "s2_csv_infer_gzip", "d3_append",
-    // rows-only check (recall<1 ANN, not part of the oracle surface)
-    "x6_ann_lsh")
+    "s2_csv_infer_gzip", "d3_append")
 
   def main(args: Array[String]): Unit = {
     // sampled FIRST: 1-min load average before any of our own Spark work

@@ -150,7 +150,11 @@ object PipelineQueries {
              |SELECT q_id, c_id, rank, ROUND(sim + 1e-9, 4) AS cosine_sim
              |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
 
-    // embedding-cosine near-dup pairs (exact baseline, oracle-checked)
+    // embedding-cosine near-dup pairs: banded-LSH candidates + packed
+    // hamming screen + exact verify (no cross product in the plan); the
+    // oracle is the brute all-pairs SQL — valid because stage-1/2 recall
+    // is 1.0 on this corpus (deterministic signatures, asserted in
+    // PipelineSpec against Similarity.bruteNearDupPairs)
     Q("x13_embedding_neardup",
       (s, dir) => Similarity.cosineNearDupPairs(
           Tables.df(s, dir, "embeddings"), 0.4)
@@ -194,7 +198,11 @@ object PipelineQueries {
              |SELECT q_id, c_id, rank, ROUND(sim + 1e-9, 4) AS cosine_sim
              |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
-    // IVF-bucketed ANN (recall<1 by construction: rows-only + ScalaTest)
+    // IVF-bucketed ANN. Recall<1 vs exact KNN by construction, but the
+    // IVF RESULT ITSELF is deterministic pure arithmetic (centroid argmax
+    // + nprobe probes + in-bucket ranking), so a DuckDB twin reproduces it
+    // exactly — same assignment tie-breaks (round(csim,6) DESC, cent_id)
+    // on both sides.
     Q("x14_ann_ivf",
       (s, dir) => {
         val e = Tables.df(s, dir, "embeddings")
@@ -203,9 +211,40 @@ object PipelineQueries {
             e.filter(col("vec_id") >= 20 && col("vec_id") < 36), 5, nprobe = 4)
           .orderBy("q_id", "rank")
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS cent_id, v AS centv FROM e
+             |         WHERE vec_id >= 20 AND vec_id < 36),
+             |corp AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id >= 20),
+             |qry AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+             |cassign AS (
+             |  SELECT c_id, cv, cent_id FROM (
+             |    SELECT c_id, cv, cent_id, row_number() OVER (PARTITION BY c_id
+             |      ORDER BY round(list_inner_product(cv, centv) /
+             |        (sqrt(list_inner_product(cv, cv)) *
+             |         sqrt(list_inner_product(centv, centv))), 6) DESC, cent_id) AS rn
+             |    FROM corp, cent) WHERE rn = 1),
+             |probes AS (
+             |  SELECT q_id, qv, cent_id FROM (
+             |    SELECT q_id, qv, cent_id, row_number() OVER (PARTITION BY q_id
+             |      ORDER BY round(list_inner_product(qv, centv) /
+             |        (sqrt(list_inner_product(qv, qv)) *
+             |         sqrt(list_inner_product(centv, centv))), 6) DESC, cent_id) AS rn
+             |    FROM qry, cent) WHERE rn <= 4),
+             |s AS (SELECT q_id, c_id,
+             |        list_inner_product(qv, cv) /
+             |        (sqrt(list_inner_product(qv, qv)) *
+             |         sqrt(list_inner_product(cv, cv))) AS sim
+             |      FROM probes JOIN cassign USING (cent_id)),
+             |r AS (SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id
+             |        ORDER BY round(sim, 6) DESC, c_id) AS rank FROM s)
+             |SELECT q_id, c_id, rank, ROUND(sim + 1e-9, 4) AS cosine_sim
+             |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
-    // LSH-bucketed ANN (recall<1 by construction: rows-only + ScalaTest)
+    // LSH-bucketed ANN. Recall<1 vs exact KNN by construction, but the
+    // md5-derived hyperplane signature is engine-neutral and both engines
+    // fold the projection left-to-right in double (Spark aggregate() ==
+    // DuckDB list_reduce), so signatures — and therefore buckets and the
+    // bucketed result — reproduce bit-exactly in the twin.
     Q("x6_ann_lsh",
       (s, dir) => {
         val e = Tables.df(s, dir, "embeddings")
@@ -214,7 +253,30 @@ object PipelineQueries {
             planes = 4)
           .orderBy("q_id", "rank")
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |sig AS (
+             |  SELECT vec_id, v, list_aggregate(
+             |    list_transform(range(0, 4), p ->
+             |      CASE WHEN list_reduce(
+             |        list_prepend(0.0, list_transform(range(0, 64), d ->
+             |          v[d + 1] * (CASE WHEN (strpos('0123456789abcdef',
+             |            substring(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1)) - 1)
+             |            % 2 = 1 THEN 1.0 ELSE -1.0 END))),
+             |        (acc, x) -> acc + x) >= 0
+             |      THEN '1' ELSE '0' END),
+             |    'string_agg', '') AS sig
+             |  FROM e),
+             |q AS (SELECT vec_id AS q_id, v AS qv, sig FROM sig WHERE vec_id < 50),
+             |c AS (SELECT vec_id AS c_id, v AS cv, sig FROM sig WHERE vec_id >= 50),
+             |s AS (SELECT q_id, c_id,
+             |        list_inner_product(qv, cv) /
+             |        (sqrt(list_inner_product(qv, qv)) *
+             |         sqrt(list_inner_product(cv, cv))) AS sim
+             |      FROM q JOIN c USING (sig)),
+             |r AS (SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id
+             |        ORDER BY round(sim, 6) DESC, c_id) AS rank FROM s)
+             |SELECT q_id, c_id, rank, ROUND(sim + 1e-9, 4) AS cosine_sim
+             |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
     // language-ID heuristic: confusion rollup actual x predicted
     Q("x7_lang_id",

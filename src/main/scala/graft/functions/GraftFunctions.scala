@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.graftshim.{GraftExpressions, Shim}
-import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, ExactPercentiles, HashedDistinctCount, RegexpFullMatch}
+import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, ExactPercentiles, HashedDistinctCount, HyperplaneSigPacked, RegexpFullMatch}
 
 /** Column/SQL-facing surface of the native expressions (implementations in
   * org.apache.spark.sql.graftshim.GraftExpressions — see SURVEY.md §2.9). */
@@ -11,6 +11,12 @@ object GraftFunctions {
 
   def cosineSim(a: Column, b: Column): Column =
     Shim.column(CosineSimilarity(Shim.expression(a), Shim.expression(b)))
+
+  /** K-bit packed random-hyperplane signature (array&lt;bigint&gt;) of an
+    * embedding column — the map-side primitive behind LSH candidate
+    * generation and bit_count(xor) hamming screens. */
+  def hyperplaneSigPacked(vec: Column, planes: Int, seed: Long = 0x67726166L): Column =
+    Shim.column(HyperplaneSigPacked(Shim.expression(vec), planes, seed))
 
   def regexpFullMatch(s: Column, re: Column): Column =
     Shim.column(RegexpFullMatch(Shim.expression(s), Shim.expression(re)))

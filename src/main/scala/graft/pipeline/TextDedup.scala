@@ -152,14 +152,16 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash per document from word tokens (weight = token count).
-    * Output: (id, simhash bits as 64-char '0'/'1' string).
+  /** 64-bit SimHash per document from word tokens (weight = token count),
+    * packed into two BIGINTs: `lo` holds bits 0-31, `hi` bits 32-63 —
+    * integer columns all the way, so the downstream hamming verify is two
+    * bit_count(xor) ops, not a 64-char string comparison.
     *
     * The per-token hash is built from md5 hex digits (bit b = bit b%4 of
     * hex digit b/4): md5 is bit-identical across engines, which makes the
     * whole simhash — and therefore the verified pair set — differentially
     * testable against another SQL engine, unlike engine-private hashes. */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHashPacked(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = df
       .select(col(idCol).as("id"),
         explode(expr(s"split(trim($textCol), ' +')")).as("w"))
@@ -175,15 +177,26 @@ object TextDedup {
       .toDF("id", "bit", "c")
     contrib.groupBy("id", "bit").agg(sum("c").as("v"))
       .groupBy("id")
-      .agg(expr(
-        """array_join(transform(array_sort(collect_list(struct(bit, v))),
-          |  x -> CASE WHEN x.v > 0 THEN '1' ELSE '0' END), '')""".stripMargin)
-        .as("simhash"))
+      .agg(
+        sum(expr("CASE WHEN v > 0 AND bit < 32 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")).as("lo"),
+        sum(expr("CASE WHEN v > 0 AND bit >= 32 THEN shiftleft(CAST(1 AS BIGINT), bit - 32) ELSE CAST(0 AS BIGINT) END")).as("hi"))
   }
+
+  /** String form of the simhash (bit b = char b+1), derived from the
+    * packed representation — kept for inspection/tests; the pairs path
+    * never materializes strings. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simHashPacked(df, idCol, textCol).select(col("id"), expr(
+      """array_join(transform(sequence(0, 63), b -> CASE WHEN
+        |  (shiftright(CASE WHEN b < 32 THEN lo ELSE hi END,
+        |              CASE WHEN b < 32 THEN b ELSE b - 32 END) & 1) = 1
+        |  THEN '1' ELSE '0' END), '')""".stripMargin).as("simhash"))
 
   /** SimHash near-dup candidate pairs: band the 64 bits into `bands`
     * equal slices, join on any identical slice, then verify true hamming
-    * distance <= maxHamming.
+    * distance <= maxHamming — where banding keys are integer slices of
+    * (lo, hi) and the verify is bit_count(xor) on two BIGINTs (the same
+    * representation the differential oracle uses).
     *
     * With `maxHamming < bands`, recall is exactly 1.0 by pigeonhole
     * (<= maxHamming differing bits cannot touch every band, so some band
@@ -194,18 +207,28 @@ object TextDedup {
       maxHamming: Int, bands: Int = 8): DataFrame = {
     require(maxHamming < bands,
       s"recall-1.0 banding needs maxHamming < bands ($maxHamming >= $bands)")
-    val sigs = simHash(df, idCol, textCol).cache()
+    require(64 % bands == 0, s"bands must divide 64 ($bands)")
     val width = 64 / bands
-    val banded = sigs.select(col("id"), col("simhash"),
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> substring(simhash, b * $width + 1, $width))")))
-      .toDF("id", "simhash", "band", "slice")
-    val ba = banded.select(col("band"), col("slice"), col("id").as("a_id"), col("simhash").as("siga"))
-    val bb = banded.select(col("band"), col("slice"), col("id").as("b_id"), col("simhash").as("sigb"))
+    val sigs = simHashPacked(df, idCol, textCol).cache()
+    // band key b = bits [b*width, (b+1)*width) as a small integer; bands
+    // never straddle the lo/hi boundary while width divides 32
+    val slice =
+      s"""transform(sequence(0, ${bands - 1}), b ->
+         |  shiftright(CASE WHEN b * $width < 32 THEN lo ELSE hi END,
+         |             CASE WHEN b * $width < 32 THEN b * $width
+         |                  ELSE b * $width - 32 END)
+         |  & CAST(${(1L << width) - 1} AS BIGINT))""".stripMargin
+    val banded = sigs.select(col("id"), col("lo"), col("hi"),
+        posexplode(expr(slice)))
+      .toDF("id", "lo", "hi", "band", "slice")
+    val ba = banded.select(col("band"), col("slice"), col("id").as("a_id"),
+      col("lo").as("loa"), col("hi").as("hia"))
+    val bb = banded.select(col("band"), col("slice"), col("id").as("b_id"),
+      col("lo").as("lob"), col("hi").as("hib"))
     ba.join(bb, Seq("band", "slice")).filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "siga", "sigb").distinct()
-      .withColumn("hamming", expr(
-        """size(filter(zip_with(split(siga, ''), split(sigb, ''),
-          |  (x, y) -> x <> y), v -> v))""".stripMargin).cast(LongType))
+      .select("a_id", "b_id", "loa", "hia", "lob", "hib").distinct()
+      .withColumn("hamming",
+        expr("bit_count(loa ^ lob) + bit_count(hia ^ hib)").cast(LongType))
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
   }

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -51,16 +51,21 @@ object GraftExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
-        val getA = if (elemIsFloat(left)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-        val getB = if (elemIsFloat(right)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+        // fresh names: two cosine_sim instances can share one codegen unit
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+        val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
         s"""
-           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double dot = 0.0, na = 0.0, nb = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  double x = $getA; double y = $getB;
-           |  dot += x * y; na += x * x; nb += y * y;
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = $getA; double $y = $getB;
+           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
            |}
-           |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          """.stripMargin
       })
 
@@ -251,6 +256,91 @@ object GraftExpressions {
     override def withNewInputAggBufferOffset(newOffset: Int): HashedDistinctCount =
       copy(inputAggBufferOffset = newOffset)
     override protected def withNewChildInternal(newChild: Expression): HashedDistinctCount =
+      copy(child = newChild)
+  }
+
+  /** splitmix64 finalizer — a public-domain bijective 64-bit mixer. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Per-(plane, dim) ±1 weight sign bits, packed; lazily built once per
+    * (planes, dim) shape and reused across rows (4 KB at 512×64). */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Long]]()
+
+  private def planeSigns(planes: Int, dim: Int, seed: Long): Array[Long] =
+    planeCache.computeIfAbsent((planes, dim, seed), { _ =>
+      val bits = new Array[Long]((planes * dim + 63) / 64)
+      var p = 0
+      while (p < planes) {
+        var d = 0
+        while (d < dim) {
+          val idx = p * dim + d
+          if ((mix64(seed ^ mix64(idx.toLong)) & 1L) == 1L)
+            bits(idx >> 6) |= 1L << (idx & 63)
+          d += 1
+        }
+        p += 1
+      }
+      bits
+    })
+
+  /** Static kernel shared by eval and codegen: sign bit p of the vector's
+    * projection onto deterministic ±1 hyperplane p, packed into longs
+    * (bit p of the signature = bit p&63 of word p>>6). */
+  def hyperplanePackEval(xa: ArrayData, isFloat: Boolean, planes: Int,
+      seed: Long): ArrayData = {
+    val n = xa.numElements()
+    val signs = planeSigns(planes, n, seed)
+    val words = new Array[Long]((planes + 63) / 64)
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      val base = p * n
+      var d = 0
+      while (d < n) {
+        val x: Double = if (isFloat) xa.getFloat(d).toDouble else xa.getDouble(d)
+        val idx = base + d
+        acc += (if (((signs(idx >> 6) >>> (idx & 63)) & 1L) == 1L) x else -x)
+        d += 1
+      }
+      if (acc >= 0) words(p >> 6) |= 1L << (p & 63)
+      p += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  /** K-bit random-hyperplane signature of a float/double vector, packed
+    * into ceil(K/64) longs. Pure map-side (no shuffle); deterministic in
+    * (planes, seed) across runs and partitionings. The packed form exists
+    * for cheap SIMD-friendly hamming screens: bit_count(xor) over longs
+    * instead of 64 FP multiply-adds per compared pair. */
+  case class HyperplaneSigPacked(child: Expression, planes: Int, seed: Long)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    require(planes > 0, "planes must be positive")
+    override def inputTypes: Seq[AbstractDataType] = Seq(
+      TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "hyperplane_sig_packed"
+
+    private def elemIsFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(v: Any): Any =
+      hyperplanePackEval(v.asInstanceOf[ArrayData], elemIsFloat, planes, seed)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.hyperplanePackEval($a, $elemIsFloat, $planes, ${seed}L);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): HyperplaneSigPacked =
       copy(child = newChild)
   }
 

@@ -79,6 +79,48 @@ class PipelineSpec extends SparkSpec {
     assert(hits >= exact1.size / 4)
   }
 
+  test("LSH near-dup pairs equal the brute-force result (recall 1.0)") {
+    val e = Tables.df(spark, sfDir, "embeddings")
+    val brute = Similarity.bruteNearDupPairs(e, 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineNearDupPairs(e, 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(lsh == brute)
+    // the scale property: the primary path plans equi-joins only — no
+    // cartesian product / nested-loop join anywhere
+    val plan = Similarity.cosineNearDupPairs(e, 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("LSH near-dup candidate pruning: high thresholds prune hard") {
+    // planted near-identical pairs at sim ~0.95 on a synthetic corpus:
+    // the S-curve region where banded LSH is designed to live
+    val rng = new scala.util.Random(11)
+    val base = Array.fill(40)(Array.fill(32)(rng.nextGaussian().toFloat))
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val twin = v.map(x => x + 0.07f * rng.nextGaussian().toFloat)
+      Seq((i.toLong * 2, v.toSeq), (i.toLong * 2 + 1, twin.toSeq))
+    }
+    val df = rows.toSeq.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteNearDupPairs(df, 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // tighter banding for the high-threshold regime (r=8 x 64 bands)
+    val lsh = Similarity.cosineNearDupPairs(df, 0.9,
+        planes = 512, bandBits = 8, bands = 64)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(brute.size >= 30) // the planted twins are found
+    assert(lsh == brute)
+    // pruning: the verify workload is a small fraction of all pairs
+    val n = df.count()
+    val cand = Similarity.nearDupCandidateCount(df, 0.9,
+      planes = 512, bandBits = 8, bands = 64)
+    assert(cand < n * (n - 1) / 2 / 2,
+      s"candidates $cand not << ${n * (n - 1) / 2} pairs")
+  }
+
   test("multimodal: batched extraction is deterministic and md5 matches") {
     val docs = Tables.df(spark, sfDir, "documents").limit(5)
     val assets = Multimodal.toAssets(docs, "doc_id", "text")
