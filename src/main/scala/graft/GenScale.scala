@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Scale-up generator: derives an sfN dataset from a driver-generated sf
+  * directory by replicating every table `copies` times with disjoint key
+  * ranges (key' = key + i·(max(key)+1) for copy i), so join fan-outs,
+  * group cardinalities, and key distributions scale linearly like a real
+  * TPC-H scale factor would.
+  *
+  * Purpose: the bench's scale datapoint. At sf0.1 (600k lineitem) every
+  * Spark query pays a fixed ~0.2-0.3 s scheduling/AQE floor that dwarfs
+  * the actual work; the sf1 run (6M lineitem) shows which engine's cost
+  * grows with data and which was only paying fixed overhead.
+  *
+  * Document text gets a per-copy suffix token so copies are not exact
+  * duplicates of each other (they'd otherwise quadratically plant
+  * cross-copy near-dup pairs and distort the pair-mining queries — which
+  * the sf1 bench subset excludes anyway); `n_chars` is recomputed.
+  *
+  * Usage: runMain graft.GenScale <srcDir> <dstDir> <copies>
+  */
+object GenScale {
+
+  /** key' = key + i * (max(key)+1). */
+  private def offsetKeys(df: DataFrame, copies: Int, keyCols: Seq[String],
+      stride: Map[String, Long]): DataFrame = {
+    val replicated = df.withColumn("_i",
+      explode(lit((0 until copies).toArray)))
+    keyCols.foldLeft(replicated) { (d, k) =>
+      d.withColumn(k, col(k) + col("_i").cast("long") * lit(stride(k)))
+    }.drop("_i")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, copiesStr) = args
+    val copies = copiesStr.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(name: String) = Tables.df(spark, src, name)
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1L
+
+    val customer = read("customer"); val supplier = read("supplier")
+    val part = read("part"); val orders = read("orders")
+    val lineitem = read("lineitem"); val events = read("events")
+    val documents = read("documents"); val embeddings = read("embeddings")
+
+    val kc = maxOf(customer, "c_custkey")
+    val ks = maxOf(supplier, "s_suppkey")
+    val kp = maxOf(part, "p_partkey")
+    val ko = maxOf(orders, "o_orderkey")
+    val ke = maxOf(events, "event_id")
+    val ku = maxOf(events, "user_id")
+    val kd = maxOf(documents, "doc_id")
+    val kv = maxOf(embeddings, "vec_id")
+
+    val out: Seq[(String, DataFrame)] = Seq(
+      "region" -> read("region"),
+      "nation" -> read("nation"),
+      "customer" -> offsetKeys(customer, copies, Seq("c_custkey"),
+        Map("c_custkey" -> kc)),
+      "supplier" -> offsetKeys(supplier, copies, Seq("s_suppkey"),
+        Map("s_suppkey" -> ks)),
+      "part" -> offsetKeys(part, copies, Seq("p_partkey"),
+        Map("p_partkey" -> kp)),
+      "orders" -> offsetKeys(orders, copies, Seq("o_orderkey", "o_custkey"),
+        Map("o_orderkey" -> ko, "o_custkey" -> kc)),
+      "lineitem" -> offsetKeys(lineitem, copies,
+        Seq("l_orderkey", "l_partkey", "l_suppkey"),
+        Map("l_orderkey" -> ko, "l_partkey" -> kp, "l_suppkey" -> ks)),
+      "events" -> offsetKeys(events, copies, Seq("event_id", "user_id"),
+        Map("event_id" -> ke, "user_id" -> ku)),
+      "documents" -> offsetKeys(documents, copies, Seq("doc_id"),
+        Map("doc_id" -> kd))
+        .withColumn("text",
+          when(col("doc_id") >= kd,
+            concat(col("text"), lit(" copymark"),
+              (col("doc_id") / lit(kd)).cast("long")))
+            .otherwise(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long")),
+      "embeddings" -> offsetKeys(embeddings, copies, Seq("vec_id"),
+        Map("vec_id" -> kv)))
+
+    out.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[genscale] $name -> $dst/$name.parquet")
+    }
+    spark.stop()
+  }
+}

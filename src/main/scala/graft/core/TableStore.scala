@@ -74,9 +74,32 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
           session.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType.fromDDL(meta.schemaDdl))
       case Some(m) =>
-        m.entries
-          .map(e => session.read.parquet(catalog.root.resolve(e.path).toString))
-          .reduce(_.unionByName(_))
+        // ONE multi-path scan for all plain roots (with the committed
+        // schema, so no per-root footer sampling): an N-way unionByName of
+        // separate reads costs O(N) analysis, bloats the plan to N scan
+        // nodes, and stops Spark coalescing file splits across roots — at
+        // 64 buckets + appends that's a real planning tax per query.
+        // Hive-partitioned roots (user partitionBy overwrites) still read
+        // individually: their partition values live in directory names and
+        // need per-root discovery; every write coerces to the committed
+        // schema (alignTo), so the final select is order-normalization.
+        val schema = StructType.fromDDL(meta.schemaDdl)
+        val cols = schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq
+        val roots = m.entries.map(e => catalog.root.resolve(e.path))
+        def isHivePartitioned(p: Path): Boolean = {
+          val children = p.toFile.listFiles()
+          children != null &&
+            children.exists(c => c.isDirectory && c.getName.contains("="))
+        }
+        val (parted, plain) = roots.partition(isHivePartitioned)
+        val scans =
+          (if (plain.nonEmpty)
+            Seq(session.read.schema(schema)
+              .parquet(plain.map(_.toString): _*).select(cols: _*))
+          else Nil) ++
+            parted.map(p =>
+              session.read.parquet(p.toString).select(cols: _*))
+        scans.reduce(_.unionByName(_))
     }
 
   /** Physical data roots of the current version (manifest entries, or the
@@ -257,11 +280,32 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
   final case class TableInfo(table: String, schemaDdl: String,
       primaryKey: Seq[String], rowCount: Long, sizeBytes: Long, version: Int)
 
+  /** Row count memoized per (table, version): a preview/profile/info call
+    * must not pay a full table scan per click — the count is computed once
+    * per committed version and served from memory after that (any write
+    * bumps the version, which keys the cache). Bounded: stale versions of
+    * the same table are evicted on access. */
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), (Int, Long)]()
+
+  def cachedRowCount(project: String, bucket: String, table: String): Long = {
+    val meta = catalog.getTable(project, bucket, table)
+      .getOrElse(throw new NoSuchElementException(s"$project/$bucket/$table"))
+    val k = (project, bucket, table)
+    val cached = rowCountCache.get(k)
+    if (cached != null && cached._1 == meta.version) cached._2
+    else {
+      val n = read(project, bucket, table).count()
+      rowCountCache.put(k, (meta.version, n))
+      n
+    }
+  }
+
   def tableInfo(project: String, bucket: String, table: String): TableInfo = {
     val meta = catalog.getTable(project, bucket, table)
       .getOrElse(throw new NoSuchElementException(s"$project/$bucket/$table"))
     TableInfo(table, meta.schemaDdl, meta.primaryKey,
-      read(project, bucket, table).count(),
+      cachedRowCount(project, bucket, table),
       dataSize(project, bucket, table), meta.version)
   }
 

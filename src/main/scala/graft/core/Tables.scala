@@ -56,10 +56,14 @@ object Tables {
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    // integer division: `/` would promote to double and lose precision on
-    // epoch-nanos (~1.7e18 > 2^53)
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // driver-generated events are INT64 TIMESTAMP(NANOS) (read as long);
+    // derived/rescaled copies (GenScale output) are already micros
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      // integer division: `/` would promote to double and lose precision
+      // on epoch-nanos (~1.7e18 > 2^53)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
   }
 
   /** Mount all test tables as bare-named temp views (workspace semantics).

@@ -1,0 +1,75 @@
+package graft.engine.auth
+
+import java.security.{MessageDigest, SecureRandom}
+
+import graft.core.StorageCatalog
+
+/** Per-workspace credentials — the user/secret pairs interactive SQL
+  * clients (psql over PG-wire) present, scoped to one workspace of one
+  * project (reference: workspace_credentials, src/database.py:2587-2648:
+  * create/verify/rotate/revoke, SHA-256-only persistence).
+  *
+  * Distinct from ApiKeys on purpose: an API key is a project-level
+  * machine credential; a workspace credential is handed to a human for
+  * one sandbox and can be rotated/revoked without touching project keys. */
+final class WorkspaceCredentials(catalog: StorageCatalog) {
+
+  final case class CredInfo(user: String, project: String, workspace: String,
+      branch: Option[String], createdAt: String)
+
+  private val rng = new SecureRandom()
+
+  private def randomHex(n: Int): String = {
+    val b = new Array[Byte](n); rng.nextBytes(b)
+    b.map("%02x".format(_)).mkString
+  }
+
+  private def sha256(s: String): String =
+    MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def userKey(user: String) = s"wscred/$user"
+
+  /** Create (or rotate) the credential for `workspace`: returns
+    * (user, secret). The secret is shown once; only its hash persists. */
+  def create(project: String, workspace: String,
+      branch: Option[String] = None): (String, String) = {
+    val user = s"ws_${workspace}_${randomHex(4)}"
+    val secret = s"wss_${randomHex(16)}"
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = om.createObjectNode()
+    n.put("project", project); n.put("workspace", workspace)
+    branch.foreach(n.put("branch", _))
+    n.put("secretHash", sha256(secret))
+    n.put("createdAt", java.time.Instant.now.toString)
+    catalog.putSetting(userKey(user), om.writeValueAsString(n))
+    (user, secret)
+  }
+
+  /** Verify a presented user/secret pair (constant-time on the hash). */
+  def verify(user: String, secret: String): Option[CredInfo] =
+    catalog.getSetting(userKey(user)).flatMap { json =>
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val ok = MessageDigest.isEqual(
+        n.get("secretHash").asText.getBytes("UTF-8"),
+        sha256(secret).getBytes("UTF-8"))
+      if (ok) Some(CredInfo(user, n.get("project").asText,
+        n.get("workspace").asText, Option(n.get("branch")).map(_.asText),
+        n.get("createdAt").asText))
+      else None
+    }
+
+  def revoke(user: String): Boolean = {
+    val k = userKey(user)
+    val existed = catalog.getSetting(k).isDefined
+    if (existed) catalog.removeSetting(k)
+    existed
+  }
+
+  def listForWorkspace(workspace: String): Seq[String] =
+    catalog.settingsWithPrefix("wscred/").collect {
+      case (k, json)
+        if new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+          .get("workspace").asText == workspace => k.stripPrefix("wscred/")
+    }.toSeq
+}

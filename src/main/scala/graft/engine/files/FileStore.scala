@@ -42,6 +42,13 @@ final class FileStore(
   // upload sessions are transient (the reference holds them in-process too)
   private val sessions = TrieMap.empty[String, UploadSession]
 
+  /** Which project an in-flight upload session belongs to — lets the
+    * HTTP layer verify the URL's project segment against the session
+    * before accepting bytes or registering (an upload key alone must not
+    * grant cross-project writes). */
+  def sessionProject(uploadKey: String): Option[String] =
+    sessions.get(uploadKey).map(_.project)
+
   private def projectDir(project: String): Path =
     catalog.root.resolve("files").resolve(project)
 

@@ -54,7 +54,16 @@ final class WorkspaceManager(
       throw new IllegalStateException(
         s"workspace '$workspace' connection limit reached ($maxSessionsPerWorkspace)")
     val s = Workspace.openSession(spark, store, project, buckets, branch)
-    val ws = new WsSession(s"$workspace-${counter.incrementAndGet()}", workspace, project, s)
+    // id carries a 64-bit random token: session ids double as capability
+    // handles on the HTTP surface, so '{workspace}-{counter}' would be
+    // guessable cross-tenant
+    val token = {
+      val b = new Array[Byte](8)
+      java.security.SecureRandom.getInstanceStrong.nextBytes(b)
+      b.map("%02x".format(_)).mkString
+    }
+    val ws = new WsSession(s"$workspace-${counter.incrementAndGet()}-$token",
+      workspace, project, s)
     sessions.put(ws.id, ws)
     ws
   }

@@ -187,20 +187,21 @@ object Similarity {
          |  shiftright(element_at(sig, CAST(i / $perWord AS INT) + 1),
          |             CAST((i % $perWord) * $bandBits AS INT))
          |  & CAST(${(1L << bandBits) - 1} AS BIGINT))""".stripMargin
-    val banded = sigs.select(col("id"), posexplode(expr(bandKeys)))
-      .toDF("id", "band", "key")
-    val ca = banded.select(col("band"), col("key"), col("id").as("a_id"))
-    val cb = banded.select(col("band"), col("key"), col("id").as("b_id"))
-    val candidates = ca.join(cb, Seq("band", "key"))
+    // the signature (K/8 bytes) rides along through the band join — the
+    // screen then needs NO extra joins; hamming-filter BEFORE distinct so
+    // dedup runs on the screened survivors, not every band collision
+    val banded = sigs.select(col("id"), col("sig"), posexplode(expr(bandKeys)))
+      .toDF("id", "sig", "band", "key")
+    val ca = banded.select(col("band"), col("key"), col("id").as("a_id"),
+      col("sig").as("siga"))
+    val cb = banded.select(col("band"), col("key"), col("id").as("b_id"),
+      col("sig").as("sigb"))
+    ca.join(cb, Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    val siga = sigs.select(col("id").as("a_id"), col("sig").as("siga"))
-    val sigb = sigs.select(col("id").as("b_id"), col("sig").as("sigb"))
-    candidates.join(siga, "a_id").join(sigb, "b_id")
       .filter(expr(
         s"""aggregate(zip_with(siga, sigb, (x, y) -> bit_count(x ^ y)),
            |  0, (acc, h) -> acc + h) <= $cutoff""".stripMargin))
-      .select("a_id", "b_id")
+      .select("a_id", "b_id").distinct()
   }
 
   /** Number of pairs that survive candidate generation + screen (the FP

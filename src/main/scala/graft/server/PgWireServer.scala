@@ -1,0 +1,329 @@
+package graft.server
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+import graft.core.TableStore
+import graft.engine.auth.WorkspaceCredentials
+import graft.engine.workspace.Workspace
+
+/** Q2 (wire form): a minimal PostgreSQL frontend/backend protocol v3
+  * server, so stock SQL clients (psql, JDBC with simple-query mode,
+  * DBeaver) can open a workspace session and run SQL against the engine —
+  * the reference's primary interactive surface (reference:
+  * src/pgwire_server.py:374-568 startup+auth, :64-330 session loop).
+  *
+  * Protocol scope (deliberately the simple-query subset):
+  *  - SSLRequest/GSSENCRequest answered 'N' (no TLS in-sandbox);
+  *  - StartupMessage(user, database) -> AuthenticationCleartextPassword;
+  *  - password verified against (a) the deployment admin key, (b) a
+  *    minted project API key for the database's project, or (c) a
+  *    workspace credential whose user matches the startup user;
+  *  - on success: AuthenticationOk, ParameterStatus, BackendKeyData,
+  *    ReadyForQuery, then the Simple Query loop ('Q'):
+  *    RowDescription + DataRow* + CommandComplete (text format), errors
+  *    as ErrorResponse, 'X' terminates.
+  * The extended protocol (Parse/Bind/Execute) is not implemented — psql
+  * uses simple queries.
+  *
+  * `database` in the startup packet names the project (optionally
+  * `project/branch`); every bucket of the project is mounted as
+  * `{bucket}_{table}`, the same view namespace as the HTTP sessions.
+  * Execution delegates to Workspace.executeQueryWithSchema — the same
+  * plan-level row cap and job-group timeout as every other entry point. */
+final class PgWireServer(
+    spark: SparkSession,
+    store: TableStore,
+    port: Int = 0,
+    apiKey: Option[String] = None,
+    timeoutSeconds: Int = 300,
+    maxRows: Int = Workspace.ExecuteQueryMaxRows) {
+
+  private val apiKeys = new graft.engine.auth.ApiKeys(store.catalog)
+  val credentials = new WorkspaceCredentials(store.catalog)
+
+  private val server = new ServerSocket(port)
+  @volatile private var running = false
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool()
+
+  def boundPort: Int = server.getLocalPort
+
+  def start(): PgWireServer = {
+    running = true
+    pool.submit(new Runnable {
+      def run(): Unit =
+        while (running)
+          try {
+            val sock = server.accept()
+            pool.submit(new Runnable { def run(): Unit = serve(sock) })
+          } catch { case _: Throwable if !running => () }
+    })
+    this
+  }
+
+  def stop(): Unit = {
+    running = false
+    server.close()
+    pool.shutdownNow()
+    ()
+  }
+
+  // ------------------------------------------------------------ session
+
+  private def serve(sock: Socket): Unit = {
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+    try {
+      startupPhase(in, out) match {
+        case None => () // auth failed; error already sent
+        case Some(session) =>
+          queryLoop(in, out, session)
+      }
+    } catch {
+      case _: EOFException => ()
+      case _: java.net.SocketException => ()
+    } finally sock.close()
+  }
+
+  /** Handles SSL/GSSENC probes + StartupMessage + cleartext auth.
+    * Returns the mounted Spark session on success. */
+  private def startupPhase(in: DataInputStream,
+      out: DataOutputStream): Option[SparkSession] = {
+    var params = Map.empty[String, String]
+    var done = false
+    while (!done) {
+      val len = in.readInt()
+      val code = in.readInt()
+      code match {
+        case 80877103 | 80877104 => // SSLRequest | GSSENCRequest -> decline
+          out.writeByte('N'); out.flush()
+        case 196608 => // protocol 3.0 startup
+          val body = new Array[Byte](len - 8)
+          in.readFully(body)
+          params = parseStartupParams(body)
+          done = true
+        case 80877102 => // CancelRequest: not tracked per-backend; ignore
+          return None
+        case other =>
+          sendError(out, "08P01", s"unsupported protocol code $other")
+          return None
+      }
+    }
+    val user = params.getOrElse("user", "")
+    val database = params.getOrElse("database", user)
+    // AuthenticationCleartextPassword
+    out.writeByte('R'); out.writeInt(8); out.writeInt(3); out.flush()
+    val password = readPasswordMessage(in) match {
+      case Some(p) => p
+      case None =>
+        sendError(out, "28P01", "password message expected"); return None
+    }
+    authenticate(user, database, password) match {
+      case None =>
+        sendError(out, "28P01", s"""password authentication failed for user "$user"""")
+        None
+      case Some((project, branch)) =>
+        val buckets = store.catalog.listBuckets(project).map(_._1)
+        val session =
+          Workspace.openSession(spark, store, project, buckets, branch)
+        // AuthenticationOk
+        out.writeByte('R'); out.writeInt(8); out.writeInt(0)
+        Seq(
+          "server_version" -> "15.0 (graft)",
+          "server_encoding" -> "UTF8",
+          "client_encoding" -> "UTF8",
+          "DateStyle" -> "ISO, MDY",
+          "integer_datetimes" -> "on",
+          "standard_conforming_strings" -> "on").foreach {
+          case (k, v) => parameterStatus(out, k, v)
+        }
+        // BackendKeyData (pid, secret) — cancel is not supported; zeros
+        out.writeByte('K'); out.writeInt(12); out.writeInt(0); out.writeInt(0)
+        readyForQuery(out)
+        Some(session)
+    }
+  }
+
+  /** Password acceptance order: deployment admin key, project API key for
+    * this database's project, workspace credential matching the user. */
+  private def authenticate(user: String, database: String,
+      password: String): Option[(String, Option[String])] = {
+    val (project, branch) = database.split("/", 2) match {
+      case Array(p, b) => (p, Some(b))
+      case _           => (database, None)
+    }
+    val adminOk = apiKey.exists(k => java.security.MessageDigest.isEqual(
+      k.getBytes(StandardCharsets.UTF_8), password.getBytes(StandardCharsets.UTF_8)))
+    if (adminOk) Some((project, branch))
+    else apiKeys.verify(password) match {
+      case Some(info) if info.project == project &&
+        (info.branch.isEmpty || info.branch == branch) => Some((project, branch))
+      case _ =>
+        credentials.verify(user, password) match {
+          case Some(c) if c.project == project => Some((project, branch.orElse(c.branch)))
+          case _ => None
+        }
+    }
+  }
+
+  private def queryLoop(in: DataInputStream, out: DataOutputStream,
+      session: SparkSession): Unit = {
+    var open = true
+    while (open) {
+      val tag = in.read()
+      if (tag < 0) return
+      val len = in.readInt()
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      tag.toChar match {
+        case 'Q' =>
+          val sql = cString(body, 0)._1.trim
+          if (sql.isEmpty || sql == ";") {
+            out.writeByte('I'); out.writeInt(4) // EmptyQueryResponse
+            readyForQuery(out)
+          } else {
+            try {
+              val (rows, schema) = Workspace.executeQueryWithSchema(
+                session, sql.stripSuffix(";"), timeoutSeconds, maxRows)
+              rowDescription(out, schema)
+              rows.foreach(r => dataRow(out, r, schema))
+              commandComplete(out, s"SELECT ${rows.length}")
+            } catch {
+              case _: java.util.concurrent.TimeoutException =>
+                sendError(out, "57014", "canceling statement due to statement timeout")
+              case e: Throwable =>
+                sendError(out, "42601",
+                  Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+                    .linesIterator.take(4).mkString(" "))
+            }
+            readyForQuery(out)
+          }
+        case 'X' => open = false
+        case 'p' => () // stray password message; ignore
+        case _ => // Parse/Bind/etc: report and stay alive like a real server
+          sendError(out, "0A000", "extended query protocol not supported")
+          readyForQuery(out)
+      }
+    }
+  }
+
+  // ----------------------------------------------------- message encoding
+
+  private def parseStartupParams(body: Array[Byte]): Map[String, String] = {
+    var off = 0
+    val m = scala.collection.mutable.Map[String, String]()
+    while (off < body.length && body(off) != 0) {
+      val (k, o1) = cString(body, off)
+      val (v, o2) = cString(body, o1)
+      m(k) = v
+      off = o2
+    }
+    m.toMap
+  }
+
+  private def readPasswordMessage(in: DataInputStream): Option[String] = {
+    val tag = in.read()
+    if (tag != 'p') return None
+    val len = in.readInt()
+    val body = new Array[Byte](len - 4)
+    in.readFully(body)
+    Some(cString(body, 0)._1)
+  }
+
+  private def cString(b: Array[Byte], off: Int): (String, Int) = {
+    var end = off
+    while (end < b.length && b(end) != 0) end += 1
+    (new String(b, off, end - off, StandardCharsets.UTF_8), end + 1)
+  }
+
+  private def parameterStatus(out: DataOutputStream, k: String, v: String): Unit = {
+    val kb = k.getBytes(StandardCharsets.UTF_8)
+    val vb = v.getBytes(StandardCharsets.UTF_8)
+    out.writeByte('S'); out.writeInt(4 + kb.length + 1 + vb.length + 1)
+    out.write(kb); out.writeByte(0); out.write(vb); out.writeByte(0)
+  }
+
+  private def readyForQuery(out: DataOutputStream): Unit = {
+    out.writeByte('Z'); out.writeInt(5); out.writeByte('I'); out.flush()
+  }
+
+  /** Spark -> Postgres type OIDs (text transfer format throughout). */
+  private def pgTypeOid(dt: DataType): (Int, Int) = dt match {
+    case BooleanType => (16, 1) // bool
+    case IntegerType | ShortType | ByteType => (23, 4) // int4
+    case LongType => (20, 8) // int8
+    case FloatType => (700, 4) // float4
+    case DoubleType => (701, 8) // float8
+    case _: DecimalType => (1700, -1) // numeric
+    case DateType => (1082, 4) // date
+    case TimestampType | TimestampNTZType => (1114, 8) // timestamp
+    case _ => (25, -1) // text
+  }
+
+  private def rowDescription(out: DataOutputStream, schema: StructType): Unit = {
+    val fields = schema.fields
+    val payload = new java.io.ByteArrayOutputStream()
+    val d = new DataOutputStream(payload)
+    d.writeShort(fields.length)
+    fields.foreach { f =>
+      d.write(f.name.getBytes(StandardCharsets.UTF_8)); d.writeByte(0)
+      d.writeInt(0) // table oid
+      d.writeShort(0) // attnum
+      val (oid, size) = pgTypeOid(f.dataType)
+      d.writeInt(oid)
+      d.writeShort(size)
+      d.writeInt(-1) // typmod
+      d.writeShort(0) // text format
+    }
+    out.writeByte('T'); out.writeInt(4 + payload.size())
+    out.write(payload.toByteArray)
+  }
+
+  private def textOf(v: Any): String = v match {
+    case b: Boolean => if (b) "t" else "f"
+    case ts: java.sql.Timestamp => ts.toInstant.toString
+      .replace("T", " ").stripSuffix("Z")
+    case arr: scala.collection.Seq[_] =>
+      arr.map(x => if (x == null) "NULL" else textOf(x)).mkString("{", ",", "}")
+    case other => other.toString
+  }
+
+  private def dataRow(out: DataOutputStream, row: org.apache.spark.sql.Row,
+      schema: StructType): Unit = {
+    val payload = new java.io.ByteArrayOutputStream()
+    val d = new DataOutputStream(payload)
+    d.writeShort(schema.length)
+    (0 until schema.length).foreach { i =>
+      if (row.isNullAt(i)) d.writeInt(-1)
+      else {
+        val b = textOf(row.get(i)).getBytes(StandardCharsets.UTF_8)
+        d.writeInt(b.length); d.write(b)
+      }
+    }
+    out.writeByte('D'); out.writeInt(4 + payload.size())
+    out.write(payload.toByteArray)
+  }
+
+  private def commandComplete(out: DataOutputStream, tag: String): Unit = {
+    val b = tag.getBytes(StandardCharsets.UTF_8)
+    out.writeByte('C'); out.writeInt(4 + b.length + 1)
+    out.write(b); out.writeByte(0)
+  }
+
+  private def sendError(out: DataOutputStream, code: String, msg: String): Unit = {
+    val payload = new java.io.ByteArrayOutputStream()
+    val d = new DataOutputStream(payload)
+    def field(t: Char, v: String): Unit = {
+      d.writeByte(t); d.write(v.getBytes(StandardCharsets.UTF_8)); d.writeByte(0)
+    }
+    field('S', "ERROR"); field('V', "ERROR"); field('C', code); field('M', msg)
+    d.writeByte(0)
+    out.writeByte('E'); out.writeInt(4 + payload.size())
+    out.write(payload.toByteArray)
+    out.flush()
+  }
+}

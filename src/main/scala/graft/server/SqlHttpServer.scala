@@ -53,7 +53,8 @@ final class SqlHttpServer(
     port: Int = 0,
     apiKey: Option[String] = None,
     manager: Option[WorkspaceManager] = None,
-    fileStore: Option[graft.engine.files.FileStore] = None) {
+    fileStore: Option[graft.engine.files.FileStore] = None,
+    s3AccessKeyId: String = "graft") {
 
   private val om = new ObjectMapper()
   private val mgr = manager.getOrElse(new WorkspaceManager(spark, store))
@@ -68,7 +69,8 @@ final class SqlHttpServer(
     * src/middleware/idempotency.py:29-100). */
   private val IdempotencyTtlMs = 600000L
   private final case class CachedResponse(method: String, path: String,
-      status: Int, contentType: String, body: Array[Byte], at: Long)
+      bodyHash: String, status: Int, contentType: String, body: Array[Byte],
+      at: Long)
   private val idemCache =
     new java.util.concurrent.ConcurrentHashMap[String, CachedResponse]()
   /** HMAC secret for presigned URLs (the reference derives one per
@@ -96,18 +98,22 @@ final class SqlHttpServer(
       case ("POST", Nil) => // open session
         val body = om.readTree(ex.getRequestBody.readAllBytes())
         val project = reqField(body, "project")
-        requireAccess(ex, project, write = false)
+        val branch = Option(body.get("branch")).map(_.asText)
+        requireAccess(ex, project, write = false, branch = branch)
         val workspace = reqField(body, "workspace")
         val buckets = Option(body.get("buckets")).map(b =>
           (0 until b.size()).map(b.get(_).asText)).getOrElse(Seq.empty)
-        val branch = Option(body.get("branch")).map(_.asText)
         val ws = mgr.open(project, buckets, workspace, branch)
         respondJson(ex, 200, s"""{"sessionId":"${ws.id}"}""")
       case ("DELETE", id :: Nil) =>
-        if (mgr.close(id)) respondJson(ex, 200, """{"closed":true}""")
-        else respondJson(ex, 404, """{"error":"no such session"}""")
+        withSession(ex, id) { ws =>
+          requireAccess(ex, ws.project, write = false)
+          mgr.close(id)
+          respondJson(ex, 200, """{"closed":true}""")
+        }
       case ("GET", id :: "objects" :: Nil) =>
         withSession(ex, id) { ws =>
+          requireAccess(ex, ws.project, write = false)
           val names = Workspace.listObjects(ws.session)
           val arr = om.createObjectNode()
           val a = arr.putArray("objects"); names.foreach(a.add)
@@ -118,10 +124,17 @@ final class SqlHttpServer(
           requireAccess(ex, ws.project, write = false)
           val body = om.readTree(ex.getRequestBody.readAllBytes())
           val sql = reqField(body, "sql")
+          // client knobs are CLAMPED, not trusted: ExecuteQueryMaxRows is
+          // the driver-OOM hard cap and stays one, whatever the request
+          // says; non-positive values are rejected as malformed
           val timeout = Option(body.get("timeoutSeconds")).map(_.asInt)
             .getOrElse(300)
+          require(timeout > 0, "timeoutSeconds must be positive")
+          val timeoutClamped = math.min(timeout, 3600)
           val maxRows = Option(body.get("maxRows")).map(_.asInt)
             .getOrElse(Workspace.ExecuteQueryMaxRows)
+          require(maxRows > 0, "maxRows must be positive")
+          val maxRowsClamped = math.min(maxRows, Workspace.ExecuteQueryMaxRows)
           ws.touch()
           graft.engine.ops.Metrics.queryCount.inc(Seq("submitted"))
           val wantsArrow = Option(ex.getRequestHeaders.getFirst("Accept"))
@@ -130,7 +143,7 @@ final class SqlHttpServer(
             // Arrow IPC result fetch (ADR-011): capped in the plan, then
             // serialized from the already-bounded local rows
             val (rows, schema) =
-              Workspace.executeQueryWithSchema(ws.session, sql, timeout, maxRows)
+              Workspace.executeQueryWithSchema(ws.session, sql, timeoutClamped, maxRowsClamped)
             val list = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length)
             rows.foreach(list.add)
             val bytes = graft.engine.query.ArrowExport.toIpcBytes(
@@ -141,7 +154,7 @@ final class SqlHttpServer(
             ex.getResponseBody.write(bytes)
           } else {
             val (rows, schema) =
-              Workspace.executeQueryWithSchema(ws.session, sql, timeout, maxRows)
+              Workspace.executeQueryWithSchema(ws.session, sql, timeoutClamped, maxRowsClamped)
             respondJson(ex, 200, om.writeValueAsString(dfJson(rows, schema)))
           }
         }
@@ -149,14 +162,20 @@ final class SqlHttpServer(
         withSession(ex, id) { ws =>
           requireAccess(ex, ws.project, write = false)
           val body = om.readTree(ex.getRequestBody.readAllBytes())
+          // the SOURCE project in the body is a separate authorization
+          // target: without this check a key scoped to project A could
+          // mount any other project's tables into its workspace
+          val srcProject = reqField(body, "project")
+          val srcBranch = Option(body.get("branch")).map(_.asText)
+          requireAccess(ex, srcProject, write = false, branch = srcBranch)
           val columns = Option(body.get("columns")).map(c =>
             (0 until c.size()).map(c.get(_).asText)).getOrElse(Seq.empty)
-          mgr.loadTable(ws, reqField(body, "project"),
+          mgr.loadTable(ws, srcProject,
             reqField(body, "bucket"), reqField(body, "table"),
             reqField(body, "dest"), columns,
             Option(body.get("where")).map(_.asText),
             Option(body.get("limit")).map(_.asInt),
-            Option(body.get("branch")).map(_.asText))
+            srcBranch)
           respondJson(ex, 200, """{"loaded":true}""")
         }
       case _ => respondJson(ex, 404, """{"error":"not found"}""")
@@ -187,14 +206,17 @@ final class SqlHttpServer(
           Option(body.get("sizeBytes")).map(_.asLong))
         respondJson(ex, 200,
           s"""{"uploadKey":"${s.key}","uploadUrl":"/projects/$p/files/upload/${s.key}","expiresAt":"${s.expiresAt}"}""")
-      case ("PUT", "projects" :: _ :: "files" :: "upload" :: key :: Nil) =>
+      case ("PUT", "projects" :: p :: "files" :: "upload" :: key :: Nil) =>
+        requireUploadSessionIn(p, key)
         val s = files.upload(key, ex.getRequestBody.readAllBytes())
         respondJson(ex, 200, s"""{"uploadKey":"$key","stagedBytes":${Files.size(s.stagingPath.get)}}""")
-      case ("POST", "projects" :: _ :: "files" :: Nil) =>
+      case ("POST", "projects" :: p :: "files" :: Nil) =>
         val body = om.readTree(ex.getRequestBody.readAllBytes())
+        val uploadKey = reqField(body, "uploadKey")
+        requireUploadSessionIn(p, uploadKey)
         val tags = Option(body.get("tags")).map(t =>
           (0 until t.size()).map(t.get(_).asText).toSeq).getOrElse(Nil)
-        respondJson(ex, 201, fileJson(files.register(reqField(body, "uploadKey"), tags)))
+        respondJson(ex, 201, fileJson(files.register(uploadKey, tags)))
       case ("GET", "projects" :: p :: "files" :: Nil) =>
         respondJson(ex, 200,
           files.list(p).map(fileJson).mkString("""{"files":[""", ",", "]}"))
@@ -227,16 +249,33 @@ final class SqlHttpServer(
     val segs = uri.getPath.stripSuffix("/").split("/").drop(2).toList
     val query = parseQuery(uri.getRawQuery)
     val method = ex.getRequestMethod
-    // presigned GET/HEAD bypasses bearer auth after signature verification
+    // presigned GET/HEAD bypasses bearer auth after signature verification;
+    // any parse failure (e.g. an overlong numeric expiry) is an invalid
+    // signature, never an unhandled exception that aborts the exchange
     val presigned = (method == "GET" || method == "HEAD") &&
       query.contains("X-Graft-Signature") && (segs match {
         case bucket :: keyParts if keyParts.nonEmpty =>
-          verifyPresign(method, bucket, keyParts.mkString("/"),
+          scala.util.Try(verifyPresign(method, bucket, keyParts.mkString("/"),
             query.getOrElse("X-Graft-Expires", "0"),
-            query("X-Graft-Signature"))
+            query("X-Graft-Signature"))).getOrElse(false)
         case _ => false
       })
-    handleWith(ex, skipAuth = presigned) {
+    // AWS SigV4 (what boto3/aws-cli send): verified against the
+    // deployment's credential pair — access key id + the admin secret,
+    // like the reference's single-pair scheme (s3_compat.py:416-470).
+    // A valid signature authenticates as the deployment credential.
+    val sigV4Ok = apiKey.exists { secret =>
+      Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .filter(_.startsWith("AWS4-HMAC-SHA256"))
+        .flatMap { auth =>
+          val hmap = scala.collection.mutable.Map[String, String]()
+          ex.getRequestHeaders.forEach((k, vs) =>
+            if (!vs.isEmpty) hmap(k.toLowerCase) = vs.get(0))
+          scala.util.Try(SigV4.verify(auth, s3AccessKeyId, secret, method,
+            uri.getPath, uri.getRawQuery, hmap.toMap)).toOption.flatten
+        }.isDefined
+    }
+    handleWith(ex, skipAuth = presigned || sigV4Ok) {
       segs match { // bucket name = project; mutations need admin scope
         case bucket :: _ =>
           requireAccess(ex, bucket, write = method == "PUT" || method == "DELETE")
@@ -403,7 +442,7 @@ final class SqlHttpServer(
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         val Rows(df) = storageApi.execute(Preview(p, b, t, columns, Nil, limit)): @unchecked
         val payload = dfJson(df.collect(), df.schema)
-        payload.put("totalRowCount", store.read(p, b, t).count())
+        payload.put("totalRowCount", store.cachedRowCount(p, b, t))
         respondJson(ex, 200, om.writeValueAsString(payload))
 
       case ("POST", "projects" :: p :: "buckets" :: b :: "tables" :: t :: "import" :: Nil) =>
@@ -428,7 +467,7 @@ final class SqlHttpServer(
         // downloads the file id (cli/commands/tables.py:302-346). Single
         // CSV object => coalesce(1); bulk exports go through the parquet
         // ExportTable command instead.
-        val rows = store.read(p, b, t).count()
+        val rows = store.cachedRowCount(p, b, t)
         val tmp = Files.createTempDirectory("graft-export")
         try {
           graft.engine.query.Export.toCsv(store.read(p, b, t).coalesce(1),
@@ -457,7 +496,7 @@ final class SqlHttpServer(
         val Rows(prof) = storageApi.execute(
           ProfileTable(p, b, t, numeric, strings, mode)): @unchecked
         val payload = dfJson(prof.collect(), prof.schema)
-        payload.put("rowCount", store.read(p, b, t).count())
+        payload.put("rowCount", store.cachedRowCount(p, b, t))
         respondJson(ex, 200, om.writeValueAsString(payload))
 
       case _ => respondJson(ex, 404, """{"error":"not found"}""")
@@ -545,23 +584,35 @@ final class SqlHttpServer(
   private def principalOf(ex: HttpExchange): Option[Principal] = {
     val bearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
       .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
+    // constant-time compare: a '==' on the admin key would leak prefix
+    // length through response timing
+    def ctEq(a: String, b: String): Boolean =
+      java.security.MessageDigest.isEqual(
+        a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
     (apiKey, bearer) match {
-      case (None, None)                  => Some(Admin)
-      case (Some(k), Some(b)) if b == k  => Some(Admin)
-      case (None, Some(b))               => apiKeys.verify(b).map(Scoped(_))
-      case (Some(_), Some(b))            => apiKeys.verify(b).map(Scoped(_))
-      case (Some(_), None)               => None
+      case (None, None)                        => Some(Admin)
+      case (Some(k), Some(b)) if ctEq(b, k)    => Some(Admin)
+      case (None, Some(b))                     => apiKeys.verify(b).map(Scoped(_))
+      case (Some(_), Some(b))                  => apiKeys.verify(b).map(Scoped(_))
+      case (Some(_), None)                     => None
     }
   }
 
   /** Project-scope enforcement inside handlers (L8): scoped keys only
-    * reach their own project, and writes need admin scope. */
+    * reach their own project, writes need admin scope, and a BRANCH-scoped
+    * key only reaches its own branch — `branch = None` means the request
+    * targets main, which a branch key does not cover. Routes that don't
+    * carry a branch dimension (files, s3, storage) pass `branch = null`
+    * sentinel-free by omission and skip the branch check. */
+  private val AnyBranch: Option[String] = Some("*")
   private def requireAccess(ex: HttpExchange, project: String,
-      write: Boolean): Unit =
+      write: Boolean, branch: Option[String] = AnyBranch): Unit =
     ex.getAttribute("principal") match {
       case Admin => ()
       case Scoped(info)
-        if info.project == project && (!write || info.scope == "admin") => ()
+        if info.project == project && (!write || info.scope == "admin") &&
+          (info.branch.isEmpty || branch == AnyBranch ||
+            info.branch == branch) => ()
       case _ => throw new SecurityException(s"forbidden for project $project")
     }
 
@@ -606,9 +657,12 @@ final class SqlHttpServer(
   }
 
   /** L6: replay a cached response when a fresh X-Idempotency-Key repeats
-    * on a mutating request; a key reused with a different request is a
-    * conflict (reference: idempotency.py:47-100). Returns true when the
-    * response was served here. */
+    * on a mutating request; a key reused with a different request —
+    * method, path, OR body (SHA-256, like the reference's body-hash check,
+    * idempotency.py:113-125) — is a 409 conflict. The cache is scoped per
+    * PRINCIPAL: one caller's idempotency key can never replay (or leak)
+    * another caller's response. Returns true when the response was served
+    * here. */
   private def replayIdempotent(ex: HttpExchange): Boolean = {
     val method = ex.getRequestMethod
     if (method == "GET" || method == "HEAD") return false
@@ -616,11 +670,22 @@ final class SqlHttpServer(
     keyOpt match {
       case None => false
       case Some(k) =>
+        // buffer the request body once (handlers re-read via the replaced
+        // stream) and hash it for the conflict check
+        val bodyBytes = ex.getRequestBody.readAllBytes()
+        ex.setStreams(new java.io.ByteArrayInputStream(bodyBytes), null)
+        val bodyHash = sha256Hex(bodyBytes)
+        val principalId = ex.getAttribute("principal") match {
+          case Scoped(info) => s"${info.project}/${info.branch.getOrElse("")}/${info.scope}"
+          case _            => "admin"
+        }
+        val cacheKey = s"$principalId\n$k"
         val now = System.currentTimeMillis()
         idemCache.entrySet().removeIf(e => now - e.getValue.at > IdempotencyTtlMs)
-        Option(idemCache.get(k)) match {
+        Option(idemCache.get(cacheKey)) match {
           case Some(c)
-            if c.method != method || c.path != ex.getRequestURI.getPath =>
+            if c.method != method || c.path != ex.getRequestURI.getPath ||
+              c.bodyHash != bodyHash =>
             graft.engine.ops.Metrics.idempotencyConflicts.inc()
             respondJson(ex, 409,
               """{"error":"idempotency key reused with a different request"}""")
@@ -634,7 +699,8 @@ final class SqlHttpServer(
             ex.getResponseBody.write(c.body)
             true
           case None =>
-            ex.setAttribute("idemKey", k) // cache on response
+            ex.setAttribute("idemKey", cacheKey) // cache on response
+            ex.setAttribute("idemBodyHash", bodyHash)
             false
         }
     }
@@ -647,10 +713,15 @@ final class SqlHttpServer(
     Option(ex.getAttribute("idemKey")).foreach { k =>
       if (status < 500)
         idemCache.put(k.toString, CachedResponse(ex.getRequestMethod,
-          ex.getRequestURI.getPath, status, contentType, body,
-          System.currentTimeMillis()))
+          ex.getRequestURI.getPath,
+          Option(ex.getAttribute("idemBodyHash")).fold("")(_.toString),
+          status, contentType, body, System.currentTimeMillis()))
     }
   }
+
+  private def sha256Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map("%02x".format(_)).mkString
 
   // ------------------------------------------------- files/s3 plumbing
 
@@ -751,6 +822,19 @@ final class SqlHttpServer(
     if (Files.exists(p))
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => Files.delete(f))
+
+  /** An upload key alone must not grant cross-project writes: the
+    * session's project has to match the URL's project segment (which
+    * requireAccess has already authorized). */
+  private def requireUploadSessionIn(project: String, uploadKey: String): Unit =
+    files.sessionProject(uploadKey) match {
+      case Some(p) if p == project => ()
+      case Some(_) =>
+        throw new SecurityException(
+          s"upload session $uploadKey belongs to another project")
+      case None =>
+        throw new NoSuchElementException(s"upload_session_not_found: $uploadKey")
+    }
 
   private def withSession(ex: HttpExchange, id: String)(
       body: mgr.WsSession => Unit): Unit =

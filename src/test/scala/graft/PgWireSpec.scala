@@ -1,0 +1,169 @@
+package graft
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import graft.core.{StorageCatalog, Tables, TableStore}
+import graft.server.PgWireServer
+
+/** Wire-level PG protocol test: a from-scratch minimal client performs
+  * SSL probe, startup, cleartext auth, a simple query, and reads the
+  * RowDescription/DataRow/CommandComplete/ReadyForQuery frames — what a
+  * real psql session exchanges. */
+class PgWireSpec extends SparkSpec {
+
+  private def fixture() = {
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-pg")))
+    val nation = Tables.df(spark, sfDir, "nation")
+    store.createTable("p", "geo", "nation", nation.schema)
+    store.overwrite("p", "geo", "nation", nation)
+    store
+  }
+
+  /** Tiny frontend: returns (tag, body) frames. */
+  private final class Client(port: Int) {
+    val sock = new Socket("127.0.0.1", port)
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+
+    def sslProbe(): Char = {
+      out.writeInt(8); out.writeInt(80877103); out.flush()
+      in.read().toChar
+    }
+
+    def startup(user: String, database: String): Unit = {
+      val body = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(body)
+      d.writeInt(196608)
+      def kv(k: String, v: String): Unit = {
+        d.write(k.getBytes(StandardCharsets.UTF_8)); d.writeByte(0)
+        d.write(v.getBytes(StandardCharsets.UTF_8)); d.writeByte(0)
+      }
+      kv("user", user); kv("database", database)
+      d.writeByte(0)
+      out.writeInt(4 + body.size()); out.write(body.toByteArray); out.flush()
+    }
+
+    def password(p: String): Unit = {
+      val b = p.getBytes(StandardCharsets.UTF_8)
+      out.writeByte('p'); out.writeInt(4 + b.length + 1)
+      out.write(b); out.writeByte(0); out.flush()
+    }
+
+    def query(sql: String): Unit = {
+      val b = sql.getBytes(StandardCharsets.UTF_8)
+      out.writeByte('Q'); out.writeInt(4 + b.length + 1)
+      out.write(b); out.writeByte(0); out.flush()
+    }
+
+    def frame(): (Char, Array[Byte]) = {
+      val tag = in.read().toChar
+      val len = in.readInt()
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      (tag, body)
+    }
+
+    /** Read frames until ReadyForQuery; returns tags + bodies. */
+    def untilReady(): Seq[(Char, Array[Byte])] = {
+      val frames = scala.collection.mutable.Buffer[(Char, Array[Byte])]()
+      var f = frame()
+      while (f._1 != 'Z') { frames += f; f = frame() }
+      frames.toSeq
+    }
+
+    def close(): Unit = {
+      out.writeByte('X'); out.writeInt(4); out.flush(); sock.close()
+    }
+  }
+
+  test("startup, auth, SELECT over the wire; bad password rejected") {
+    val server = new PgWireServer(spark, fixture(),
+      apiKey = Some("pgsecret")).start()
+    try {
+      val c = new Client(server.boundPort)
+      assert(c.sslProbe() == 'N') // no TLS, like a server without ssl
+      c.startup("alice", "p")
+      val (authTag, authBody) = c.frame()
+      assert(authTag == 'R' &&
+        java.nio.ByteBuffer.wrap(authBody).getInt == 3) // cleartext request
+      c.password("pgsecret")
+      val postAuth = c.untilReady()
+      assert(postAuth.head._1 == 'R' &&
+        java.nio.ByteBuffer.wrap(postAuth.head._2).getInt == 0) // AuthOk
+      assert(postAuth.exists(_._1 == 'S')) // ParameterStatus frames
+      assert(postAuth.exists(_._1 == 'K')) // BackendKeyData
+
+      c.query("SELECT n_nationkey, n_name FROM geo_nation ORDER BY n_nationkey LIMIT 3")
+      val frames = c.untilReady()
+      val tags = frames.map(_._1)
+      assert(tags.head == 'T') // RowDescription
+      assert(tags.count(_ == 'D') == 3) // three DataRows
+      assert(tags.last == 'C')
+      assert(new String(frames.last._2, StandardCharsets.UTF_8)
+        .startsWith("SELECT 3"))
+      // first DataRow: 2 columns, first value "0"
+      val row0 = frames.find(_._1 == 'D').get._2
+      val bb = java.nio.ByteBuffer.wrap(row0)
+      assert(bb.getShort == 2)
+      val l0 = bb.getInt
+      val v0 = new Array[Byte](l0); bb.get(v0)
+      assert(new String(v0, StandardCharsets.UTF_8) == "0")
+
+      // SQL errors come back as ErrorResponse then ReadyForQuery
+      c.query("SELECT nope FROM geo_nation")
+      val err = c.untilReady()
+      assert(err.map(_._1) == Seq('E'))
+      c.close()
+
+      // wrong password -> ErrorResponse, no session
+      val bad = new Client(server.boundPort)
+      bad.startup("mallory", "p")
+      bad.frame() // cleartext request
+      bad.password("nope")
+      val (et, eb) = bad.frame()
+      assert(et == 'E' &&
+        new String(eb, StandardCharsets.UTF_8).contains("authentication failed"))
+    } finally server.stop()
+  }
+
+  test("workspace credentials authenticate their own project only") {
+    val store = fixture()
+    val server = new PgWireServer(spark, store, apiKey = Some("adm")).start()
+    try {
+      val (user, secret) = server.credentials.create("p", "w1")
+      val c = new Client(server.boundPort)
+      c.startup(user, "p")
+      c.frame() // cleartext request
+      c.password(secret)
+      val ok = c.untilReady()
+      assert(java.nio.ByteBuffer.wrap(ok.head._2).getInt == 0) // AuthOk
+      c.query("SELECT COUNT(*) AS n FROM geo_nation")
+      val frames = c.untilReady()
+      val row = frames.find(_._1 == 'D').get._2
+      val bb = java.nio.ByteBuffer.wrap(row)
+      bb.getShort; val l = bb.getInt
+      val v = new Array[Byte](l); bb.get(v)
+      assert(new String(v, StandardCharsets.UTF_8) == "25")
+      c.close()
+
+      // the same credential cannot open another project's database
+      val other = new Client(server.boundPort)
+      other.startup(user, "elsewhere")
+      other.frame()
+      other.password(secret)
+      assert(other.frame()._1 == 'E')
+
+      // revoked credential no longer authenticates
+      server.credentials.revoke(user)
+      val revoked = new Client(server.boundPort)
+      revoked.startup(user, "p")
+      revoked.frame()
+      revoked.password(secret)
+      assert(revoked.frame()._1 == 'E')
+    } finally server.stop()
+  }
+}

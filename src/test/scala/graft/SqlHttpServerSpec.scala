@@ -229,6 +229,121 @@ class SqlHttpServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("authorization hardening: cross-project load, branch scope, idempotency isolation") {
+    val store = fixture()
+    val other = Tables.df(spark, sfDir, "region")
+    store.createTable("q", "geo", "region", other.schema)
+    store.overwrite("q", "geo", "region", other)
+    val server = new SqlHttpServer(spark, store, apiKey = Some("root")).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    val admin = "Authorization" -> "Bearer root"
+    try {
+      val pKey = om.readTree(post(s"$base/keys",
+        """{"project":"p"}""", admin).body()).get("key").asText
+      val pAuth = "Authorization" -> s"Bearer $pKey"
+      val sid = om.readTree(post(s"$base/sessions",
+        """{"project":"p","buckets":["geo"],"workspace":"w"}""", pAuth)
+        .body()).get("sessionId").asText
+      // a key scoped to project p cannot mount project q's tables
+      assert(post(s"$base/sessions/$sid/load",
+        """{"project":"q","bucket":"geo","table":"region","dest":"leak"}""",
+        pAuth).statusCode() == 403)
+      // (the admin CAN: the deny above is scope, not a broken route)
+      assert(post(s"$base/sessions/$sid/load",
+        """{"project":"q","bucket":"geo","table":"region","dest":"ok"}""",
+        admin).statusCode() == 200)
+      // objects/DELETE require access to the session's project
+      val qKey = om.readTree(post(s"$base/keys",
+        """{"project":"q"}""", admin).body()).get("key").asText
+      val qAuth = "Authorization" -> s"Bearer $qKey"
+      assert(get(s"$base/sessions/$sid/objects", qAuth).statusCode() == 403)
+      assert(client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/sessions/$sid")).DELETE()
+        .header("Authorization", s"Bearer $qKey").build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 403)
+      // a branch-scoped key does not reach main (branchless session open)
+      val bKey = om.readTree(post(s"$base/keys",
+        """{"project":"p","branch":"dev","scope":"read"}""", admin).body())
+        .get("key").asText
+      assert(post(s"$base/sessions",
+        """{"project":"p","buckets":["geo"],"workspace":"wb"}""",
+        "Authorization" -> s"Bearer $bKey").statusCode() == 403)
+      // malformed client knobs are rejected; huge ones are clamped, not obeyed
+      assert(post(s"$base/sessions/$sid/query",
+        """{"sql":"SELECT 1","maxRows":0}""", pAuth).statusCode() == 400)
+      assert(post(s"$base/sessions/$sid/query",
+        s"""{"sql":"SELECT 1 AS x","maxRows":2147483647}""", pAuth)
+        .statusCode() == 200)
+      // idempotency: same key + same route but different BODY is a conflict
+      val idem = "X-Idempotency-Key" -> "dup-1"
+      assert(post(s"$base/sessions",
+        """{"project":"p","buckets":["geo"],"workspace":"w2"}""", pAuth, idem)
+        .statusCode() == 200)
+      assert(post(s"$base/sessions",
+        """{"project":"p","buckets":["geo"],"workspace":"w3"}""", pAuth, idem)
+        .statusCode() == 409)
+      // ...and another principal's idempotency key does NOT replay ours:
+      // same key, same route, same body, different caller -> fresh session
+      val mine = om.readTree(post(s"$base/sessions",
+        """{"project":"p","buckets":["geo"],"workspace":"w4"}""", pAuth,
+        "X-Idempotency-Key" -> "dup-2").body()).get("sessionId").asText
+      val theirs = om.readTree(post(s"$base/sessions",
+        """{"project":"p","buckets":["geo"],"workspace":"w4"}""", admin,
+        "X-Idempotency-Key" -> "dup-2").body()).get("sessionId").asText
+      assert(mine != theirs)
+      // an upload key minted for project q cannot stage bytes via p's URL
+      val prep = om.readTree(post(s"$base/projects/q/files/prepare",
+        """{"filename":"f.csv"}""", admin).body()).get("uploadKey").asText
+      assert(client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/projects/p/files/upload/$prep"))
+        .PUT(HttpRequest.BodyPublishers.ofString("x"))
+        .header("Authorization", "Bearer root").build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 403)
+    } finally server.stop()
+  }
+
+  test("s3 SigV4: a correctly signed request authenticates, a bad one doesn't") {
+    val server = new SqlHttpServer(spark, fixture(),
+      apiKey = Some("s3cret")).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    try {
+      val body = "a,b\n1,2\n"
+      val payloadHash = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(body.getBytes).map("%02x".format(_)).mkString
+      val amzDate = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd'T'HHmmss'Z'")
+        .format(java.time.Instant.now().atZone(java.time.ZoneOffset.UTC))
+      val date = amzDate.take(8)
+      def signed(path: String, secret: String): String = {
+        val headers = Map(
+          "host" -> s"127.0.0.1:${server.boundPort}",
+          "x-amz-content-sha256" -> payloadHash,
+          "x-amz-date" -> amzDate)
+        val parsed = graft.server.SigV4.Parsed("graft", date, "local", "s3",
+          Seq("host", "x-amz-content-sha256", "x-amz-date"), "")
+        val sig = graft.server.SigV4.computeSignature(parsed, secret, "PUT",
+          path, null, headers, payloadHash, amzDate)
+        s"AWS4-HMAC-SHA256 Credential=graft/$date/local/s3/aws4_request," +
+          s"SignedHeaders=host;x-amz-content-sha256;x-amz-date,Signature=$sig"
+      }
+      def put(path: String, auth: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base$path"))
+          .PUT(HttpRequest.BodyPublishers.ofString(body))
+          .header("Authorization", auth)
+          .header("x-amz-content-sha256", payloadHash)
+          .header("x-amz-date", amzDate).build(),
+        HttpResponse.BodyHandlers.ofString())
+      // correctly signed PUT lands the object without any bearer token
+      assert(put("/s3/p/sig/in.csv", signed("/s3/p/sig/in.csv", "s3cret"))
+        .statusCode() == 200)
+      // wrong secret -> 401; signature for another path -> 401
+      assert(put("/s3/p/sig/in2.csv", signed("/s3/p/sig/in2.csv", "wrong"))
+        .statusCode() == 401)
+      assert(put("/s3/p/sig/in3.csv", signed("/s3/p/sig/other.csv", "s3cret"))
+        .statusCode() == 401)
+    } finally server.stop()
+  }
+
   test("auth, bad SQL, timeouts and connection caps map to HTTP codes") {
     val store = fixture()
     val mgr = new graft.engine.workspace.WorkspaceManager(spark, store,

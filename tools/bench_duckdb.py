@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""DuckDB twin timing for the bench's comparable subset.
+
+Runs the repo's own oracle SQL (dumped by graft.Verify as
+oracle_sql.json) in DuckDB (all cores) against the same parquet tables
+at one or more scale directories, min-of-N passes, and prints a JSON
+object {sf_dir: {query: sec, ...}, ...} plus a ratio summary — the
+apples-to-apples datapoint BENCH_NOTES.md quotes vs BENCH_r{N}.json.
+
+Usage: python3 tools/bench_duckdb.py <oracle_sql.json> <sfDir> [<sfDir>...]
+
+Pair-mining queries whose oracle SQL is the intentionally-quadratic
+brute twin of a sub-quadratic Spark formulation (x2/x3/x13: DuckDB
+DNF'd >570 s at sf0.1 in round 4) are skipped by default — including
+them would flatter Spark, not DuckDB. Storage-lifecycle queries with no
+pure-query oracle are absent from oracle_sql.json already.
+"""
+import json
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+# brute-twin oracles of sub-quadratic Spark paths: not a fair DuckDB cost
+SKIP = {"x2_ngram_jaccard", "x3_minhash_lsh", "x13_embedding_neardup",
+        "x4_simhash_pairs"}
+
+PASSES = 3
+
+
+def bench_dir(oracle, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        # GenScale output is a directory of part files; driver data one file
+        import os
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
+    out = {}
+    for name, sql in sorted(oracle.items()):
+        if name in SKIP:
+            continue
+        try:
+            con.execute(sql).fetchall()  # warmup (I/O cache + plan)
+            best = None
+            for _ in range(PASSES):
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            out[name] = round(best, 4)
+        except Exception as e:
+            out[name] = -1.0
+            print(f"-- {name} failed: {e}", file=sys.stderr)
+    return out
+
+
+def main():
+    oracle = json.load(open(sys.argv[1]))
+    result = {}
+    for sf_dir in sys.argv[2:]:
+        result[sf_dir] = bench_dir(oracle, sf_dir)
+    totals = {d: round(sum(v for v in qs.values() if v >= 0), 3)
+              for d, qs in result.items()}
+    print(json.dumps({"queries": result, "totals": totals}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
