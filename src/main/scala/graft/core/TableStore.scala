@@ -39,7 +39,17 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
       * tables into one bucketed segment, preserving the incremental-upsert
       * layout). Keeps scan-unit count bounded under append-heavy load —
       * the Spark-side analog of a table format's compaction job. */
-    val autoCompactEntries: Int = 256) {
+    val autoCompactEntries: Int = 256,
+    /** GC retention by version count: the newest `gcRetainVersions`
+      * versions (per branch) always survive a commit's GC. */
+    val gcRetainVersions: Int = 2,
+    /** GC retention by AGE: a version dir modified within this window is
+      * never deleted, whatever its index — so a reader that planned its
+      * scan while some version was current keeps its files for at least
+      * this long even if several commits land during the read. Version-
+      * count retention alone has a race: reader on v(n) + two commits →
+      * v(n) deleted mid-scan. Set to 0 in tests that assert deletion. */
+    val gcRetainMillis: Long = 30L * 60 * 1000) {
 
   import catalog.TableMeta
 
@@ -456,10 +466,22 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
 
   // --------------------------------------------------------------- GC
 
-  /** Manifest-aware GC, run after each commit: deletes version dirs older
-    * than current-1 and segment roots that no RETAINED manifest references.
-    * Retained = {current, current-1} of main AND of every branch of this
-    * table (branch CoW manifests reference main's roots cross-directory). */
+  /** Manifest-aware GC, run after each commit: deletes version dirs the
+    * retention policy (gcRetainVersions count + gcRetainMillis age) no
+    * longer keeps, and segment roots no RETAINED manifest references. */
+  /** Whether the retention policy keeps a version dir: by index (the
+    * newest `gcRetainVersions` per context) OR by age (younger than
+    * `gcRetainMillis`). The age arm is what makes long-running readers
+    * safe: a scan planned while v(n) was current keeps its files for the
+    * retention window no matter how many commits land meanwhile. */
+  private def retainedByPolicy(vdir: Path, versionIdx: Int,
+      currentVersion: Int): Boolean =
+    versionIdx > currentVersion - gcRetainVersions || {
+      gcRetainMillis > 0 && Files.exists(vdir) &&
+        (System.currentTimeMillis() -
+          Files.getLastModifiedTime(vdir).toMillis) < gcRetainMillis
+    }
+
   private def gc(project: String, bucket: String, table: String,
       branch: Option[String], currentVersion: Int): Unit = {
     val dir = tableDirOf(project, bucket, table, branch)
@@ -473,7 +495,7 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
     val versionDirs = try top.iterator().asScala.filter { p =>
       val n = p.getFileName.toString
       n.startsWith("v") && n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit) &&
-        n.drop(1).toInt < currentVersion - 1
+        !retainedByPolicy(p, n.drop(1).toInt, currentVersion)
     }.toList finally top.close()
     versionDirs.filter(unreferenced).foreach(deleteRecursively)
     val segRoot = dir.resolve("seg")
@@ -485,8 +507,9 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
     }
   }
 
-  /** Root-relative paths that must survive GC: every entry of the retained
-    * manifests (current + previous version) of main and all branches, plus
+  /** Root-relative paths that must survive GC: every entry of every
+    * RETAINED manifest (per the count+age policy) of main and all branches
+    * (branch CoW manifests reference main's roots cross-directory), plus
     * retained legacy plain version dirs themselves. */
   private def protectedPaths(project: String, bucket: String,
       table: String): Set[String] = {
@@ -494,13 +517,24 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
       catalog.getTable(project, bucket, table).map((None: Option[String], _)).toSeq ++
         catalog.branchesOf(project, bucket, table).map { case (b, m) => (Some(b), m) }
     contexts.flatMap { case (br, m) =>
-      Seq(m.version, m.version - 1).filter(_ >= 0).flatMap { v =>
-        val vdir = tableDirOf(project, bucket, table, br).resolve(s"v$v")
-        if (!Files.exists(vdir)) Nil
-        else Manifest.readFrom(vdir) match {
-          case Some(man) => man.entries.map(_.path)
-          case None      => Seq(relPath(vdir))
-        }
+      val tdir = tableDirOf(project, bucket, table, br)
+      if (!Files.exists(tdir)) Nil
+      else {
+        val top = Files.list(tdir)
+        val existing = try top.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("v") && n.drop(1).nonEmpty &&
+            n.drop(1).forall(_.isDigit))
+          .map(_.drop(1).toInt).toList
+        finally top.close()
+        existing.filter(v =>
+            retainedByPolicy(tdir.resolve(s"v$v"), v, m.version))
+          .flatMap { v =>
+            val vdir = tdir.resolve(s"v$v")
+            Manifest.readFrom(vdir) match {
+              case Some(man) => man.entries.map(_.path)
+              case None      => Seq(relPath(vdir))
+            }
+          }
       }
     }.toSet
   }

@@ -72,17 +72,56 @@ final class FileStore(
     s
   }
 
-  /** Stage 2: UPLOAD to staging (files.py:197-339). */
-  def upload(uploadKey: String, bytes: Array[Byte],
+  /** Stage 2: UPLOAD to staging (files.py:197-339) — STREAMED: bytes copy
+    * from the input straight to the staging file in 64 KiB chunks with the
+    * size cap enforced mid-stream, so a multi-GB upload never materializes
+    * on the heap (the reference writes the request body to disk the same
+    * way). */
+  def uploadStream(uploadKey: String, in: java.io.InputStream,
       now: Instant = Instant.now): UploadSession = {
     val s = sessions.getOrElse(uploadKey,
       throw new NoSuchElementException(s"upload_session_not_found: $uploadKey"))
     require(now.isBefore(s.expiresAt), s"upload session expired: $uploadKey")
-    require(bytes.length.toLong <= maxFileSizeBytes,
-      s"file_too_large: ${bytes.length} > $maxFileSizeBytes bytes")
     val staging = projectDir(s.project).resolve("staging").resolve(uploadKey)
     Files.createDirectories(staging.getParent)
-    Files.write(staging, bytes)
+    val out = Files.newOutputStream(staging)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var total = 0L
+      var n = in.read(buf)
+      while (n >= 0) {
+        total += n
+        if (total > maxFileSizeBytes) {
+          out.close(); Files.deleteIfExists(staging)
+          throw new IllegalArgumentException(
+            s"file_too_large: > $maxFileSizeBytes bytes")
+        }
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+    } finally out.close()
+    val updated = s.copy(stagingPath = Some(staging))
+    sessions.put(uploadKey, updated)
+    updated
+  }
+
+  def upload(uploadKey: String, bytes: Array[Byte],
+      now: Instant = Instant.now): UploadSession =
+    uploadStream(uploadKey, new java.io.ByteArrayInputStream(bytes), now)
+
+  /** Zero-copy ingestion of a file already on local disk (an export's
+    * part file): the file MOVES into staging instead of streaming through
+    * memory at all. */
+  def adoptFile(uploadKey: String, file: Path,
+      now: Instant = Instant.now): UploadSession = {
+    val s = sessions.getOrElse(uploadKey,
+      throw new NoSuchElementException(s"upload_session_not_found: $uploadKey"))
+    require(now.isBefore(s.expiresAt), s"upload session expired: $uploadKey")
+    require(Files.size(file) <= maxFileSizeBytes,
+      s"file_too_large: ${Files.size(file)} > $maxFileSizeBytes bytes")
+    val staging = projectDir(s.project).resolve("staging").resolve(uploadKey)
+    Files.createDirectories(staging.getParent)
+    Files.move(file, staging, StandardCopyOption.REPLACE_EXISTING)
     val updated = s.copy(stagingPath = Some(staging))
     sessions.put(uploadKey, updated)
     updated
@@ -113,10 +152,25 @@ final class FileStore(
     * prepare+upload+register collapsed, keyed by object name. Replaces an
     * existing object of the same name, like S3 PUT does. */
   def putObject(project: String, name: String, bytes: Array[Byte],
+      contentType: String = "application/octet-stream"): FileInfo =
+    putObjectStream(project, name,
+      new java.io.ByteArrayInputStream(bytes), contentType)
+
+  /** Streamed PUT — never holds the object on the heap. */
+  def putObjectStream(project: String, name: String, in: java.io.InputStream,
       contentType: String = "application/octet-stream"): FileInfo = {
     byName(project, name).foreach(f => delete(f.project, f.id))
-    val s = prepare(project, name, contentType, Some(bytes.length.toLong))
-    upload(s.key, bytes)
+    val s = prepare(project, name, contentType)
+    uploadStream(s.key, in)
+    register(s.key)
+  }
+
+  /** PUT by moving an on-disk file into the store (no copy). */
+  def putObjectFromFile(project: String, name: String, file: Path,
+      contentType: String = "application/octet-stream"): FileInfo = {
+    byName(project, name).foreach(f => delete(f.project, f.id))
+    val s = prepare(project, name, contentType, Some(Files.size(file)))
+    adoptFile(s.key, file)
     register(s.key)
   }
 

@@ -208,7 +208,8 @@ final class SqlHttpServer(
           s"""{"uploadKey":"${s.key}","uploadUrl":"/projects/$p/files/upload/${s.key}","expiresAt":"${s.expiresAt}"}""")
       case ("PUT", "projects" :: p :: "files" :: "upload" :: key :: Nil) =>
         requireUploadSessionIn(p, key)
-        val s = files.upload(key, ex.getRequestBody.readAllBytes())
+        // streamed: the request body goes straight to the staging file
+        val s = files.uploadStream(key, ex.getRequestBody)
         respondJson(ex, 200, s"""{"uploadKey":"$key","stagedBytes":${Files.size(s.stagingPath.get)}}""")
       case ("POST", "projects" :: p :: "files" :: Nil) =>
         val body = om.readTree(ex.getRequestBody.readAllBytes())
@@ -228,10 +229,11 @@ final class SqlHttpServer(
       case ("GET", "projects" :: p :: "files" :: id :: "download" :: Nil) =>
         files.get(p, id) match {
           case Some(f) =>
-            val bytes = Files.readAllBytes(files.pathOf(f))
+            val path = files.pathOf(f)
             ex.getResponseHeaders.set("Content-Type", f.contentType)
-            ex.sendResponseHeaders(200, bytes.length.toLong)
-            ex.getResponseBody.write(bytes)
+            ex.sendResponseHeaders(200, Files.size(path))
+            Files.copy(path, ex.getResponseBody) // streamed, no heap copy
+            ()
           case None => respondJson(ex, 404, """{"error":"file not found"}""")
         }
       case ("DELETE", "projects" :: p :: "files" :: id :: Nil) =>
@@ -284,22 +286,27 @@ final class SqlHttpServer(
       (method, segs) match {
         case ("PUT", bucket :: keyParts) if keyParts.nonEmpty =>
           val key = keyParts.mkString("/")
-          val bytes = ex.getRequestBody.readAllBytes()
-          val info = files.putObject(bucket, key, bytes,
+          // streamed: the md5 ETag computes as the body passes through —
+          // the object is never buffered on the heap
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val in = new java.security.DigestInputStream(ex.getRequestBody, md)
+          val info = files.putObjectStream(bucket, key, in,
             Option(ex.getRequestHeaders.getFirst("Content-Type"))
               .getOrElse("application/octet-stream"))
-          ex.getResponseHeaders.set("ETag", "\"" + md5Hex(bytes) + "\"")
+          val etag = md.digest().map("%02x".format(_)).mkString
+          ex.getResponseHeaders.set("ETag", "\"" + etag + "\"")
           respondJson(ex, 200, s"""{"stored":"${info.id}"}""")
         case (m @ ("GET" | "HEAD"), bucket :: keyParts) if keyParts.nonEmpty =>
           files.byName(bucket, keyParts.mkString("/")) match {
             case Some(f) =>
-              val bytes = Files.readAllBytes(files.pathOf(f))
+              val path = files.pathOf(f)
               ex.getResponseHeaders.set("Content-Type", f.contentType)
-              ex.getResponseHeaders.set("ETag", "\"" + md5Hex(bytes) + "\"")
+              ex.getResponseHeaders.set("ETag", "\"" + md5HexOf(path) + "\"")
               if (m == "HEAD") ex.sendResponseHeaders(200, -1)
               else {
-                ex.sendResponseHeaders(200, bytes.length.toLong)
-                ex.getResponseBody.write(bytes)
+                ex.sendResponseHeaders(200, Files.size(path))
+                Files.copy(path, ex.getResponseBody)
+                ()
               }
             case None => respondXmlError(ex, 404, "NoSuchKey")
           }
@@ -472,15 +479,19 @@ final class SqlHttpServer(
         try {
           graft.engine.query.Export.toCsv(store.read(p, b, t).coalesce(1),
             tmp.resolve("csv").toString)
+          // the part file MOVES into the file store — a multi-GB export
+          // never transits the server heap (the reference streams COPY TO
+          // to disk the same way, table_import.py:610-629)
           val part = Files.list(tmp.resolve("csv")).iterator()
-          var bytes: Array[Byte] = Array.emptyByteArray
+          var partFile: Option[java.nio.file.Path] = None
           while (part.hasNext) {
             val f = part.next()
-            if (f.getFileName.toString.startsWith("part-"))
-              bytes = Files.readAllBytes(f)
+            if (f.getFileName.toString.startsWith("part-")) partFile = Some(f)
           }
           val stamp = java.time.Instant.now().toEpochMilli
-          val info = files.putObject(p, s"exports/$b.$t-$stamp.csv", bytes, "text/csv")
+          val info = files.putObjectFromFile(p, s"exports/$b.$t-$stamp.csv",
+            partFile.getOrElse(throw new IllegalStateException("no export part file")),
+            "text/csv")
           respondJson(ex, 200,
             s"""{"fileId":"${info.id}","rowsExported":$rows}""")
         } finally deleteTree(tmp)
@@ -755,6 +766,18 @@ final class SqlHttpServer(
   private def md5Hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
+
+  /** Streaming file md5 (ETag) — constant memory for any object size. */
+  private def md5HexOf(p: java.nio.file.Path): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = Files.newInputStream(p)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   private def fileJson(f: graft.engine.files.FileStore#FileInfo): String = {
     val n = om.createObjectNode()

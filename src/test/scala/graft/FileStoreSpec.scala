@@ -46,6 +46,34 @@ class FileStoreSpec extends SparkSpec {
     assert(fs.list("p").isEmpty && !Files.exists(fs.pathOf(info)))
   }
 
+  test("streamed upload: constant-memory path, mid-stream size cap, file adoption") {
+    // a store with a small cap: the stream must be rejected AS IT ARRIVES,
+    // not after buffering — the input yields more bytes than the cap and
+    // would OOM a whole-object path at real sizes
+    val root = new StorageCatalog(Files.createTempDirectory("graft-stream"))
+    val fs = new FileStore(root, maxFileSizeBytes = 1 << 16)
+    val s = fs.prepare("p", "big.bin")
+    val oversized = new java.io.InputStream {
+      private var remaining = (1 << 16) + 1
+      def read(): Int = if (remaining <= 0) -1 else { remaining -= 1; 7 }
+    }
+    assertThrows[IllegalArgumentException](fs.uploadStream(s.key, oversized))
+    // a capped-size stream lands intact
+    val s2 = fs.prepare("p", "ok.bin")
+    val payload = Array.tabulate[Byte](50000)(i => (i % 251).toByte)
+    fs.uploadStream(s2.key, new java.io.ByteArrayInputStream(payload))
+    val info = fs.register(s2.key)
+    assert(info.sizeBytes == 50000)
+    assert(java.util.Arrays.equals(Files.readAllBytes(fs.pathOf(info)), payload))
+    // adoption MOVES an on-disk file (export part files): source is gone,
+    // content is registered byte-identical with zero copies through memory
+    val onDisk = Files.createTempFile("graft-part", ".csv")
+    Files.write(onDisk, "x,y\n1,2\n".getBytes("UTF-8"))
+    val adopted = fs.putObjectFromFile("p", "exports/part.csv", onDisk, "text/csv")
+    assert(!Files.exists(onDisk))
+    assert(new String(Files.readAllBytes(fs.pathOf(adopted)), "UTF-8") == "x,y\n1,2\n")
+  }
+
   test("upload sessions expire after the TTL and staging is reaped") {
     val (_, fs) = fixture()
     val t0 = Instant.parse("2026-01-01T00:00:00Z")

@@ -197,6 +197,47 @@ class ScaleSpec extends SparkSpec {
     assert(store.read("p", "b", "c").count() == 30)
   }
 
+  test("GC age retention keeps a reader's files across multiple commits") {
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-gc")))
+    val li = Tables.df(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+    store.createTable("p", "b", "t", li.schema)
+    store.overwrite("p", "b", "t", li)
+    val snapshotCount = store.read("p", "b", "t").count()
+    // open a lazy reader on the CURRENT version, consume only part of it
+    val it = store.read("p", "b", "t").toLocalIterator()
+    var consumed = 0L
+    while (consumed < 100 && it.hasNext) { it.next(); consumed += 1 }
+    // three commits land while the reader is mid-scan (each bumps version;
+    // count-only retention would delete the reader's files at commit #2)
+    (1 to 3).foreach { i =>
+      store.overwrite("p", "b", "t", li.limit(10 * i))
+    }
+    // the reader still completes over its planned snapshot
+    while (it.hasNext) { it.next(); consumed += 1 }
+    assert(consumed == snapshotCount)
+
+    // with age retention disabled, the same sequence DOES reclaim space:
+    // only gcRetainVersions versions' files survive
+    val dir2 = Files.createTempDirectory("graft-gc0")
+    val store2 = new TableStore(spark, new StorageCatalog(dir2),
+      gcRetainVersions = 2, gcRetainMillis = 0L)
+    store2.createTable("p", "b", "t", li.schema)
+    (1 to 4).foreach(_ => store2.overwrite("p", "b", "t", li.limit(50)))
+    val tdir = dir2.resolve("project_p").resolve("b").resolve("t").toFile
+    def versionDirs(f: java.io.File): Seq[String] =
+      if (f == null || !f.isDirectory) Nil
+      else {
+        val children = f.listFiles()
+        children.filter(c => c.isDirectory && c.getName.matches("v\\d+"))
+          .map(_.getName).toSeq ++ children.flatMap(versionDirs)
+      }
+    val kept = versionDirs(tdir)
+    assert(kept.nonEmpty && kept.size <= 2,
+      s"expected <=2 retained version dirs, got $kept")
+  }
+
   test("fastProfile sketches stay within tolerance of exact stats") {
     val li = Tables.df(spark, sfDir, "lineitem")
     val fast = Profiler.fastProfile(li, Seq("l_extendedprice")).collect()(0)
