@@ -1,0 +1,394 @@
+package graft.cli
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Operator CLI over the HTTP storage surface — the reference ships a
+  * typer-based CLI with projects/buckets/tables/files command groups,
+  * CSV schema inference, table previews and profiles (reference:
+  * cli/src/keboola_duckdb_cli/main.py, commands/tables.py:18-90
+  * type inference, :90-346 create/preview/import/export).
+  *
+  * Commands (mirroring the reference's verbs):
+  *   config set url|api-key VALUE      config show
+  *   projects list
+  *   buckets list P                    buckets create P NAME [DESC]
+  *   tables list P B                   tables create P B T --columns n:T,...
+  *   tables drop P B T                 tables info P B T
+  *   tables preview P B T [--limit N] [--columns a,b]
+  *   tables import P B T FILE.csv [--incremental] [--dedup-mode m]
+  *     (auto-creates the table from an inferred CSV schema when absent,
+  *      like the reference's `tables import --create`)
+  *   tables export P B T OUT.csv
+  *   tables profile P B T [--mode basic|full]
+  *   files upload P FILE               files list P
+  *   files download P ID OUT           files delete P ID
+  *   query P SQL                       (one-shot workspace session)
+  *
+  * Global: `--json` for machine output; endpoint/key from the config
+  * file (~/.graft/config.json or $GRAFT_CLI_CONFIG) overridden by
+  * $GRAFT_URL / $GRAFT_API_KEY. Exit codes: 0 ok, 1 request failed,
+  * 2 usage error. */
+object Cli {
+
+  def main(args: Array[String]): Unit =
+    sys.exit(run(args, Console.out, Console.err))
+
+  final case class Ctx(url: String, apiKey: Option[String], json: Boolean,
+      out: java.io.PrintStream, err: java.io.PrintStream) {
+    val om = new ObjectMapper()
+    private val client = HttpClient.newHttpClient()
+
+    private def req(method: String, path: String,
+        body: Option[Array[Byte]] = None,
+        contentType: String = "application/json"): HttpResponse[Array[Byte]] = {
+      val b = HttpRequest.newBuilder(URI.create(s"$url$path"))
+      apiKey.foreach(k => b.header("Authorization", s"Bearer $k"))
+      body match {
+        case Some(bytes) =>
+          b.header("Content-Type", contentType)
+          b.method(method, HttpRequest.BodyPublishers.ofByteArray(bytes))
+        case None => b.method(method, HttpRequest.BodyPublishers.noBody())
+      }
+      client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    }
+
+    /** JSON request; non-2xx raises with the server's error payload. */
+    def call(method: String, path: String, json: Option[String] = None,
+        raw: Option[(Array[Byte], String)] = None): JsonNode = {
+      val resp = raw match {
+        case Some((bytes, ct)) => req(method, path, Some(bytes), ct)
+        case None => req(method, path,
+          json.map(_.getBytes(StandardCharsets.UTF_8)))
+      }
+      val body = new String(resp.body(), StandardCharsets.UTF_8)
+      if (resp.statusCode() >= 300)
+        throw new RuntimeException(s"HTTP ${resp.statusCode()}: $body")
+      if (body.isEmpty) om.createObjectNode() else om.readTree(body)
+    }
+
+    def download(path: String, dest: Path): Long = {
+      val resp = req("GET", path)
+      if (resp.statusCode() >= 300)
+        throw new RuntimeException(s"HTTP ${resp.statusCode()}")
+      Files.write(dest, resp.body())
+      resp.body().length.toLong
+    }
+  }
+
+  // ------------------------------------------------------------- entry
+
+  def run(args: Array[String], out: java.io.PrintStream,
+      err: java.io.PrintStream): Int = {
+    // flags: --name value (valued) or --name (bare); positionals = the rest
+    val valuedFlags = Set("--columns", "--pk", "--limit", "--dedup-mode",
+      "--mode", "--url", "--api-key")
+    val flagsB = scala.collection.mutable.Map[String, String]()
+    val posB = scala.collection.mutable.Buffer[String]()
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        if (valuedFlags(a) && i + 1 < args.length) {
+          flagsB(a) = args(i + 1); i += 1
+        } else flagsB(a) = ""
+      } else posB += a
+      i += 1
+    }
+    val positional = posB.toArray
+    val json = flagsB.contains("--json")
+    bareFlags = flagsB.keySet.toSet
+    def flagVal(name: String): Option[String] =
+      flagsB.get(name).filter(_.nonEmpty)
+    val cfg = loadConfig()
+    val url = sys.env.get("GRAFT_URL")
+      .orElse(flagVal("--url"))
+      .orElse(Option(cfg.get("url")).map(_.asText))
+      .getOrElse("http://127.0.0.1:8787")
+    val key = sys.env.get("GRAFT_API_KEY")
+      .orElse(flagVal("--api-key"))
+      .orElse(Option(cfg.get("apiKey")).map(_.asText))
+    val ctx = Ctx(url.stripSuffix("/"), key, json, out, err)
+    try dispatch(positional.toList, flagVal, ctx)
+    catch {
+      case e: RuntimeException =>
+        err.println(s"error: ${e.getMessage}"); 1
+    }
+  }
+
+  // -------------------------------------------------------- dispatch
+
+  private def dispatch(cmd: List[String], flag: String => Option[String],
+      ctx: Ctx): Int = cmd match {
+
+    case "config" :: "set" :: k :: v :: Nil =>
+      val node = loadConfig()
+      val obj = node.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      k match {
+        case "url"     => obj.put("url", v)
+        case "api-key" => obj.put("apiKey", v)
+        case other => ctx.err.println(s"unknown config key: $other"); return 2
+      }
+      Files.createDirectories(configPath.getParent)
+      Files.writeString(configPath, obj.toString)
+      ctx.out.println(s"$k set"); 0
+
+    case "config" :: "show" :: Nil =>
+      ctx.out.println(loadConfig().toString); 0
+
+    case "projects" :: "list" :: Nil =>
+      val r = ctx.call("GET", "/storage/projects")
+      if (ctx.json) ctx.out.println(r.toString)
+      else {
+        ctx.out.println(f"${"PROJECT"}%-24s ${"BUCKETS"}%8s ${"TABLES"}%8s ${"BYTES"}%12s")
+        r.get("projects").forEach { p =>
+          ctx.out.println(f"${p.get("id").asText}%-24s ${p.get("bucketCount").asInt}%8d ${p.get("tableCount").asInt}%8d ${p.get("sizeBytes").asLong}%12d")
+        }
+      }
+      0
+
+    case "buckets" :: "list" :: p :: Nil =>
+      val r = ctx.call("GET", s"/storage/projects/$p/buckets")
+      if (ctx.json) ctx.out.println(r.toString)
+      else r.get("buckets").forEach(b =>
+        ctx.out.println(f"${b.get("name").asText}%-24s ${b.get("tableCount").asInt}%6d tables  ${b.get("description").asText}%s"))
+      0
+
+    case "buckets" :: "create" :: p :: name :: rest =>
+      val desc = rest.headOption.getOrElse("")
+      ctx.call("POST", s"/storage/projects/$p/buckets",
+        Some(s"""{"name":"$name","description":"$desc"}"""))
+      ctx.out.println(s"bucket $name created"); 0
+
+    case "tables" :: "list" :: p :: b :: Nil =>
+      val r = ctx.call("GET", s"/storage/projects/$p/buckets/$b/tables")
+      if (ctx.json) ctx.out.println(r.toString)
+      else r.get("tables").forEach(t =>
+        ctx.out.println(f"${t.get("name").asText}%-24s ${t.get("rowCount").asLong}%10d rows ${t.get("sizeBytes").asLong}%12d bytes"))
+      0
+
+    case "tables" :: "create" :: p :: b :: t :: Nil =>
+      val cols = flag("--columns").getOrElse {
+        ctx.err.println("--columns name:TYPE,... required"); return 2
+      }
+      val colJson = cols.split(",").map { c =>
+        val Array(n, ty) = c.split(":", 2)
+        s"""{"name":"$n","type":"$ty"}"""
+      }.mkString("[", ",", "]")
+      val pk = flag("--pk").map(_.split(",").map(s => "\"" + s + "\"")
+        .mkString("[", ",", "]")).getOrElse("[]")
+      ctx.call("POST", s"/storage/projects/$p/buckets/$b/tables",
+        Some(s"""{"name":"$t","columns":$colJson,"primaryKey":$pk}"""))
+      ctx.out.println(s"table $t created"); 0
+
+    case "tables" :: "info" :: p :: b :: t :: Nil =>
+      val r = ctx.call("GET", s"/storage/projects/$p/buckets/$b/tables/$t")
+      ctx.out.println(r.toString); 0
+
+    case "tables" :: "drop" :: p :: b :: t :: Nil =>
+      ctx.call("DELETE", s"/storage/projects/$p/buckets/$b/tables/$t")
+      ctx.out.println(s"table $t dropped"); 0
+
+    case "tables" :: "preview" :: p :: b :: t :: Nil =>
+      val limit = flag("--limit").getOrElse("10")
+      val cols = flag("--columns").map(c => s"&columns=$c").getOrElse("")
+      val r = ctx.call("GET",
+        s"/storage/projects/$p/buckets/$b/tables/$t/preview?limit=$limit$cols")
+      if (ctx.json) ctx.out.println(r.toString)
+      else renderRows(ctx.out, r)
+      0
+
+    case "tables" :: "import" :: p :: b :: t :: file :: Nil =>
+      val path = Paths.get(file)
+      require(Files.exists(path), s"no such file: $file")
+      // auto-create from the inferred CSV schema when the table is absent
+      val exists =
+        try { ctx.call("GET", s"/storage/projects/$p/buckets/$b/tables/$t"); true }
+        catch { case _: RuntimeException => false }
+      if (!exists) {
+        val schema = inferCsvSchema(path)
+        val colJson = schema.map { case (n, ty) =>
+          s"""{"name":"$n","type":"$ty"}"""
+        }.mkString("[", ",", "]")
+        ctx.call("POST", s"/storage/projects/$p/buckets/$b/tables",
+          Some(s"""{"name":"$t","columns":$colJson,"primaryKey":[]}"""))
+        ctx.out.println(
+          s"created $t (${schema.map(c => c._1 + ":" + c._2).mkString(", ")})")
+      }
+      val fileId = uploadFile(ctx, p, path)
+      val incremental = flag("--incremental").isDefined ||
+        cmdHasBareFlag("--incremental")
+      val mode = flag("--dedup-mode").getOrElse("update")
+      val r = ctx.call("POST",
+        s"/storage/projects/$p/buckets/$b/tables/$t/import",
+        Some(s"""{"fileId":"$fileId","incremental":$incremental,"dedupMode":"$mode"}"""))
+      ctx.out.println(s"imported: ${r.get("tableRowsAfter").asLong} rows in table")
+      0
+
+    case "tables" :: "export" :: p :: b :: t :: outFile :: Nil =>
+      val r = ctx.call("POST",
+        s"/storage/projects/$p/buckets/$b/tables/$t/export", Some("{}"))
+      val id = r.get("fileId").asText
+      val n = ctx.download(s"/projects/$p/files/$id/download", Paths.get(outFile))
+      ctx.out.println(s"exported ${r.get("rowsExported").asLong} rows, $n bytes"); 0
+
+    case "tables" :: "profile" :: p :: b :: t :: Nil =>
+      val mode = flag("--mode").getOrElse("basic")
+      val r = ctx.call("POST",
+        s"/storage/projects/$p/buckets/$b/tables/$t/profile?mode=$mode", Some("{}"))
+      if (ctx.json) ctx.out.println(r.toString)
+      else renderRows(ctx.out, r)
+      0
+
+    case "files" :: "upload" :: p :: file :: Nil =>
+      val id = uploadFile(ctx, p, Paths.get(file))
+      ctx.out.println(s"fileId: $id"); 0
+
+    case "files" :: "list" :: p :: Nil =>
+      val r = ctx.call("GET", s"/projects/$p/files")
+      if (ctx.json) ctx.out.println(r.toString)
+      else r.get("files").forEach(f =>
+        ctx.out.println(f"${f.get("id").asText}%-38s ${f.get("sizeBytes").asLong}%10d  ${f.get("name").asText}%s"))
+      0
+
+    case "files" :: "download" :: p :: id :: outFile :: Nil =>
+      val n = ctx.download(s"/projects/$p/files/$id/download", Paths.get(outFile))
+      ctx.out.println(s"$n bytes"); 0
+
+    case "files" :: "delete" :: p :: id :: Nil =>
+      ctx.call("DELETE", s"/projects/$p/files/$id")
+      ctx.out.println("deleted"); 0
+
+    case "query" :: p :: sql :: Nil =>
+      val sid = ctx.call("POST", "/sessions",
+        Some(s"""{"project":"$p","buckets":${bucketsOf(ctx, p)},"workspace":"cli"}"""))
+        .get("sessionId").asText
+      try {
+        val r = ctx.call("POST", s"/sessions/$sid/query",
+          Some(ctx.om.createObjectNode().put("sql", sql).toString))
+        if (ctx.json) ctx.out.println(r.toString)
+        else renderRows(ctx.out, r)
+        0
+      } finally ctx.call("DELETE", s"/sessions/$sid")
+
+    case other =>
+      ctx.err.println(
+        s"""unknown command: ${other.mkString(" ")}
+           |usage: graft-cli <config|projects|buckets|tables|files|query> ...""".stripMargin)
+      2
+  }
+
+  // -------------------------------------------------------- helpers
+
+  // set per-invocation by run(); bare boolean flags (e.g. --incremental)
+  // have no value so flagVal misses them
+  @volatile private var bareFlags: Set[String] = Set.empty
+  private def cmdHasBareFlag(name: String): Boolean = bareFlags.contains(name)
+
+  private def configPath: Path =
+    sys.env.get("GRAFT_CLI_CONFIG").map(Paths.get(_)).getOrElse(
+      Paths.get(sys.props.getOrElse("user.home", "."), ".graft", "config.json"))
+
+  private def loadConfig(): JsonNode = {
+    val om = new ObjectMapper()
+    if (Files.exists(configPath)) om.readTree(Files.readString(configPath))
+    else om.createObjectNode()
+  }
+
+  private def bucketsOf(ctx: Ctx, p: String): String = {
+    val r = ctx.call("GET", s"/storage/projects/$p/buckets")
+    val names = scala.collection.mutable.Buffer[String]()
+    r.get("buckets").forEach(b => names += b.get("name").asText)
+    names.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+  }
+
+  /** 3-stage upload; returns the registered file id. */
+  private def uploadFile(ctx: Ctx, project: String, path: Path): String = {
+    val name = path.getFileName.toString
+    val prep = ctx.call("POST", s"/projects/$project/files/prepare",
+      Some(s"""{"filename":"$name","sizeBytes":${Files.size(path)}}"""))
+    val key = prep.get("uploadKey").asText
+    ctx.call("PUT", s"/projects/$project/files/upload/$key",
+      raw = Some((Files.readAllBytes(path), "application/octet-stream")))
+    ctx.call("POST", s"/projects/$project/files",
+      Some(s"""{"uploadKey":"$key"}""")).get("id").asText
+  }
+
+  /** CSV schema inference, same type ladder as the reference
+    * (cli/commands/tables.py:18-59): INTEGER/BIGINT -> DOUBLE ->
+    * BOOLEAN -> DATE/TIMESTAMP -> VARCHAR over a 100-row sample. */
+  def inferCsvSchema(path: Path, sampleRows: Int = 100): Seq[(String, String)] = {
+    val reader = Files.newBufferedReader(path)
+    val lines =
+      try {
+        val b = Seq.newBuilder[String]
+        var line = reader.readLine()
+        var n = 0
+        while (line != null && n <= sampleRows) {
+          b += line; n += 1; line = reader.readLine()
+        }
+        b.result()
+      } finally reader.close()
+    if (lines.isEmpty) return Nil
+    val header = splitCsv(lines.head)
+    val samples = lines.tail.map(splitCsv)
+    header.zipWithIndex.map { case (name, i) =>
+      val values = samples.flatMap(r => r.lift(i)).map(_.trim).filter(_.nonEmpty)
+      name -> inferType(values)
+    }
+  }
+
+  private def splitCsv(line: String): Seq[String] = {
+    // minimal RFC-4180 split (quoted fields with embedded commas)
+    val outB = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val ch = line.charAt(i)
+      if (ch == '"') inQ = !inQ
+      else if (ch == ',' && !inQ) { outB += sb.toString; sb.clear() }
+      else sb.append(ch)
+      i += 1
+    }
+    outB += sb.toString
+    outB.result()
+  }
+
+  private val IntRe = "^-?\\d+$".r
+  private val FloatRe = "^-?\\d+\\.?\\d*$|^-?\\d*\\.?\\d+$".r
+  private val BoolSet = Set("true", "false", "1", "0", "yes", "no", "t", "f")
+  private val DateRe = "^\\d{4}-\\d{2}-\\d{2}$".r
+  private val TsRe = "^\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}.*$".r
+
+  def inferType(values: Seq[String]): String =
+    if (values.isEmpty) "VARCHAR"
+    else if (values.forall(v => IntRe.matches(v))) {
+      val fits = values.forall(v =>
+        scala.util.Try(math.abs(v.toLong) <= 2147483647L).getOrElse(false))
+      if (fits) "INTEGER" else "BIGINT"
+    }
+    else if (values.forall(v => FloatRe.matches(v))) "DOUBLE"
+    else if (values.forall(v => BoolSet(v.toLowerCase))) "BOOLEAN"
+    else if (values.forall(v => DateRe.matches(v))) "DATE"
+    else if (values.forall(v => TsRe.matches(v))) "TIMESTAMP"
+    else "VARCHAR"
+
+  private def renderRows(out: java.io.PrintStream, r: JsonNode): Unit = {
+    val cols = r.get("columns")
+    if (cols == null) { out.println(r.toString); return }
+    val names = (0 until cols.size()).map(cols.get(_).asText)
+    out.println(names.mkString("\t"))
+    r.get("rows").forEach { row =>
+      out.println((0 until row.size()).map { i =>
+        val v = row.get(i)
+        if (v == null || v.isNull) "NULL" else v.asText
+      }.mkString("\t"))
+    }
+    ()
+  }
+}

@@ -64,6 +64,10 @@ final class SqlHttpServer(
     * `apiKey` is the deployment's admin credential; project keys minted
     * here authorize only their project (writes need admin scope). */
   val apiKeys = new graft.engine.auth.ApiKeys(store.catalog)
+  /** Per-workspace user/secret pairs (reference: workspace_credentials,
+    * src/database.py:2587-2648) — presented as HTTP Basic auth; scoped
+    * like a read key on their project. Shared with the PG-wire frontend. */
+  val wsCredentials = new graft.engine.auth.WorkspaceCredentials(store.catalog)
   /** L6: idempotency replay cache — X-Idempotency-Key on a mutating
     * request replays the cached response for 10 min (reference:
     * src/middleware/idempotency.py:29-100). */
@@ -593,7 +597,24 @@ final class SqlHttpServer(
   /** Resolve the caller: deployment admin key -> Admin; a minted
     * project/branch key -> Scoped; open deployment (no apiKey) -> Admin. */
   private def principalOf(ex: HttpExchange): Option[Principal] = {
-    val bearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
+    val authHeader = Option(ex.getRequestHeaders.getFirst("Authorization"))
+    // workspace credentials ride HTTP Basic (user:secret) and act as a
+    // read-scoped principal on their project
+    authHeader.filter(_.startsWith("Basic ")).foreach { h =>
+      val decoded = scala.util.Try(new String(
+        java.util.Base64.getDecoder.decode(h.stripPrefix("Basic ")),
+        StandardCharsets.UTF_8)).getOrElse("")
+      decoded.split(":", 2) match {
+        case Array(u, s) =>
+          wsCredentials.verify(u, s).foreach { c =>
+            return Some(Scoped(apiKeys.KeyInfo(c.project, c.branch, "read",
+              c.createdAt)))
+          }
+        case _ => ()
+      }
+      return None
+    }
+    val bearer = authHeader
       .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
     // constant-time compare: a '==' on the admin key would leak prefix
     // length through response timing

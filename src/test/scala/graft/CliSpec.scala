@@ -1,0 +1,89 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.Files
+
+import graft.cli.Cli
+import graft.core.{StorageCatalog, TableStore}
+import graft.server.SqlHttpServer
+
+/** Operator CLI end-to-end against a live server: bucket/table
+  * lifecycle, CSV import with inferred schema, preview, export
+  * round-trip, files, and one-shot queries. */
+class CliSpec extends SparkSpec {
+
+  private def runCli(base: String, args: String*): (Int, String) = {
+    val bout = new ByteArrayOutputStream()
+    val out = new PrintStream(bout, true, "UTF-8")
+    val code = Cli.run((args :+ "--url" :+ base).toArray, out, out)
+    (code, new String(bout.toByteArray, "UTF-8"))
+  }
+
+  test("bucket/table lifecycle, CSV import with inferred schema, export") {
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-cli")))
+    val server = new SqlHttpServer(spark, store).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    try {
+      assert(runCli(base, "buckets", "create", "p", "raw", "landing zone")._1 == 0)
+      val (c1, lsOut) = runCli(base, "buckets", "list", "p")
+      assert(c1 == 0 && lsOut.contains("raw"))
+
+      // import a CSV into a table that does not exist yet: the CLI infers
+      // the schema (INTEGER/DOUBLE/VARCHAR ladder) and creates it
+      val csv = Files.createTempFile("cli-import", ".csv")
+      Files.writeString(csv,
+        "id,name,score,active\n1,alpha,9.5,true\n2,beta,7.25,false\n3,gamma,8.0,true\n")
+      val (c2, impOut) = runCli(base, "tables", "import", "p", "raw", "items",
+        csv.toString)
+      assert(c2 == 0, impOut)
+      assert(impOut.contains("created items"))
+      assert(impOut.contains("id:INTEGER") && impOut.contains("score:DOUBLE")
+        && impOut.contains("active:BOOLEAN") && impOut.contains("name:VARCHAR"))
+      assert(impOut.contains("3 rows"))
+
+      val (c3, prevOut) = runCli(base, "tables", "preview", "p", "raw", "items")
+      assert(c3 == 0 && prevOut.contains("alpha") && prevOut.contains("9.5"))
+
+      // a second incremental import appends
+      val csv2 = Files.createTempFile("cli-import2", ".csv")
+      Files.writeString(csv2, "id,name,score,active\n4,delta,6.5,false\n")
+      val (c4, impOut2) = runCli(base, "tables", "import", "p", "raw", "items",
+        csv2.toString, "--incremental")
+      assert(c4 == 0 && impOut2.contains("4 rows"), impOut2)
+
+      // export round-trips all 4 rows through the file store
+      val outCsv = Files.createTempFile("cli-export", ".csv")
+      val (c5, expOut) = runCli(base, "tables", "export", "p", "raw", "items",
+        outCsv.toString)
+      assert(c5 == 0 && expOut.contains("exported 4 rows"), expOut)
+      val exported = Files.readString(outCsv)
+      assert(exported.contains("alpha") && exported.contains("delta"))
+
+      // one-shot workspace query over the mounted view
+      val (c6, qOut) = runCli(base, "query", "p",
+        "SELECT COUNT(*) AS n FROM raw_items")
+      assert(c6 == 0 && qOut.contains("4"), qOut)
+
+      // profile renders rows; files list shows the export object
+      val (c7, profOut) = runCli(base, "tables", "profile", "p", "raw", "items")
+      assert(c7 == 0 && profOut.nonEmpty)
+      val (c8, filesOut) = runCli(base, "files", "list", "p")
+      assert(c8 == 0 && filesOut.contains("exports/raw.items"))
+
+      // unknown command is a usage error, not a crash
+      assert(runCli(base, "bogus")._1 == 2)
+    } finally server.stop()
+  }
+
+  test("type inference ladder matches the reference CLI's rules") {
+    assert(Cli.inferType(Seq("1", "2", "-3")) == "INTEGER")
+    assert(Cli.inferType(Seq("1", "3000000000")) == "BIGINT")
+    assert(Cli.inferType(Seq("1.5", "2")) == "DOUBLE")
+    assert(Cli.inferType(Seq("true", "false", "T")) == "BOOLEAN")
+    assert(Cli.inferType(Seq("2024-01-01", "2023-12-31")) == "DATE")
+    assert(Cli.inferType(Seq("2024-01-01 10:00:00")) == "TIMESTAMP")
+    assert(Cli.inferType(Seq("abc", "1")) == "VARCHAR")
+    assert(Cli.inferType(Nil) == "VARCHAR")
+  }
+}

@@ -302,6 +302,39 @@ class SqlHttpServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("workspace credentials authenticate over HTTP Basic, read-scoped") {
+    val store = fixture()
+    val server = new SqlHttpServer(spark, store, apiKey = Some("root")).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    try {
+      val (user, secret) = server.wsCredentials.create("p", "w1")
+      val basic = "Authorization" -> ("Basic " + java.util.Base64.getEncoder
+        .encodeToString(s"$user:$secret".getBytes("UTF-8")))
+      // opens a session + queries its own project
+      val sid = om.readTree(post(s"$base/sessions",
+        """{"project":"p","buckets":["geo"],"workspace":"w1"}""", basic)
+        .body()).get("sessionId").asText
+      assert(om.readTree(post(s"$base/sessions/$sid/query",
+        """{"sql":"SELECT COUNT(*) AS n FROM geo_nation"}""", basic).body())
+        .get("rows").get(0).get(0).asLong == 25)
+      // read scope: no writes, no other projects, no key minting
+      assert(post(s"$base/projects/p/files/prepare",
+        """{"filename":"x.csv"}""", basic).statusCode() == 403)
+      assert(post(s"$base/sessions",
+        """{"project":"q","buckets":[],"workspace":"w1"}""", basic)
+        .statusCode() == 403)
+      // revocation cuts access
+      server.wsCredentials.revoke(user)
+      assert(post(s"$base/sessions",
+        """{"project":"p","buckets":["geo"],"workspace":"w1"}""", basic)
+        .statusCode() == 401)
+      // garbage basic header is a clean 401
+      assert(post(s"$base/sessions",
+        """{"project":"p","buckets":[],"workspace":"w"}""",
+        "Authorization" -> "Basic !!!notbase64").statusCode() == 401)
+    } finally server.stop()
+  }
+
   test("s3 SigV4: a correctly signed request authenticates, a bad one doesn't") {
     val server = new SqlHttpServer(spark, fixture(),
       apiKey = Some("s3cret")).start()
