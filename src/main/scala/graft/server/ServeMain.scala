@@ -28,9 +28,15 @@ object ServeMain {
     spark.sparkContext.setLogLevel("WARN")
     val catalog = new StorageCatalog(root)
     catalog.reload()
-    val server = new SqlHttpServer(spark, new TableStore(spark, catalog),
-      port, sys.env.get("GRAFT_API_KEY")).start()
-    println(s"graft sql server listening on :${server.boundPort} (root=$root)")
+    val store = new TableStore(spark, catalog)
+    val apiKey = sys.env.get("GRAFT_API_KEY")
+    val server = new SqlHttpServer(spark, store, port, apiKey).start()
+    // PG-wire alongside HTTP (psql/JDBC), sharing the same store + keys;
+    // default port mirrors Postgres convention, override with GRAFT_PG_PORT
+    val pgPort = sys.env.get("GRAFT_PG_PORT").map(_.toInt).getOrElse(5432)
+    val pg = new PgWireServer(spark, store, pgPort, apiKey).start()
+    println(s"graft sql server listening on :${server.boundPort} " +
+      s"(pg-wire :${pg.boundPort}, root=$root)")
     Thread.currentThread().join() // serve until interrupted
   }
 }

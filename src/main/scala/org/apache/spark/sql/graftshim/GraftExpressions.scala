@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftshim
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -344,21 +344,35 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Process-wide compiled-pattern cache shared by interpreted eval and
+    * generated code (profiler pattern sets are a handful of literals). */
+  private val regexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+
+  /** Static kernel for codegen: one cache lookup + match per row. */
+  def regexpFullMatches(s: UTF8String, re: UTF8String): Boolean =
+    regexCache.computeIfAbsent(re.toString, java.util.regex.Pattern.compile)
+      .matcher(s.toString).matches()
+
   case class RegexpFullMatch(left: Expression, right: Expression)
-      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends BinaryExpression with ExpectsInputTypes {
 
     override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
     override def dataType: DataType = BooleanType
     override def prettyName: String = "regexp_full_match"
 
-    @transient private lazy val cache =
-      new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+    override def nullSafeEval(s: Any, re: Any): Any =
+      java.lang.Boolean.valueOf(regexpFullMatches(
+        s.asInstanceOf[UTF8String], re.asInstanceOf[UTF8String]))
 
-    override def nullSafeEval(s: Any, re: Any): Any = {
-      val p = cache.computeIfAbsent(re.asInstanceOf[UTF8String].toString,
-        java.util.regex.Pattern.compile)
-      java.lang.Boolean.valueOf(p.matcher(s.asInstanceOf[UTF8String].toString).matches())
-    }
+    /** Real codegen (not CodegenFallback): a fallback expression forces
+      * the WHOLE enclosing stage out of whole-stage codegen, which taxes
+      * every other operator in the profiler's pattern scan. */
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (s, re) => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.regexpFullMatches($s, $re);"
+      })
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
