@@ -378,6 +378,72 @@ object PipelineQueries {
              |  (h, b) -> (h * 31 + b) % 2147483647) AS rh
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // PII redaction (the pre-ship scrub pass): PII is PLANTED
+    // deterministically from doc_id — identical expressions on both
+    // engines — then redacted with the literal same RE2-safe patterns in
+    // the same order; md5 of the redacted text proves byte-parity
+    Q("x17_pii_redaction",
+      (s, dir) => {
+        val planted = Tables.df(s, dir, "documents").withColumn("t2", concat(
+          col("text"),
+          lit(" contact u"), col("doc_id").cast(StringType),
+          lit("@mail.example.com call 555-"),
+          lpad(((col("doc_id") * 7) % 1000).cast(StringType), 3, "0"),
+          lit("-"), lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+          lit(" ssn 123-45-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+          lit(" ip 10.0.0."), (col("doc_id") % 256).cast(StringType)))
+        val red = TextAnalysis.redactPii(col("t2"))
+        planted.select(col("doc_id"),
+            md5(red.cast(BinaryType)).as("fp_redacted"),
+            TextAnalysis.redactionCount(red).as("n_redactions"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val planted =
+          """text || ' contact u' || doc_id::VARCHAR ||
+            |'@mail.example.com call 555-' ||
+            |lpad(((doc_id * 7) % 1000)::VARCHAR, 3, '0') || '-' ||
+            |lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+            |' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+            |' ip 10.0.0.' || (doc_id % 256)::VARCHAR""".stripMargin
+        // fold the SAME pattern list in the SAME order as redactPii
+        val redacted = TextAnalysis.PiiPatterns.foldLeft(s"($planted)") {
+          case (acc, (re, marker)) =>
+            s"regexp_replace($acc, '$re', '$marker', 'g')"
+        }
+        s"""SELECT doc_id, md5($redacted) AS fp_redacted,
+           |  CAST(length($redacted) -
+           |       length(regexp_replace($redacted, '<', '', 'g')) AS BIGINT)
+           |    AS n_redactions
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // span-overlap contamination scoring: fraction of each doc's distinct
+    // 8-gram spans appearing in >= 1 other doc (inverted index, no N^2)
+    Q("x18_span_overlap",
+      (s, dir) => TextDedup.spanOverlap(
+          Tables.df(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy("doc_id"),
+      Some {
+        val span = (0 until 8).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+        s"""WITH sets AS (
+           |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 8 THEN
+           |      list_transform(range(1, len(w) - 6), i -> $span)
+           |    ELSE [] END) AS sh
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+           |        FROM documents)),
+           |posts AS (SELECT doc_id AS id, unnest(sh) AS s FROM sets),
+           |freq AS (SELECT s, count(DISTINCT id) AS df FROM posts GROUP BY 1)
+           |SELECT p.id AS doc_id, COUNT(*)::BIGINT AS n_spans,
+           |  CAST(SUM(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_shared,
+           |  ROUND(CAST(SUM(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / COUNT(*) + 1e-9, 4) AS share_ratio
+           |FROM posts p JOIN freq ON p.s = freq.s
+           |GROUP BY 1 ORDER BY doc_id""".stripMargin
+      }),
+
     // multimodal: binary assets -> batched mapPartitions feature extraction
     Q("x12_multimodal_features",
       (s, dir) => {

@@ -103,6 +103,29 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), " +", " ").cast(BinaryType))
 
+  /** PII marker patterns, in application order. RE2-compatible (no
+    * backrefs/lookarounds) so a DuckDB oracle applies the literal same
+    * regexes; SSN runs before PHONE because both are dashed digit runs
+    * and order must be deterministic cross-engine. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>",
+    "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>")
+
+  /** PII redaction — the scrub pass every training-data pipeline runs
+    * before a corpus ships. Pure sequential regexp_replace (map-side,
+    * codegen, no shuffle); each pattern replaces ALL its matches. */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (re, marker)) =>
+      regexp_replace(acc, re, marker)
+    }
+
+  /** Number of redaction markers in an already-redacted text: every
+    * marker contributes exactly one '<'. */
+  def redactionCount(redacted: Column): Column =
+    (length(redacted) - length(regexp_replace(redacted, "<", ""))).cast(LongType)
+
   /** Rolling polynomial hash (base-31 mod 2^31-1 over characters) — the
     * classic Rabin-Karp document fingerprint, as a codegen-friendly
     * higher-order-function expression (no UDF). Mod chosen so

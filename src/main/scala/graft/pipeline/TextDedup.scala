@@ -152,6 +152,32 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Span-overlap (contamination) scoring: for each document, the
+    * fraction of its distinct word n-gram spans that also occur in at
+    * least one OTHER document — the "copied content ratio" used for
+    * train/eval contamination checks and boilerplate detection.
+    *
+    * Inverted-index shape (explode spans → doc-frequency per span → join
+    * back), so cost is Σ posting-list, never N²; at 100 TB the span
+    * doc-frequency table is the shuffled quantity and ultra-common spans
+    * can be capped exactly like ngramJaccardPairs' maxDocFreq. */
+  def spanOverlap(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+    val posts = sets.select(col("id"), explode(col("sh")).as("s"))
+    val docFreq = posts.groupBy("s")
+      .agg(countDistinct(col("id")).as("df"))
+    posts.join(docFreq, "s")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).cast(LongType).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).cast(LongType).as("n_shared"))
+      .withColumn("share_ratio",
+        round(col("n_shared").cast(DoubleType) / col("n_spans") + lit(1e-9), 4))
+      .select(col("id").as("doc_id"), col("n_spans"), col("n_shared"),
+        col("share_ratio"))
+  }
+
   /** 64-bit SimHash per document from word tokens (weight = token count),
     * packed into two BIGINTs: `lo` holds bits 0-31, `hi` bits 32-63 —
     * integer columns all the way, so the downstream hamming verify is two

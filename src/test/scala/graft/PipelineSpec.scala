@@ -38,6 +38,35 @@ class PipelineSpec extends SparkSpec {
     assert(sigs.forall(_._2.length == 64))
   }
 
+  test("PII redaction: all marker classes, non-PII untouched") {
+    val d = Seq(
+      "mail me at jo.doe+x@sub.example.co today",
+      "call 555-123-4567 or 555.987.6543",
+      "ssn 123-45-6789 here",
+      "host 192.168.0.1 up",
+      "no pii at all, just words 123 45").toDF("t")
+    val out = d.select(TextAnalysis.redactPii(col("t"))).as[String].collect()
+    assert(out(0) == "mail me at <EMAIL> today")
+    assert(out(1) == "call <PHONE> or <PHONE>")
+    assert(out(2) == "ssn <SSN> here")
+    assert(out(3) == "host <IP> up")
+    assert(out(4) == "no pii at all, just words 123 45")
+    val counts = d.select(TextAnalysis.redactionCount(
+      TextAnalysis.redactPii(col("t")))).as[Long].collect()
+    assert(counts.toSeq == Seq(1L, 2L, 1L, 1L, 0L))
+  }
+
+  test("span overlap: duplicated docs score 1.0, unique docs 0.0") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"), // exact copy of 1
+      (3L, "q w e r t y u i o p")).toDF("doc_id", "text")
+    val out = TextDedup.spanOverlap(d, "doc_id", "text", 8)
+      .orderBy("doc_id")
+      .select("doc_id", "share_ratio").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 1.0), (2L, 1.0), (3L, 0.0)))
+  }
+
   test("minhash LSH finds the planted near-dup pairs (recall vs exact)") {
     val docs = Tables.df(spark, sfDir, "documents")
     val exact = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
