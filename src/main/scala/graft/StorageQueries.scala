@@ -98,6 +98,28 @@ object StorageQueries {
       },
       Some("SELECT * FROM customer ORDER BY c_custkey")),
 
+    // D13: CTAS from time travel — v1 = full load; v2 destructively drops a
+    // column AND half the rows; the new table is materialized from v1 via
+    // the retained manifest (schema footer-inferred, PK carried over), so
+    // it must resurrect the pre-evolution schema and rows exactly.
+    Q("d13_timetravel_ctas",
+      (s, dir) => {
+        val store = tempStore(s)
+        val src = Tables.df(s, dir, "customer")
+        store.createTable("p1", "in_c_main", "customer", src.schema,
+          primaryKey = Seq("c_custkey"))
+        store.overwrite("p1", "in_c_main", "customer", src) // v1
+        store.overwrite("p1", "in_c_main", "customer",      // v2 (destructive)
+          store.read("p1", "in_c_main", "customer")
+            .filter(col("c_custkey") % 2 === 0).drop("c_mktsegment"))
+        store.createTableFromTimeTravel("p1", "in_c_main", "customer",
+          version = 1, destBucket = "out_c_restore",
+          destTable = "customer_asof_v1")
+        store.read("p1", "out_c_restore", "customer_asof_v1")
+          .orderBy("c_custkey")
+      },
+      Some("SELECT * FROM customer ORDER BY c_custkey")),
+
     // L1/L2/L3/L5: CoW branch write, live-view fallback read, pull,
     // linked-bucket read — summarized as a deterministic rollup
     Q("l2_branch_lifecycle",

@@ -77,12 +77,21 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
 
   private def loadVersion(session: SparkSession, meta: TableMeta,
       vdir: Path): DataFrame =
+    loadVersionDir(session, vdir, Some(StructType.fromDDL(meta.schemaDdl)))
+
+  /** Load one version dir. `declared` = the schema committed WITH that
+    * version when known; `None` (time travel — historical DDL isn't kept in
+    * the catalog) falls back to parquet-footer inference, which is exact
+    * because every write coerces its roots to the then-current schema
+    * (alignTo). */
+  private def loadVersionDir(session: SparkSession, vdir: Path,
+      declared: Option[StructType]): DataFrame =
     Manifest.readFrom(vdir) match {
       case None => session.read.parquet(vdir.toString) // legacy plain version
       case Some(m) if m.entries.isEmpty =>
         session.createDataFrame(
           session.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType.fromDDL(meta.schemaDdl))
+          declared.getOrElse(StructType(Nil)))
       case Some(m) =>
         // ONE multi-path scan for all plain roots (with the committed
         // schema, so no per-root footer sampling): an N-way unionByName of
@@ -93,24 +102,60 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
         // individually: their partition values live in directory names and
         // need per-root discovery; every write coerces to the committed
         // schema (alignTo), so the final select is order-normalization.
-        val schema = StructType.fromDDL(meta.schemaDdl)
-        val cols = schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq
         val roots = m.entries.map(e => catalog.root.resolve(e.path))
-        def isHivePartitioned(p: Path): Boolean = {
-          val children = p.toFile.listFiles()
-          children != null &&
-            children.exists(c => c.isDirectory && c.getName.contains("="))
-        }
         val (parted, plain) = roots.partition(isHivePartitioned)
-        val scans =
-          (if (plain.nonEmpty)
-            Seq(session.read.schema(schema)
-              .parquet(plain.map(_.toString): _*).select(cols: _*))
-          else Nil) ++
-            parted.map(p =>
-              session.read.parquet(p.toString).select(cols: _*))
+        val base =
+          if (plain.nonEmpty) {
+            val r = declared.foldLeft(session.read)(_ schema _)
+            Some(r.parquet(plain.map(_.toString): _*))
+          } else None
+        val cols = declared.getOrElse(base.get.schema)
+          .fieldNames.map(org.apache.spark.sql.functions.col).toSeq
+        val scans = base.map(_.select(cols: _*)).toSeq ++
+          parted.map(p => session.read.parquet(p.toString).select(cols: _*))
         scans.reduce(_.unionByName(_))
     }
+
+  private def isHivePartitioned(p: Path): Boolean = {
+    val children = p.toFile.listFiles()
+    children != null &&
+      children.exists(c => c.isDirectory && c.getName.contains("="))
+  }
+
+  /** D13: time-travel read — load a historical version still kept by the
+    * GC retention policy (count+age, see `gcRetainVersions`). The schema is
+    * the one the version was committed with (footer-inferred; the catalog
+    * only records the current DDL). Reference registers the command but
+    * never a handler (proto/table.proto:513-525); here it falls naturally
+    * out of the versioned-manifest layout. */
+  def readVersion(project: String, bucket: String, table: String,
+      version: Int, branch: Option[String] = None): DataFrame = {
+    val (meta, cvdir) = catalog.resolveForRead(project, bucket, table, branch)
+    require(version >= 0 && version <= meta.version,
+      s"version $version out of range [0, ${meta.version}]")
+    val vdir = cvdir.getParent.resolve(s"v$version")
+    if (!Files.exists(vdir))
+      throw new NoSuchElementException(
+        s"$project/$bucket/$table@v$version was garbage-collected " +
+          s"(retention keeps $gcRetainVersions versions / ${gcRetainMillis}ms)")
+    loadVersionDir(spark, vdir, None)
+  }
+
+  /** D13: CTAS from time travel — materialize a historical version of
+    * `srcTable` as a NEW table (reference command shape:
+    * proto/table.proto:513-525 CreateTableFromTimeTravelCommand). The PK
+    * carries over when its columns still exist at that version. One scan of
+    * the retained roots, one segment write — no driver materialization. */
+  def createTableFromTimeTravel(project: String, srcBucket: String,
+      srcTable: String, version: Int, destBucket: String, destTable: String,
+      destProject: Option[String] = None): TableMeta = {
+    val df = readVersion(project, srcBucket, srcTable, version)
+    val srcMeta = catalog.getTable(project, srcBucket, srcTable).get
+    val pk = srcMeta.primaryKey.filter(df.columns.contains)
+    val dp = destProject.getOrElse(project)
+    createTable(dp, destBucket, destTable, df.schema, pk)
+    overwrite(dp, destBucket, destTable, df)
+  }
 
   /** Physical data roots of the current version (manifest entries, or the
     * version dir itself for legacy plain versions). */

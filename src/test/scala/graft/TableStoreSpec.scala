@@ -142,4 +142,38 @@ class TableStoreSpec extends SparkSpec {
     store.catalog.linkBucket("other_p", "linked", "src_p", "src_b")
     assert(store.read("other_p", "linked", "r").count() == region.count())
   }
+
+  test("D13: time-travel read + CTAS resurrect a pre-evolution version") {
+    val store = newStore()
+    val cust = Tables.df(spark, sfDir, "customer")
+    store.createTable("p", "b", "t", cust.schema, primaryKey = Seq("c_custkey"))
+    store.overwrite("p", "b", "t", cust) // v1
+    store.overwrite("p", "b", "t",      // v2: destructive — fewer rows AND columns
+      store.read("p", "b", "t").filter(col("c_custkey") <= 100).drop("c_mktsegment"))
+
+    val asOf = store.readVersion("p", "b", "t", 1)
+    assert(asOf.count() == cust.count())
+    assert(asOf.columns.contains("c_mktsegment")) // footer-inferred old schema
+
+    val meta = store.createTableFromTimeTravel("p", "b", "t", 1, "b2", "t_v1")
+    assert(meta.primaryKey == Seq("c_custkey")) // PK carried over
+    assert(store.read("p", "b2", "t_v1").count() == cust.count())
+    assert(store.read("p", "b", "t").count() < cust.count()) // current untouched
+
+    assertThrows[IllegalArgumentException](store.readVersion("p", "b", "t", 99))
+  }
+
+  test("D13: reading a GC'd version fails with a clear error") {
+    // retention: count-only, 1 version, no age arm — v1 dies when v3 lands
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-t")),
+      gcRetainVersions = 1, gcRetainMillis = 0L)
+    val region = Tables.df(spark, sfDir, "region")
+    store.createTable("p", "b", "r", region.schema)
+    store.overwrite("p", "b", "r", region)          // v1
+    store.overwrite("p", "b", "r", region.limit(3)) // v2
+    store.overwrite("p", "b", "r", region.limit(1)) // v3 → v1 GC'd
+    assertThrows[NoSuchElementException](store.readVersion("p", "b", "r", 1))
+    assert(store.readVersion("p", "b", "r", 3).count() == 1)
+  }
 }
