@@ -43,6 +43,46 @@ object PipelineQueries {
     s"CAST((length($padded) - length(replace($padded, $needle, ''))) / ${word.length + 2} AS BIGINT)"
   }
 
+  /** DuckDB CTE chain producing the packed md5-digit simhash per doc
+    * (`sh(id, lo, hi)`) — the engine-neutral mirror of
+    * TextDedup.simHashPacked, shared by the x4 pairs oracle and the x19
+    * clustering oracle. */
+  private val simhashShCtes =
+    """tok AS (
+      |  SELECT doc_id AS id, w, COUNT(*)::BIGINT AS wt
+      |  FROM (SELECT doc_id,
+      |          unnest(string_split_regex(trim(text), ' +')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2
+      |), contrib AS (
+      |  SELECT id, bb.bit AS bit,
+      |    CASE WHEN
+      |      ((strpos('0123456789abcdef',
+      |          substring(md5(w), CAST(floor(bit / 4) AS INT) + 1, 1)) - 1
+      |        >> (bit % 4)) & 1) = 1
+      |      THEN wt ELSE -wt END AS c
+      |  FROM tok, (SELECT unnest(range(0, 64)) AS bit) bb
+      |), bits AS (
+      |  SELECT id, bit, SUM(c) AS v FROM contrib GROUP BY 1, 2
+      |), sh AS (
+      |  SELECT id,
+      |    SUM(CASE WHEN v > 0 AND bit < 32
+      |        THEN (1::BIGINT << bit) ELSE 0 END) AS lo,
+      |    SUM(CASE WHEN v > 0 AND bit >= 32
+      |        THEN (1::BIGINT << (bit - 32)) ELSE 0 END) AS hi
+      |  FROM bits GROUP BY 1
+      |)""".stripMargin
+
+  /** DuckDB mirror of TextAnalysis.hashUniform: first 6 hex digits of
+    * md5(salt||id) as an exact 24-bit fraction. */
+  private def hashUniformSql(idExpr: String, salt: String): String = {
+    val terms = Seq(1048576d, 65536d, 4096d, 256d, 16d, 1d).zipWithIndex
+      .map { case (m, i) =>
+        s"(strpos('0123456789abcdef', substring(md5('$salt' || CAST($idExpr AS VARCHAR)), ${i + 1}, 1)) - 1) * $m"
+      }.mkString("(", "\n     + ", ")")
+    s"$terms / 16777216.0"
+  }
+
   /** DuckDB mirror of TextAnalysis.langId's argmax CASE. */
   private def langIdSql: String = {
     val scores = TextAnalysis.LangMarkers.map { case (lang, ws) =>
@@ -97,30 +137,7 @@ object PipelineQueries {
       (s, dir) => TextDedup.simHashPairs(
           Tables.df(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
         .orderBy("a_id", "b_id"),
-      Some("""WITH tok AS (
-             |  SELECT doc_id AS id, w, COUNT(*)::BIGINT AS wt
-             |  FROM (SELECT doc_id,
-             |          unnest(string_split_regex(trim(text), ' +')) AS w
-             |        FROM documents)
-             |  GROUP BY 1, 2
-             |), contrib AS (
-             |  SELECT id, bb.bit AS bit,
-             |    CASE WHEN
-             |      ((strpos('0123456789abcdef',
-             |          substring(md5(w), CAST(floor(bit / 4) AS INT) + 1, 1)) - 1
-             |        >> (bit % 4)) & 1) = 1
-             |      THEN wt ELSE -wt END AS c
-             |  FROM tok, (SELECT unnest(range(0, 64)) AS bit) bb
-             |), bits AS (
-             |  SELECT id, bit, SUM(c) AS v FROM contrib GROUP BY 1, 2
-             |), sh AS (
-             |  SELECT id,
-             |    SUM(CASE WHEN v > 0 AND bit < 32
-             |        THEN (1::BIGINT << bit) ELSE 0 END) AS lo,
-             |    SUM(CASE WHEN v > 0 AND bit >= 32
-             |        THEN (1::BIGINT << (bit - 32)) ELSE 0 END) AS hi
-             |  FROM bits GROUP BY 1
-             |)
+      Some(s"""WITH $simhashShCtes
              |SELECT a.id AS a_id, b.id AS b_id,
              |  (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::BIGINT
              |    AS hamming
@@ -457,6 +474,49 @@ object PipelineQueries {
              |  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
              |  md5(text) AS content_md5,
              |  hex(substring(text, 1, 8)::BLOB) AS head_hex
-             |FROM documents ORDER BY asset_id""".stripMargin))
+             |FROM documents ORDER BY asset_id""".stripMargin)),
+
+    // dedup CLUSTERS: connected components over the simhash near-dup
+    // pairs — every doc labeled with min reachable doc id (keep-one-per-
+    // cluster = doc_id = cluster_id). Oracle: recursive transitive
+    // closure over the identical engine-neutral pair set.
+    Q("x19_dedup_clusters",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+        val pairs = TextDedup.simHashPairs(docs, "doc_id", "text", maxHamming = 6)
+        TextDedup.connectedComponents(docs, "doc_id", pairs)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $simhashShCtes,
+             |pairs AS (
+             |  SELECT a.id AS a_id, b.id AS b_id
+             |  FROM sh a JOIN sh b ON a.id < b.id
+             |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
+             |), edges AS (
+             |  SELECT a_id AS src, b_id AS dst FROM pairs
+             |  UNION SELECT b_id, a_id FROM pairs
+             |), reach(id, m) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, r.m FROM edges e JOIN reach r ON r.id = e.src
+             |)
+             |SELECT id AS doc_id, MIN(m)::BIGINT AS cluster_id
+             |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // stratified deterministic sampling: corpus-mixture rates per lang,
+    // reproducible on any cluster (draw = pure function of salt+id)
+    Q("x20_stratified_sample",
+      (s, dir) => TextAnalysis.stratifiedSample(
+          Tables.df(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.75),
+          defaultRate = 0.1, salt = "graft")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang, source FROM documents
+             |WHERE ${hashUniformSql("doc_id", "graft")}
+             |  < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+             |              WHEN 'zh' THEN 0.75 ELSE 0.1 END
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -138,4 +138,33 @@ object TextAnalysis {
          |  CAST(0 AS BIGINT),
          |  (h, b) -> pmod(h * 31 + b, ${mod}L))""".stripMargin)
   }
+
+  /** Deterministic uniform [0,1) draw from an id column: the first 6 hex
+    * digits of md5(salt || id) as a 24-bit integer / 2^24. md5 is
+    * bit-identical across engines and the arithmetic is exact in doubles
+    * (all values < 2^24), so a DuckDB oracle reproduces every draw —
+    * unlike rand(), which is engine-private. `salt` decorrelates
+    * independent sampling stages over the same ids. */
+  def hashUniform(idCol: Column, salt: String): Column = {
+    val hx = md5(concat(lit(salt), idCol.cast(StringType)))
+    conv(substring(hx, 1, 6), 16, 10).cast(DoubleType) / lit(16777216d)
+  }
+
+  /** Stratified deterministic sampling — the corpus-mixture lever of a
+    * training-data pipeline ("keep 100% of wiki, 10% of crawl, 50% of
+    * code"). Each stratum keeps rows whose [[hashUniform]] draw falls
+    * under its rate; unlisted strata keep `defaultRate`.
+    *
+    * Map-only (filter over a broadcast-foldable CASE on the stratum
+    * column): zero shuffle, linear scaling, and — because the draw is a
+    * pure function of (salt, id) — the SAME rows are kept on every rerun,
+    * any cluster size, any partitioning: reproducible corpus builds. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = "graft"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, lit(r)).otherwise(acc)
+    }
+    df.filter(hashUniform(col(idCol), salt) < rate)
+  }
 }

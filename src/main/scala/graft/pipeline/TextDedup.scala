@@ -258,4 +258,54 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
   }
+
+  /** Connected components over a near-dup pair set: every document gets
+    * `cluster_id` = the minimum doc id reachable through pairs (singletons
+    * cluster to themselves). This is what turns pair MINING into an actual
+    * deduplicated corpus — "keep one doc per cluster" is
+    * `filter(id === cluster_id)` on the output.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping —
+    * each round every vertex takes min(own label, neighbors' labels,
+    * label OF its current label). The neighbor step moves labels one hop;
+    * the pointer-jumping step contracts chains (label paths halve each
+    * round), so convergence is O(log diameter) rounds, not O(diameter) —
+    * the shape that survives a 10^9-vertex pair graph, where components
+    * from chained near-dups can be long. Each round is two shuffles
+    * (neighbor groupBy-min + parent join); `localCheckpoint` truncates
+    * the growing lineage so round N's plan doesn't replay rounds 1..N-1
+    * (on a real cluster, reliable `checkpoint` to object storage instead).
+    *
+    * `pairs` needs columns `a_id`/`b_id`; `docs`/`idCol` supply the full
+    * vertex set so isolated documents appear in the output. */
+  def connectedComponents(docs: DataFrame, idCol: String,
+      pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist()
+    var labels = docs.select(col(idCol).as("id")).distinct()
+      .withColumn("cid", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cid").as("ncid")), "dst")
+        .groupBy(col("src").as("id")).agg(min("ncid").as("nmin"))
+      val parentLabel = labels.select(col("id").as("cid"), col("cid").as("pmin"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .join(parentLabel, Seq("cid"), "left")
+        .select(col("id"),
+          least(col("cid"),
+            coalesce(col("nmin"), col("cid")),
+            coalesce(col("pmin"), col("cid"))).as("cid"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("cid", "prev"), "id")
+        .filter(col("cid") < col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("cid").as("cluster_id"))
+  }
 }

@@ -201,4 +201,40 @@ class PipelineSpec extends SparkSpec {
       .collect().toSet
     assert(preds.subsetOf(langs))
   }
+
+  test("connectedComponents: transitivity through chains, singletons kept") {
+    // chain 1-2, 2-3, 3-4 (1 and 4 never directly paired) + isolated 9
+    val docs = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id")
+    val out = TextDedup.connectedComponents(docs, "doc_id", pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (9L, 9L)))
+  }
+
+  test("connectedComponents: long chain converges via pointer jumping") {
+    // a 40-vertex path has diameter 39; pointer jumping must label it
+    // with min id well inside the 50-iteration cap (O(log n) rounds)
+    val n = 40L
+    val docs = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val out = TextDedup.connectedComponents(docs, "doc_id", pairs, maxIters = 12)
+    assert(out.filter(col("cluster_id") =!= 1L).count() == 0)
+  }
+
+  test("stratifiedSample: deterministic, rate-respecting, map-only") {
+    val docs = Tables.df(spark, sfDir, "documents")
+    val rates = Map("en" -> 0.5, "de" -> 0.25)
+    val s1 = TextAnalysis.stratifiedSample(docs, "doc_id", "lang", rates, 0.1)
+    val s2 = TextAnalysis.stratifiedSample(
+      docs.repartition(7), "doc_id", "lang", rates, 0.1)
+    assert(s1.select("doc_id").as[Long].collect().toSet ==
+      s2.select("doc_id").as[Long].collect().toSet) // partitioning-invariant
+    // empirical rate within binomial noise of the target per stratum
+    val en = docs.filter(col("lang") === "en").count().toDouble
+    val enKept = s1.filter(col("lang") === "en").count().toDouble
+    assert(math.abs(enKept / en - 0.5) < 0.15)
+    // map-only: no shuffle in the plan
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }
