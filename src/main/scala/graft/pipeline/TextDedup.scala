@@ -164,10 +164,20 @@ object TextDedup {
   def spanOverlap(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n)
+    // Shuffle 128 bits per span, not the n-word span STRING: the two
+    // xxhash64 seeds stand in for the span in both shuffles (doc-frequency
+    // groupBy + join back), cutting shuffle bytes ~4x. Collisions need
+    // BOTH 64-bit hashes to collide — beyond-birthday-safe even at 10^12
+    // spans, so counts equal the exact string-keyed answer.
     val posts = sets.select(col("id"), explode(col("sh")).as("s"))
-    val docFreq = posts.groupBy("s")
-      .agg(countDistinct(col("id")).as("df"))
-    posts.join(docFreq, "s")
+      .select(col("id"), xxhash64(col("s")).as("h1"),
+        xxhash64(col("s"), lit(1)).as("h2"))
+    // (id, span) is distinct by construction (shingles are array_distinct
+    // per doc), so plain count(*) IS the span's document frequency — no
+    // countDistinct buffer needed.
+    val docFreq = posts.groupBy("h1", "h2")
+      .agg(count(lit(1)).as("df"))
+    posts.join(docFreq, Seq("h1", "h2"))
       .groupBy("id")
       .agg(
         count(lit(1)).cast(LongType).as("n_spans"),
@@ -283,11 +293,15 @@ object TextDedup {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist()
-    var labels = docs.select(col(idCol).as("id")).distinct()
+    // Iterate ONLY over vertices that have at least one edge: in a real
+    // corpus the overwhelming majority of documents are singletons, and
+    // they can never change label — keeping them out of the loop shrinks
+    // every per-round shuffle to the size of the pair graph.
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cid", col("id")).localCheckpoint(true)
-    var changed = 1L
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    while (!converged && iter < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("cid").as("ncid")), "dst")
         .groupBy(col("src").as("id")).agg(min("ncid").as("nmin"))
@@ -300,12 +314,17 @@ object TextDedup {
             coalesce(col("nmin"), col("cid")),
             coalesce(col("pmin"), col("cid"))).as("cid"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cid", "prev"), "id")
-        .filter(col("cid") < col("prev")).count()
+      // isEmpty aborts at the FIRST changed row — far cheaper than a
+      // full count when the graph is still moving
+      converged = next.join(labels.withColumnRenamed("cid", "prev"), "id")
+        .filter(col("cid") < col("prev")).isEmpty
       labels = next
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("id"), col("cid").as("cluster_id"))
+    // singletons (documents with no pair) cluster to themselves
+    docs.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cid"), col("id")).as("cluster_id"))
   }
 }
