@@ -504,6 +504,40 @@ object PipelineQueries {
              |SELECT id AS doc_id, MIN(m)::BIGINT AS cluster_id
              |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // Gopher-style repetition/quality rules: signals + keep verdict,
+    // thresholds shared between the Spark side and the generated SQL
+    Q("x21_gopher_rules",
+      (s, dir) => TextAnalysis.gopherQualityFilter(
+          Tables.df(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some {
+        val g = TextAnalysis.GopherRules
+        s"""WITH t AS (
+           |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+           |  FROM documents
+           |), sig AS (
+           |  SELECT doc_id,
+           |    len(w)::BIGINT AS n_words,
+           |    ROUND(1 - len(list_distinct(w))::DOUBLE / len(w), 4)
+           |      AS dup_word_ratio,
+           |    ROUND(CASE WHEN len(w) >= 2 THEN
+           |        1 - len(list_distinct(list_transform(range(1, len(w)),
+           |              i -> w[i] || ' ' || w[i+1])))::DOUBLE / (len(w) - 1)
+           |      ELSE 0 END, 4) AS dup_2gram_ratio,
+           |    ROUND(list_sum(list_transform(w, x -> length(x)))::DOUBLE
+           |      / len(w), 4) AS mean_word_len
+           |  FROM t
+           |)
+           |SELECT doc_id, n_words, dup_word_ratio, dup_2gram_ratio,
+           |  mean_word_len,
+           |  (n_words >= ${g.MinWords} AND n_words <= ${g.MaxWords}
+           |   AND dup_word_ratio <= ${g.MaxDupWordRatio}
+           |   AND dup_2gram_ratio <= ${g.MaxDup2gramRatio}
+           |   AND mean_word_len >= ${g.MinMeanWordLen}
+           |   AND mean_word_len <= ${g.MaxMeanWordLen}) AS keep
+           |FROM sig ORDER BY doc_id""".stripMargin
+      }),
+
     // stratified deterministic sampling: corpus-mixture rates per lang,
     // reproducible on any cluster (draw = pure function of salt+id)
     Q("x20_stratified_sample",

@@ -139,6 +139,60 @@ object TextAnalysis {
          |  (h, b) -> pmod(h * 31 + b, ${mod}L))""".stripMargin)
   }
 
+  /** Gopher-style repetition-rule thresholds (Rae et al. 2021 §A1.1
+    * shape: word-count window, duplicate-content caps, word-length
+    * window). Values tuned to discriminate on the synthetic corpus. */
+  object GopherRules {
+    val MinWords = 30
+    val MaxWords = 100000
+    val MaxDupWordRatio = 0.55
+    val MaxDup2gramRatio = 0.45
+    val MinMeanWordLen = 3.0
+    val MaxMeanWordLen = 8.0
+  }
+
+  /** Repetition / Gopher-rule quality filter — the pre-training hygiene
+    * stage that drops boilerplate and degenerate documents. Emits the
+    * repetition signals (duplicate-word ratio, duplicate-bigram ratio,
+    * mean word length) and the keep/drop verdict from [[GopherRules]].
+    *
+    * Pure array algebra over the split words — one codegen'd map-side
+    * projection, zero shuffle, linear scaling; every formula has an exact
+    * DuckDB list-function twin (counts are integers, ratios rounded to 4
+    * decimals on both engines). */
+  def gopherQualityFilter(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import GopherRules._
+    val w = s"split(trim($textCol), ' +')"
+    df.select(col(idCol).as("doc_id"),
+        expr(s"size($w)").cast(LongType).as("n_words"),
+        expr(s"size(array_distinct($w))").cast(LongType).as("n_distinct"),
+        expr(s"""size(array_distinct(CASE WHEN size($w) >= 2 THEN
+             |  transform(sequence(1, size($w) - 1),
+             |    i -> concat_ws(' ', slice($w, i, 2)))
+             |ELSE array() END))""".stripMargin)
+          .cast(LongType).as("n_distinct_2grams"),
+        expr(s"aggregate($w, 0L, (a, x) -> a + length(x))")
+          .cast(LongType).as("n_chars_in_words"))
+      .withColumn("dup_word_ratio",
+        round(lit(1d) - col("n_distinct").cast(DoubleType) / col("n_words"), 4))
+      .withColumn("dup_2gram_ratio",
+        round(when(col("n_words") >= 2,
+            lit(1d) - col("n_distinct_2grams").cast(DoubleType) /
+              (col("n_words") - 1))
+          .otherwise(lit(0d)), 4))
+      .withColumn("mean_word_len",
+        round(col("n_chars_in_words").cast(DoubleType) / col("n_words"), 4))
+      .withColumn("keep",
+        col("n_words") >= MinWords && col("n_words") <= MaxWords &&
+          col("dup_word_ratio") <= MaxDupWordRatio &&
+          col("dup_2gram_ratio") <= MaxDup2gramRatio &&
+          col("mean_word_len") >= MinMeanWordLen &&
+          col("mean_word_len") <= MaxMeanWordLen)
+      .select("doc_id", "n_words", "dup_word_ratio", "dup_2gram_ratio",
+        "mean_word_len", "keep")
+  }
+
   /** Deterministic uniform [0,1) draw from an id column: the first 6 hex
     * digits of md5(salt || id) as a 24-bit integer / 2^24. md5 is
     * bit-identical across engines and the arithmetic is exact in doubles

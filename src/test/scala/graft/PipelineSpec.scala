@@ -202,6 +202,25 @@ class PipelineSpec extends SparkSpec {
     assert(preds.subsetOf(langs))
   }
 
+  test("gopherQualityFilter: repetition extremes and word-count window") {
+    val d = Seq(
+      (1L, ("alpha beta gamma " * 20).trim),          // heavy repetition
+      (2L, (1 to 60).map(i => s"word$i").mkString(" ")), // 60 distinct words
+      (3L, "too short")                                // below MinWords
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQualityFilter(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "dup_word_ratio", "keep")
+      .as[(Long, Double, Boolean)].collect().toSeq
+    assert(out(0)._2 > 0.9 && !out(0)._3)  // repeated doc dropped
+    assert(out(1)._2 == 0.0 && out(1)._3)  // clean doc kept
+    assert(!out(2)._3)                     // short doc dropped
+    // map-only: no shuffle
+    val plan = TextAnalysis.gopherQualityFilter(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("connectedComponents: transitivity through chains, singletons kept") {
     // chain 1-2, 2-3, 3-4 (1 and 4 never directly paired) + isolated 9
     val docs = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
