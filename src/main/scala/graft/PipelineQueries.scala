@@ -538,6 +538,33 @@ object PipelineQueries {
            |FROM sig ORDER BY doc_id""".stripMargin
       }),
 
+    // sequence packing: per-(source, shard) concatenation streams split
+    // at a 512-token budget; offsets are exact integer window cumsums
+    Q("x22_sequence_packing",
+      (s, dir) => TextAnalysis.packSequences(
+          Tables.df(s, dir, "documents"), "doc_id", "text", "source",
+          budget = 512, shards = 4)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, doc_id % 4 AS shard,
+             |    CASE WHEN trim(text) = '' THEN 0
+             |         ELSE len(string_split_regex(trim(text), ' +')) END
+             |      AS n_tokens
+             |  FROM documents
+             |), c AS (
+             |  SELECT *, COALESCE(SUM(n_tokens) OVER (
+             |      PARTITION BY source, shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS off
+             |  FROM t
+             |)
+             |SELECT doc_id, source, shard::BIGINT AS shard,
+             |  n_tokens::BIGINT AS n_tokens, off::BIGINT AS start_offset,
+             |  (off // 512)::BIGINT AS seq_id,
+             |  (off // 512) != ((off + n_tokens - 1) // 512)
+             |    AS crosses_boundary
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // stratified deterministic sampling: corpus-mixture rates per lang,
     // reproducible on any cluster (draw = pure function of salt+id)
     Q("x20_stratified_sample",

@@ -193,6 +193,38 @@ object TextAnalysis {
         "mean_word_len", "keep")
   }
 
+  /** Sequence packing — assigns each document its position in the
+    * fixed-length training sequences formed by concatenating the corpus
+    * and splitting every `budget` tokens (the packing step between "clean
+    * corpus" and "batchable training data"). Emits the start offset, the
+    * sequence id the document starts in, and whether it straddles a
+    * sequence boundary.
+    *
+    * Packing is per (stratum, shard) stream: the running token offset is
+    * a window cumsum partitioned by `groupCol` and a `doc_id % shards`
+    * shard, ordered by id. The shard term is the scale lever — a single
+    * global concatenation order would funnel 100 TB through one window
+    * partition; sharded streams pack independently (one shuffle, then
+    * within-partition sort), and the shard assignment is engine-neutral
+    * arithmetic so an oracle reproduces every offset exactly. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budget: Int, shards: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("shard")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol).as("doc_id"), col(groupCol),
+        (col(idCol) % shards).cast(LongType).as("shard"),
+        tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("start_offset",
+        coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("start_offset") / budget).cast(LongType))
+      .withColumn("crosses_boundary",
+        floor(col("start_offset") / budget) =!=
+          floor((col("start_offset") + col("n_tokens") - 1) / budget))
+      .select("doc_id", groupCol, "shard", "n_tokens", "start_offset",
+        "seq_id", "crosses_boundary")
+  }
+
   /** Deterministic uniform [0,1) draw from an id column: the first 6 hex
     * digits of md5(salt || id) as a 24-bit integer / 2^24. md5 is
     * bit-identical across engines and the arithmetic is exact in doubles

@@ -221,6 +221,33 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("packSequences: offsets are contiguous per stream, boundaries exact") {
+    val docs = Tables.df(spark, sfDir, "documents")
+    val out = TextAnalysis.packSequences(
+      docs, "doc_id", "text", "source", budget = 512, shards = 4)
+    // within each (source, shard) stream, offset(k+1) = offset(k) + tokens(k)
+    val rows = out.orderBy("source", "shard", "doc_id")
+      .select("source", "shard", "n_tokens", "start_offset")
+      .as[(String, Long, Long, Long)].collect()
+    rows.toSeq.groupBy(r => (r._1, r._2)).foreach { case (_, g) =>
+      assert(g.head._4 == 0L) // each stream starts at offset 0
+      g.sliding(2).foreach {
+        case Seq(a, b) => assert(b._4 == a._4 + a._3)
+        case _         =>
+      }
+    }
+    // boundary flag matches first/last token's sequence membership
+    val bad = out.filter(
+      (floor(col("start_offset") / 512) =!=
+        floor((col("start_offset") + col("n_tokens") - 1) / 512)) =!=
+        col("crosses_boundary")).count()
+    assert(bad == 0)
+    // a doc shorter than the budget never spans more than 2 sequences
+    assert(out.filter(col("n_tokens") <= 512 &&
+      floor((col("start_offset") + col("n_tokens") - 1) / 512) -
+        floor(col("start_offset") / 512) > 1).count() == 0)
+  }
+
   test("connectedComponents: transitivity through chains, singletons kept") {
     // chain 1-2, 2-3, 3-4 (1 and 4 never directly paired) + isolated 9
     val docs = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
