@@ -59,6 +59,33 @@ class StreamingSpec extends SparkSpec {
     assert(batchKeys > 0)
   }
 
+  test("corpus hygiene ops run unchanged on a document stream") {
+    // the map-only pipeline stages (quality rules, stratified sampling,
+    // PII redaction) must behave identically under streaming ingestion —
+    // stream result == batch result on the same files
+    val d = Files.createTempDirectory("graft-docs")
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      d.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = Tables.df(spark, sfDir, "documents").schema
+    val stream = spark.readStream.schema(schema).parquet(d.toString)
+    val rates = Map("en" -> 0.5, "de" -> 0.25)
+
+    def hygiene(docs: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.TextAnalysis.gopherQualityFilter(
+          graft.pipeline.TextAnalysis.stratifiedSample(
+            docs, "doc_id", "lang", rates, 0.1),
+          "doc_id", "text")
+        .filter(col("keep"))
+
+    val got = EventsStream.runToCompletion(spark, hygiene(stream),
+        "hygiene_stream", OutputMode.Append)
+      .select("doc_id").as[Long].collect().toSet
+    val want = hygiene(Tables.df(spark, sfDir, "documents"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("stateful per-user totals accumulate across a stream") {
     val batchTotals = Tables.df(spark, sfDir, "events")
       .groupBy("user_id").agg(count(lit(1)).as("n"))
