@@ -197,14 +197,22 @@ object Queries {
         val o = t(s, dir, "orders")
         val c = t(s, dir, "customer")
         // customer is a dimension -> explicit broadcast; orders is left to
-        // AQE (auto-broadcasts while it fits, shuffle-joins at scale)
-        li.join(o, li("l_orderkey") === o("o_orderkey"))
+        // AQE (auto-broadcasts while it fits, shuffle-joins at scale).
+        // Lineitem pre-aggregates per order BEFORE the join: the join then
+        // moves one row per order instead of one per lineitem, and
+        // COUNT(DISTINCT o_orderkey) becomes a plain count — no distinct
+        // expand through the segment aggregation. Decimal sums are
+        // associative, so the two-level sum is bit-identical to the
+        // direct one (oracle hash-parity preserved).
+        val perOrder = li.groupBy("l_orderkey")
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(38, 4))).as("rev"))
+        perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
           .join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(
-            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-              .as("revenue"),
-            countDistinct(col("o_orderkey")).cast(LongType).as("n_orders"))
+            sum(col("rev")).cast(DoubleType).as("revenue"),
+            count(lit(1)).cast(LongType).as("n_orders"))
           .orderBy("c_mktsegment")
       },
       Some(s"""SELECT c_mktsegment,
