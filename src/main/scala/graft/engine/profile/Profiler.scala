@@ -126,11 +126,28 @@ object Profiler {
     "date_iso"     -> "^[0-9]{4}-[0-9]{2}-[0-9]{2}$",
     "datetime_iso" -> "^[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}(:[0-9]{2})?$")
 
+  /** Cheap structural pre-guards, each IMPLIED by its pattern (a value
+    * failing the guard cannot match), so they only short-circuit the
+    * regex — the literal-prefilter trick RE2 applies internally, spelled
+    * out for the JVM regex engine. On typed columns most values fail all
+    * but one guard, so ~one regex runs per value instead of seven. */
+  private def patternGuard(name: String, c: Column): Column = name match {
+    case "email"        => c.contains("@")
+    case "uuid"         => length(c) === 36
+    case "url"          => c.startsWith("http")
+    case "phone"        => length(c) >= 7
+    case "ipv4"         => length(c).between(7, 15) && c.contains(".")
+    case "date_iso"     => length(c) === 10
+    case "datetime_iso" => length(c).between(16, 19)
+    case _              => lit(true)
+  }
+
   /** Count of values fully matching each pattern, one output row per
     * pattern (single scan; all counts in one agg). */
   def patternCounts(df: DataFrame, c: String): DataFrame = {
     val aggs = Patterns.map { case (name, re) =>
-      sum(when(col(c).rlike(re), 1L).otherwise(0L)).cast(LongType).as(s"m_$name")
+      sum(when(patternGuard(name, col(c)) && col(c).rlike(re), 1L)
+        .otherwise(0L)).cast(LongType).as(s"m_$name")
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     Patterns.map { case (name, _) =>
