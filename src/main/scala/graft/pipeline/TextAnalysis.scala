@@ -167,9 +167,11 @@ object TextAnalysis {
     df.select(col(idCol).as("doc_id"),
         expr(s"size($w)").cast(LongType).as("n_words"),
         expr(s"size(array_distinct($w))").cast(LongType).as("n_distinct"),
+        // bigrams as zip_with of the two shifted views: two slice
+        // allocations total, vs one slice + sequence per word
         expr(s"""size(array_distinct(CASE WHEN size($w) >= 2 THEN
-             |  transform(sequence(1, size($w) - 1),
-             |    i -> concat_ws(' ', slice($w, i, 2)))
+             |  zip_with(slice($w, 1, size($w) - 1), slice($w, 2, size($w) - 1),
+             |    (a, b) -> concat(a, ' ', b))
              |ELSE array() END))""".stripMargin)
           .cast(LongType).as("n_distinct_2grams"),
         expr(s"aggregate($w, 0L, (a, x) -> a + length(x))")

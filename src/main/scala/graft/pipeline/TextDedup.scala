@@ -330,19 +330,21 @@ object TextDedup {
         .join(labels.select(col("id").as("dst"), col("cid").as("ncid")), "dst")
         .groupBy(col("src").as("id")).agg(min("ncid").as("nmin"))
       val parentLabel = labels.select(col("id").as("cid"), col("cid").as("pmin"))
+      // prev rides along in the checkpointed row, so convergence is a
+      // scan of the checkpoint — not another shuffle join against the
+      // previous labels
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .join(parentLabel, Seq("cid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cid").as("prev"),
           least(col("cid"),
             coalesce(col("nmin"), col("cid")),
             coalesce(col("pmin"), col("cid"))).as("cid"))
         .localCheckpoint(true)
       // isEmpty aborts at the FIRST changed row — far cheaper than a
       // full count when the graph is still moving
-      converged = next.join(labels.withColumnRenamed("cid", "prev"), "id")
-        .filter(col("cid") < col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("cid") < col("prev")).isEmpty
+      labels = next.select("id", "cid")
       iter += 1
     }
     edges.unpersist()
