@@ -175,15 +175,21 @@ object ExtraQueries {
         val c = Tables.df(s, dir, "customer")
         val n = Tables.df(s, dir, "nation")
         val r = Tables.df(s, dir, "region")
-        li.join(o, li("l_orderkey") === o("o_orderkey"))
+        // same shape as q2: pre-aggregate lineitem per order so the join
+        // chain moves one row per order and COUNT(DISTINCT o_orderkey)
+        // becomes a plain count (o_orderkey is unique in orders; decimal
+        // sums are associative, so two-level summing is bit-identical)
+        val perOrder = li.groupBy("l_orderkey")
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(38, 4))).as("rev"))
+        perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
           .join(c, o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy("r_name", "n_name")
           .agg(
-            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-              .cast(DecimalType(38, 4))).cast(DoubleType).as("revenue"),
-            countDistinct(col("o_orderkey")).cast(LongType).as("n_orders"))
+            sum(col("rev")).cast(DoubleType).as("revenue"),
+            count(lit(1)).cast(LongType).as("n_orders"))
           .orderBy("r_name", "n_name")
       },
       Some("""SELECT r_name, n_name,
