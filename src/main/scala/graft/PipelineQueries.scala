@@ -578,6 +578,67 @@ object PipelineQueries {
              |WHERE ${hashUniformSql("doc_id", "graft")}
              |  < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
              |              WHEN 'zh' THEN 0.75 ELSE 0.1 END
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // domain-mixture sampling under a per-domain token budget: documents
+    // consumed in deterministic hashUniform order until the budget is
+    // spent; the running-total cut point is exact integer arithmetic
+    Q("x23_token_budget_mixture",
+      (s, dir) => TextAnalysis.tokenBudgetSample(
+          Tables.df(s, dir, "documents"), "doc_id", "text", "source",
+          Map("wiki" -> 4000L, "web" -> 2500L, "code" -> 1500L),
+          defaultBudget = 800L, salt = "graft")
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN trim(text) = '' THEN 0
+             |         ELSE len(string_split_regex(trim(text), ' +')) END
+             |      AS n_tokens,
+             |    ${hashUniformSql("doc_id", "graft")} AS draw
+             |  FROM documents
+             |), c AS (
+             |  SELECT *, COALESCE(SUM(n_tokens) OVER (
+             |      PARTITION BY source ORDER BY draw, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS tokens_before
+             |  FROM t
+             |)
+             |SELECT doc_id, source, n_tokens::BIGINT AS n_tokens,
+             |  tokens_before::BIGINT AS tokens_before
+             |FROM c
+             |WHERE tokens_before < CASE source
+             |  WHEN 'wiki' THEN 4000 WHEN 'web' THEN 2500
+             |  WHEN 'code' THEN 1500 ELSE 800 END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // per-doc top-k TF-IDF terms: tfidf rounded to 4 decimals on both
+    // engines and ties broken on the term, so the top-k cut is exact
+    Q("x24_tfidf_top_terms",
+      (s, dir) => TextAnalysis.tfIdfTopTerms(
+          Tables.df(s, dir, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank"),
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(lower(trim(text)), ' +')) AS term
+             |  FROM documents
+             |), tf AS (
+             |  SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+             |  FROM w WHERE term <> '' GROUP BY 1, 2
+             |), dfreq AS (
+             |  SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1
+             |), n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+             |s AS (
+             |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             |    ROUND(tf.tf * ln(n.n / dfreq.df), 4) AS tfidf
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+             |), r AS (
+             |  SELECT *, CAST(ROW_NUMBER() OVER (
+             |      PARTITION BY doc_id ORDER BY tfidf DESC, term)
+             |    AS BIGINT) AS rank
+             |  FROM s
+             |)
+             |SELECT doc_id, term, tf, df, tfidf, rank
+             |FROM r WHERE rank <= 5
+             |ORDER BY doc_id, rank""".stripMargin))
   )
 }

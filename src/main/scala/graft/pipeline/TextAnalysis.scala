@@ -255,4 +255,71 @@ object TextAnalysis {
     }
     df.filter(hashUniform(col(idCol), salt) < rate)
   }
+
+  /** Domain-mixture sampling under a per-domain TOKEN budget — the other
+    * corpus-mixture lever: instead of a keep-rate per stratum
+    * ([[stratifiedSample]]), each domain contributes documents until its
+    * token budget is spent ("2B tokens of code, 500M of wiki"). Documents
+    * are consumed in deterministic [[hashUniform]] order (a reproducible
+    * shuffle — same corpus on any cluster/partitioning), and a document is
+    * kept iff the running token total BEFORE it is still under budget, so
+    * the cut point is exact and engine-neutral.
+    *
+    * One shuffle (partition by domain) + within-partition sort. At 100 TB
+    * the sort set is bounded map-side first: a domain whose TOTAL tokens
+    * fit its budget keeps everything without ordering, and because draws
+    * are uniform, a prefilter `draw < c * budget / domain_tokens` (c > 1
+    * safety overscan, both from per-domain stats) keeps a superset of the
+    * true prefix, shrinking the sorted set to ~budget-sized before the
+    * window runs. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
+      domainCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = 0L, salt: String = "graft"): DataFrame = {
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (k, b)) =>
+      when(col(domainCol) === k, lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(col("draw"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol).as("doc_id"), col(domainCol),
+        tokenCount(col(textCol)).as("n_tokens"),
+        hashUniform(col(idCol), salt).as("draw"))
+      .withColumn("tokens_before",
+        coalesce(sum("n_tokens").over(w), lit(0L)))
+      .filter(col("tokens_before") < budget)
+      .select(col("doc_id"), col(domainCol), col("n_tokens"),
+        col("tokens_before"))
+  }
+
+  /** Per-document top-k TF-IDF terms — the keyword/topic-signal extractor
+    * of a corpus analysis pass. Terms are the whitespace tokens of the
+    * lowercased text; tf is the in-document count, df the number of
+    * documents containing the term, tfidf = tf * ln(N / df) rounded to 4
+    * decimals on both engines, and rank breaks tfidf ties on the term
+    * itself so the top-k cut is deterministic cross-engine.
+    *
+    * Canonical distributed shape: one shuffle for (doc, term) counts (map-
+    * side combined), one term-keyed shuffle for document frequencies, a
+    * term-keyed join (vocabulary-sized, NOT corpus-sized — at 100 TB the
+    * vocab is millions of rows while the corpus is billions), then a
+    * doc-keyed window for the top-k cut. No driver-side state beyond the
+    * single document count. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val nDocs = df.count().toDouble
+    val tf = df
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), " +")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast(LongType).as("tf"))
+    val dfreq = tf.groupBy("term")
+      .agg(count(lit(1)).cast(LongType).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(nDocs) / col("df")), 4))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+  }
 }

@@ -283,4 +283,47 @@ class PipelineSpec extends SparkSpec {
     val plan = s1.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("tokenBudgetSample: budget respected, prefix exact, reproducible") {
+    val docs = Tables.df(spark, sfDir, "documents")
+    val budgets = Map("wiki" -> 4000L, "web" -> 2500L)
+    val out = TextAnalysis.tokenBudgetSample(
+      docs, "doc_id", "text", "source", budgets, defaultBudget = 800L)
+    val rows = out.collect()
+    // every kept doc STARTS under its domain's budget, and per domain the
+    // kept set is a prefix: tokens_before values are exactly the running
+    // sums of the kept docs in draw order (0, t1, t1+t2, ...)
+    val byDomain = rows.groupBy(_.getString(1))
+    byDomain.foreach { case (dom, rs) =>
+      val budget = budgets.getOrElse(dom, 800L)
+      assert(rs.forall(_.getLong(3) < budget))
+      val sorted = rs.sortBy(_.getLong(3))
+      val runningSums = sorted.scanLeft(0L)(_ + _.getLong(2)).init
+      assert(sorted.map(_.getLong(3)).toSeq == runningSums.toSeq)
+    }
+    // partitioning-invariant (the draw order is a pure function of ids)
+    val again = TextAnalysis.tokenBudgetSample(
+      docs.repartition(7), "doc_id", "text", "source", budgets, 800L)
+    assert(out.select("doc_id").as[Long].collect().toSet ==
+      again.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("tfIdfTopTerms: rank bounded, df consistent, corpus-wide idf") {
+    val docs = Seq(
+      (1L, "spark spark engine"),
+      (2L, "spark duckdb"),
+      (3L, "duckdb engine engine tuning")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5)))
+    assert(out.forall(_._6 <= 2))
+    // df: spark appears in docs 1,2; engine in 1,3; duckdb in 2,3
+    val dfs = out.map(r => r._2 -> r._4).toMap
+    assert(dfs.get("spark").forall(_ == 2L))
+    assert(dfs.get("engine").forall(_ == 2L))
+    // doc 1's top term is spark (tf=2) with tfidf 2*ln(3/2)
+    val top1 = out.filter(r => r._1 == 1L && r._6 == 1L).head
+    assert(top1._2 == "spark")
+    assert(math.abs(top1._5 - math.rint(2 * math.log(1.5) * 1e4) / 1e4) < 1e-9)
+  }
 }
