@@ -312,7 +312,11 @@ object TextAnalysis {
         explode(split(lower(trim(col(textCol))), " +")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("doc_id", "term").agg(count(lit(1)).cast(LongType).as("tf"))
-    val dfreq = tf.groupBy("term")
+    // the tf > 0 tautology keeps the tf column referenced in this branch,
+    // so column pruning leaves both branches' aggregation subtrees
+    // identical and ReuseExchange computes the explode+count ONCE (pruned,
+    // the branches differ and the corpus-sized explode runs twice)
+    val dfreq = tf.where(col("tf") > 0).groupBy("term")
       .agg(count(lit(1)).cast(LongType).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
