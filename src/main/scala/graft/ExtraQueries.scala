@@ -63,15 +63,16 @@ object ExtraQueries {
         val li = Tables.df(s, dir, "lineitem")
         val refKeys = Tables.df(s, dir, "orders")
           .filter(col("o_orderstatus") === "F")
-        def agg(df: org.apache.spark.sql.DataFrame, mode: String) =
-          df.groupBy("l_returnflag")
-            .agg(count(lit(1)).cast(LongType).as("n"),
-              sum(col("l_quantity").cast(DecimalType(38, 4))).cast(DoubleType)
-                .as("total_qty"))
-            .withColumn("mode", lit(mode))
-        agg(FilterAlgebra.refTableFilter(li, "l_orderkey", refKeys, "o_orderkey"), "in")
-          .unionByName(agg(FilterAlgebra.refTableFilter(
-            li, "l_orderkey", refKeys, "o_orderkey", negate = true), "not_in"))
+        // both membership partitions from ONE scan of the fact side
+        // (refTableMembership), instead of a semi-join pass + anti-join
+        // pass; same rollup semantics as the two refTableFilter calls
+        FilterAlgebra
+          .refTableMembership(li, "l_orderkey", refKeys, "o_orderkey")
+          .groupBy("mode", "l_returnflag")
+          .agg(count(lit(1)).cast(LongType).as("n"),
+            sum(col("l_quantity").cast(DecimalType(38, 4))).cast(DoubleType)
+              .as("total_qty"))
+          .select("l_returnflag", "n", "total_qty", "mode")
           .orderBy("mode", "l_returnflag")
       },
       Some("""SELECT l_returnflag, COUNT(*) AS n,

@@ -151,6 +151,22 @@ object FilterAlgebra {
     df.join(keys, Seq(column), if (negate) "left_anti" else "left_semi")
   }
 
+  /** Both sides of [[refTableFilter]] in ONE pass: every row tagged with
+    * membership mode ("in"/"not_in") via a single left join against the
+    * distinct ref keys, instead of a semi-join scan plus an anti-join
+    * scan. Downstream rollups that want both partitions group on `mode`
+    * and pay one scan of the (possibly 100 TB) fact side, not two. */
+  def refTableMembership(df: org.apache.spark.sql.DataFrame,
+      column: String, refDf: org.apache.spark.sql.DataFrame,
+      refColumn: String, modeCol: String = "mode"): org.apache.spark.sql.DataFrame = {
+    val keys = refDf.select(col(refColumn).as(column)).distinct()
+      .withColumn("__ref_hit", lit(1))
+    df.join(keys, Seq(column), "left")
+      .withColumn(modeCol,
+        when(col("__ref_hit").isNotNull, "in").otherwise("not_in"))
+      .drop("__ref_hit")
+  }
+
   /** P6 (parity-plus — declared in proto/table.proto:245-248, never
     * implemented): naive fulltext = OR of contains() over the given
     * string columns. */

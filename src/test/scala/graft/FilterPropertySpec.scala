@@ -55,6 +55,23 @@ object FilterPropertySpec extends Properties("FilterAlgebra") {
       got == expect
     }
 
+  property("refTableMembership partitions = semi-join + anti-join") =
+    Prop.forAll(rowsGen, Gen.listOf(Gen.choose(-20, 20))) { (xs, refs) =>
+      val df = xs.toDF("x")
+      val ref = refs.toDF("k")
+      val tagged = FilterAlgebra.refTableMembership(df, "x", ref, "k")
+      val inGot = tagged.filter(org.apache.spark.sql.functions.col("mode") === "in")
+        .select("x").as[Int].collect().sorted.toSeq
+      val notGot = tagged.filter(org.apache.spark.sql.functions.col("mode") === "not_in")
+        .select("x").as[Int].collect().sorted.toSeq
+      val inSemi = FilterAlgebra.refTableFilter(df, "x", ref, "k")
+        .as[Int].collect().sorted.toSeq
+      val notAnti = FilterAlgebra.refTableFilter(df, "x", ref, "k", negate = true)
+        .as[Int].collect().sorted.toSeq
+      inGot == inSemi && notGot == notAnti &&
+        inGot.size + notGot.size == xs.size
+    }
+
   property("NOT IN is the complement of IN") =
     Prop.forAll(rowsGen, Gen.nonEmptyListOf(Gen.choose(-20, 20))) {
       (xs, inVals) =>
