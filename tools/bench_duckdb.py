@@ -28,6 +28,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 SKIP = {"x2_ngram_jaccard", "x3_minhash_lsh", "x13_embedding_neardup",
         "x4_simhash_pairs"}
 
+# GenScale-derived dirs (sf1/sf3 replicas, written as parquet part-file
+# directories): the whole pair-mining/KNN family is excluded there, same
+# set as graft.Bench's sf1Excluded — replication plants quadratically
+# many near-dup pairs, changing those queries' complexity class (the
+# x19 closure oracle DNFs outright at 50k replicated docs)
+SKIP_REPLICATED = SKIP | {
+    "x5_knn_cosine", "x6_ann_lsh", "x14_ann_ivf", "x15_quantized_knn",
+    "x1_exact_dedup", "x19_dedup_clusters"}
+
 PASSES = 3
 
 
@@ -39,9 +48,14 @@ def bench_dir(oracle, sf_dir):
         p = f"{sf_dir}/{t}.parquet"
         src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
+    # a directory-shaped lineitem.parquet marks a GenScale-derived replica
+    # dir — same signal graft.Bench keys its sf1 subset on
+    import os
+    skip = SKIP_REPLICATED if os.path.isdir(f"{sf_dir}/lineitem.parquet") \
+        else SKIP
     out = {}
     for name, sql in sorted(oracle.items()):
-        if name in SKIP:
+        if name in skip:
             continue
         try:
             con.execute(sql).fetchall()  # warmup (I/O cache + plan)
