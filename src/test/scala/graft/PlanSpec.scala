@@ -77,4 +77,17 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 parquet scan node, got $scans:\n${plan.take(2000)}")
     assert(!plan.contains("Union"), "bucketed read still plans a Union")
   }
+
+  test("ref-table membership rollup scans the fact side once") {
+    val df = Queries.byName("p7_ref_table_filter").fn(spark, sfDir)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    // the adaptive plan string repeats nodes under "== Initial Plan ==";
+    // only the final plan section above it reflects what actually ran
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val factScans = finalPlan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(factScans == 1,
+      s"expected one lineitem scan (membership tagging), got $factScans")
+  }
 }
