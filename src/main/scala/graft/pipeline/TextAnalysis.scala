@@ -274,16 +274,53 @@ object TextAnalysis {
     * window runs. */
   def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
       domainCol: String, budgets: Map[String, Long],
-      defaultBudget: Long = 0L, salt: String = "graft"): DataFrame = {
+      defaultBudget: Long = 0L, salt: String = "graft",
+      overscan: Double = 0.0): DataFrame = {
     val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (k, b)) =>
       when(col(domainCol) === k, lit(b)).otherwise(acc)
     }
+    val base = df.select(col(idCol).as("doc_id"), col(domainCol),
+      tokenCount(col(textCol)).as("n_tokens"),
+      hashUniform(col(idCol), salt).as("draw"))
+    val input =
+      if (overscan <= 0.0) base
+      else {
+        // 100 TB path: one map-side-combined stats pass bounds the sorted
+        // set. Draws are uniform, so draws < t carry ~t*total tokens; with
+        // t = overscan*budget/total the prefiltered set holds ~overscan
+        // budgets' worth of tokens instead of the whole domain. The
+        // prefix property makes correctness checkable per domain: if the
+        // prefiltered tokens do reach the budget (or the domain was never
+        // cut, t >= 1), the true kept prefix is inside the prefilter —
+        // domains where the draw landed short fall back to their full set.
+        val stats = base.groupBy(domainCol)
+          .agg(sum("n_tokens").as("total_tokens")).collect()
+          .map(r => r.get(0) -> r.getLong(1)).toMap
+        val thresholds = stats.map { case (dom, total) =>
+          val b = budgets.getOrElse(dom.asInstanceOf[String], defaultBudget)
+          dom -> (if (total <= 0) 1.0
+                  else math.min(1.0, overscan * b.toDouble / total))
+        }
+        val tExpr = thresholds.foldLeft(lit(1.0)) { case (acc, (dom, t)) =>
+          when(col(domainCol) === dom, lit(t)).otherwise(acc)
+        }
+        val pre = base.filter(col("draw") < tExpr)
+        val preTokens = pre.groupBy(domainCol)
+          .agg(sum("n_tokens").as("pre_tokens")).collect()
+          .map(r => r.get(0) -> r.getLong(1)).toMap
+        val short = thresholds.collect { case (dom, t)
+            if t < 1.0 && preTokens.getOrElse(dom, 0L) <
+              budgets.getOrElse(dom.asInstanceOf[String], defaultBudget) =>
+          dom
+        }.toSeq
+        if (short.isEmpty) pre
+        else pre.filter(!col(domainCol).isin(short: _*))
+          .unionByName(base.filter(col(domainCol).isin(short: _*)))
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol)).orderBy(col("draw"), col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.select(col(idCol).as("doc_id"), col(domainCol),
-        tokenCount(col(textCol)).as("n_tokens"),
-        hashUniform(col(idCol), salt).as("draw"))
+    input
       .withColumn("tokens_before",
         coalesce(sum("n_tokens").over(w), lit(0L)))
       .filter(col("tokens_before") < budget)

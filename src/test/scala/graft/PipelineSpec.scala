@@ -308,6 +308,40 @@ class PipelineSpec extends SparkSpec {
       again.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("tokenBudgetSample: overscan prefilter is exact and actually prunes") {
+    val docs = Tables.df(spark, sfDir, "documents")
+    val budgets = Map("wiki" -> 4000L, "web" -> 2500L, "code" -> 1500L)
+    val exact = TextAnalysis.tokenBudgetSample(
+      docs, "doc_id", "text", "source", budgets, defaultBudget = 800L)
+    val scaled = TextAnalysis.tokenBudgetSample(
+      docs, "doc_id", "text", "source", budgets, defaultBudget = 800L,
+      overscan = 1.5)
+    // identical output (the prefilter keeps a superset of the kept prefix
+    // or falls back per domain)
+    assert(exact.orderBy("doc_id").collect().toSeq ==
+      scaled.orderBy("doc_id").collect().toSeq)
+
+    // synthetic corpus where the threshold arithmetic is checkable: a big
+    // domain that gets cut hard and a tiny one kept whole
+    val synth = (1L to 100L).map(i => (i, "w " * 10, "big")) ++
+      Seq((101L, "w w w", "tiny"))
+    val sdf = synth.toDF("doc_id", "text", "source")
+    val sBudgets = Map("big" -> 50L, "tiny" -> 100L)
+    val sExact = TextAnalysis.tokenBudgetSample(
+      sdf, "doc_id", "text", "source", sBudgets)
+    val sScaled = TextAnalysis.tokenBudgetSample(
+      sdf, "doc_id", "text", "source", sBudgets, overscan = 1.5)
+    assert(sExact.orderBy("doc_id").collect().toSeq ==
+      sScaled.orderBy("doc_id").collect().toSeq)
+    // the prefilter for 'big' keeps draws < 1.5*50/1000 = 0.075 — verify
+    // it actually prunes AND carries enough tokens that no fallback ran
+    val preDocs = sdf.filter(col("source") === "big")
+      .filter(TextAnalysis.hashUniform(col("doc_id"), "graft") < 0.075)
+      .count()
+    assert(preDocs < 30, s"prefilter kept $preDocs of 100 docs — not pruning")
+    assert(preDocs * 10 >= 50, "synthetic draw landed short; adjust corpus")
+  }
+
   test("tfIdfTopTerms: rank bounded, df consistent, corpus-wide idf") {
     val docs = Seq(
       (1L, "spark spark engine"),
