@@ -260,11 +260,13 @@ object ExtraQueries {
         val fKeys = o.filter(col("o_orderstatus") === "F").select("o_custkey")
         val oKeys = o.filter(col("o_orderstatus") === "O").select("o_custkey")
         def tag(df: org.apache.spark.sql.DataFrame, t: String) =
-          df.distinct().agg(count(lit(1)).cast(LongType).as("n"))
+          df.agg(count(lit(1)).cast(LongType).as("n"))
             .withColumn("op", lit(t))
+        // intersect/except already emit distinct rows — only the bag
+        // union needs the dedup shuffle
         tag(fKeys.intersect(oKeys), "1_intersect")
           .unionByName(tag(fKeys.except(oKeys), "2_except"))
-          .unionByName(tag(fKeys.union(oKeys), "3_union_distinct"))
+          .unionByName(tag(fKeys.union(oKeys).distinct(), "3_union_distinct"))
           .orderBy("op")
       },
       Some("""SELECT COUNT(*) AS n, '1_intersect' AS op FROM (
