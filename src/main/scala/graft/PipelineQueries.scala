@@ -611,6 +611,29 @@ object PipelineQueries {
              |  WHEN 'code' THEN 1500 ELSE 800 END
              |ORDER BY doc_id""".stripMargin)),
 
+    // intra-document segment repetition (C4-style duplicate-line signal):
+    // pure array algebra, '.'-segment splits, exact list-function twin
+    Q("x25_segment_repetition",
+      (s, dir) => TextAnalysis.segmentRepetition(
+          Tables.df(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, '. '), s -> s <> '') AS segs
+             |  FROM documents
+             |)
+             |SELECT doc_id,
+             |  len(segs)::BIGINT AS n_segments,
+             |  len(list_distinct(segs))::BIGINT AS n_unique_segments,
+             |  (CASE WHEN len(segs) = 0 THEN 0 ELSE
+             |    list_max(list_transform(list_distinct(segs),
+             |      s -> len(list_filter(segs, x -> x = s))))
+             |  END)::BIGINT AS top_segment_count,
+             |  CASE WHEN len(segs) = 0 THEN 0.0 ELSE
+             |    ROUND(1.0 - len(list_distinct(segs))::DOUBLE / len(segs), 4)
+             |  END AS dup_segment_ratio
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
     // per-doc top-k TF-IDF terms: tfidf rounded to 4 decimals on both
     // engines and ties broken on the term, so the top-k cut is exact
     Q("x24_tfidf_top_terms",

@@ -328,6 +328,35 @@ object TextAnalysis {
         col("tokens_before"))
   }
 
+  /** Intra-document segment repetition — the C4-style duplicate-line /
+    * duplicate-paragraph signal, complementing [[gopherQualityFilter]]'s
+    * word/bigram ratios: documents assembled from templated or scraped
+    * sources repeat whole sentences, and the repetition ratio is the
+    * filter signal. Segments are the '. '-splits of the text; emits the
+    * segment counts, the duplicate-segment ratio, and the occurrence
+    * count of the most-repeated segment.
+    *
+    * Pure array algebra inside one map-side projection (the most-repeated
+    * count is `max(count of s in segs)` over the distinct segments —
+    * O(unique × n) per doc with sentence-sized n, zero shuffle), so it
+    * scales embarrassingly and has an exact DuckDB list-function twin. */
+  def segmentRepetition(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val segs = s"filter(split($textCol, '\\\\. '), s -> s != '')"
+    df.select(col(idCol).as("doc_id"),
+        expr(s"size($segs)").cast(LongType).as("n_segments"),
+        expr(s"size(array_distinct($segs))").cast(LongType)
+          .as("n_unique_segments"),
+        expr(s"""CASE WHEN size($segs) = 0 THEN 0L ELSE
+             |  array_max(transform(array_distinct($segs),
+             |    s -> size(filter($segs, x -> x = s))))
+             |END""".stripMargin).cast(LongType).as("top_segment_count"))
+      .withColumn("dup_segment_ratio",
+        when(col("n_segments") === 0, lit(0d))
+          .otherwise(round(lit(1d) -
+            col("n_unique_segments").cast(DoubleType) / col("n_segments"), 4)))
+  }
+
   /** Per-document top-k TF-IDF terms — the keyword/topic-signal extractor
     * of a corpus analysis pass. Terms are the whitespace tokens of the
     * lowercased text; tf is the in-document count, df the number of

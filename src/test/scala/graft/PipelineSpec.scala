@@ -342,6 +342,25 @@ class PipelineSpec extends SparkSpec {
     assert(preDocs * 10 >= 50, "synthetic draw landed short; adjust corpus")
   }
 
+  test("segmentRepetition: planted dups, empty text, zero shuffle") {
+    val docs = Seq(
+      (1L, "a b. c d. a b. e f"),     // 'a b' twice in 4 segments
+      (2L, "x y. z w"),               // no repetition
+      (3L, ""),                       // no segments
+      (4L, "s s s. s s s. s s s")).toDF("doc_id", "text")
+    val out = TextAnalysis.segmentRepetition(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out(0) == ((1L, 4L, 3L, 2L, 0.25)))
+    assert(out(1) == ((2L, 2L, 2L, 1L, 0.0)))
+    assert(out(2) == ((3L, 0L, 0L, 0L, 0.0)))
+    assert(out(3) == ((4L, 3L, 1L, 3L, 0.6667)))
+    val plan = TextAnalysis.segmentRepetition(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange")) // map-only
+  }
+
   test("tfIdfTopTerms: rank bounded, df consistent, corpus-wide idf") {
     val docs = Seq(
       (1L, "spark spark engine"),
