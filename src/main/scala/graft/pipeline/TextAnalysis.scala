@@ -293,8 +293,12 @@ object TextAnalysis {
         // prefiltered tokens do reach the budget (or the domain was never
         // cut, t >= 1), the true kept prefix is inside the prefilter —
         // domains where the draw landed short fall back to their full set.
+        // null-domain rows stay on the exact path (threshold 1.0, never
+        // in the fallback list): a null key inside isin()/NOT-IN would
+        // null out the whole predicate and silently drop rows
         val stats = base.groupBy(domainCol)
           .agg(sum("n_tokens").as("total_tokens")).collect()
+          .filter(_.get(0) != null)
           .map(r => r.get(0) -> r.getLong(1)).toMap
         val thresholds = stats.map { case (dom, total) =>
           val b = budgets.getOrElse(dom.asInstanceOf[String], defaultBudget)

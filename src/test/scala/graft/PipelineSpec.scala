@@ -340,6 +340,21 @@ class PipelineSpec extends SparkSpec {
       .count()
     assert(preDocs < 30, s"prefilter kept $preDocs of 100 docs — not pruning")
     assert(preDocs * 10 >= 50, "synthetic draw landed short; adjust corpus")
+
+    // null domains survive the overscan machinery on the exact path
+    // (a null key in the isin()/NOT-IN lists would drop rows silently)
+    val withNull = sdf.unionByName(
+      Seq((200L, "n1 n2 n3 n4")).toDF("doc_id", "text")
+        .withColumn("source", lit(null).cast("string"))
+        .select("doc_id", "text", "source"))
+    val nExact = TextAnalysis.tokenBudgetSample(
+      withNull, "doc_id", "text", "source", sBudgets, defaultBudget = 100L)
+    val nScaled = TextAnalysis.tokenBudgetSample(
+      withNull, "doc_id", "text", "source", sBudgets, defaultBudget = 100L,
+      overscan = 1.5)
+    assert(nExact.orderBy("doc_id").collect().toSeq ==
+      nScaled.orderBy("doc_id").collect().toSeq)
+    assert(nScaled.filter(col("doc_id") === 200L).count() == 1)
   }
 
   test("segmentRepetition: planted dups, empty text, zero shuffle") {
