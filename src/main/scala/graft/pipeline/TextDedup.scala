@@ -329,13 +329,18 @@ object TextDedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("cid").as("ncid")), "dst")
         .groupBy(col("src").as("id")).agg(min("ncid").as("nmin"))
-      val parentLabel = labels.select(col("id").as("cid"), col("cid").as("pmin"))
       // prev rides along in the checkpointed row, so convergence is a
       // scan of the checkpoint — not another shuffle join against the
-      // previous labels
-      val next = labels
-        .join(nbrMin, Seq("id"), "left")
-        .join(parentLabel, Seq("cid"), "left")
+      // previous labels. Round 1 skips the pointer-jumping join: every
+      // label is still its own id there, so label-of-label is the
+      // identity and the join would be a no-op shuffle.
+      val joined = labels.join(nbrMin, Seq("id"), "left")
+      val withParent =
+        if (iter == 0) joined.withColumn("pmin", col("cid"))
+        else joined.join(
+          labels.select(col("id").as("cid"), col("cid").as("pmin")),
+          Seq("cid"), "left")
+      val next = withParent
         .select(col("id"), col("cid").as("prev"),
           least(col("cid"),
             coalesce(col("nmin"), col("cid")),
