@@ -662,6 +662,48 @@ object PipelineQueries {
              |)
              |SELECT doc_id, term, tf, df, tfidf, rank
              |FROM r WHERE rank <= 5
-             |ORDER BY doc_id, rank""".stripMargin))
+             |ORDER BY doc_id, rank""".stripMargin)),
+
+    // cross-document boilerplate pruning (C4's corpus-level discard rule
+    // on 10-token windows): df-keyed shuffle + anti-join removal +
+    // in-order reassembly; exact list-function twin
+    Q("x26_boilerplate_prune",
+      (s, dir) => TextDedup.boilerplatePrune(
+          Tables.df(s, dir, "documents"), "doc_id", "text",
+          win = 10, minDf = 2)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), ' +'),
+             |      x -> x <> '') AS toks
+             |  FROM documents
+             |), seg AS (
+             |  SELECT doc_id, u.i AS seg_idx, u.seg AS seg FROM (
+             |    SELECT doc_id, unnest(CASE WHEN len(toks) >= 10
+             |      THEN list_transform(range(0, len(toks) // 10),
+             |        i -> {'i': i,
+             |              'seg': array_to_string(toks[i*10+1:(i+1)*10], ' ')})
+             |      ELSE [] END) AS u
+             |    FROM t)
+             |), dfq AS (
+             |  SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY 1
+             |), kept AS (
+             |  SELECT s.doc_id, s.seg_idx, s.seg
+             |  FROM seg s JOIN dfq USING (seg) WHERE dfq.df < 2
+             |), agg AS (
+             |  SELECT doc_id, count(*)::BIGINT AS n_kept,
+             |    string_agg(seg, ' ' ORDER BY seg_idx) AS clean_head
+             |  FROM kept GROUP BY 1
+             |)
+             |SELECT t.doc_id,
+             |  (len(toks) // 10)::BIGINT AS n_segments,
+             |  ((len(toks) // 10) - coalesce(n_kept, 0))::BIGINT AS n_dropped,
+             |  (coalesce(n_kept, 0) * 10 + len(toks)
+             |    - (len(toks) // 10) * 10)::BIGINT AS clean_n_tokens,
+             |  coalesce(array_to_string(list_filter([coalesce(clean_head, ''),
+             |    array_to_string(toks[(len(toks) // 10) * 10 + 1:len(toks)],
+             |      ' ')], x -> x <> ''), ' '), '') AS clean_text
+             |FROM t LEFT JOIN agg USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

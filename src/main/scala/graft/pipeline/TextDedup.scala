@@ -358,4 +358,61 @@ object TextDedup {
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("cid"), col("id")).as("cluster_id"))
   }
+
+  /** Cross-document boilerplate pruning — the corpus-level cleanup rule of
+    * C4 (Raffel et al. 2020: discard any line occurring more than once in
+    * the corpus), generalized to a fixed `win`-token non-overlapping
+    * window since this corpus has no line structure. A window whose exact
+    * text appears in >= `minDf` DISTINCT documents is boilerplate; each
+    * document is rewritten with those windows removed (the tail tokens
+    * that don't fill a whole window are always kept). Within-document
+    * repetition alone never triggers removal — that's the intra-doc
+    * signal of [[graft.pipeline.TextAnalysis.segmentRepetition]].
+    *
+    * Scale shape: one window-keyed shuffle (map-side combined distinct
+    * count) computes document frequencies; the boilerplate set is then
+    * orders of magnitude smaller than the corpus, so the removal join is
+    * a LEFT ANTI against only the df >= minDf windows (AQE broadcasts it
+    * at runtime when it fits); one doc-keyed shuffle reassembles the
+    * survivors in document order. No driver-side state, no all-pairs
+    * stage, cost linear in corpus tokens.
+    *
+    * Output per document: window counts, how many were dropped, the
+    * post-prune token count, and the pruned text itself. */
+  def boilerplatePrune(df: DataFrame, idCol: String, textCol: String,
+      win: Int = 10, minDf: Int = 2): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        expr(s"filter(split(trim($textCol), ' +'), x -> x != '')").as("toks"))
+      .withColumn("n_full", expr(s"int(size(toks) / $win)"))
+    // guard: sequence(0, -1) would produce a DESCENDING range, not empty
+    val segs = toks.withColumn("segs",
+      expr(s"""CASE WHEN n_full = 0 THEN array()
+           |ELSE transform(sequence(0, n_full - 1),
+           |  i -> array_join(slice(toks, i * $win + 1, $win), ' '))
+           |END""".stripMargin))
+    val exploded = segs
+      .select(col("doc_id"), posexplode(col("segs")))
+      .select(col("doc_id"), col("pos"), col("col").as("seg"))
+    val boiler = exploded.groupBy("seg")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDf)
+      .select("seg")
+    val keptAgg = exploded.join(boiler, Seq("seg"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_kept"),
+        expr("array_join(transform(sort_array(collect_list(" +
+          "struct(pos, seg))), x -> x.seg), ' ')").as("clean_head"))
+    toks.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_full").cast(LongType).as("n_segments"),
+        (col("n_full") - coalesce(col("n_kept"), lit(0L))).cast(LongType)
+          .as("n_dropped"),
+        (coalesce(col("n_kept"), lit(0L)) * win +
+          expr(s"size(toks) - n_full * $win")).cast(LongType)
+          .as("clean_n_tokens"),
+        expr(s"""array_join(filter(array(coalesce(clean_head, ''),
+             |  array_join(slice(toks, n_full * $win + 1,
+             |    size(toks) - n_full * $win), ' ')),
+             |  x -> x != ''), ' ')""".stripMargin).as("clean_text"))
+  }
 }

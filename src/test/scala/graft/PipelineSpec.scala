@@ -376,6 +376,30 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange")) // map-only
   }
 
+  test("boilerplatePrune: cross-doc windows dropped, intra-doc kept") {
+    val docs = Seq(
+      (1L, "a b c d e"),    // 'a b' shared with docs 2,4 -> dropped
+      (2L, "a b x y z z"),
+      (3L, "p q"),          // unique window kept
+      (4L, "a b a b"),      // everything boilerplate -> empty doc
+      (5L, ""),             // no tokens
+      (6L, "solo"),         // tail-only, no full window
+      (7L, "k k k k")       // repeats only WITHIN one doc -> kept
+    ).toDF("doc_id", "text")
+    val out = TextDedup.boilerplatePrune(docs, "doc_id", "text",
+        win = 2, minDf = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(out(0) == ((1L, 2L, 1L, 3L, "c d e")))
+    assert(out(1) == ((2L, 3L, 1L, 4L, "x y z z")))
+    assert(out(2) == ((3L, 1L, 0L, 2L, "p q")))
+    assert(out(3) == ((4L, 2L, 2L, 0L, "")))
+    assert(out(4) == ((5L, 0L, 0L, 0L, "")))
+    assert(out(5) == ((6L, 0L, 0L, 1L, "solo")))
+    assert(out(6) == ((7L, 2L, 0L, 4L, "k k k k")))
+  }
+
   test("tfIdfTopTerms: rank bounded, df consistent, corpus-wide idf") {
     val docs = Seq(
       (1L, "spark spark engine"),

@@ -35,7 +35,7 @@ SKIP = {"x2_ngram_jaccard", "x3_minhash_lsh", "x13_embedding_neardup",
 # x19 closure oracle DNFs outright at 50k replicated docs)
 SKIP_REPLICATED = SKIP | {
     "x5_knn_cosine", "x6_ann_lsh", "x14_ann_ivf", "x15_quantized_knn",
-    "x1_exact_dedup", "x19_dedup_clusters"}
+    "x1_exact_dedup", "x19_dedup_clusters", "x26_boilerplate_prune"}
 
 PASSES = 3
 
