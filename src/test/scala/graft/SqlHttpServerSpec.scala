@@ -157,7 +157,10 @@ class SqlHttpServerSpec extends SparkSpec {
         """{"bucket":"p","key":"stage/in.csv"}""", auth).body())
         .get("url").asText
       assert(new String(get(s"$base$pre").body()) == body)
-      assert(get(s"$base${pre.dropRight(1)}0").statusCode() == 401)
+      // flip (not just overwrite) the last hex char: a fixed replacement
+      // equals the original signature 1/16 of the time
+      val tampered = pre.dropRight(1) + (if (pre.last == '0') '1' else '0')
+      assert(get(s"$base$tampered").statusCode() == 401)
       // missing key is an S3-style XML error
       assert(new String(get(s"$base/s3/p/absent.csv", auth).body())
         .contains("NoSuchKey"))
