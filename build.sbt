@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 32 executor threads hitting native gzip/snappy critical sections
+  // starve allocations behind the GCLocker; the JDK default (2 retries)
+  // surfaces as a spurious "Java heap space" OOM long before the heap
+  // is actually full (seen as "Retried waiting for GCLocker too often")
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=100",
 )
