@@ -30,6 +30,18 @@ object ExtraQueries {
       },
       Some("SELECT * FROM nation ORDER BY n_nationkey")),
 
+    // S13 (parity-plus) — gzip JSONL roundtrip: the LLM-corpus
+    // interchange format; documents includes a NULL-text row, proving
+    // omitted-field restore under a declared schema
+    Q("s13_jsonl_roundtrip",
+      (s, dir) => {
+        val out = Files.createTempDirectory("graft-s13").toString
+        val docs = Tables.df(s, dir, "documents")
+        Export.toJsonl(docs, out, compression = Some("gzip"))
+        Export.readJsonl(s, out, docs.schema).orderBy("doc_id")
+      },
+      Some("SELECT * FROM documents ORDER BY doc_id")),
+
     // D3 — incremental append through the versioned store
     Q("d3_append",
       (s, dir) => {

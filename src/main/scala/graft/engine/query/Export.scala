@@ -43,4 +43,20 @@ object Export {
       delimiter: String = ","): DataFrame =
     spark.read.option("header", true).option("delimiter", delimiter)
       .schema(schema).csv(path)
+
+  /** S13 (parity-plus): JSONL sink — one JSON object per line, the
+    * interchange format of LLM training corpora; optional gzip. NULL
+    * fields are omitted from each line (JSON-lines convention); a
+    * schema-declared read restores them as NULL. */
+  def toJsonl(df: DataFrame, path: String,
+      compression: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
+    compression.fold(w)(c => w.option("compression", c)).json(path)
+  }
+
+  /** Read a JSONL export back with a declared schema (for roundtrips;
+    * schema inference on JSON is a full extra pass — always declare). */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

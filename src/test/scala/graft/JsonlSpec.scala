@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.query.Export
+
+/** S13: JSONL sink/source — roundtrip fidelity, gzip part files, NULL
+  * field omission + schema-declared restore. */
+class JsonlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jsonl roundtrip preserves rows, types and NULLs; gzip parts") {
+    val df = Seq(
+      (1L, Some("alpha beta"), Some("en"), 10L),
+      (2L, None, Some("de"), 0L),
+      (3L, Some(""), None, 0L)
+    ).toDF("id", "text", "lang", "n")
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    Export.toJsonl(df, dir, compression = Some("gzip"))
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".json.gz")))
+    val back = Export.readJsonl(spark, dir, df.schema).orderBy("id")
+    // JSON sources are always nullable; names/types must round-trip
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val rows = back.collect()
+    assert(rows.length == 3)
+    assert(rows(1).isNullAt(1)) // None text came back as NULL
+    assert(rows(2).isNullAt(2)) // None lang came back as NULL
+    assert(back.orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+  }
+
+  test("jsonl export composes with the export-query shape") {
+    val df = Seq((1L, "keep"), (2L, "drop")).toDF("id", "text")
+    val dir = Files.createTempDirectory("graft-jsonl2").toString
+    Export.toJsonl(Export.exportQuery(df, where = Some("id = 1")), dir)
+    val back = Export.readJsonl(spark, dir, df.schema)
+    assert(back.count() == 1 && back.head().getString(1) == "keep")
+  }
+}
