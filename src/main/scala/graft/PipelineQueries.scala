@@ -295,6 +295,57 @@ object PipelineQueries {
              |SELECT q_id, c_id, rank, ROUND(sim + 1e-9, 4) AS cosine_sim
              |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // deterministic Lloyd's k-means (IVF centroid training / semantic
+    // clustering): md5-ranked seeds, (round(cos,6), cent_id) tie-broken
+    // assignment, per-dim means rounded 6dp — the full 2-iteration loop
+    // replays exactly in SQL
+    Q("x27_kmeans_refine",
+      (s, dir) => Similarity.kmeansRefine(
+          Tables.df(s, dir, "embeddings"), k = 8, iters = 2)
+        .orderBy("cluster_id", "dim"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |seed AS (
+             |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+             |           - 1 AS cent_id,
+             |         v AS centv
+             |  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+             |a1 AS (
+             |  SELECT vec_id, v, cent_id FROM (
+             |    SELECT e.vec_id, e.v, s.cent_id, row_number() OVER (
+             |        PARTITION BY e.vec_id
+             |        ORDER BY round(list_inner_product(e.v, s.centv) /
+             |          (sqrt(list_inner_product(e.v, e.v)) *
+             |           sqrt(list_inner_product(s.centv, s.centv))), 6) DESC,
+             |          s.cent_id) AS rn
+             |    FROM e, seed s) WHERE rn = 1),
+             |c1f AS (
+             |  SELECT cent_id, u.dim AS dim, round(avg(u.val), 6) AS c FROM (
+             |    SELECT cent_id, unnest(list_transform(range(0, len(v)),
+             |      d -> {'dim': d, 'val': v[d + 1]})) AS u
+             |    FROM a1) t GROUP BY 1, 2),
+             |c1 AS (SELECT cent_id, list(c ORDER BY dim) AS centv
+             |       FROM c1f GROUP BY 1),
+             |a2 AS (
+             |  SELECT vec_id, v, cent_id FROM (
+             |    SELECT e.vec_id, e.v, s.cent_id, row_number() OVER (
+             |        PARTITION BY e.vec_id
+             |        ORDER BY round(list_inner_product(e.v, s.centv) /
+             |          (sqrt(list_inner_product(e.v, e.v)) *
+             |           sqrt(list_inner_product(s.centv, s.centv))), 6) DESC,
+             |          s.cent_id) AS rn
+             |    FROM e, c1 s) WHERE rn = 1),
+             |c2f AS (
+             |  SELECT cent_id, u.dim AS dim, round(avg(u.val), 6) AS c FROM (
+             |    SELECT cent_id, unnest(list_transform(range(0, len(v)),
+             |      d -> {'dim': d, 'val': v[d + 1]})) AS u
+             |    FROM a2) t GROUP BY 1, 2),
+             |sz AS (SELECT cent_id, count(*)::BIGINT AS n_members
+             |       FROM a2 GROUP BY 1)
+             |SELECT c2f.cent_id AS cluster_id, sz.n_members,
+             |       c2f.dim::BIGINT AS dim, c2f.c
+             |FROM c2f JOIN sz ON c2f.cent_id = sz.cent_id
+             |ORDER BY cluster_id, dim""".stripMargin)),
+
     // language-ID heuristic: confusion rollup actual x predicted
     Q("x7_lang_id",
       (s, dir) => Tables.df(s, dir, "documents")

@@ -223,4 +223,63 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("sim") + lit(1e-9), 4).as("cosine_sim"))
   }
+
+  /** Deterministic Lloyd's k-means over the embedding column — the
+    * centroid-training step [[ivfTopK]] consumes (its scaladoc assumes
+    * "any deterministic sample" as centroids; this refines that sample
+    * into actual cluster centers), and the semantic-clustering primitive
+    * of corpus curation (cluster-balanced sampling, semantic dedup).
+    *
+    * Engine-neutral determinism, so the whole iteration is differentially
+    * testable: seeds are the k corpus vectors ranked by md5(vec_id)
+    * (bit-identical across engines), assignment breaks ties on
+    * (round(cosine, 6) DESC, cent_id ASC), and each centroid component is
+    * the per-dimension mean rounded to 6 decimals.
+    *
+    * Scale shape per iteration: centroids broadcast (k·dims doubles — tiny
+    * forever), assignment is one narrow map pass collapsed by a max_by
+    * hash aggregation with map-side partial combine (each embedding
+    * crosses the wire once, not k times), and the centroid update is a
+    * (cluster, dim)-keyed partial-agg shuffle of k·dims cells. No
+    * driver-side state; iterations are a fixed small count. A cluster
+    * that loses all members drops out (both engines agree). At real scale
+    * persist the assignment between iterations instead of recomputing the
+    * lineage. */
+  def kmeansRefine(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, "kmeansRefine needs at least one iteration")
+    val e = corpus.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val seedOrder = Seq(md5(col("vec_id").cast(StringType)), col("vec_id"))
+    // global top-k = TakeOrderedAndProject (no single-partition window on
+    // the corpus); the rank window then runs over k rows only
+    var cent = e.orderBy(seedOrder: _*).limit(k)
+      .withColumn("cent_id",
+        (row_number().over(Window.orderBy(seedOrder: _*)) - 1).cast(LongType))
+      .select(col("cent_id"), col("v").as("centv"))
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = e.crossJoin(broadcast(cent))
+        .withColumn("csim", cosine("v", "centv"))
+        .groupBy("vec_id")
+        .agg(
+          max_by(col("cent_id"),
+            struct(round(col("csim"), 6), -col("cent_id"))).as("cent_id"),
+          first(col("v")).as("v"))
+      cent = assigned
+        .select(col("cent_id"), posexplode(col("v")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("c"))
+        .groupBy("cent_id")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(pos, c))), x -> x.c)")
+          .as("centv"))
+    }
+    val sizes = assigned.groupBy("cent_id")
+      .agg(count(lit(1)).cast(LongType).as("n_members"))
+    cent.join(sizes, "cent_id")
+      .select(col("cent_id").as("cluster_id"), col("n_members"),
+        posexplode(col("centv")))
+      .select(col("cluster_id"), col("n_members"),
+        col("pos").cast(LongType).as("dim"), col("col").as("c"))
+  }
 }

@@ -376,6 +376,33 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange")) // map-only
   }
 
+  test("kmeansRefine: partitions the corpus, full dims, deterministic") {
+    // 4 tight axis-aligned blobs of 10 vectors in 8 dims
+    val vecs = (0 until 40).map { i =>
+      val blob = i / 10
+      val emb = Array.tabulate(8)(d =>
+        (if (d == blob * 2) 1.0f else 0.0f) + (i % 10) * 0.001f)
+      (i.toLong, emb)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansRefine(df, k = 4, iters = 2)
+      .orderBy("cluster_id", "dim").collect()
+    val byCluster = out.groupBy(_.getLong(0))
+    // every cluster reports all 8 dims and a positive member count
+    assert(byCluster.values.forall(_.length == 8))
+    assert(byCluster.values.forall(_.head.getLong(1) > 0))
+    // the final assignment partitions the corpus
+    assert(byCluster.values.map(_.head.getLong(1)).sum == 40L)
+    // deterministic: a second run is bit-identical
+    val again = Similarity.kmeansRefine(df, k = 4, iters = 2)
+      .orderBy("cluster_id", "dim").collect()
+    assert(out.toSeq == again.toSeq)
+    // refinement moved centroids off the raw seed vectors: every centroid
+    // component is a blob mean (x.xxx5-ish average), not a planted value
+    val cs = out.map(_.getDouble(3))
+    assert(cs.exists(c => c != 0.0 && c != 1.0))
+  }
+
   test("boilerplatePrune: cross-doc windows dropped, intra-doc kept") {
     val docs = Seq(
       (1L, "a b c d e"),    // 'a b' shared with docs 2,4 -> dropped
