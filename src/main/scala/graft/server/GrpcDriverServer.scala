@@ -1,0 +1,378 @@
+package graft.server
+
+import io.netty.bootstrap.ServerBootstrap
+import io.netty.buffer.{ByteBuf, Unpooled}
+import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInboundHandlerAdapter, ChannelInitializer}
+import io.netty.channel.nio.NioEventLoopGroup
+import io.netty.channel.socket.SocketChannel
+import io.netty.channel.socket.nio.NioServerSocketChannel
+import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2HeadersFrame, Http2MultiplexHandler}
+import org.apache.spark.sql.SparkSession
+
+import graft.api.StorageApi
+import graft.core.TableStore
+import graft.server.ProtoWire._
+
+/** The reference's machine interface: `StorageDriverService/Execute`
+  * over gRPC (reference `src/grpc/servicer.py:94-129`, envelope
+  * `proto/common.proto` DriverRequest/DriverResponse, service
+  * `proto/service.proto`). A Keboola-Connection-style driver client
+  * integrates by POSTing gRPC frames over HTTP/2 cleartext
+  * (prior-knowledge h2c) to
+  * `/keboola.storageDriver.service.StorageDriverService/Execute`.
+  *
+  * Wire level, not a binding: HTTP/2 via Netty's frame codec (Netty
+  * ships unshaded with Spark), gRPC's 5-byte message framing and
+  * `grpc-status` trailers by hand, and the protobuf envelope/commands
+  * via [[ProtoWire]] following the reference's own .proto field numbers
+  * (cited per handler). No grpc/protobuf artifacts exist unshaded in
+  * this environment, so this speaks the protocol rather than linking
+  * the library.
+  *
+  * Command coverage (dispatch on the `Any.type_url` message name, as the
+  * reference servicer does): ExecuteQuery, PreviewTable, ObjectInfo,
+  * CreateBucket, DropBucket, CreateTable, DropTable. Everything else
+  * returns grpc-status 12 UNIMPLEMENTED with the command name — the
+  * remaining registry semantics are served by [[StorageApi.Handler]]
+  * over the HTTP surface.
+  *
+  * Scale: the server collects only result sets that are already
+  * plan-capped (preview limit, ExecuteQuery row cap) — no unbounded
+  * driver materialization on this path.
+  */
+final class GrpcDriverServer(spark: SparkSession, store: TableStore,
+    secretCheck: String => Boolean = _ => true) {
+
+  private val handler = new StorageApi.Handler(spark, store)
+  private val group = new NioEventLoopGroup(2)
+  @volatile private var channel: Channel = _
+
+  val ServicePath = "/keboola.storageDriver.service.StorageDriverService/Execute"
+  private val TypeUrlPrefix = "type.googleapis.com/keboola.storageDriver.command"
+
+  /** Bind and return the actual port. */
+  def start(port: Int = 0): Int = {
+    val b = new ServerBootstrap()
+      .group(group)
+      .channel(classOf[NioServerSocketChannel])
+      .childHandler(new ChannelInitializer[SocketChannel] {
+        def initChannel(ch: SocketChannel): Unit = {
+          ch.pipeline.addLast(Http2FrameCodecBuilder.forServer().build())
+          ch.pipeline.addLast(new Http2MultiplexHandler(
+            new ChannelInitializer[Channel] {
+              def initChannel(stream: Channel): Unit =
+                stream.pipeline.addLast(new StreamHandler)
+            }))
+        }
+      })
+    channel = b.bind("127.0.0.1", port).sync().channel()
+    channel.localAddress().asInstanceOf[java.net.InetSocketAddress].getPort
+  }
+
+  def stop(): Unit = {
+    if (channel != null) channel.close().sync()
+    group.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS).sync()
+  }
+
+  /** One h2 stream = one unary gRPC call: buffer DATA frames, answer on
+    * END_STREAM with headers + framed response + grpc-status trailers. */
+  private final class StreamHandler extends ChannelInboundHandlerAdapter {
+    private val body = Unpooled.buffer()
+    private var path = ""
+
+    override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit = msg match {
+      case h: Http2HeadersFrame =>
+        path = String.valueOf(h.headers.path)
+        if (h.isEndStream) respond(ctx)
+      case d: Http2DataFrame =>
+        body.writeBytes(d.content)
+        d.release()
+        if (d.isEndStream) respond(ctx)
+      case other => ctx.fireChannelRead(other)
+    }
+
+    override def channelInactive(ctx: ChannelHandlerContext): Unit = {
+      body.release(); ctx.fireChannelInactive()
+    }
+
+    private def respond(ctx: ChannelHandlerContext): Unit = {
+      val (status, message, payload) =
+        try {
+          if (path != ServicePath) (12L, s"unknown method $path", None)
+          else {
+            val req = readGrpcFrame(body)
+            val out = execute(req)
+            (0L, "", Some(out))
+          }
+        } catch {
+          case e: Unauthenticated => (16L, e.getMessage, None)
+          case e: Unimplemented => (12L, e.getMessage, None)
+          case e: IllegalArgumentException => (3L, s"${e.getMessage}", None)
+          case e: NoSuchElementException => (5L, s"not found: ${e.getMessage}", None)
+          case e: Throwable => (2L, s"${e.getClass.getSimpleName}: ${e.getMessage}", None)
+        }
+      val headers = new DefaultHttp2Headers()
+      headers.status("200")
+      headers.set("content-type", "application/grpc+proto")
+      val trailers = new DefaultHttp2Headers()
+      trailers.set("grpc-status", status.toString)
+      if (message.nonEmpty)
+        trailers.set("grpc-message",
+          java.net.URLEncoder.encode(message, "UTF-8"))
+      payload match {
+        case Some(bytes) =>
+          ctx.write(new DefaultHttp2HeadersFrame(headers, false))
+          ctx.write(new DefaultHttp2DataFrame(grpcFrame(bytes), false))
+          ctx.writeAndFlush(new DefaultHttp2HeadersFrame(trailers, true))
+        case None => // trailers-only error response
+          headers.set("grpc-status", status.toString)
+          if (message.nonEmpty)
+            headers.set("grpc-message",
+              java.net.URLEncoder.encode(message, "UTF-8"))
+          ctx.writeAndFlush(new DefaultHttp2HeadersFrame(headers, true))
+      }
+      ()
+    }
+  }
+
+  private final class Unauthenticated(msg: String) extends RuntimeException(msg)
+  private final class Unimplemented(msg: String) extends RuntimeException(msg)
+
+  /** gRPC message framing: 1-byte compressed flag + 4-byte BE length. */
+  private def readGrpcFrame(buf: ByteBuf): Array[Byte] = {
+    if (buf.readableBytes < 5)
+      throw new IllegalArgumentException("truncated gRPC frame")
+    val compressed = buf.readByte()
+    if (compressed != 0)
+      throw new IllegalArgumentException("compressed gRPC frames unsupported")
+    val len = buf.readInt()
+    if (len < 0 || buf.readableBytes < len)
+      throw new IllegalArgumentException("gRPC frame length mismatch")
+    val out = new Array[Byte](len)
+    buf.readBytes(out)
+    out
+  }
+
+  private def grpcFrame(msg: Array[Byte]): ByteBuf = {
+    val b = Unpooled.buffer(5 + msg.length)
+    b.writeByte(0); b.writeInt(msg.length); b.writeBytes(msg)
+    b
+  }
+
+  /** DriverRequest {credentials Any = 1, command Any = 2} →
+    * DriverResponse {commandResponse Any = 1} (proto/common.proto). */
+  private def execute(reqBytes: Array[Byte]): Array[Byte] = {
+    val req = parse(reqBytes)
+    // GenericBackendCredentials {principal = 2, secret = 3}
+    // (proto/credentials.proto:11-15); empty credentials pass only if
+    // the configured check accepts "".
+    val (_, credBytes) = parseAny(sub(req, 1))
+    val secret = str(parse(credBytes), 3)
+    if (!secretCheck(secret)) throw new Unauthenticated("invalid credentials")
+    val (cmdName, cmdBytes) = parseAny(sub(req, 2))
+    val fs = parse(cmdBytes)
+    val (respUrl, resp) = cmdName match {
+      case "ExecuteQueryCommand" => executeQuery(fs)
+      case "PreviewTableCommand" => previewTable(fs)
+      case "ObjectInfoCommand" => objectInfo(fs)
+      case "CreateBucketCommand" => createBucket(fs)
+      case "DropBucketCommand" => dropBucket(fs)
+      case "CreateTableCommand" => createTable(fs)
+      case "DropTableCommand" => dropTable(fs)
+      case "" => throw new IllegalArgumentException("missing command Any")
+      case other => throw new Unimplemented(s"command $other not implemented" +
+        " over gRPC (available via the HTTP surface)")
+    }
+    new Writer().msg(1, any(s"$TypeUrlPrefix.$respUrl", resp)).bytes
+  }
+
+  /** ExecuteQueryCommand {pathRestriction = 1, timeout = 2, query = 3} →
+    * ExecuteQueryResponse {status = 1, data = 2 {columns = 1, rows = 2
+    * {fields map = 1}}, message = 3} (proto/executeQuery.proto). Row
+    * values stringify, NULL → "" — exactly the reference's rendering
+    * (src/grpc/handlers/query.py:144-149). App-level failures return
+    * status=Error in the response, not a transport error, like the
+    * reference (query.py:87-93). */
+  private def executeQuery(fs: Seq[Field]): (String, Writer) = {
+    val pathR = strs(fs, 1)
+    val timeout = math.max(long(fs, 2).toInt, 0) match {
+      case 0 => 300
+      case t => t
+    }
+    val sql = str(fs, 3)
+    if (sql.isEmpty) throw new IllegalArgumentException("query is required")
+    val project = pathR.headOption.getOrElse(
+      throw new IllegalArgumentException("pathRestriction must name the project"))
+    val buckets = pathR.drop(1)
+    val out = new Writer()
+    try {
+      val StorageApi.Rows(df) = handler.execute(
+        StorageApi.ExecuteQuery(project, buckets, sql, timeout)): @unchecked
+      val cols = df.columns
+      val rows = df.collect() // already row-capped in the workspace plan
+      val data = new Writer()
+      cols.foreach(data.str(1, _))
+      rows.foreach { r =>
+        val rw = new Writer()
+        cols.indices.foreach { i =>
+          val entry = new Writer().strAlways(1, cols(i))
+            .strAlways(2, if (r.isNullAt(i)) "" else String.valueOf(r.get(i)))
+          rw.msg(1, entry)
+        }
+        data.msg(2, rw)
+      }
+      out.msg(2, data).str(3, s"Query returned ${rows.length} rows")
+    } catch {
+      case e: Exception =>
+        out.int(1, 1).str(3, String.valueOf(e.getMessage)) // status = Error
+    }
+    ("executeQuery.ExecuteQueryResponse", out)
+  }
+
+  /** PreviewTableCommand {path = 1 [project, bucket], tableName = 2,
+    * columns = 3} → PreviewTableResponse {columns = 1, rows = 2
+    * {columns = 1 {columnName = 1, value = 2 google.protobuf.Value}}}
+    * (proto/table.proto:91-119). Values as Value.string_value (field 3),
+    * NULL as Value.null_value (field 1). */
+  private def previewTable(fs: Seq[Field]): (String, Writer) = {
+    val path = strs(fs, 1)
+    if (path.length < 2)
+      throw new IllegalArgumentException("path must be [project, bucket]")
+    val table = str(fs, 2)
+    val cols = strs(fs, 3)
+    val StorageApi.Rows(df) = handler.execute(StorageApi.Preview(
+      path(0), path(1), table, cols, Nil,
+      StorageApi.PreviewDefaultLimit)): @unchecked
+    val out = new Writer()
+    val names = df.columns
+    names.foreach(out.str(1, _))
+    df.collect().foreach { r =>
+      val row = new Writer()
+      names.indices.foreach { i =>
+        val v = new Writer()
+        if (r.isNullAt(i)) v.intAlways(1, 0) // Value.null_value
+        else v.strAlways(3, String.valueOf(r.get(i)))
+        row.msg(1, new Writer().strAlways(1, names(i)).msg(2, v))
+      }
+      out.msg(2, row)
+    }
+    ("table.PreviewTableResponse", out)
+  }
+
+  /** ObjectInfoCommand {path = 1, expectedObjectType = 2} →
+    * ObjectInfoResponse {path = 1, objectType = 2, databaseInfo = 3 |
+    * schemaInfo = 4 | tableInfo = 6} (proto/info.proto:27-66). Path
+    * depth picks the object kind: [project] → DATABASE (its buckets),
+    * [project, bucket] → SCHEMA (its tables), [project, bucket, table]
+    * → TABLE (full TableInfo incl. PK and row count). */
+  private def objectInfo(fs: Seq[Field]): (String, Writer) = {
+    val path = strs(fs, 1)
+    val out = new Writer()
+    path.foreach(out.str(1, _))
+    path match {
+      case Seq(project) =>
+        out.int(2, 0) // DATABASE (proto3 default, elided anyway)
+        val db = new Writer()
+        store.catalog.listBuckets(project).foreach { case (name, _) =>
+          db.msg(1, new Writer().strAlways(1, name).int(2, 1)) // SCHEMA
+        }
+        out.msg(3, db)
+      case Seq(project, bucket) =>
+        out.int(2, 1) // SCHEMA
+        val sch = new Writer()
+        store.catalog.listTables(project, bucket).foreach { t =>
+          sch.msg(1, new Writer().strAlways(1, t.table).int(2, 2)) // TABLE
+        }
+        out.msg(4, sch)
+      case Seq(project, bucket, table) =>
+        out.int(2, 2) // TABLE
+        val info = store.tableInfo(project, bucket, table)
+        val ti = new Writer()
+        path.foreach(ti.str(1, _))
+        ti.str(2, table)
+        org.apache.spark.sql.types.StructType.fromDDL(info.schemaDdl)
+          .fields.foreach { f =>
+            ti.msg(3, new Writer().strAlways(1, f.name)
+              .strAlways(2, f.dataType.sql).bool(4, f.nullable))
+          }
+        info.primaryKey.foreach(ti.str(4, _))
+        ti.int(5, info.rowCount)
+        out.msg(6, ti)
+      case p => throw new IllegalArgumentException(
+        s"path depth ${p.length} unsupported")
+    }
+    ("info.ObjectInfoResponse", out)
+  }
+
+  /** CreateBucketCommand {projectId = 2, bucketId = 3}
+    * (proto/bucket.proto:11-20) → CreateBucketResponse {path = 1,
+    * createBucketObjectName = 2}. */
+  private def createBucket(fs: Seq[Field]): (String, Writer) = {
+    val project = str(fs, 2)
+    val bucket = str(fs, 3)
+    if (project.isEmpty || bucket.isEmpty)
+      throw new IllegalArgumentException("projectId and bucketId are required")
+    store.catalog.declareBucket(project, bucket)
+    ("bucket.CreateBucketResponse",
+      new Writer().str(1, project).str(1, bucket).str(2, bucket))
+  }
+
+  /** DropBucketCommand {bucketObjectName = 1, isCascade = 5}
+    * (proto/bucket.proto:46-52). The object name is the
+    * `{project}.{bucket}` pair (this backend scopes buckets by project;
+    * the reference's flat object name carries the same information via
+    * its role-per-project naming). */
+  private def dropBucket(fs: Seq[Field]): (String, Writer) = {
+    val name = str(fs, 1)
+    val cascade = long(fs, 5) != 0
+    val (project, bucket) = name.split("\\.", 2) match {
+      case Array(p, b) => (p, b)
+      case _ => throw new IllegalArgumentException(
+        s"bucketObjectName must be project.bucket, got '$name'")
+    }
+    val tables = store.catalog.listTables(project, bucket)
+    if (tables.nonEmpty && !cascade)
+      throw new IllegalArgumentException(
+        s"bucket $name holds ${tables.length} tables and isCascade is false")
+    tables.foreach(t => store.dropTable(project, bucket, t.table))
+    ("bucket.DropBucketResponse", new Writer())
+  }
+
+  /** CreateTableCommand {path = 1 [project, bucket], tableName = 2,
+    * columns = 3 TableColumnShared {name = 1, type = 2, length = 3,
+    * nullable = 4}, primaryKeysNames = 4} (proto/table.proto:29-39).
+    * Column types are Spark SQL DDL type names (VARCHAR/INTEGER/... all
+    * parse). */
+  private def createTable(fs: Seq[Field]): (String, Writer) = {
+    val path = strs(fs, 1)
+    if (path.length < 2)
+      throw new IllegalArgumentException("path must be [project, bucket]")
+    val table = str(fs, 2)
+    val cols = subs(fs, 3).map { c =>
+      val name = str(c, 1)
+      // VARCHAR/CHAR/TEXT land as STRING: Spark 4 refuses char/varchar in
+      // table schemas, and the reference's DuckDB stores them unbounded
+      // anyway (its VARCHAR ignores length)
+      val ddlType = str(c, 2).toLowerCase match {
+        case "varchar" | "char" | "text" => "STRING"
+        case t => t
+      }
+      s"`$name` $ddlType"
+    }
+    if (table.isEmpty || cols.isEmpty)
+      throw new IllegalArgumentException("tableName and columns are required")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(cols.mkString(", "))
+    val pk = strs(fs, 4)
+    handler.execute(StorageApi.CreateTable(path(0), path(1), table, schema, pk))
+    ("table.CreateTableResponse", new Writer())
+  }
+
+  /** DropTableCommand {path = 1, tableName = 2} (proto/table.proto:55-59). */
+  private def dropTable(fs: Seq[Field]): (String, Writer) = {
+    val path = strs(fs, 1)
+    if (path.length < 2)
+      throw new IllegalArgumentException("path must be [project, bucket]")
+    handler.execute(StorageApi.DropTable(path(0), path(1), str(fs, 2)))
+    ("table.DropTableResponse", new Writer())
+  }
+}

@@ -1,0 +1,120 @@
+package graft.server
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Minimal protobuf wire-format codec — just varints and
+  * length-delimited fields, the two wire types the driver protocol's
+  * messages use (proto3 scalars, strings, nested messages, maps).
+  *
+  * Hand-rolled because the sandbox resolves no protobuf/grpc artifacts
+  * (Spark Connect bundles them only shaded under org.sparkproject.*,
+  * which is not public API). The message schemas these bytes follow are
+  * the reference's own .proto files, cited at each use site in
+  * [[GrpcDriverServer]].
+  */
+object ProtoWire {
+
+  /** Append-only message writer. Proto3 default-value elision for
+    * scalars is the caller's job (`str`/`int`/`bool` skip defaults). */
+  final class Writer {
+    private val out = new ByteArrayOutputStream()
+    def bytes: Array[Byte] = out.toByteArray
+
+    def varint(v: Long): this.type = {
+      var x = v
+      while ((x & ~0x7fL) != 0) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+      out.write(x.toInt)
+      this
+    }
+    private def tag(field: Int, wire: Int): this.type = varint((field.toLong << 3) | wire)
+
+    /** length-delimited raw bytes (also serialized nested messages). */
+    def bytesF(field: Int, b: Array[Byte]): this.type = {
+      tag(field, 2); varint(b.length); out.write(b, 0, b.length); this
+    }
+    def str(field: Int, s: String): this.type =
+      if (s == null || s.isEmpty) this else bytesF(field, s.getBytes(UTF_8))
+    /** str, but written even when empty (map keys/values, oneof arms). */
+    def strAlways(field: Int, s: String): this.type =
+      bytesF(field, (if (s == null) "" else s).getBytes(UTF_8))
+    def int(field: Int, v: Long): this.type =
+      if (v == 0) this else { tag(field, 0); varint(v) }
+    /** int, but written even when 0 (oneof arms must be present). */
+    def intAlways(field: Int, v: Long): this.type = { tag(field, 0); varint(v) }
+    def bool(field: Int, v: Boolean): this.type =
+      if (!v) this else { tag(field, 0); varint(1) }
+    def msg(field: Int, m: Writer): this.type = bytesF(field, m.bytes)
+  }
+
+  /** One decoded top-level field occurrence. `varintVal` for wire type
+    * 0, `payload` for wire type 2 (fixed32/64 are kept raw in payload —
+    * none of the consumed messages use them). */
+  final case class Field(number: Int, wire: Int, varintVal: Long,
+      payload: Array[Byte])
+
+  /** Decode one message level into its field occurrences (in order). */
+  def parse(b: Array[Byte]): Seq[Field] = {
+    val fields = Vector.newBuilder[Field]
+    var i = 0
+    def readVarint(): Long = {
+      var shift = 0; var v = 0L
+      var more = true
+      while (more) {
+        if (i >= b.length) throw new IllegalArgumentException("truncated varint")
+        val x = b(i) & 0xff; i += 1
+        v |= (x & 0x7fL) << shift; shift += 7
+        more = (x & 0x80) != 0
+        if (shift > 63 && more) throw new IllegalArgumentException("varint overflow")
+      }
+      v
+    }
+    while (i < b.length) {
+      val t = readVarint()
+      val num = (t >>> 3).toInt
+      val wire = (t & 7).toInt
+      wire match {
+        case 0 => fields += Field(num, 0, readVarint(), Array.emptyByteArray)
+        case 2 =>
+          val len = readVarint().toInt
+          if (len < 0 || i + len > b.length)
+            throw new IllegalArgumentException("truncated length-delimited field")
+          fields += Field(num, 2, 0L, java.util.Arrays.copyOfRange(b, i, i + len))
+          i += len
+        case 5 =>
+          if (i + 4 > b.length) throw new IllegalArgumentException("truncated fixed32")
+          fields += Field(num, 5, 0L, java.util.Arrays.copyOfRange(b, i, i + 4)); i += 4
+        case 1 =>
+          if (i + 8 > b.length) throw new IllegalArgumentException("truncated fixed64")
+          fields += Field(num, 1, 0L, java.util.Arrays.copyOfRange(b, i, i + 8)); i += 8
+        case w => throw new IllegalArgumentException(s"unsupported wire type $w")
+      }
+    }
+    fields.result()
+  }
+
+  def str(fs: Seq[Field], n: Int): String =
+    fs.collect { case Field(`n`, 2, _, p) => new String(p, UTF_8) }
+      .lastOption.getOrElse("")
+  def strs(fs: Seq[Field], n: Int): Seq[String] =
+    fs.collect { case Field(`n`, 2, _, p) => new String(p, UTF_8) }
+  def long(fs: Seq[Field], n: Int): Long =
+    fs.collect { case Field(`n`, 0, v, _) => v }.lastOption.getOrElse(0L)
+  def subs(fs: Seq[Field], n: Int): Seq[Seq[Field]] =
+    fs.collect { case Field(`n`, 2, _, p) => parse(p) }
+  def sub(fs: Seq[Field], n: Int): Seq[Field] =
+    subs(fs, n).lastOption.getOrElse(Nil)
+
+  /** google.protobuf.Any: {type_url = 1, value = 2}. Returns the bare
+    * message name (after the last '/' and '.') plus the raw value. */
+  def parseAny(fs: Seq[Field]): (String, Array[Byte]) = {
+    val url = str(fs, 1)
+    val value = fs.collect { case Field(2, 2, _, p) => p }
+      .lastOption.getOrElse(Array.emptyByteArray)
+    val name = url.substring(url.lastIndexOf('/') + 1)
+    (name.substring(name.lastIndexOf('.') + 1), value)
+  }
+
+  def any(typeUrl: String, value: Writer): Writer =
+    new Writer().str(1, typeUrl).bytesF(2, value.bytes)
+}

@@ -35,8 +35,14 @@ object ServeMain {
     // default port mirrors Postgres convention, override with GRAFT_PG_PORT
     val pgPort = sys.env.get("GRAFT_PG_PORT").map(_.toInt).getOrElse(5432)
     val pg = new PgWireServer(spark, store, pgPort, apiKey).start()
+    // gRPC driver endpoint (StorageDriverService/Execute over h2c) —
+    // the machine interface; credentials check = the same API key
+    val grpcPort = sys.env.get("GRAFT_GRPC_PORT").map(_.toInt).getOrElse(50051)
+    val grpc = new GrpcDriverServer(spark, store,
+      secret => apiKey.forall(_ == secret))
+    val grpcBound = grpc.start(grpcPort)
     println(s"graft sql server listening on :${server.boundPort} " +
-      s"(pg-wire :${pg.boundPort}, root=$root)")
+      s"(pg-wire :${pg.boundPort}, grpc :$grpcBound, root=$root)")
     Thread.currentThread().join() // serve until interrupted
   }
 }

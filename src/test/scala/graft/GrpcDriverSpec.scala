@@ -1,0 +1,206 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import scala.collection.mutable
+
+import io.netty.bootstrap.Bootstrap
+import io.netty.buffer.Unpooled
+import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInboundHandlerAdapter, ChannelInitializer}
+import io.netty.channel.nio.NioEventLoopGroup
+import io.netty.channel.socket.SocketChannel
+import io.netty.channel.socket.nio.NioSocketChannel
+import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2HeadersFrame, Http2MultiplexHandler, Http2StreamChannelBootstrap}
+
+import graft.core.{StorageCatalog, Tables, TableStore}
+import graft.server.{GrpcDriverServer, ProtoWire}
+import graft.server.ProtoWire._
+
+/** Wire-level tests of the gRPC driver endpoint: a real h2c socket, gRPC
+  * message framing, and the reference's DriverRequest/DriverResponse
+  * protobuf envelope — nothing mocked below the dispatch. */
+class GrpcDriverSpec extends SparkSpec {
+
+  private val CmdUrl = "type.googleapis.com/keboola.storageDriver.command"
+
+  /** Minimal h2c gRPC client: one connection, one stream per call. */
+  private def call(port: Int, path: String, body: Array[Byte])
+      : (Map[String, String], Array[Byte]) = {
+    val group = new NioEventLoopGroup(1)
+    try {
+      val boot = new Bootstrap().group(group)
+        .channel(classOf[NioSocketChannel])
+        .handler(new ChannelInitializer[SocketChannel] {
+          def initChannel(ch: SocketChannel): Unit = {
+            ch.pipeline.addLast(Http2FrameCodecBuilder.forClient().build())
+            ch.pipeline.addLast(
+              new Http2MultiplexHandler(new ChannelInboundHandlerAdapter()))
+          }
+        })
+      val ch = boot.connect("127.0.0.1", port).sync().channel()
+      val done = new CountDownLatch(1)
+      val headers = mutable.Map.empty[String, String]
+      val data = Unpooled.buffer()
+      val collector = new ChannelInboundHandlerAdapter {
+        override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit =
+          msg match {
+            case h: Http2HeadersFrame =>
+              h.headers.forEach(e =>
+                headers(e.getKey.toString) = e.getValue.toString)
+              if (h.isEndStream) done.countDown()
+            case d: Http2DataFrame =>
+              data.writeBytes(d.content); d.release()
+              if (d.isEndStream) done.countDown()
+            case other => ctx.fireChannelRead(other)
+          }
+      }
+      val streamBoot = new Http2StreamChannelBootstrap(ch)
+        .handler(new ChannelInitializer[Channel] {
+          def initChannel(s: Channel): Unit = s.pipeline.addLast(collector)
+        })
+      val stream = streamBoot.open().sync().getNow
+      val reqHeaders = new DefaultHttp2Headers()
+      reqHeaders.method("POST").path(path).scheme("http")
+        .authority(s"127.0.0.1:$port")
+      reqHeaders.set("content-type", "application/grpc+proto")
+      reqHeaders.set("te", "trailers")
+      stream.write(new DefaultHttp2HeadersFrame(reqHeaders, false))
+      val framed = Unpooled.buffer(5 + body.length)
+      framed.writeByte(0); framed.writeInt(body.length); framed.writeBytes(body)
+      stream.writeAndFlush(new DefaultHttp2DataFrame(framed, true))
+      assert(done.await(30, TimeUnit.SECONDS), "gRPC call timed out")
+      val out = new Array[Byte](data.readableBytes)
+      data.readBytes(out)
+      data.release()
+      ch.close().sync()
+      (headers.toMap, out)
+    } finally group.shutdownGracefully(0, 1, TimeUnit.SECONDS).sync()
+  }
+
+  private def driverRequest(cmdType: String, cmd: Writer,
+      secret: String = ""): Array[Byte] = {
+    val creds = new Writer().str(2, "driver").str(3, secret)
+    new Writer()
+      .msg(1, ProtoWire.any("type.googleapis.com/keboola.storageDriver" +
+        ".credentials.GenericBackendCredentials", creds))
+      .msg(2, ProtoWire.any(s"$CmdUrl.$cmdType", cmd))
+      .bytes
+  }
+
+  /** DriverResponse -> (response message name, decoded fields). */
+  private def commandResponse(body: Array[Byte]): (String, Seq[Field]) = {
+    assert(body.length >= 5 && body(0) == 0, "expected uncompressed gRPC frame")
+    val len = java.nio.ByteBuffer.wrap(body, 1, 4).getInt
+    val msg = java.util.Arrays.copyOfRange(body, 5, 5 + len)
+    val (name, value) = parseAny(sub(parse(msg), 1))
+    (name, parse(value))
+  }
+
+  private def withServer(secretCheck: String => Boolean = _ => true)(
+      f: (Int, TableStore) => Unit): Unit = {
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-grpc")))
+    val server = new GrpcDriverServer(spark, store, secretCheck)
+    val port = server.start()
+    try f(port, store) finally server.stop()
+  }
+
+  test("Execute(ExecuteQueryCommand) returns columns and rows over the wire") {
+    withServer() { (port, store) =>
+      val region = Tables.df(spark, sfDir, "region")
+      store.createTable("p", "b", "region", region.schema)
+      store.overwrite("p", "b", "region", region)
+      val cmd = new Writer().str(1, "p").str(1, "b")
+        .str(3, "SELECT r_regionkey, r_name FROM b_region ORDER BY r_regionkey")
+      val (headers, body) = call(port,
+        "/keboola.storageDriver.service.StorageDriverService/Execute",
+        driverRequest("executeQuery.ExecuteQueryCommand", cmd))
+      assert(headers(":status") == "200")
+      assert(headers("grpc-status") == "0")
+      val (name, fields) = commandResponse(body)
+      assert(name == "ExecuteQueryResponse")
+      assert(long(fields, 1) == 0L) // Status.Success
+      val data = sub(fields, 2)
+      assert(strs(data, 1) == Seq("r_regionkey", "r_name"))
+      val rows = subs(data, 2)
+      assert(rows.length == 5)
+      val first = subs(rows.head, 1).map(e => str(e, 1) -> str(e, 2)).toMap
+      assert(first("r_regionkey") == "0")
+      assert(first("r_name").nonEmpty)
+    }
+  }
+
+  test("create table, preview with NULL, object info over the wire") {
+    withServer() { (port, store) =>
+      // CreateTableCommand
+      val create = new Writer().str(1, "p").str(1, "b").str(2, "t")
+        .msg(3, new Writer().strAlways(1, "id").strAlways(2, "BIGINT"))
+        .msg(3, new Writer().strAlways(1, "name").strAlways(2, "VARCHAR")
+          .strAlways(3, "64"))
+        .str(4, "id")
+      val (h1, b1) = call(port,
+        "/keboola.storageDriver.service.StorageDriverService/Execute",
+        driverRequest("table.CreateTableCommand", create))
+      assert(h1("grpc-status") == "0", h1.toString)
+      assert(commandResponse(b1)._1 == "CreateTableResponse")
+      import spark.implicits._
+      store.overwrite("p", "b", "t",
+        Seq((1L, Some("a")), (2L, None)).toDF("id", "name"))
+
+      // PreviewTableCommand: NULL encodes as Value.null_value
+      val preview = new Writer().str(1, "p").str(1, "b").str(2, "t")
+      val (h2, b2) = call(port,
+        "/keboola.storageDriver.service.StorageDriverService/Execute",
+        driverRequest("table.PreviewTableCommand", preview))
+      assert(h2("grpc-status") == "0")
+      val (n2, f2) = commandResponse(b2)
+      assert(n2 == "PreviewTableResponse")
+      assert(strs(f2, 1) == Seq("id", "name"))
+      val rows = subs(f2, 2).map(r => subs(r, 1).map { c =>
+        val v = sub(c, 2)
+        str(c, 1) -> (if (v.exists(f => f.number == 3 && f.wire == 2))
+          Some(str(v, 3)) else None)
+      }.toMap).sortBy(_("id"))
+      assert(rows(0)("name").contains("a"))
+      assert(rows(1)("name").isEmpty) // NULL came through as null_value
+
+      // ObjectInfoCommand at table depth: schema, PK, row count
+      val info = new Writer().str(1, "p").str(1, "b").str(1, "t")
+      val (h3, b3) = call(port,
+        "/keboola.storageDriver.service.StorageDriverService/Execute",
+        driverRequest("info.ObjectInfoCommand", info))
+      assert(h3("grpc-status") == "0")
+      val (n3, f3) = commandResponse(b3)
+      assert(n3 == "ObjectInfoResponse")
+      assert(long(f3, 2) == 2L) // ObjectType.TABLE
+      val ti = sub(f3, 6)
+      assert(str(ti, 2) == "t")
+      assert(strs(ti, 4) == Seq("id"))
+      assert(long(ti, 5) == 2L)
+      val colTypes = subs(ti, 3).map(c => str(c, 1) -> str(c, 2)).toMap
+      assert(colTypes("id") == "BIGINT")
+    }
+  }
+
+  test("unknown command is UNIMPLEMENTED; bad secret is UNAUTHENTICATED") {
+    withServer(secretCheck = _ == "s3cret") { (port, _) =>
+      val ok = call(port,
+        "/keboola.storageDriver.service.StorageDriverService/Execute",
+        driverRequest("table.PreviewTableCommand",
+          new Writer().str(1, "p").str(1, "b").str(2, "missing"),
+          secret = "wrong"))
+      assert(ok._1("grpc-status") == "16")
+      val unimpl = call(port,
+        "/keboola.storageDriver.service.StorageDriverService/Execute",
+        driverRequest("backend.InitBackendCommand", new Writer(),
+          secret = "s3cret"))
+      assert(unimpl._1("grpc-status") == "12")
+      assert(unimpl._1.contains("grpc-message"))
+      val badPath = call(port, "/nope/Nope",
+        driverRequest("table.PreviewTableCommand", new Writer(),
+          secret = "s3cret"))
+      assert(badPath._1("grpc-status") == "12")
+    }
+  }
+}
