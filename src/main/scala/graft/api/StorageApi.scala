@@ -66,7 +66,9 @@ object StorageApi {
       where: Option[String] = None, limit: Option[Int] = None,
       compression: Option[String] = None) extends Command
   final case class DeleteRows(project: String, bucket: String, table: String,
-      filters: Seq[FilterAlgebra.WhereFilter]) extends Command
+      filters: Seq[FilterAlgebra.WhereFilter],
+      changeSince: Option[String] = None,
+      changeUntil: Option[String] = None) extends Command
   final case class ProfileTable(project: String, bucket: String, table: String,
       numericColumns: Seq[String], stringColumns: Seq[String] = Nil,
       mode: String = "basic") extends Command
@@ -221,13 +223,20 @@ object StorageApi {
         }
         Done(s"exported $p/$b/$t to $path")
 
-      case DeleteRows(p, b, t, filters) =>
+      case DeleteRows(p, b, t, filters, since, until) =>
         val before = store.read(p, b, t).count()
-        val pred = FilterAlgebra.compileAll(filters)
+        // changeSince/changeUntil scope the delete on `_timestamp`, same
+        // temporal algebra the reads use (proto/table.proto:468-511,
+        // reference handler src/grpc/handlers/schema.py:395-450)
+        val temporal = since.map(FilterAlgebra.changeSince("_timestamp", _)) ++
+          until.map(FilterAlgebra.changeUntil("_timestamp", _))
+        val pred = (FilterAlgebra.compileAll(filters) ++ temporal)
+          .reduceOption(_ && _)
           .getOrElse(org.apache.spark.sql.functions.lit(true)) // delete-all
         val doDelete = () => store.overwrite(p, b, t,
           ImportPipeline.deleteWhere(store.read(p, b, t), pred))
-        if (filters.isEmpty) // D10 delete-all — the truncate-class trigger
+        if (filters.isEmpty && since.isEmpty && until.isEmpty)
+          // D10 delete-all — the truncate-class trigger
           withTrigger(p, b, t, "delete_all_rows") { doDelete(); () }
         else doDelete()
         Count(before - store.read(p, b, t).count())

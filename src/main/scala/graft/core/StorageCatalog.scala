@@ -145,12 +145,30 @@ final class StorageCatalog(val root: Path) {
     branchTables.remove(key(project, bucket, table, Some(branch))); persist()
   }
 
+  /** Drop every CoW copy a branch holds for this project — branch drop
+    * (reference: src/grpc/handlers/branch.py:95-150, drops the branch's
+    * schemas; our copies are manifests, so this is metadata-only and the
+    * next GC reclaims any branch-private segments). */
+  def dropBranch(project: String, branch: String): Unit = {
+    listBranchTables(project, branch).foreach { m =>
+      branchTables.remove(key(m.project, m.bucket, m.table, Some(branch)))
+    }
+    persist()
+  }
+
   // --------------------------------------------------------- shares/links
 
   /** L5: link `srcProject/srcBucket` into `project` as `alias`. */
   def linkBucket(project: String, alias: String, srcProject: String,
       srcBucket: String): Unit = {
     bucketLinks.put((project, alias), (srcProject, srcBucket)); persist()
+  }
+
+  /** Drop a bucket link; the shared source is untouched. */
+  def unlinkBucket(project: String, alias: String): Boolean = {
+    val existed = bucketLinks.remove((project, alias)).isDefined
+    if (existed) persist()
+    existed
   }
 
   /** Resolve a possibly-linked bucket to its physical (project, bucket). */

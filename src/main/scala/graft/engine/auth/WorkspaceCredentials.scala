@@ -59,6 +59,20 @@ final class WorkspaceCredentials(catalog: StorageCatalog) {
       else None
     }
 
+  /** Rotate the secret for an existing user (same user name, new
+    * secret — the reference's ResetWorkspacePassword semantics,
+    * src/grpc/handlers/workspace.py:223-270). Returns the new secret,
+    * or None if the user is unknown. */
+  def rotate(user: String): Option[String] =
+    catalog.getSetting(userKey(user)).map { json =>
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n = om.readTree(json).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val secret = s"wss_${randomHex(16)}"
+      n.put("secretHash", sha256(secret))
+      catalog.putSetting(userKey(user), om.writeValueAsString(n))
+      secret
+    }
+
   def revoke(user: String): Boolean = {
     val k = userKey(user)
     val existed = catalog.getSetting(k).isDefined

@@ -171,19 +171,56 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
     if (!secretCheck(secret)) throw new Unauthenticated("invalid credentials")
     val (cmdName, cmdBytes) = parseAny(sub(req, 2))
     val fs = parse(cmdBytes)
-    val (respUrl, resp) = cmdName match {
-      case "ExecuteQueryCommand" => executeQuery(fs)
-      case "PreviewTableCommand" => previewTable(fs)
-      case "ObjectInfoCommand" => objectInfo(fs)
-      case "CreateBucketCommand" => createBucket(fs)
-      case "DropBucketCommand" => dropBucket(fs)
-      case "CreateTableCommand" => createTable(fs)
-      case "DropTableCommand" => dropTable(fs)
+    // the full registry of src/grpc/servicer.py:92-244 — every command
+    // the reference's driver protocol registers dispatches here
+    val response: Option[(String, Writer)] = cmdName match {
+      case "ExecuteQueryCommand" => Some(executeQuery(fs))
+      case "PreviewTableCommand" => Some(previewTable(fs))
+      case "ObjectInfoCommand" => Some(objectInfo(fs))
+      case "CreateBucketCommand" => Some(createBucket(fs))
+      case "DropBucketCommand" => Some(dropBucket(fs))
+      case "CreateTableCommand" => Some(createTable(fs))
+      case "DropTableCommand" => Some(dropTable(fs))
+      case "AddColumnCommand" => addColumn(fs)
+      case "DropColumnCommand" => dropColumn(fs)
+      case "AlterColumnCommand" => alterColumn(fs)
+      case "AddPrimaryKeyCommand" => addPrimaryKey(fs)
+      case "DropPrimaryKeyCommand" => dropPrimaryKey(fs)
+      case "DeleteTableRowsCommand" => Some(deleteTableRows(fs))
+      case "TableImportFromFileCommand" => Some(importFromFile(fs))
+      case "TableImportFromTableCommand" => Some(importFromTable(fs))
+      case "TableExportToFileCommand" => Some(exportToFile(fs))
+      case "CreateProjectCommand" => Some(createProject(fs))
+      case "DropProjectCommand" => dropProject(fs)
+      case "CreateDevBranchCommand" => Some(createDevBranch(fs))
+      case "DropDevBranchCommand" => dropDevBranch(fs)
+      case "ShareBucketCommand" => Some(shareBucket(fs))
+      case "UnshareBucketCommand" => unshareBucket(fs)
+      case "LinkBucketCommand" => Some(linkBucket(fs))
+      case "UnlinkBucketCommand" => unlinkBucket(fs)
+      case "GrantBucketAccessToReadOnlyRoleCommand" => Some(grantBucketRo(fs))
+      case "RevokeBucketAccessFromReadOnlyRoleCommand" => None // audit-only
+      case "CreateWorkspaceCommand" => Some(createWorkspace(fs))
+      case "DropWorkspaceCommand" => dropWorkspace(fs)
+      case "ClearWorkspaceCommand" => clearWorkspace(fs)
+      case "ResetWorkspacePasswordCommand" => Some(resetWorkspacePassword(fs))
+      case "DropWorkspaceObjectCommand" => dropWorkspaceObject(fs)
+      case "GrantWorkspaceAccessToProjectCommand" => workspaceGrant(fs, grant = true)
+      case "RevokeWorkspaceAccessToProjectCommand" => workspaceGrant(fs, grant = false)
+      case "LoadTableToWorkspaceCommand" => loadTableToWorkspace(fs)
+      case "InitBackendCommand" => Some(("backend.InitBackendResponse", new Writer()))
+      case "RemoveBackendCommand" => None // nothing global to tear down
       case "" => throw new IllegalArgumentException("missing command Any")
       case other => throw new Unimplemented(s"command $other not implemented" +
         " over gRPC (available via the HTTP surface)")
     }
-    new Writer().msg(1, any(s"$TypeUrlPrefix.$respUrl", resp)).bytes
+    response match {
+      // void handlers answer an empty DriverResponse (commandResponse
+      // unset), exactly the servicer's `return None` wrapping
+      case None => Array.emptyByteArray
+      case Some((respUrl, resp)) =>
+        new Writer().msg(1, any(s"$TypeUrlPrefix.$respUrl", resp)).bytes
+    }
   }
 
   /** ExecuteQueryCommand {pathRestriction = 1, timeout = 2, query = 3} →
@@ -286,22 +323,30 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
         out.msg(4, sch)
       case Seq(project, bucket, table) =>
         out.int(2, 2) // TABLE
-        val info = store.tableInfo(project, bucket, table)
-        val ti = new Writer()
-        path.foreach(ti.str(1, _))
-        ti.str(2, table)
-        org.apache.spark.sql.types.StructType.fromDDL(info.schemaDdl)
-          .fields.foreach { f =>
-            ti.msg(3, new Writer().strAlways(1, f.name)
-              .strAlways(2, f.dataType.sql).bool(4, f.nullable))
-          }
-        info.primaryKey.foreach(ti.str(4, _))
-        ti.int(5, info.rowCount)
-        out.msg(6, ti)
+        out.msg(6, tableInfoWriter(project, bucket, table))
       case p => throw new IllegalArgumentException(
         s"path depth ${p.length} unsupported")
     }
     ("info.ObjectInfoResponse", out)
+  }
+
+  /** TableInfo {path = 1, tableName = 2, columns = 3 {name = 1, type = 2,
+    * nullable = 4}, primaryKeysNames = 4, rowsCount = 5}
+    * (proto/info.proto:40-58) — shared by ObjectInfo and export. */
+  private def tableInfoWriter(project: String, bucket: String,
+      table: String): Writer = {
+    val info = store.tableInfo(project, bucket, table)
+    val ti = new Writer()
+    Seq(project, bucket, table).foreach(ti.str(1, _))
+    ti.str(2, table)
+    org.apache.spark.sql.types.StructType.fromDDL(info.schemaDdl)
+      .fields.foreach { f =>
+        ti.msg(3, new Writer().strAlways(1, f.name)
+          .strAlways(2, f.dataType.sql).bool(4, f.nullable))
+      }
+    info.primaryKey.foreach(ti.str(4, _))
+    ti.int(5, info.rowCount)
+    ti
   }
 
   /** CreateBucketCommand {projectId = 2, bucketId = 3}
@@ -348,17 +393,7 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
     if (path.length < 2)
       throw new IllegalArgumentException("path must be [project, bucket]")
     val table = str(fs, 2)
-    val cols = subs(fs, 3).map { c =>
-      val name = str(c, 1)
-      // VARCHAR/CHAR/TEXT land as STRING: Spark 4 refuses char/varchar in
-      // table schemas, and the reference's DuckDB stores them unbounded
-      // anyway (its VARCHAR ignores length)
-      val ddlType = str(c, 2).toLowerCase match {
-        case "varchar" | "char" | "text" => "STRING"
-        case t => t
-      }
-      s"`$name` $ddlType"
-    }
+    val cols = subs(fs, 3).map(c => s"`${str(c, 1)}` ${ddlType(str(c, 2))}")
     if (table.isEmpty || cols.isEmpty)
       throw new IllegalArgumentException("tableName and columns are required")
     val schema = org.apache.spark.sql.types.StructType.fromDDL(cols.mkString(", "))
@@ -374,5 +409,515 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
       throw new IllegalArgumentException("path must be [project, bucket]")
     handler.execute(StorageApi.DropTable(path(0), path(1), str(fs, 2)))
     ("table.DropTableResponse", new Writer())
+  }
+
+  // ------------------------------------------------- shared decode helpers
+
+  /** VARCHAR/CHAR/TEXT land as STRING: Spark 4 refuses char/varchar in
+    * table schemas, and the reference's DuckDB stores them unbounded
+    * anyway (its VARCHAR ignores length). */
+  private def ddlType(t: String): String = t.toLowerCase match {
+    case "varchar" | "char" | "text" => "STRING"
+    case other => other
+  }
+
+  /** path = [project, bucket] or [project, branch, bucket] (the
+    * reference parses path[-1] as the bucket throughout its handlers,
+    * e.g. schema.py:176-190) + tableName = 2. */
+  private def tablePath(fs: Seq[Field]): (String, String, String) = {
+    val path = strs(fs, 1)
+    if (path.length < 2)
+      throw new IllegalArgumentException("path must be [project, bucket]")
+    (path.head, path.last, str(fs, 2))
+  }
+
+  private val FilterOps = Array("eq", "ne", "gt", "ge", "lt", "le")
+  private val FilterTypes =
+    Array("STRING", "INTEGER", "DOUBLE", "BIGINT", "REAL", "DECIMAL", "TIMESTAMP")
+
+  /** ImportExportShared.TableWhereFilter {columnsName = 1, operator = 2,
+    * values = 3, dataType = 4} (proto/table.proto:125-141). */
+  private def whereFilters(cmd: Seq[Field],
+      field: Int): Seq[graft.engine.query.FilterAlgebra.WhereFilter] =
+    subs(cmd, field).map { f =>
+      graft.engine.query.FilterAlgebra.WhereFilter(str(f, 1),
+        graft.engine.query.FilterAlgebra.Op.fromString(
+          FilterOps(long(f, 2).toInt)),
+        strs(f, 3), FilterTypes(long(f, 4).toInt))
+    }
+
+  private def nonEmpty(s: String): Option[String] = Option(s).filter(_.nonEmpty)
+
+  // ----------------------------------------------------------- schema ops
+
+  /** AddColumnCommand {path = 1, tableName = 2, columnDefinition = 3
+    * TableColumnShared {name = 1, type = 2, default = 5}}
+    * (proto/table.proto:61-65). Void, like the reference handler
+    * (src/grpc/handlers/schema.py:44-87). */
+  private def addColumn(fs: Seq[Field]): Option[(String, Writer)] = {
+    val (p, b, t) = tablePath(fs)
+    val c = sub(fs, 3)
+    val name = str(c, 1)
+    if (name.isEmpty)
+      throw new IllegalArgumentException("columnDefinition.name is required")
+    handler.execute(StorageApi.AlterTable(p, b, t, Seq(
+      StorageApi.AddColumn(name, ddlType(str(c, 2)), nonEmpty(str(c, 5))))))
+    None
+  }
+
+  /** DropColumnCommand {path = 1, tableName = 2, columnName = 3}
+    * (proto/table.proto:74-78). */
+  private def dropColumn(fs: Seq[Field]): Option[(String, Writer)] = {
+    val (p, b, t) = tablePath(fs)
+    handler.execute(StorageApi.AlterTable(p, b, t,
+      Seq(StorageApi.DropColumn(str(fs, 3)))))
+    None
+  }
+
+  /** AlterColumnCommand {path = 1, tableName = 2, desiredDefiniton = 3,
+    * attributesToUpdate = 4} (proto/table.proto:67-72). "type" is the one
+    * attribute this backend materializes (a cast rewrite); "name" is a
+    * no-op in the reference too (new name == old name,
+    * src/grpc/handlers/schema.py:200-213), and nullable/default are
+    * unenforced in a Parquet-manifest store — all silently accepted,
+    * matching the reference's tolerance. */
+  private def alterColumn(fs: Seq[Field]): Option[(String, Writer)] = {
+    val (p, b, t) = tablePath(fs)
+    val c = sub(fs, 3)
+    if (strs(fs, 4).exists(_.equalsIgnoreCase("type")))
+      handler.execute(StorageApi.AlterTable(p, b, t,
+        Seq(StorageApi.CastColumn(str(c, 1), ddlType(str(c, 2))))))
+    None
+  }
+
+  /** AddPrimaryKeyCommand {path = 1, tableName = 2, primaryKeysNames = 4}
+    * (proto/table.proto:80-84). Uniqueness/NULL checks run inside the
+    * handler (C6). */
+  private def addPrimaryKey(fs: Seq[Field]): Option[(String, Writer)] = {
+    val (p, b, t) = tablePath(fs)
+    val pk = strs(fs, 4)
+    if (pk.isEmpty)
+      throw new IllegalArgumentException("primaryKeysNames is required")
+    handler.execute(StorageApi.AddPrimaryKey(p, b, t, pk))
+    None
+  }
+
+  /** DropPrimaryKeyCommand {path = 1, tableName = 2}
+    * (proto/table.proto:86-89) — catalog-only (C7). */
+  private def dropPrimaryKey(fs: Seq[Field]): Option[(String, Writer)] = {
+    val (p, b, t) = tablePath(fs)
+    if (store.catalog.getTable(p, b, t).isEmpty)
+      throw new NoSuchElementException(s"$p/$b/$t")
+    graft.engine.ddl.Ddl.dropPrimaryKey(store, p, b, t)
+    None
+  }
+
+  /** DeleteTableRowsCommand {path = 1, tableName = 2, changeSince = 3,
+    * changeUntil = 4, whereFilters = 5} → DeleteTableRowsResponse
+    * {deletedRowsCount = 1, tableRowsCount = 2, tableSizeBytes = 3}
+    * (proto/table.proto:468-511, handler schema.py:395-450). */
+  private def deleteTableRows(fs: Seq[Field]): (String, Writer) = {
+    val (p, b, t) = tablePath(fs)
+    val StorageApi.Count(deleted) = handler.execute(StorageApi.DeleteRows(
+      p, b, t, whereFilters(fs, 5),
+      nonEmpty(str(fs, 3)), nonEmpty(str(fs, 4)))): @unchecked
+    ("table.DeleteTableRowsResponse", new Writer()
+      .int(1, deleted)
+      .int(2, store.read(p, b, t).count())
+      .int(3, store.dataSize(p, b, t)))
+  }
+
+  // -------------------------------------------------------- import/export
+
+  private def providerOf(n: Long): graft.engine.imp.RemoteIO.Provider =
+    n match {
+      case 0 => graft.engine.imp.RemoteIO.Provider.S3
+      case 1 => graft.engine.imp.RemoteIO.Provider.Abs
+      case 2 => graft.engine.imp.RemoteIO.Provider.Gcs
+      case 3 => graft.engine.imp.RemoteIO.Provider.Http
+      case o => throw new IllegalArgumentException(s"fileProvider $o")
+    }
+
+  /** fileCredentials Any: S3Credentials {key = 1, secret = 2, token = 4,
+    * region = 5} | ABSCredentials {accountName = 1, accountKey = 3}
+    * (proto/table.proto:271-281). */
+  private def credentialsOf(anyFs: Seq[Field]): graft.engine.imp.RemoteIO.Credentials = {
+    import graft.engine.imp.RemoteIO._
+    if (anyFs.isEmpty) NoCreds
+    else parseAny(anyFs) match {
+      case ("S3Credentials", v) =>
+        val f = parse(v)
+        S3Creds(S3Credentials(str(f, 1), str(f, 2),
+          nonEmpty(str(f, 5)), nonEmpty(str(f, 4))))
+      case ("ABSCredentials", v) =>
+        val f = parse(v)
+        AzureCreds(AzureCredentials(str(f, 1), str(f, 3)))
+      case ("GCSCredentials", _) => NoCreds // keyfile-based; conf-side only
+      case ("", _) => NoCreds
+      case (other, _) =>
+        throw new IllegalArgumentException(s"credentials type $other")
+    }
+  }
+
+  /** Run one staged import through the typed API and build the
+    * TableImportResponse {importedRowsCount = 1, tableRowsCount = 2,
+    * tableSizeBytes = 3, importedColumns = 5}
+    * (src/grpc/handlers/import_export.py:60-139). ImportOptions
+    * {timestampColumn = 1, importType = 3 (FULL=0|INCREMENTAL=1),
+    * dedupType = 5} (proto/table.proto:161-196). */
+  private def importStaging(staging0: org.apache.spark.sql.DataFrame,
+      p: String, b: String, t: String, opts: Seq[Field]): (String, Writer) = {
+    import graft.engine.imp.ImportPipeline.DedupMode
+    val incremental = long(opts, 3) == 1
+    val dedup = long(opts, 5) match {
+      case 1 => DedupMode.InsertDuplicates
+      case 2 => DedupMode.FailOnDuplicates
+      case _ => DedupMode.UpdateDuplicates
+    }
+    val stamp = str(opts, 1).nonEmpty
+    // cache: the staging frame is counted for the response AND written —
+    // one materialization, not two source reads
+    val staging = staging0.cache()
+    try {
+      val imported = staging.count()
+      val StorageApi.Count(total) = handler.execute(StorageApi.ImportData(
+        p, b, t, staging, incremental, dedup, stamp)): @unchecked
+      val out = new Writer().int(1, imported).int(2, total)
+        .int(3, store.dataSize(p, b, t))
+      staging.columns.foreach(out.str(5, _))
+      ("table.TableImportResponse", out)
+    } finally { staging.unpersist(); () }
+  }
+
+  /** TableImportFromFileCommand {fileProvider = 1, formatTypeOptions = 3
+    * CsvTypeOptions {delimiter = 2, enclosure = 3, escapedBy = 4},
+    * filePath = 4 {root = 1, path = 2, fileName = 3}, fileCredentials = 5,
+    * destination = 6 {path = 1, tableName = 2}, importOptions = 7}
+    * (proto/table.proto:309-369). */
+  private def importFromFile(fs: Seq[Field]): (String, Writer) = {
+    import graft.engine.imp.ImportPipeline
+    val dest = sub(fs, 6)
+    val dPath = strs(dest, 1)
+    if (dPath.length < 2)
+      throw new IllegalArgumentException("destination.path must be [project, bucket]")
+    val (p, b, t) = (dPath.head, dPath.last, str(dest, 2))
+    val fp = sub(fs, 4)
+    val url = graft.engine.imp.RemoteIO.resolve(spark, providerOf(long(fs, 1)),
+      str(fp, 1), str(fp, 2), str(fp, 3), credentialsOf(sub(fs, 5)))
+    val fmtAny = sub(fs, 3)
+    val fmt = if (fmtAny.isEmpty) Nil else parse(parseAny(fmtAny)._2)
+    val csv = ImportPipeline.CsvOptions(
+      delimiter = nonEmpty(str(fmt, 2)).getOrElse(","),
+      quote = nonEmpty(str(fmt, 3)).getOrElse("\""),
+      escape = nonEmpty(str(fmt, 4)).getOrElse("\""),
+      header = long(sub(fs, 7), 4) > 0) // numberOfIgnoredLines=1 → header row
+    val staging =
+      if (url.takeWhile(_ != '?').endsWith(".parquet")) spark.read.parquet(url)
+      else ImportPipeline.readCsv(spark, url, csv, Some(store.schemaOf(p, b, t)))
+    importStaging(staging, p, b, t, sub(fs, 7))
+  }
+
+  /** TableImportFromTableCommand {source = 1 {path = 1, tableName = 2,
+    * whereFilters = 4, limit = 5, columnMappings = 6 {sourceColumnName = 1,
+    * destinationColumnName = 2}}, destination = 2, importOptions = 3}
+    * (proto/table.proto:401-431) — D12 over the wire. */
+  private def importFromTable(fs: Seq[Field]): (String, Writer) = {
+    import org.apache.spark.sql.functions.col
+    val src = sub(fs, 1)
+    val sPath = strs(src, 1)
+    if (sPath.length < 2)
+      throw new IllegalArgumentException("source.path must be [project, bucket]")
+    val sBranch = if (sPath.length > 2) Some(sPath(1)) else None
+    var df = store.read(sPath.head, sPath.last, str(src, 2), sBranch)
+    graft.engine.query.FilterAlgebra.compileAll(whereFilters(src, 4))
+      .foreach(f => df = df.filter(f))
+    val mappings = subs(src, 6).map(m => (str(m, 1), str(m, 2)))
+    if (mappings.nonEmpty)
+      df = df.select(mappings.map { case (s, d) => col(s).as(d) }: _*)
+    val limit = long(src, 5)
+    if (limit > 0) df = df.limit(limit.toInt)
+    val dest = sub(fs, 2)
+    val dPath = strs(dest, 1)
+    if (dPath.length < 2)
+      throw new IllegalArgumentException("destination.path must be [project, bucket]")
+    importStaging(df, dPath.head, dPath.last, str(dest, 2), sub(fs, 3))
+  }
+
+  /** TableExportToFileCommand {source = 1 {path = 1, tableName = 2},
+    * fileProvider = 2, filePath = 4, fileCredentials = 5, exportOptions =
+    * 6 {isCompressed = 1, columnsToExport = 2, filters = 4 {limit = 3,
+    * changeSince = 4, changeUntil = 5, whereFilters = 7}}} →
+    * TableExportToFileResponse {tableInfo = 1}
+    * (proto/table.proto:436-466, handler import_export.py:300-457). */
+  private def exportToFile(fs: Seq[Field]): (String, Writer) = {
+    val srcT = sub(fs, 1)
+    val sPath = strs(srcT, 1)
+    if (sPath.length < 2)
+      throw new IllegalArgumentException("source.path must be [project, bucket]")
+    val (p, b, t) = (sPath.head, sPath.last, str(srcT, 2))
+    val fp = sub(fs, 4)
+    val url = graft.engine.imp.RemoteIO.resolve(spark, providerOf(long(fs, 2)),
+      str(fp, 1), str(fp, 2), str(fp, 3), credentialsOf(sub(fs, 5)))
+    val eo = sub(fs, 6)
+    val ef = sub(eo, 4)
+    // changeSince/changeUntil ride the validated free-form WHERE channel
+    val temporal = Seq(
+      nonEmpty(str(ef, 4)).map(v => s"_timestamp >= ${tsLiteral(v)}"),
+      nonEmpty(str(ef, 5)).map(v => s"_timestamp <= ${tsLiteral(v)}")).flatten
+    handler.execute(StorageApi.ExportTable(p, b, t, url, "csv",
+      columns = strs(eo, 2),
+      filters = whereFilters(ef, 7),
+      where = if (temporal.isEmpty) None else Some(temporal.mkString(" AND ")),
+      limit = Some(long(ef, 3)).filter(_ > 0).map(_.toInt),
+      compression = if (long(eo, 1) != 0) Some("gzip") else None))
+    ("table.TableExportToFileResponse",
+      new Writer().msg(1, tableInfoWriter(p, b, t)))
+  }
+
+  /** epoch-seconds or timestamp-string literal, matching
+    * FilterAlgebra.parseTs's two accepted shapes. */
+  private def tsLiteral(v: String): String =
+    if (v.forall(_.isDigit)) s"timestamp_seconds($v)"
+    else s"CAST('${v.replace("'", "''")}' AS TIMESTAMP)"
+
+  // ---------------------------------------------------- project lifecycle
+
+  /** CreateProjectCommand {projectId = 2} → CreateProjectResponse
+    * {projectUserName = 1, projectPassword = 3 (the minted API key, as the
+    * reference returns it, src/grpc/handlers/project.py:60-82),
+    * projectDatabaseName = 8} (proto/project.proto). */
+  private def createProject(fs: Seq[Field]): (String, Writer) = {
+    val id = str(fs, 2)
+    if (id.isEmpty) throw new IllegalArgumentException("projectId is required")
+    val key = new graft.engine.auth.ApiKeys(store.catalog).generateProjectKey(id)
+    ("project.CreateProjectResponse", new Writer()
+      .str(1, s"project_$id").str(3, key).str(8, id))
+  }
+
+  /** DropProjectCommand {projectUserName = 1, projectDatabaseName = 5}:
+    * drops every table of every bucket. Void. */
+  private def dropProject(fs: Seq[Field]): Option[(String, Writer)] = {
+    val id = nonEmpty(str(fs, 5))
+      .getOrElse(str(fs, 1).stripPrefix("project_"))
+    if (id.isEmpty) throw new IllegalArgumentException("project id is required")
+    store.catalog.listBuckets(id).foreach { case (bname, _) =>
+      store.catalog.listTables(id, bname)
+        .foreach(m => store.dropTable(id, bname, m.table))
+    }
+    None
+  }
+
+  /** CreateDevBranchCommand {projectId = 2, branchId = 3} →
+    * CreateDevBranchResponse {devBranchReadOnlyRoleName = 1}. Branches are
+    * CoW-lazy here (L1) — creation registers the branch; the first branch
+    * write makes the O(1) manifest copy. Role-name format mirrors
+    * src/grpc/handlers/branch.py:77. */
+  private def createDevBranch(fs: Seq[Field]): (String, Writer) = {
+    val (id, branch) = (str(fs, 2), str(fs, 3))
+    if (id.isEmpty || branch.isEmpty)
+      throw new IllegalArgumentException("projectId and branchId are required")
+    store.catalog.putSetting(s"branch/$id/$branch", "created")
+    ("project.CreateDevBranchResponse",
+      new Writer().str(1, s"branch_${id}_${branch}_readonly"))
+  }
+
+  /** DropDevBranchCommand {devBranchReadOnlyRoleName = 1} — parses the
+    * role minted by create (branch.py:111-150 does the same split). */
+  private def dropDevBranch(fs: Seq[Field]): Option[(String, Writer)] = {
+    val role = str(fs, 1)
+    val core = role.stripPrefix("branch_").stripSuffix("_readonly")
+    core.split("_", 2) match {
+      case Array(id, branch) if role.startsWith("branch_") =>
+        store.catalog.dropBranch(id, branch)
+        store.catalog.removeSetting(s"branch/$id/$branch")
+      case _ => // idempotent like the reference — unknown role is a no-op
+    }
+    None
+  }
+
+  // --------------------------------------------------------- bucket shares
+
+  /** ShareBucketCommand {sourceProjectId = 4, sourceBucketId = 5} →
+    * ShareBucketResponse {bucketShareRoleName = 1}; role format matches
+    * src/grpc/handlers/bucket_sharing.py:64. */
+  private def shareBucket(fs: Seq[Field]): (String, Writer) = {
+    val (pid, bucket) = (str(fs, 4), str(fs, 5))
+    if (pid.isEmpty || bucket.isEmpty)
+      throw new IllegalArgumentException(
+        "sourceProjectId and sourceBucketId are required")
+    store.catalog.putSetting(s"share/$pid/$bucket", "shared")
+    ("bucket.ShareBucketResponse",
+      new Writer().str(1, s"share_${pid}_$bucket"))
+  }
+
+  /** UnshareBucketCommand {bucketShareRoleName = 2}. Void. */
+  private def unshareBucket(fs: Seq[Field]): Option[(String, Writer)] = {
+    str(fs, 2).split("_", 3) match {
+      case Array("share", pid, bucket) =>
+        store.catalog.removeSetting(s"share/$pid/$bucket")
+      case _ =>
+    }
+    None
+  }
+
+  /** LinkBucketCommand {targetProjectId = 2, targetBucketId = 3,
+    * sourceShareRoleName = 4} → LinkedBucketResponse
+    * {linkedBucketObjectName = 1} (bucket_sharing.py:140-204). The link is
+    * an L5 alias — zero data copied. */
+  private def linkBucket(fs: Seq[Field]): (String, Writer) = {
+    val (target, alias) = (str(fs, 2), str(fs, 3))
+    str(fs, 4).split("_", 3) match {
+      case Array("share", pid, bucket) =>
+        if (store.catalog.getSetting(s"share/$pid/$bucket").isEmpty)
+          throw new NoSuchElementException(s"bucket $pid/$bucket is not shared")
+        store.catalog.linkBucket(target, alias, pid, bucket)
+      case _ => throw new IllegalArgumentException(
+        s"invalid sourceShareRoleName: ${str(fs, 4)}")
+    }
+    ("bucket.LinkedBucketResponse", new Writer().str(1, alias))
+  }
+
+  /** UnlinkBucketCommand {bucketObjectName = 1} ('{project}.{alias}',
+    * same addressing as DropBucket). Void. */
+  private def unlinkBucket(fs: Seq[Field]): Option[(String, Writer)] = {
+    str(fs, 1).split("\\.", 2) match {
+      case Array(p, alias) => store.catalog.unlinkBucket(p, alias)
+      case _ => throw new IllegalArgumentException(
+        s"bucketObjectName must be project.alias, got '${str(fs, 1)}'")
+    }
+    None
+  }
+
+  /** GrantBucketAccessToReadOnlyRoleCommand {destinationObjectName = 6,
+    * path = 7} → {createBucketObjectName = 2}. Read-only is inherent in
+    * this backend (reads never mutate manifests) — audit-logged no-op,
+    * exactly the reference's DuckDB stance (bucket_sharing.py:300-345). */
+  private def grantBucketRo(fs: Seq[Field]): (String, Writer) = {
+    val bucket = strs(fs, 7).lastOption.orElse(nonEmpty(str(fs, 6)))
+      .getOrElse(throw new IllegalArgumentException(
+        "path or destinationObjectName is required"))
+    ("bucket.GrantBucketAccessToReadOnlyRoleResponse",
+      new Writer().str(2, bucket.replace(".", "_").replace("-", "_")))
+  }
+
+  // ------------------------------------------------------------ workspaces
+
+  private val wsCreds = new graft.engine.auth.WorkspaceCredentials(store.catalog)
+  private def wsBucketOf(ws: String) = s"ws_$ws"
+  private def wsProjectOf(ws: String): String =
+    store.catalog.getSetting(s"workspace/$ws")
+      .getOrElse(throw new NoSuchElementException(s"workspace $ws"))
+
+  /** CreateWorkspaceCommand {projectId = 2, workspaceId = 3, branchId = 8}
+    * → CreateWorkspaceResponse {workspaceUserName = 1, workspaceRoleName =
+    * 2, workspacePassword = 3, workspaceObjectName = 4}. The workspace is
+    * a physical bucket (`ws_{id}`) + a rotatable credential, the
+    * reference's schema-per-workspace design
+    * (src/grpc/handlers/workspace.py:41-102). */
+  private def createWorkspace(fs: Seq[Field]): (String, Writer) = {
+    val (project, ws) = (str(fs, 2), str(fs, 3))
+    if (project.isEmpty || ws.isEmpty)
+      throw new IllegalArgumentException("projectId and workspaceId are required")
+    store.catalog.putSetting(s"workspace/$ws", project)
+    store.catalog.declareBucket(project, wsBucketOf(ws),
+      s"workspace $ws sandbox")
+    val (user, secret) =
+      wsCreds.create(project, ws, nonEmpty(str(fs, 8)))
+    ("workspace.CreateWorkspaceResponse", new Writer()
+      .str(1, user).str(2, s"role_$ws").str(3, secret).str(4, ws))
+  }
+
+  /** DropWorkspaceCommand {workspaceObjectName = 3}: drops the sandbox
+    * tables, revokes every credential, unregisters. Void. */
+  private def dropWorkspace(fs: Seq[Field]): Option[(String, Writer)] = {
+    val ws = str(fs, 3)
+    val project = wsProjectOf(ws)
+    store.catalog.listTables(project, wsBucketOf(ws))
+      .foreach(m => store.dropTable(project, wsBucketOf(ws), m.table))
+    wsCreds.listForWorkspace(ws).foreach(wsCreds.revoke)
+    store.catalog.removeSetting(s"workspace/$ws")
+    None
+  }
+
+  /** ClearWorkspaceCommand {workspaceObjectName = 1, objectsToPreserve =
+    * 3}: drops all sandbox tables except the preserved ones. Void. */
+  private def clearWorkspace(fs: Seq[Field]): Option[(String, Writer)] = {
+    val ws = str(fs, 1)
+    val project = wsProjectOf(ws)
+    val keep = strs(fs, 3).toSet
+    store.catalog.listTables(project, wsBucketOf(ws))
+      .filterNot(m => keep.contains(m.table))
+      .foreach(m => store.dropTable(project, wsBucketOf(ws), m.table))
+    None
+  }
+
+  /** ResetWorkspacePasswordCommand {workspaceUserName = 1} →
+    * {workspaceUserName = 1, workspacePassword = 2}. Same user, new
+    * secret (workspace.py:223-270). */
+  private def resetWorkspacePassword(fs: Seq[Field]): (String, Writer) = {
+    val user = str(fs, 1)
+    val secret = wsCreds.rotate(user)
+      .getOrElse(throw new NoSuchElementException(s"workspace user $user"))
+    ("workspace.ResetWorkspacePasswordResponse",
+      new Writer().str(1, user).str(2, secret))
+  }
+
+  /** DropWorkspaceObjectCommand {workspaceObjectName = 1, objectNameToDrop
+    * = 2, ignoreIfNotExists = 3}. Void. */
+  private def dropWorkspaceObject(fs: Seq[Field]): Option[(String, Writer)] = {
+    val ws = str(fs, 1)
+    val obj = str(fs, 2)
+    val project = wsProjectOf(ws)
+    if (store.catalog.getTable(project, wsBucketOf(ws), obj).isDefined)
+      store.dropTable(project, wsBucketOf(ws), obj)
+    else if (long(fs, 3) == 0)
+      throw new NoSuchElementException(s"$ws/$obj")
+    None
+  }
+
+  /** Grant/RevokeWorkspaceAccessToProjectCommand {workspaceObjectName = 3,
+    * projectUserName = 4}: recorded grants (this backend enforces reads
+    * through the store, so the grant is catalog state + audit). Void. */
+  private def workspaceGrant(fs: Seq[Field],
+      grant: Boolean): Option[(String, Writer)] = {
+    val ws = str(fs, 3)
+    val project = str(fs, 4).stripPrefix("project_")
+    if (ws.isEmpty || project.isEmpty)
+      throw new IllegalArgumentException(
+        "workspaceObjectName and projectUserName are required")
+    if (grant) store.catalog.putSetting(s"wsgrant/$ws/$project", "granted")
+    else store.catalog.removeSetting(s"wsgrant/$ws/$project")
+    None
+  }
+
+  /** LoadTableToWorkspaceCommand {source = 1 {path = 1, tableName = 2,
+    * whereFilters = 3, limit = 4, columnMappings = 5}, destination = 2
+    * {path = 1 [.., workspaceObjectName], tableName = 2}}: filtered CTAS
+    * into the sandbox bucket (workspace.py:416-507 — including the
+    * whereFilters/limit the reference left TODO). Void. */
+  private def loadTableToWorkspace(fs: Seq[Field]): Option[(String, Writer)] = {
+    import org.apache.spark.sql.functions.col
+    val src = sub(fs, 1)
+    val sPath = strs(src, 1)
+    if (sPath.length < 2)
+      throw new IllegalArgumentException("source.path must be [project, bucket]")
+    val sBranch = if (sPath.length > 2) Some(sPath(1)) else None
+    var df = store.read(sPath.head, sPath.last, str(src, 2), sBranch)
+    graft.engine.query.FilterAlgebra.compileAll(whereFilters(src, 3))
+      .foreach(f => df = df.filter(f))
+    val mappings = subs(src, 5).map(m => (str(m, 1), str(m, 2)))
+    if (mappings.nonEmpty)
+      df = df.select(mappings.map { case (s, d) => col(s).as(d) }: _*)
+    val limit = long(src, 4)
+    if (limit > 0) df = df.limit(limit.toInt)
+    val dest = sub(fs, 2)
+    val ws = strs(dest, 1).lastOption.getOrElse(
+      throw new IllegalArgumentException("destination.path is required"))
+    val project = wsProjectOf(ws)
+    val dTable = str(dest, 2)
+    if (store.catalog.getTable(project, wsBucketOf(ws), dTable).isEmpty)
+      store.createTable(project, wsBucketOf(ws), dTable, df.schema)
+    store.overwrite(project, wsBucketOf(ws), dTable, df)
+    None
   }
 }

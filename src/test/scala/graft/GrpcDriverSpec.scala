@@ -191,9 +191,11 @@ class GrpcDriverSpec extends SparkSpec {
           new Writer().str(1, "p").str(1, "b").str(2, "missing"),
           secret = "wrong"))
       assert(ok._1("grpc-status") == "16")
+      // UpdateProjectCommand exists in the proto but is NOT in the
+      // reference's registry (servicer.py:92-244) — UNIMPLEMENTED here too
       val unimpl = call(port,
         "/keboola.storageDriver.service.StorageDriverService/Execute",
-        driverRequest("backend.InitBackendCommand", new Writer(),
+        driverRequest("project.UpdateProjectCommand", new Writer(),
           secret = "s3cret"))
       assert(unimpl._1("grpc-status") == "12")
       assert(unimpl._1.contains("grpc-message"))
@@ -201,6 +203,176 @@ class GrpcDriverSpec extends SparkSpec {
         driverRequest("table.PreviewTableCommand", new Writer(),
           secret = "s3cret"))
       assert(badPath._1("grpc-status") == "12")
+    }
+  }
+
+  private val Svc = "/keboola.storageDriver.service.StorageDriverService/Execute"
+
+  /** Issue one command, assert transport success, return the decoded
+    * command response (name "" for void handlers). */
+  private def exec(port: Int, cmdType: String, cmd: Writer)
+      : (String, Seq[Field]) = {
+    val (h, b) = call(port, Svc, driverRequest(cmdType, cmd))
+    assert(h("grpc-status") == "0", s"$cmdType: $h")
+    commandResponse(b)
+  }
+
+  test("schema ops and DeleteTableRows over the wire") {
+    withServer() { (port, store) =>
+      import spark.implicits._
+      exec(port, "table.CreateTableCommand",
+        new Writer().str(1, "p").str(1, "b").str(2, "t")
+          .msg(3, new Writer().strAlways(1, "id").strAlways(2, "BIGINT"))
+          .msg(3, new Writer().strAlways(1, "v").strAlways(2, "VARCHAR")))
+      store.overwrite("p", "b", "t",
+        Seq((1L, "10"), (2L, "20"), (3L, "30")).toDF("id", "v"))
+
+      // AddColumn with default backfill (void response)
+      val (n1, _) = exec(port, "table.AddColumnCommand",
+        new Writer().str(1, "p").str(1, "b").str(2, "t")
+          .msg(3, new Writer().strAlways(1, "tag").strAlways(2, "VARCHAR")
+            .strAlways(5, "x")))
+      assert(n1 == "")
+      // AlterColumn casting v -> BIGINT (attributesToUpdate = ["type"])
+      exec(port, "table.AlterColumnCommand",
+        new Writer().str(1, "p").str(1, "b").str(2, "t")
+          .msg(3, new Writer().strAlways(1, "v").strAlways(2, "BIGINT"))
+          .str(4, "type"))
+      // AddPrimaryKey, then read the schema back through ObjectInfo
+      exec(port, "table.AddPrimaryKeyCommand",
+        new Writer().str(1, "p").str(1, "b").str(2, "t").str(4, "id"))
+      val (_, info) = exec(port, "info.ObjectInfoCommand",
+        new Writer().str(1, "p").str(1, "b").str(1, "t"))
+      val ti = sub(info, 6)
+      assert(strs(ti, 4) == Seq("id"))
+      val types = subs(ti, 3).map(c => str(c, 1) -> str(c, 2)).toMap
+      assert(types("v") == "BIGINT")
+      assert(types.contains("tag"))
+      exec(port, "table.DropPrimaryKeyCommand",
+        new Writer().str(1, "p").str(1, "b").str(2, "t"))
+      exec(port, "table.DropColumnCommand",
+        new Writer().str(1, "p").str(1, "b").str(2, "t").str(3, "tag"))
+
+      // DeleteTableRows: id > 1 -> 2 deleted, 1 remaining
+      val filter = new Writer().strAlways(1, "id").intAlways(2, 2) // gt
+        .str(3, "1").intAlways(4, 3) // BIGINT
+      val (n2, del) = exec(port, "table.DeleteTableRowsCommand",
+        new Writer().str(1, "p").str(1, "b").str(2, "t").msg(5, filter))
+      assert(n2 == "DeleteTableRowsResponse")
+      assert(long(del, 1) == 2L)
+      assert(long(del, 2) == 1L)
+      assert(long(del, 3) > 0L)
+    }
+  }
+
+  test("table-to-table import and CSV export over the wire") {
+    withServer() { (port, store) =>
+      import spark.implicits._
+      store.createTable("p", "src", "nums",
+        Seq((1L, "a")).toDF("id", "s").schema, Seq("id"))
+      store.overwrite("p", "src", "nums",
+        (1L to 10L).map(i => (i, s"row$i")).toDF("id", "s"))
+      store.createTable("p", "dst", "picked",
+        Seq((1L, "a")).toDF("id", "s").schema, Seq("id"))
+
+      // TableImportFromTableCommand: id <= 4, INCREMENTAL upsert
+      val src = new Writer().str(1, "p").str(1, "src").str(2, "nums")
+        .msg(4, new Writer().strAlways(1, "id").intAlways(2, 5) // le
+          .str(3, "4").intAlways(4, 3)) // BIGINT
+      val dest = new Writer().str(1, "p").str(1, "dst").str(2, "picked")
+      val opts = new Writer().intAlways(3, 1) // INCREMENTAL
+      val (n1, imp) = exec(port, "table.TableImportFromTableCommand",
+        new Writer().msg(1, src).msg(2, dest).msg(3, opts))
+      assert(n1 == "TableImportResponse")
+      assert(long(imp, 1) == 4L) // importedRowsCount
+      assert(long(imp, 2) == 4L) // tableRowsCount
+      assert(strs(imp, 5) == Seq("id", "s"))
+
+      // TableExportToFileCommand -> local CSV via the HTTP provider path
+      val outDir = Files.createTempDirectory("graft-grpc-export")
+      val out = outDir.resolve("picked.csv").toString
+      val expSrc = new Writer().str(1, "p").str(1, "dst").str(2, "picked")
+      val expCmd = new Writer().msg(1, expSrc).intAlways(2, 3) // HTTP
+        .msg(4, new Writer().strAlways(1, out))
+        .msg(6, new Writer().str(2, "id").str(2, "s")
+          .msg(4, new Writer().int(3, 2))) // limit 2
+      val (n2, exp) = exec(port, "table.TableExportToFileCommand", expCmd)
+      assert(n2 == "TableExportToFileResponse")
+      assert(str(sub(exp, 1), 2) == "picked") // tableInfo.tableName
+      val lines = spark.read.option("header", "true").csv(out).count()
+      assert(lines == 2L)
+    }
+  }
+
+  test("project, branch, share/link, and workspace lifecycle over the wire") {
+    withServer() { (port, store) =>
+      import spark.implicits._
+      // CreateProject mints a usable project API key as the "password"
+      val (n0, proj) = exec(port, "project.CreateProjectCommand",
+        new Writer().str(2, "acme"))
+      assert(n0 == "CreateProjectResponse")
+      val key = str(proj, 3)
+      assert(key.nonEmpty)
+      assert(new graft.engine.auth.ApiKeys(store.catalog)
+        .authorize(key, "acme", write = true))
+
+      // branch create/drop
+      val (n1, br) = exec(port, "project.CreateDevBranchCommand",
+        new Writer().str(2, "acme").str(3, "dev1"))
+      assert(n1 == "CreateDevBranchResponse")
+      assert(str(br, 1) == "branch_acme_dev1_readonly")
+      exec(port, "project.DropDevBranchCommand",
+        new Writer().str(1, "branch_acme_dev1_readonly"))
+
+      // share acme/pub, link into proj2 as "ext"
+      store.createTable("acme", "pub", "t", Seq((1L, "x")).toDF("id", "s").schema)
+      store.overwrite("acme", "pub", "t", Seq((1L, "x"), (2L, "y")).toDF("id", "s"))
+      val (n2, sh) = exec(port, "bucket.ShareBucketCommand",
+        new Writer().str(4, "acme").str(5, "pub"))
+      assert(n2 == "ShareBucketResponse")
+      val role = str(sh, 1)
+      assert(role == "share_acme_pub")
+      val (n3, lk) = exec(port, "bucket.LinkBucketCommand",
+        new Writer().str(2, "proj2").str(3, "ext").str(4, role))
+      assert(n3 == "LinkedBucketResponse")
+      assert(str(lk, 1) == "ext")
+      assert(store.read("proj2", "ext", "t").count() == 2L) // zero-copy alias
+      exec(port, "bucket.UnlinkBucketCommand", new Writer().str(1, "proj2.ext"))
+      assert(store.catalog.resolveBucket("proj2", "ext") == ("proj2", "ext"))
+
+      // workspace: create -> load filtered -> rotate password -> clear -> drop
+      val (n4, ws) = exec(port, "workspace.CreateWorkspaceCommand",
+        new Writer().str(2, "acme").str(3, "sb1"))
+      assert(n4 == "CreateWorkspaceResponse")
+      val (user, secret) = (str(ws, 1), str(ws, 3))
+      val creds = new graft.engine.auth.WorkspaceCredentials(store.catalog)
+      assert(creds.verify(user, secret).exists(_.workspace == "sb1"))
+
+      val loadSrc = new Writer().str(1, "acme").str(1, "pub").str(2, "t")
+        .msg(3, new Writer().strAlways(1, "id").intAlways(2, 0) // eq
+          .str(3, "2").intAlways(4, 3))
+        .msg(5, new Writer().strAlways(1, "id").strAlways(2, "key"))
+        .msg(5, new Writer().strAlways(1, "s").strAlways(2, "val"))
+      exec(port, "workspace.LoadTableToWorkspaceCommand",
+        new Writer().msg(1, loadSrc)
+          .msg(2, new Writer().str(1, "sb1").str(2, "mine")))
+      val loaded = store.read("acme", "ws_sb1", "mine")
+      assert(loaded.columns.toSeq == Seq("key", "val"))
+      assert(loaded.count() == 1L)
+
+      val (n5, rot) = exec(port, "workspace.ResetWorkspacePasswordCommand",
+        new Writer().str(1, user))
+      assert(n5 == "ResetWorkspacePasswordResponse")
+      val secret2 = str(rot, 2)
+      assert(secret2 != secret)
+      assert(creds.verify(user, secret2).isDefined)
+      assert(creds.verify(user, secret).isEmpty)
+
+      exec(port, "workspace.ClearWorkspaceCommand",
+        new Writer().str(1, "sb1").str(3, "keepme"))
+      assert(store.catalog.getTable("acme", "ws_sb1", "mine").isEmpty)
+      exec(port, "workspace.DropWorkspaceCommand", new Writer().str(3, "sb1"))
+      assert(creds.verify(user, secret2).isEmpty) // creds revoked with the ws
     }
   }
 }
