@@ -368,12 +368,15 @@ object TextAnalysis {
     * decimals on both engines, and rank breaks tfidf ties on the term
     * itself so the top-k cut is deterministic cross-engine.
     *
-    * Canonical distributed shape: one shuffle for (doc, term) counts (map-
-    * side combined), one term-keyed shuffle for document frequencies, a
-    * term-keyed join (vocabulary-sized, NOT corpus-sized — at 100 TB the
-    * vocab is millions of rows while the corpus is billions), then a
-    * doc-keyed window for the top-k cut. No driver-side state beyond the
-    * single document count. */
+    * Canonical distributed shape: one shuffle for (doc, term) counts
+    * (map-side combined), one term-keyed window for document frequencies
+    * (`count over (partition by term)` — df is a property of the term's
+    * partition, so no second aggregation and NO corpus-sized self-join:
+    * the join formulation re-shuffles the whole tf frame by term AND
+    * duplicates the explode+count subtree across the two join inputs),
+    * then a doc-keyed window for the top-k cut. Three shuffles total,
+    * each O(corpus terms), and no driver-side state beyond the single
+    * document count. */
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val nDocs = df.count().toDouble
@@ -382,17 +385,12 @@ object TextAnalysis {
         explode(split(lower(trim(col(textCol))), " +")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("doc_id", "term").agg(count(lit(1)).cast(LongType).as("tf"))
-    // the tf > 0 tautology keeps the tf column referenced in this branch,
-    // so column pruning leaves both branches' aggregation subtrees
-    // identical and ReuseExchange computes the explode+count ONCE (pruned,
-    // the branches differ and the corpus-sized explode runs twice)
-    val dfreq = tf.where(col("tf") > 0).groupBy("term")
-      .agg(count(lit(1)).cast(LongType).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
-    tf.join(dfreq, "term")
+    tf.withColumn("df", count(lit(1)).over(wTerm).cast(LongType))
       .withColumn("tfidf", round(col("tf") * log(lit(nDocs) / col("df")), 4))
-      .withColumn("rank", row_number().over(w).cast(LongType))
+      .withColumn("rank", row_number().over(wDoc).cast(LongType))
       .filter(col("rank") <= k)
       .select("doc_id", "term", "tf", "df", "tfidf", "rank")
   }
