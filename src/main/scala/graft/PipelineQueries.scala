@@ -755,6 +755,38 @@ object PipelineQueries {
              |    array_to_string(toks[(len(toks) // 10) * 10 + 1:len(toks)],
              |      ' ')], x -> x <> ''), ' '), '') AS clean_text
              |FROM t LEFT JOIN agg USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // benchmark decontamination: corpus docs sharing any 8-gram with the
+    // eval slice (doc_id % 20 = 0 stands in for the held-out benchmark);
+    // broadcast eval grams, corpus explodes map-side — zero corpus-sized
+    // shuffles. Exact list-function twin.
+    Q("x28_decontaminate",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+        TextDedup.decontaminate(
+            docs.filter(col("doc_id") % 20 =!= 0),
+            docs.filter(col("doc_id") % 20 === 0),
+            "doc_id", "text", n = 8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+             |  FROM documents
+             |), grams AS (
+             |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 8 THEN
+             |      list_transform(range(1, len(w) - 6),
+             |        i -> array_to_string(w[i:i+7], ' '))
+             |    ELSE [] END)) AS gram
+             |  FROM toks
+             |), eval_grams AS (
+             |  SELECT doc_id AS eval_id, gram FROM grams WHERE doc_id % 20 = 0
+             |), corpus_grams AS (
+             |  SELECT doc_id, gram FROM grams WHERE doc_id % 20 <> 0
+             |)
+             |SELECT c.doc_id, COUNT(DISTINCT c.gram)::BIGINT AS n_hit_grams,
+             |  COUNT(DISTINCT e.eval_id)::BIGINT AS n_eval_docs
+             |FROM corpus_grams c JOIN eval_grams e USING (gram)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

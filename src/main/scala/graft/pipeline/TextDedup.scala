@@ -379,6 +379,31 @@ object TextDedup {
     *
     * Output per document: window counts, how many were dropped, the
     * post-prune token count, and the pruned text itself. */
+  /** Benchmark decontamination: corpus documents sharing at least one
+    * word n-gram with any document of an evaluation set — the long-n-gram
+    * overlap check training pipelines run against held-out benchmarks
+    * before training (GPT-3's 13-gram collision scan, PaLM's 8-gram
+    * variant). One row per contaminated corpus doc: the distinct shared
+    * n-grams and the distinct eval docs hit.
+    *
+    * Scale shape: the eval side is benchmark-sized (thousands of docs →
+    * at most a few hundred MB of n-grams) — it broadcasts; the corpus
+    * side explodes map-side straight into the broadcast hash join, so
+    * the only shuffle is the doc-keyed aggregation of the HITS (rare by
+    * construction), never the corpus n-gram stream. At a 100 TB corpus
+    * that is one read pass and zero corpus-sized shuffles. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = evalSet.select(col(idCol).as("eval_id"),
+      explode(shingles(textCol, n)).as("gram"))
+    val corpusGrams = corpus.select(col(idCol).as("doc_id"),
+      explode(shingles(textCol, n)).as("gram"))
+    corpusGrams.join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct("gram").cast(LongType).as("n_hit_grams"),
+        countDistinct("eval_id").cast(LongType).as("n_eval_docs"))
+  }
+
   def boilerplatePrune(df: DataFrame, idCol: String, textCol: String,
       win: Int = 10, minDf: Int = 2): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),

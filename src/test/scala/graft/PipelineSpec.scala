@@ -427,6 +427,31 @@ class PipelineSpec extends SparkSpec {
     assert(out(6) == ((7L, 2L, 0L, 4L, "k k k k")))
   }
 
+  test("decontaminate: only n-gram overlaps with the eval set flag") {
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "completely different benchmark prompt about something else entirely here")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // full 10-token copy of eval 100 -> 3 distinct 8-grams shared
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      // shares a 8-token prefix with eval 100 only
+      (2L, "the quick brown fox jumps over the lazy cat sleeps"),
+      // same words, different order -> no 8-gram collision
+      (3L, "dog lazy the over jumps fox brown quick the tonight"),
+      (4L, "too short to have grams"),
+      // overlaps BOTH eval docs
+      (5L, "the quick brown fox jumps over the lazy dog plus" +
+        " completely different benchmark prompt about something else entirely here")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.decontaminate(corpus, evalSet, "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 5 shares 2 grams with eval 100 (the 'dog plus' suffix diverges)
+    // and the 2 grams of eval 101's embedded span -> 4 grams, 2 eval docs
+    assert(out.toSeq == Seq((1L, 3L, 1L), (2L, 1L, 1L), (5L, 4L, 2L)))
+  }
+
   test("tfIdfTopTerms: rank bounded, df consistent, corpus-wide idf") {
     val docs = Seq(
       (1L, "spark spark engine"),

@@ -78,6 +78,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Union"), "bucketed read still plans a Union")
   }
 
+  test("decontamination joins the eval grams by broadcast, never shuffling corpus grams") {
+    val df = Queries.byName("x28_decontaminate").fn(spark, sfDir)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"))
+    assert(!finalPlan.contains("SortMergeJoin"))
+  }
+
   test("ref-table membership rollup scans the fact side once") {
     val df = Queries.byName("p7_ref_table_filter").fn(spark, sfDir)
     df.collect() // finalize AQE
