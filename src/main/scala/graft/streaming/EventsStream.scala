@@ -105,6 +105,38 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** One micro-batch of a streaming ingest, idempotent on `batchId`:
+    * foreachBatch re-runs a batch after a failure, so the append commits
+    * only when this batchId is beyond the last recorded one — the
+    * watermark lives in the same catalog the manifest commit writes, so
+    * a replayed batch is a no-op and the table sees each batch exactly
+    * once. Factored out of [[ingestToStore]] so replay is unit-testable. */
+  def ingestBatch(store: graft.core.TableStore, project: String,
+      bucket: String, table: String)(batch: DataFrame, batchId: Long): Unit = {
+    val key = s"stream/$project/$bucket/$table/lastBatch"
+    val last = store.catalog.getSetting(key).map(_.toLong).getOrElse(-1L)
+    if (batchId > last) {
+      store.append(project, bucket, table, batch)
+      store.catalog.putSetting(key, batchId.toString)
+    }
+  }
+
+  /** Streaming ingest into a store table (parity-plus: the reference's
+    * import pipeline is batch-only — this is the same D3 manifest-commit
+    * append driven by a stream). Each micro-batch is one O(batch)
+    * incremental commit; at scale the append writes only the batch's
+    * bytes, never rewriting the table, so ingest cost tracks the stream
+    * rate, not the table size. */
+  def ingestToStore(streamed: DataFrame, store: graft.core.TableStore,
+      project: String, bucket: String, table: String,
+      checkpointDir: String): StreamingQuery =
+    streamed.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(ingestBatch(store, project, bucket, table) _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserState(user_id: Long, n_events: Long, total_value: Double)
 

@@ -104,4 +104,27 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == batchTotals)
   }
+
+  test("streaming ingest appends each micro-batch exactly once") {
+    val store = new graft.core.TableStore(spark,
+      new graft.core.StorageCatalog(Files.createTempDirectory("graft-ingest")))
+    val events = Tables.df(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    store.createTable("p", "live", "events", events.schema)
+    val q = EventsStream.ingestToStore(
+      EventsStream.readEventsStream(spark, eventsDir)
+        .select("event_id", "user_id", "event_type", "value"),
+      store, "p", "live", "events",
+      Files.createTempDirectory("graft-ingest-ckpt").toString)
+    q.awaitTermination()
+    val expected = events.count()
+    assert(store.read("p", "live", "events").count() == expected)
+    // failure replay: re-running an already-committed batchId is a no-op,
+    // a NEW batchId appends
+    EventsStream.ingestBatch(store, "p", "live", "events")(events.limit(5), 0L)
+    assert(store.read("p", "live", "events").count() == expected)
+    EventsStream.ingestBatch(store, "p", "live", "events")(
+      events.limit(5), Long.MaxValue)
+    assert(store.read("p", "live", "events").count() == expected + 5)
+  }
 }
