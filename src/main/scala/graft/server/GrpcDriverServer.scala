@@ -45,6 +45,12 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
 
   private val handler = new StorageApi.Handler(spark, store)
   private val group = new NioEventLoopGroup(2)
+  // Spark work runs OFF the event loop: a long ExecuteQuery must not
+  // stall the accept/framing path of every other stream on the loop.
+  // Netty write calls from worker threads are scheduled onto the loop,
+  // so responding from here is safe.
+  private val workers = java.util.concurrent.Executors.newCachedThreadPool(
+    r => { val t = new Thread(r, "grpc-driver-worker"); t.setDaemon(true); t })
   @volatile private var channel: Channel = _
 
   val ServicePath = "/keboola.storageDriver.service.StorageDriverService/Execute"
@@ -72,6 +78,7 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
   def stop(): Unit = {
     if (channel != null) channel.close().sync()
     group.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS).sync()
+    workers.shutdown()
   }
 
   /** One h2 stream = one unary gRPC call: buffer DATA frames, answer on
@@ -96,21 +103,33 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
     }
 
     private def respond(ctx: ChannelHandlerContext): Unit = {
-      val (status, message, payload) =
+      // frame decode stays on the event loop (cheap, and `body` is
+      // loop-owned); the command — potentially a full Spark job — runs on
+      // the worker pool so it cannot stall other streams' framing
+      val decoded: Either[(Long, String), Array[Byte]] =
         try {
-          if (path != ServicePath) (12L, s"unknown method $path", None)
-          else {
-            val req = readGrpcFrame(body)
-            val out = execute(req)
-            (0L, "", Some(out))
-          }
+          if (path != ServicePath) Left((12L, s"unknown method $path"))
+          else Right(readGrpcFrame(body))
         } catch {
-          case e: Unauthenticated => (16L, e.getMessage, None)
-          case e: Unimplemented => (12L, e.getMessage, None)
-          case e: IllegalArgumentException => (3L, s"${e.getMessage}", None)
-          case e: NoSuchElementException => (5L, s"not found: ${e.getMessage}", None)
-          case e: Throwable => (2L, s"${e.getClass.getSimpleName}: ${e.getMessage}", None)
+          case e: IllegalArgumentException => Left((3L, String.valueOf(e.getMessage)))
         }
+      workers.execute(() => reply(ctx, decoded))
+    }
+
+    private def reply(ctx: ChannelHandlerContext,
+        decoded: Either[(Long, String), Array[Byte]]): Unit = {
+      val (status, message, payload) = decoded match {
+        case Left((s, m)) => (s, m, None)
+        case Right(req) =>
+          try (0L, "", Some(execute(req)))
+          catch {
+            case e: Unauthenticated => (16L, e.getMessage, None)
+            case e: Unimplemented => (12L, e.getMessage, None)
+            case e: IllegalArgumentException => (3L, s"${e.getMessage}", None)
+            case e: NoSuchElementException => (5L, s"not found: ${e.getMessage}", None)
+            case e: Throwable => (2L, s"${e.getClass.getSimpleName}: ${e.getMessage}", None)
+          }
+      }
       val headers = new DefaultHttp2Headers()
       headers.status("200")
       headers.set("content-type", "application/grpc+proto")
@@ -521,9 +540,10 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
     val StorageApi.Count(deleted) = handler.execute(StorageApi.DeleteRows(
       p, b, t, whereFilters(fs, 5),
       nonEmpty(str(fs, 3)), nonEmpty(str(fs, 4)))): @unchecked
+    // version-cached count — no extra table scan on the response path
     ("table.DeleteTableRowsResponse", new Writer()
       .int(1, deleted)
-      .int(2, store.read(p, b, t).count())
+      .int(2, store.cachedRowCount(p, b, t))
       .int(3, store.dataSize(p, b, t)))
   }
 
