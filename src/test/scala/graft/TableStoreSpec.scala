@@ -28,6 +28,35 @@ class TableStoreSpec extends SparkSpec {
     assert(meta.version == 2)
   }
 
+  test("concurrent same-table appends serialize without lost updates") {
+    // the reference proves its per-table lock with concurrent imports
+    // (tests/test_table_lock.py:125-193); here 8 threads race appends at
+    // the same table — every batch must survive and the version pointer
+    // must advance once per commit
+    val store = newStore()
+    import spark.implicits._
+    store.createTable("p", "b", "race", Seq((0L, "x")).toDF("id", "s").schema)
+    val threads = 8
+    val perBatch = 50
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val futures = (0 until threads).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val batch = ((i * perBatch).toLong until ((i + 1) * perBatch).toLong)
+              .map(n => (n, s"t$i")).toDF("id", "s")
+            store.append("p", "b", "race", batch)
+          }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val out = store.read("p", "b", "race")
+    assert(out.count() == (threads * perBatch).toLong)
+    assert(out.select("id").distinct().count() == (threads * perBatch).toLong)
+    assert(store.catalog.getTable("p", "b", "race").get.version == threads)
+  }
+
   test("branch CoW isolates writes; live view falls back; pull reverts") {
     val store = newStore()
     val cust = Tables.df(spark, sfDir, "customer")
