@@ -333,13 +333,21 @@ object ExtraQueries {
       (s, dir) => {
         val li = Tables.df(s, dir, "lineitem")
         val o = Tables.df(s, dir, "orders")
-        li.join(o, li("l_orderkey") === o("o_orderkey"))
+        // pre-aggregate per order BEFORE the join (q2's pattern): the join
+        // moves one row per order, not one per lineitem, and the month
+        // rollup re-aggregates order-sized input. Decimal sums are
+        // associative -> two-level sum is bit-identical for the oracle.
+        val perOrder = li.groupBy("l_orderkey")
+          .agg(
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(DecimalType(38, 4))).as("rev"),
+            count(lit(1)).cast(LongType).as("ni"))
+        perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
           .groupBy(unix_millis(date_trunc("month", col("o_orderdate")))
             .as("month_ms"))
           .agg(
-            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-              .cast(DecimalType(38, 4))).cast(DoubleType).as("revenue"),
-            count(lit(1)).cast(LongType).as("n_items"))
+            sum(col("rev")).cast(DoubleType).as("revenue"),
+            sum(col("ni")).cast(LongType).as("n_items"))
           .orderBy("month_ms")
       },
       Some("""SELECT epoch_ms(date_trunc('month', o_orderdate)) AS month_ms,
