@@ -30,11 +30,14 @@ import graft.server.ProtoWire._
   * the library.
   *
   * Command coverage (dispatch on the `Any.type_url` message name, as the
-  * reference servicer does): ExecuteQuery, PreviewTable, ObjectInfo,
-  * CreateBucket, DropBucket, CreateTable, DropTable. Everything else
-  * returns grpc-status 12 UNIMPLEMENTED with the command name — the
-  * remaining registry semantics are served by [[StorageApi.Handler]]
-  * over the HTTP surface.
+  * reference servicer does): the FULL 35-command registry of
+  * servicer.py:92-244 — query/preview/info, bucket+table DDL, schema
+  * ops, row deletes, file and table imports, exports, project/branch
+  * lifecycle, bucket sharing/linking, and the workspace family.
+  * Commands outside the registry (e.g. UpdateProject) return
+  * grpc-status 12 UNIMPLEMENTED with the command name. User-facing
+  * handler logs ride back in DriverResponse.messages, the reference's
+  * job-log channel.
   *
   * Scale: the server collects only result sets that are already
   * plan-capped (preview limit, ExecuteQuery row cap) — no unbounded
@@ -44,6 +47,16 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
     secretCheck: String => Boolean = _ => true) {
 
   private val handler = new StorageApi.Handler(spark, store)
+
+  /** Per-call user-facing log, drained into DriverResponse.messages
+    * (LogMessage level Informational=6, proto/common.proto:29-44) — the
+    * channel the reference fills from handler.get_log_messages() for the
+    * job log (servicer.py:298). Thread-local: each call runs entirely on
+    * one worker thread. */
+  private val logBuf = new ThreadLocal[scala.collection.mutable.ListBuffer[String]] {
+    override def initialValue() = scala.collection.mutable.ListBuffer.empty[String]
+  }
+  private def logInfo(msg: String): Unit = { logBuf.get() += msg; () }
   private val group = new NioEventLoopGroup(2)
   // Spark work runs OFF the event loop: a long ExecuteQuery must not
   // stall the accept/framing path of every other stream on the loop.
@@ -181,6 +194,7 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
   /** DriverRequest {credentials Any = 1, command Any = 2} →
     * DriverResponse {commandResponse Any = 1} (proto/common.proto). */
   private def execute(reqBytes: Array[Byte]): Array[Byte] = {
+    logBuf.get().clear()
     val req = parse(reqBytes)
     // GenericBackendCredentials {principal = 2, secret = 3}
     // (proto/credentials.proto:11-15); empty credentials pass only if
@@ -233,13 +247,16 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
       case other => throw new Unimplemented(s"command $other not implemented" +
         " over gRPC (available via the HTTP surface)")
     }
-    response match {
-      // void handlers answer an empty DriverResponse (commandResponse
-      // unset), exactly the servicer's `return None` wrapping
-      case None => Array.emptyByteArray
-      case Some((respUrl, resp)) =>
-        new Writer().msg(1, any(s"$TypeUrlPrefix.$respUrl", resp)).bytes
+    // void handlers leave commandResponse unset (the servicer's
+    // `return None` wrapping); user-facing log messages ride along either
+    // way, as the reference's job-log channel does
+    val out = new Writer()
+    response.foreach { case (respUrl, resp) =>
+      out.msg(1, any(s"$TypeUrlPrefix.$respUrl", resp))
     }
+    logBuf.get().foreach(m =>
+      out.msg(2, new Writer().int(1, 6).strAlways(2, m))) // Informational
+    out.bytes
   }
 
   /** ExecuteQueryCommand {pathRestriction = 1, timeout = 2, query = 3} →
@@ -540,6 +557,7 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
     val StorageApi.Count(deleted) = handler.execute(StorageApi.DeleteRows(
       p, b, t, whereFilters(fs, 5),
       nonEmpty(str(fs, 3)), nonEmpty(str(fs, 4)))): @unchecked
+    logInfo(s"Deleted $deleted rows from $p/$b/$t")
     // version-cached count — no extra table scan on the response path
     ("table.DeleteTableRowsResponse", new Writer()
       .int(1, deleted)
@@ -602,6 +620,7 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
       val imported = staging.count()
       val StorageApi.Count(total) = handler.execute(StorageApi.ImportData(
         p, b, t, staging, incremental, dedup, stamp)): @unchecked
+      logInfo(s"Imported $imported rows into $p/$b/$t ($total total)")
       val out = new Writer().int(1, imported).int(2, total)
         .int(3, store.dataSize(p, b, t))
       staging.columns.foreach(out.str(5, _))
@@ -690,6 +709,7 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
       where = if (temporal.isEmpty) None else Some(temporal.mkString(" AND ")),
       limit = Some(long(ef, 3)).filter(_ > 0).map(_.toInt),
       compression = if (long(eo, 1) != 0) Some("gzip") else None))
+    logInfo(s"Exported $p/$b/$t")
     ("table.TableExportToFileResponse",
       new Writer().msg(1, tableInfoWriter(p, b, t)))
   }
@@ -710,6 +730,7 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
     val id = str(fs, 2)
     if (id.isEmpty) throw new IllegalArgumentException("projectId is required")
     val key = new graft.engine.auth.ApiKeys(store.catalog).generateProjectKey(id)
+    logInfo(s"Project $id registered; admin key minted")
     ("project.CreateProjectResponse", new Writer()
       .str(1, s"project_$id").str(3, key).str(8, id))
   }
@@ -737,6 +758,7 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
     if (id.isEmpty || branch.isEmpty)
       throw new IllegalArgumentException("projectId and branchId are required")
     store.catalog.putSetting(s"branch/$id/$branch", "created")
+    logInfo(s"Branch $branch created for project $id (copy-on-write)")
     ("project.CreateDevBranchResponse",
       new Writer().str(1, s"branch_${id}_${branch}_readonly"))
   }
@@ -766,6 +788,7 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
       throw new IllegalArgumentException(
         "sourceProjectId and sourceBucketId are required")
     store.catalog.putSetting(s"share/$pid/$bucket", "shared")
+    logInfo(s"Bucket $pid/$bucket shared")
     ("bucket.ShareBucketResponse",
       new Writer().str(1, s"share_${pid}_$bucket"))
   }
@@ -791,6 +814,7 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
         if (store.catalog.getSetting(s"share/$pid/$bucket").isEmpty)
           throw new NoSuchElementException(s"bucket $pid/$bucket is not shared")
         store.catalog.linkBucket(target, alias, pid, bucket)
+        logInfo(s"Bucket $pid/$bucket linked into $target as $alias (zero-copy)")
       case _ => throw new IllegalArgumentException(
         s"invalid sourceShareRoleName: ${str(fs, 4)}")
     }
@@ -843,6 +867,7 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
       s"workspace $ws sandbox")
     val (user, secret) =
       wsCreds.create(project, ws, nonEmpty(str(fs, 8)))
+    logInfo(s"Workspace $ws created for project $project")
     ("workspace.CreateWorkspaceResponse", new Writer()
       .str(1, user).str(2, s"role_$ws").str(3, secret).str(4, ws))
   }
@@ -938,6 +963,9 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
     if (store.catalog.getTable(project, wsBucketOf(ws), dTable).isEmpty)
       store.createTable(project, wsBucketOf(ws), dTable, df.schema)
     store.overwrite(project, wsBucketOf(ws), dTable, df)
+    logInfo(s"Loaded ${store.cachedRowCount(project, wsBucketOf(ws), dTable)} " +
+      s"rows from ${sPath.head}/${sPath.last}/${str(src, 2)} " +
+      s"to workspace $ws/$dTable")
     None
   }
 }

@@ -97,6 +97,17 @@ class GrpcDriverSpec extends SparkSpec {
     (name, parse(value))
   }
 
+  /** DriverResponse.messages — the job-log channel (LogMessage.message,
+    * field 2 of each entry; level asserted Informational=6). */
+  private def logMessages(body: Array[Byte]): Seq[String] = {
+    val len = java.nio.ByteBuffer.wrap(body, 1, 4).getInt
+    val msg = java.util.Arrays.copyOfRange(body, 5, 5 + len)
+    subs(parse(msg), 2).map { m =>
+      assert(long(m, 1) == 6L) // Informational
+      str(m, 2)
+    }
+  }
+
   private def withServer(secretCheck: String => Boolean = _ => true)(
       f: (Int, TableStore) => Unit): Unit = {
     val store = new TableStore(spark,
@@ -341,9 +352,14 @@ class GrpcDriverSpec extends SparkSpec {
       assert(store.catalog.resolveBucket("proj2", "ext") == ("proj2", "ext"))
 
       // workspace: create -> load filtered -> rotate password -> clear -> drop
-      val (n4, ws) = exec(port, "workspace.CreateWorkspaceCommand",
-        new Writer().str(2, "acme").str(3, "sb1"))
+      val (hws, bws) = call(port, Svc, driverRequest(
+        "workspace.CreateWorkspaceCommand",
+        new Writer().str(2, "acme").str(3, "sb1")))
+      assert(hws("grpc-status") == "0")
+      val (n4, ws) = commandResponse(bws)
       assert(n4 == "CreateWorkspaceResponse")
+      // the job-log channel carries the handler's user-facing message
+      assert(logMessages(bws).exists(_.contains("Workspace sb1 created")))
       val (user, secret) = (str(ws, 1), str(ws, 3))
       val creds = new graft.engine.auth.WorkspaceCredentials(store.catalog)
       assert(creds.verify(user, secret).exists(_.workspace == "sb1"))
