@@ -58,6 +58,23 @@ object ExtraQueries {
              |  UNION ALL SELECT * FROM customer WHERE c_custkey <= 100)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Incremental change feed: manifest diff between two committed
+    // versions returns exactly the appended rows — no table scan to
+    // discover changes (the table_changes analog over the manifest store)
+    Q("cdc1_version_diff",
+      (s, dir) => {
+        val store = new TableStore(s,
+          new StorageCatalog(Files.createTempDirectory("graft-cdc")))
+        val cust = Tables.df(s, dir, "customer")
+        store.createTable("p", "b", "customer", cust.schema)
+        store.overwrite("p", "b", "customer", cust) // v1
+        store.append("p", "b", "customer",
+          cust.filter(col("c_custkey") <= 100)) // v2
+        store.changesBetween("p", "b", "customer", 1, 2).orderBy("c_custkey")
+      },
+      Some("""SELECT * FROM customer WHERE c_custkey <= 100
+             |ORDER BY c_custkey""".stripMargin)),
+
     // P6 — fulltext search (OR-of-contains over string columns)
     Q("p6_fulltext",
       (s, dir) => Tables.df(s, dir, "documents")

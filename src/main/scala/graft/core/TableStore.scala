@@ -93,28 +93,33 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
           session.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           declared.getOrElse(StructType(Nil)))
       case Some(m) =>
-        // ONE multi-path scan for all plain roots (with the committed
-        // schema, so no per-root footer sampling): an N-way unionByName of
-        // separate reads costs O(N) analysis, bloats the plan to N scan
-        // nodes, and stops Spark coalescing file splits across roots — at
-        // 64 buckets + appends that's a real planning tax per query.
-        // Hive-partitioned roots (user partitionBy overwrites) still read
-        // individually: their partition values live in directory names and
-        // need per-root discovery; every write coerces to the committed
-        // schema (alignTo), so the final select is order-normalization.
-        val roots = m.entries.map(e => catalog.root.resolve(e.path))
-        val (parted, plain) = roots.partition(isHivePartitioned)
-        val base =
-          if (plain.nonEmpty) {
-            val r = declared.foldLeft(session.read)(_ schema _)
-            Some(r.parquet(plain.map(_.toString): _*))
-          } else None
-        val cols = declared.getOrElse(base.get.schema)
-          .fieldNames.map(org.apache.spark.sql.functions.col).toSeq
-        val scans = base.map(_.select(cols: _*)).toSeq ++
-          parted.map(p => session.read.parquet(p.toString).select(cols: _*))
-        scans.reduce(_.unionByName(_))
+        readRoots(session, m.entries.map(e => catalog.root.resolve(e.path)),
+          declared)
     }
+
+  /** ONE multi-path scan for all plain roots (with the committed schema,
+    * so no per-root footer sampling): an N-way unionByName of separate
+    * reads costs O(N) analysis, bloats the plan to N scan nodes, and
+    * stops Spark coalescing file splits across roots — at 64 buckets +
+    * appends that's a real planning tax per query. Hive-partitioned roots
+    * (user partitionBy overwrites) still read individually: their
+    * partition values live in directory names and need per-root
+    * discovery; every write coerces to the committed schema (alignTo), so
+    * the final select is order-normalization. */
+  private def readRoots(session: SparkSession, roots: Seq[Path],
+      declared: Option[StructType]): DataFrame = {
+    val (parted, plain) = roots.partition(isHivePartitioned)
+    val base =
+      if (plain.nonEmpty) {
+        val r = declared.foldLeft(session.read)(_ schema _)
+        Some(r.parquet(plain.map(_.toString): _*))
+      } else None
+    val cols = declared.getOrElse(base.get.schema)
+      .fieldNames.map(org.apache.spark.sql.functions.col).toSeq
+    val scans = base.map(_.select(cols: _*)).toSeq ++
+      parted.map(p => session.read.parquet(p.toString).select(cols: _*))
+    scans.reduce(_.unionByName(_))
+  }
 
   private def isHivePartitioned(p: Path): Boolean = {
     val children = p.toFile.listFiles()
@@ -139,6 +144,51 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
         s"$project/$bucket/$table@v$version was garbage-collected " +
           s"(retention keeps $gcRetainVersions versions / ${gcRetainMillis}ms)")
     loadVersionDir(spark, vdir, None)
+  }
+
+  /** Incremental change feed between two retained versions: the rows of
+    * every data root present in `toVersion`'s manifest but absent from
+    * `fromVersion`'s — a metadata-only diff (the Spark-native analog of a
+    * table format's `table_changes`), so discovering what changed never
+    * scans the table.
+    *
+    * Delivery semantics by commit kind: appends/insert-if-absent add
+    * whole new roots → the feed is exactly the appended rows; upserts
+    * rewrite only the PK-hash buckets staging touched → the feed is those
+    * buckets' full new contents, a superset of the changed rows
+    * (at-least-once — consumers dedup on the PK); overwrites/deletes
+    * replace the root set → the feed is the new table state. Legacy
+    * manifest-less versions diff as a full replace. At 100 TB an
+    * incremental consumer reads O(commit), never O(table). */
+  def changesBetween(project: String, bucket: String, table: String,
+      fromVersion: Int, toVersion: Int,
+      branch: Option[String] = None): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val (meta, cvdir) = catalog.resolveForRead(project, bucket, table, branch)
+    require(toVersion >= 0 && toVersion <= meta.version,
+      s"version $toVersion out of range [0, ${meta.version}]")
+    def vdirOf(v: Int): Path = {
+      val d = cvdir.getParent.resolve(s"v$v")
+      if (!Files.exists(d))
+        throw new NoSuchElementException(
+          s"$project/$bucket/$table@v$v was garbage-collected " +
+            s"(retention keeps $gcRetainVersions versions / ${gcRetainMillis}ms)")
+      d
+    }
+    val toDir = vdirOf(toVersion)
+    if (fromVersion == toVersion)
+      return loadVersionDir(spark, toDir, None).limit(0)
+    val fromPaths: Set[String] =
+      Manifest.readFrom(vdirOf(fromVersion)).map(_.entries.map(_.path).toSet)
+        .getOrElse(Set.empty) // legacy plain version: no shared roots
+    Manifest.readFrom(toDir) match {
+      case None => loadVersionDir(spark, toDir, None) // legacy: full replace
+      case Some(m) =>
+        val fresh = m.entries.filterNot(e => fromPaths.contains(e.path))
+        if (fresh.isEmpty) loadVersionDir(spark, toDir, None).limit(0)
+        else readRoots(spark, fresh.map(e => catalog.root.resolve(e.path)), None)
+    }
   }
 
   /** D13: CTAS from time travel — materialize a historical version of

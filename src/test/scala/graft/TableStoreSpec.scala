@@ -28,6 +28,49 @@ class TableStoreSpec extends SparkSpec {
     assert(meta.version == 2)
   }
 
+  test("changesBetween feeds exactly the appended rows, metadata-only diff") {
+    val store = newStore()
+    import spark.implicits._
+    store.createTable("p", "b", "cdc", Seq((0L, "x")).toDF("id", "s").schema)
+    store.overwrite("p", "b", "cdc",
+      (1L to 100L).map(i => (i, s"base$i")).toDF("id", "s")) // v1
+    store.append("p", "b", "cdc",
+      (101L to 110L).map(i => (i, s"a$i")).toDF("id", "s")) // v2
+    store.append("p", "b", "cdc",
+      (111L to 115L).map(i => (i, s"b$i")).toDF("id", "s")) // v3
+    def ids(from: Int, to: Int): Seq[Long] =
+      store.changesBetween("p", "b", "cdc", from, to)
+        .select("id").as[Long].collect().sorted.toSeq
+    assert(ids(1, 2) == (101L to 110L))
+    assert(ids(2, 3) == (111L to 115L))
+    assert(ids(1, 3) == (101L to 115L))
+    assert(ids(3, 3).isEmpty)
+    assert(ids(0, 1) == (1L to 100L)) // overwrite -> full new state
+    intercept[IllegalArgumentException] {
+      store.changesBetween("p", "b", "cdc", 2, 1)
+    }
+  }
+
+  test("changesBetween after upsert feeds only the touched buckets") {
+    val store = newStore()
+    import spark.implicits._
+    val base = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "s")
+    store.createTable("p", "b", "up", base.schema, Seq("id"))
+    store.overwrite("p", "b", "up", base) // v1: single plain root
+    store.upsert("p", "b", "up",
+      Seq((3L, "first")).toDF("id", "s"), Seq("id")) // v2: bucketizes all
+    store.upsert("p", "b", "up",
+      Seq((7L, "updated")).toDF("id", "s"), Seq("id")) // v3: one bucket
+    // v1 -> v2 re-bucketed the whole table: the feed is a full replace
+    assert(store.changesBetween("p", "b", "up", 1, 2).count() == 1000L)
+    // v2 -> v3 rewrote only the bucket id=7 hashes into: the updated row
+    // is in the feed and the feed is bucket-sized, never a full replay
+    val changed = store.changesBetween("p", "b", "up", 2, 3)
+    assert(changed.filter($"id" === 7L && $"s" === "updated").count() == 1L)
+    val n = changed.count()
+    assert(n < 1000L, s"feed should be bucket-sized, got $n rows")
+  }
+
   test("concurrent same-table appends serialize without lost updates") {
     // the reference proves its per-table lock with concurrent imports
     // (tests/test_table_lock.py:125-193); here 8 threads race appends at
