@@ -349,6 +349,7 @@ final class SqlHttpServer(
   //   POST .../tables/{t}/import   {fileId, incremental?, dedupMode?}
   //   POST .../tables/{t}/export   {format?} -> {fileId, rowsExported}
   //   POST .../tables/{t}/profile?mode=
+  //   GET  .../tables/{t}/changes?from=&to=&limit=  incremental feed
   private lazy val storageApi = new graft.api.StorageApi.Handler(spark, store)
 
   server.createContext("/storage", (ex: HttpExchange) => handle(ex) {
@@ -446,6 +447,23 @@ final class SqlHttpServer(
       case ("DELETE", "projects" :: p :: "buckets" :: b :: "tables" :: t :: Nil) =>
         storageApi.execute(DropTable(p, b, t))
         respondJson(ex, 200, """{"dropped":true}""")
+
+      // incremental change feed: rows added/rewritten between two
+      // committed versions (manifest diff — no table scan to discover
+      // changes); `to` defaults to the current version. Capped like
+      // preview: a CDC consumer pages with ?from= as it advances.
+      case ("GET", "projects" :: p :: "buckets" :: b :: "tables" :: t :: "changes" :: Nil) =>
+        val current = store.tableInfo(p, b, t).version
+        val from = query.get("from").map(_.toInt).getOrElse(math.max(current - 1, 0))
+        val to = query.get("to").map(_.toInt).getOrElse(current)
+        val limit = math.min(
+          query.get("limit").map(_.toInt).getOrElse(PreviewDefaultLimit),
+          PreviewMaxLimit)
+        val df = store.changesBetween(p, b, t, from, to).limit(limit)
+        val payload = dfJson(df.collect(), df.schema)
+        payload.put("fromVersion", from)
+        payload.put("toVersion", to)
+        respondJson(ex, 200, om.writeValueAsString(payload))
 
       case ("GET", "projects" :: p :: "buckets" :: b :: "tables" :: t :: "preview" :: Nil) =>
         val limit = query.get("limit").map(_.toInt).getOrElse(PreviewDefaultLimit)

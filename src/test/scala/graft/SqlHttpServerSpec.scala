@@ -95,6 +95,25 @@ class SqlHttpServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("change feed over HTTP returns the appended rows between versions") {
+    val store = fixture()
+    store.append("p", "geo", "nation",
+      Tables.df(spark, sfDir, "nation").filter("n_nationkey < 3")) // v2
+    val server = new SqlHttpServer(spark, store).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    try {
+      val resp = get(s"$base/storage/projects/p/buckets/geo/tables/nation/changes?from=1&to=2")
+      assert(resp.statusCode() == 200)
+      val n = om.readTree(resp.body())
+      assert(n.get("fromVersion").asInt == 1 && n.get("toVersion").asInt == 2)
+      assert(n.get("rows").size == 3) // exactly the appended slice
+      // defaults: current-1 -> current gives the same feed
+      val dflt = om.readTree(
+        get(s"$base/storage/projects/p/buckets/geo/tables/nation/changes").body())
+      assert(dflt.get("rows").size == 3)
+    } finally server.stop()
+  }
+
   test("files API over HTTP: prepare/upload/register/list/download/delete") {
     val server = new SqlHttpServer(spark, fixture()).start()
     val base = s"http://127.0.0.1:${server.boundPort}"
