@@ -1,0 +1,76 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.propBoolean
+
+import graft.server.ProtoWire
+import graft.server.ProtoWire._
+
+/** ScalaCheck round-trip properties for the hand-rolled protobuf wire
+  * codec: whatever the Writer emits, parse must recover — for any field
+  * numbers, any values (incl. the varint edge cases: 0, Int.MaxValue
+  * boundaries, negative longs = 10-byte varints), any nesting, any
+  * repetition. A codec bug here silently corrupts every gRPC command. */
+object ProtoWireSpec extends Properties("ProtoWire") {
+
+  private val fieldNum: Gen[Int] = Gen.choose(1, 1 << 20)
+  private val longGen: Gen[Long] = Gen.oneOf(
+    Gen.choose(Long.MinValue, Long.MaxValue),
+    Gen.oneOf(0L, 1L, -1L, 127L, 128L, Long.MaxValue, Long.MinValue,
+      Int.MaxValue.toLong, Int.MaxValue + 1L))
+  private val strGen: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr,
+    Gen.listOf(Gen.oneOf('ü', '語', '\n', '\'', '"', ' '))
+      .map(_.mkString),
+    Gen.const(""))
+
+  property("varint round-trip at any magnitude") =
+    Prop.forAll(fieldNum, longGen) { (f, v) =>
+      val fs = parse(new Writer().intAlways(f, v).bytes)
+      long(fs, f) == v
+    }
+
+  property("string fields round-trip any content, preserving repetition order") =
+    Prop.forAll(fieldNum, Gen.listOf(strGen)) { (f, vs) =>
+      val w = new Writer()
+      vs.foreach(w.strAlways(f, _))
+      strs(parse(w.bytes), f) == vs
+    }
+
+  property("nested messages round-trip; unrelated fields don't collide") =
+    Prop.forAll(fieldNum, fieldNum, strGen, longGen) { (f1, f2, s, v) =>
+      (f1 != f2) ==> {
+        val inner = new Writer().strAlways(3, s).intAlways(4, v)
+        val outer = new Writer().msg(f1, inner).intAlways(f2, v)
+        val fs = parse(outer.bytes)
+        val in = sub(fs, f1)
+        str(in, 3) == s && long(in, 4) == v && long(fs, f2) == v &&
+          strs(fs, f2).isEmpty
+      }
+    }
+
+  property("Any envelope recovers the bare message name and payload") =
+    Prop.forAll(Gen.identifier, Gen.identifier, strGen) { (pkg, name, s) =>
+      (pkg.nonEmpty && name.nonEmpty) ==> {
+        val payload = new Writer().strAlways(1, s)
+        val a = ProtoWire.any(s"type.googleapis.com/$pkg.$name", payload)
+        val (n, bytes) = parseAny(parse(a.bytes))
+        n == name && str(parse(bytes), 1) == s
+      }
+    }
+
+  property("proto3 default elision: str/int skip defaults, Always forms keep them") =
+    Prop.forAll(fieldNum) { f =>
+      new Writer().str(f, "").int(f, 0L).bytes.isEmpty &&
+        parse(new Writer().strAlways(f, "").bytes).nonEmpty &&
+        long(parse(new Writer().intAlways(f, 0L).bytes), f) == 0L
+    }
+
+  property("parse rejects truncated payloads instead of misreading") =
+    Prop.forAll(fieldNum, Gen.alphaStr.suchThat(_.nonEmpty)) { (f, s) =>
+      val whole = new Writer().strAlways(f, s).bytes
+      Prop.throws(classOf[IllegalArgumentException]) {
+        parse(whole.dropRight(1)); ()
+      }
+    }
+}
