@@ -24,6 +24,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *     (auto-creates the table from an inferred CSV schema when absent,
   *      like the reference's `tables import --create`)
   *   tables export P B T OUT.csv
+  *   tables changes P B T [--from V] [--to V] [--limit N]
   *   tables profile P B T [--mode basic|full]
   *   files upload P FILE               files list P
   *   files download P ID OUT           files delete P ID
@@ -86,7 +87,7 @@ object Cli {
       err: java.io.PrintStream): Int = {
     // flags: --name value (valued) or --name (bare); positionals = the rest
     val valuedFlags = Set("--columns", "--pk", "--limit", "--dedup-mode",
-      "--mode", "--url", "--api-key")
+      "--mode", "--url", "--api-key", "--from", "--to")
     val flagsB = scala.collection.mutable.Map[String, String]()
     val posB = scala.collection.mutable.Buffer[String]()
     var i = 0
@@ -198,6 +199,19 @@ object Cli {
       val cols = flag("--columns").map(c => s"&columns=$c").getOrElse("")
       val r = ctx.call("GET",
         s"/storage/projects/$p/buckets/$b/tables/$t/preview?limit=$limit$cols")
+      if (ctx.json) ctx.out.println(r.toString)
+      else renderRows(ctx.out, r)
+      0
+
+    case "tables" :: "changes" :: p :: b :: t :: Nil =>
+      // incremental feed between two versions (defaults: previous->current)
+      val qs = Seq(
+        flag("--from").map(v => s"from=$v"),
+        flag("--to").map(v => s"to=$v"),
+        flag("--limit").map(v => s"limit=$v")).flatten.mkString("&")
+      val r = ctx.call("GET",
+        s"/storage/projects/$p/buckets/$b/tables/$t/changes" +
+          (if (qs.nonEmpty) s"?$qs" else ""))
       if (ctx.json) ctx.out.println(r.toString)
       else renderRows(ctx.out, r)
       0

@@ -52,6 +52,11 @@ class CliSpec extends SparkSpec {
         csv2.toString, "--incremental")
       assert(c4 == 0 && impOut2.contains("4 rows"), impOut2)
 
+      // the change feed between the two imports is exactly the appended row
+      val (cc, chOut) = runCli(base, "tables", "changes", "p", "raw", "items")
+      assert(cc == 0 && chOut.contains("delta") && !chOut.contains("alpha"),
+        chOut)
+
       // export round-trips all 4 rows through the file store
       val outCsv = Files.createTempFile("cli-export", ".csv")
       val (c5, expOut) = runCli(base, "tables", "export", "p", "raw", "items",
