@@ -787,6 +787,32 @@ object PipelineQueries {
              |SELECT c.doc_id, COUNT(DISTINCT c.gram)::BIGINT AS n_hit_grams,
              |  COUNT(DISTINCT e.eval_id)::BIGINT AS n_eval_docs
              |FROM corpus_grams c JOIN eval_grams e USING (gram)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // CCNet-style unigram pseudo-perplexity: mean -ln p(token) per doc
+    // under the corpus's own add-one-smoothed unigram model; 4dp both
+    // engines, term-window corpus counts (no vocab broadcast/join)
+    Q("x29_unigram_ppl",
+      (s, dir) => TextAnalysis.unigramPerplexity(
+          Tables.df(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(lower(trim(text)), ' +')) AS term
+             |  FROM documents
+             |), tf AS (
+             |  SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+             |  FROM toks WHERE term <> '' GROUP BY 1, 2
+             |), tot AS (
+             |  SELECT SUM(tf)::DOUBLE + COUNT(DISTINCT term)::DOUBLE AS denom
+             |  FROM tf
+             |), ct AS (
+             |  SELECT term, SUM(tf)::BIGINT AS ct FROM tf GROUP BY 1
+             |)
+             |SELECT tf.doc_id, SUM(tf.tf)::BIGINT AS n_tokens,
+             |  ROUND(SUM(tf.tf * -ln((ct.ct + 1) / tot.denom))
+             |    / SUM(tf.tf), 4) AS mean_nll
+             |FROM tf JOIN ct USING (term) CROSS JOIN tot
              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -394,4 +394,38 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select("doc_id", "term", "tf", "df", "tfidf", "rank")
   }
+
+  /** Unigram pseudo-perplexity quality score — the CCNet-style
+    * language-model filter (Wenzek et al. 2020 rank corpora by LM
+    * perplexity; the unigram estimate is its self-contained analog):
+    * each document scores the mean negative log probability of its
+    * tokens under a unigram model estimated from the corpus itself, MLE
+    * with add-one smoothing over the vocabulary. High mean_nll =
+    * improbable token stream (gibberish, OCR noise); pipelines drop the
+    * tail. Docs with no tokens carry no probability mass and are
+    * omitted, like every per-token operator here.
+    *
+    * Shape: the (doc, term) counts shuffle once; the corpus-wide term
+    * count rides a term-partition window over that same frame (no join
+    * back, no vocabulary broadcast); one scalar action reads total
+    * tokens + vocab size; one doc-keyed aggregation scores. At 100 TB
+    * every stage is O(corpus tokens) with map-side combine — the only
+    * global state is the two scalars. */
+  def unigramPerplexity(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), " +")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast(LongType).as("tf"))
+    val totals = tf.agg(sum(col("tf")), countDistinct(col("term"))).collect()(0)
+    val denom = (totals.getLong(0) + totals.getLong(1)).toDouble // N + V
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    tf.withColumn("ct", sum(col("tf")).over(wTerm))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).cast(LongType).as("n_tokens"),
+        round(sum(col("tf") * -log((col("ct") + 1d) / denom)) /
+          sum(col("tf")), 4).as("mean_nll"))
+  }
 }

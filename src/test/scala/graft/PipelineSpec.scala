@@ -452,6 +452,17 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L, 1L), (2L, 1L, 1L), (5L, 4L, 2L)))
   }
 
+  test("unigramPerplexity: add-one-smoothed mean nll, hand-computed") {
+    // corpus: N=5 tokens, V=3 terms -> denom 8; counts a=2, b=2, c=1
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramPerplexity(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 1: every token has p=3/8 -> mean_nll = -ln(0.375) = 0.9808
+    // doc 2: (-ln(3/8) + -ln(2/8)) / 2 = 1.1836; doc 3 has no tokens
+    assert(out.toSeq == Seq((1L, 3L, 0.9808), (2L, 2L, 1.1836)))
+  }
+
   test("tfIdfTopTerms: rank bounded, df consistent, corpus-wide idf") {
     val docs = Seq(
       (1L, "spark spark engine"),
