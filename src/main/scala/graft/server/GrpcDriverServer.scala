@@ -137,6 +137,7 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
           try (0L, "", Some(execute(req)))
           catch {
             case e: Unauthenticated => (16L, e.getMessage, None)
+            case e: PermissionDenied => (7L, e.getMessage, None)
             case e: Unimplemented => (12L, e.getMessage, None)
             case e: IllegalArgumentException => (3L, s"${e.getMessage}", None)
             case e: NoSuchElementException => (5L, s"not found: ${e.getMessage}", None)
@@ -168,6 +169,7 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
   }
 
   private final class Unauthenticated(msg: String) extends RuntimeException(msg)
+  private final class PermissionDenied(msg: String) extends RuntimeException(msg)
   private final class Unimplemented(msg: String) extends RuntimeException(msg)
 
   /** gRPC message framing: 1-byte compressed flag + 4-byte BE length. */
@@ -946,6 +948,16 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
     val sPath = strs(src, 1)
     if (sPath.length < 2)
       throw new IllegalArgumentException("source.path must be [project, bucket]")
+    val dest0 = sub(fs, 2)
+    val wsName = strs(dest0, 1).lastOption.getOrElse(
+      throw new IllegalArgumentException("destination.path is required"))
+    // cross-project loads require a recorded GrantWorkspaceAccessToProject
+    // — the grant the registry mints is the access control here, not just
+    // an audit row (within the workspace's own project no grant is needed)
+    if (sPath.head != wsProjectOf(wsName) &&
+        store.catalog.getSetting(s"wsgrant/$wsName/${sPath.head}").isEmpty)
+      throw new PermissionDenied(
+        s"workspace $wsName has no grant for project ${sPath.head}")
     val sBranch = if (sPath.length > 2) Some(sPath(1)) else None
     var df = store.read(sPath.head, sPath.last, str(src, 2), sBranch)
     graft.engine.query.FilterAlgebra.compileAll(whereFilters(src, 3))

@@ -376,6 +376,22 @@ class GrpcDriverSpec extends SparkSpec {
       assert(loaded.columns.toSeq == Seq("key", "val"))
       assert(loaded.count() == 1L)
 
+      // cross-project load: PERMISSION_DENIED (7) without a grant,
+      // allowed once GrantWorkspaceAccessToProject records one
+      store.createTable("other", "pub", "t2",
+        Seq((1L, "x")).toDF("id", "s").schema)
+      store.overwrite("other", "pub", "t2", Seq((9L, "z")).toDF("id", "s"))
+      val crossLoad = new Writer()
+        .msg(1, new Writer().str(1, "other").str(1, "pub").str(2, "t2"))
+        .msg(2, new Writer().str(1, "sb1").str(2, "borrowed"))
+      val denied = call(port, Svc, driverRequest(
+        "workspace.LoadTableToWorkspaceCommand", crossLoad))
+      assert(denied._1("grpc-status") == "7", denied._1.toString)
+      exec(port, "workspace.GrantWorkspaceAccessToProjectCommand",
+        new Writer().str(3, "sb1").str(4, "project_other"))
+      exec(port, "workspace.LoadTableToWorkspaceCommand", crossLoad)
+      assert(store.read("acme", "ws_sb1", "borrowed").count() == 1L)
+
       val (n5, rot) = exec(port, "workspace.ResetWorkspacePasswordCommand",
         new Writer().str(1, user))
       assert(n5 == "ResetWorkspacePasswordResponse")
