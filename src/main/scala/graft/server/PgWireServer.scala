@@ -12,23 +12,25 @@ import graft.engine.auth.WorkspaceCredentials
 import graft.engine.workspace.Workspace
 
 /** Q2 (wire form): a minimal PostgreSQL frontend/backend protocol v3
-  * server, so stock SQL clients (psql, JDBC with simple-query mode,
-  * DBeaver) can open a workspace session and run SQL against the engine —
+  * server, so stock SQL clients (psql, JDBC, DBeaver) can open a
+  * workspace session and run SQL against the engine —
   * the reference's primary interactive surface (reference:
   * src/pgwire_server.py:374-568 startup+auth, :64-330 session loop).
   *
-  * Protocol scope (deliberately the simple-query subset):
+  * Protocol scope:
   *  - SSLRequest/GSSENCRequest answered 'N' (no TLS in-sandbox);
   *  - StartupMessage(user, database) -> AuthenticationCleartextPassword;
   *  - password verified against (a) the deployment admin key, (b) a
   *    minted project API key for the database's project, or (c) a
   *    workspace credential whose user matches the startup user;
   *  - on success: AuthenticationOk, ParameterStatus, BackendKeyData,
-  *    ReadyForQuery, then the Simple Query loop ('Q'):
-  *    RowDescription + DataRow* + CommandComplete (text format), errors
-  *    as ErrorResponse, 'X' terminates.
-  * The extended protocol (Parse/Bind/Execute) is not implemented — psql
-  * uses simple queries.
+  *    ReadyForQuery, then the query loop: Simple Query ('Q') with
+  *    RowDescription + DataRow* + CommandComplete (text format), AND the
+  *    extended protocol (Parse/Bind/Describe/Execute/Close/Sync/Flush —
+  *    what JDBC drivers speak by default), with text-format parameters
+  *    interpolated into `$n` placeholders, describe-by-analysis (schema
+  *    without execution), and the abort-until-Sync error discipline.
+  *    Errors as ErrorResponse, 'X' terminates.
   *
   * `database` in the startup packet names the project (optionally
   * `project/branch`); every bucket of the project is mounted as
@@ -173,13 +175,32 @@ final class PgWireServer(
   private def queryLoop(in: DataInputStream, out: DataOutputStream,
       session: SparkSession): Unit = {
     var open = true
+    // extended-protocol state: prepared statements (sql + declared param
+    // OIDs) and bound portals (param-substituted sql). After an error in
+    // the extended flow the connection is aborted until Sync, per the
+    // protocol (clients pipeline P/B/D/E and recover at the Sync point).
+    val stmts = scala.collection.mutable.Map[String, (String, Seq[Int])]()
+    val portals = scala.collection.mutable.Map[String, String]()
+    var aborted = false
+    def fail(code: String, msg: String): Unit = {
+      sendError(out, code, msg); aborted = true
+    }
+    def failOf(e: Throwable): Unit = e match {
+      case _: java.util.concurrent.TimeoutException =>
+        fail("57014", "canceling statement due to statement timeout")
+      case _ => fail("42601",
+        Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+          .linesIterator.take(4).mkString(" "))
+    }
     while (open) {
       val tag = in.read()
       if (tag < 0) return
       val len = in.readInt()
       val body = new Array[Byte](len - 4)
       in.readFully(body)
-      tag.toChar match {
+      val t = tag.toChar
+      if (aborted && "PBDECH".indexOf(t) >= 0) () // skip until Sync
+      else t match {
         case 'Q' =>
           val sql = cString(body, 0)._1.trim
           if (sql.isEmpty || sql == ";") {
@@ -202,12 +223,126 @@ final class PgWireServer(
             }
             readyForQuery(out)
           }
+
+        case 'P' => // Parse: name, query, param-type OIDs -> ParseComplete
+          try {
+            val (name, o1) = cString(body, 0)
+            val (sql, o2) = cString(body, o1)
+            val bb = java.nio.ByteBuffer.wrap(body, o2, body.length - o2)
+            val oids = Seq.fill(bb.getShort.toInt)(bb.getInt)
+            stmts(name) = (sql.trim.stripSuffix(";"), oids)
+            out.writeByte('1'); out.writeInt(4) // ParseComplete
+          } catch { case e: Throwable => failOf(e) }
+
+        case 'B' => // Bind: portal, statement, formats, params -> BindComplete
+          try {
+            val (portal, o1) = cString(body, 0)
+            val (stmt, o2) = cString(body, o1)
+            val bb = java.nio.ByteBuffer.wrap(body, o2, body.length - o2)
+            val fmts = Seq.fill(bb.getShort.toInt)(bb.getShort.toInt)
+            val nParams = bb.getShort.toInt
+            val params = (0 until nParams).map { i =>
+              val plen = bb.getInt
+              if (plen == -1) None
+              else {
+                val pb = new Array[Byte](plen); bb.get(pb)
+                val fmt =
+                  if (fmts.isEmpty) 0
+                  else if (fmts.length == 1) fmts.head else fmts(i)
+                if (fmt != 0) throw new IllegalArgumentException(
+                  "binary parameter format not supported (use text)")
+                Some(new String(pb, StandardCharsets.UTF_8))
+              }
+            }
+            stmts.get(stmt) match {
+              case None => fail("26000", s"unknown prepared statement: $stmt")
+              case Some((sql, oids)) =>
+                portals(portal) = substituteParams(sql, params, oids)
+                out.writeByte('2'); out.writeInt(4) // BindComplete
+            }
+          } catch { case e: Throwable => failOf(e) }
+
+        case 'D' => // Describe 'S'|'P' -> [ParameterDescription] + RowDescription
+          try {
+            val kind = body(0).toChar
+            val (name, _) = cString(body, 1)
+            kind match {
+              case 'S' => stmts.get(name) match {
+                case None => fail("26000", s"unknown prepared statement: $name")
+                case Some((sql, oids)) =>
+                  val payload = new java.io.ByteArrayOutputStream()
+                  val d = new DataOutputStream(payload)
+                  d.writeShort(oids.length); oids.foreach(d.writeInt)
+                  out.writeByte('t'); out.writeInt(4 + payload.size())
+                  out.write(payload.toByteArray)
+                  // schema from an analysis-only pass with NULL params
+                  rowDescription(out, session.sql(
+                    substituteParams(sql, oids.map(_ => None), oids)).schema)
+              }
+              case 'P' => portals.get(name) match {
+                case None => fail("34000", s"unknown portal: $name")
+                case Some(sql) => rowDescription(out, session.sql(sql).schema)
+              }
+              case k => fail("08P01", s"bad describe kind: $k")
+            }
+          } catch { case e: Throwable => failOf(e) }
+
+        case 'E' => // Execute portal -> DataRow* + CommandComplete
+          try {
+            val (portal, o1) = cString(body, 0)
+            val exeMax = java.nio.ByteBuffer.wrap(body, o1, 4).getInt
+            portals.get(portal) match {
+              case None => fail("34000", s"unknown portal: $portal")
+              case Some(sql) =>
+                val cap = if (exeMax > 0) math.min(exeMax, maxRows) else maxRows
+                val (rows, schema) = Workspace.executeQueryWithSchema(
+                  session, sql, timeoutSeconds, cap)
+                // RowDescription was Describe's job; Execute sends rows only
+                rows.foreach(r => dataRow(out, r, schema))
+                commandComplete(out, s"SELECT ${rows.length}")
+            }
+          } catch { case e: Throwable => failOf(e) }
+
+        case 'C' => // Close statement/portal -> CloseComplete
+          val kind = body(0).toChar
+          val (name, _) = cString(body, 1)
+          if (kind == 'S') stmts.remove(name) else portals.remove(name)
+          out.writeByte('3'); out.writeInt(4)
+
+        case 'S' => // Sync: clear any aborted state, ReadyForQuery
+          aborted = false
+          readyForQuery(out)
+
+        case 'H' => out.flush() // Flush
+
         case 'X' => open = false
         case 'p' => () // stray password message; ignore
-        case _ => // Parse/Bind/etc: report and stay alive like a real server
-          sendError(out, "0A000", "extended query protocol not supported")
+        case _ =>
+          sendError(out, "08P01", s"unknown message type: $t")
           readyForQuery(out)
       }
+    }
+  }
+
+  /** Interpolate text-format parameters into `$n` placeholders (highest
+    * index first so `$12` never matches inside `$1`): NULL for absent
+    * values, raw for numerics under a numeric OID, standard
+    * quote-doubling otherwise. */
+  private def substituteParams(sql: String, params: Seq[Option[String]],
+      oids: Seq[Int]): String = {
+    val numericOids = Set(20, 21, 23, 26, 700, 701, 1700)
+    params.zipWithIndex.sortBy(-_._2).foldLeft(sql) {
+      case (acc, (value, i)) =>
+        val lit = value match {
+          case None => "NULL"
+          case Some(v) =>
+            val oid = if (i < oids.length) oids(i) else 0
+            if (numericOids.contains(oid) &&
+              v.matches("[+-]?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?")) v
+            else if (oid == 16) if (v == "t" || v == "true") "true" else "false"
+            else "'" + v.replace("'", "''") + "'"
+        }
+        acc.replace(s"$$${i + 1}", lit)
     }
   }
 

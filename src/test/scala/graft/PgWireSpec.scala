@@ -130,6 +130,66 @@ class PgWireSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("extended protocol: parse/bind/describe/execute with parameters") {
+    val server = new PgWireServer(spark, fixture(),
+      apiKey = Some("pgsecret")).start()
+    try {
+      val c = new Client(server.boundPort)
+      c.startup("jdbc", "p")
+      c.frame() // cleartext request
+      c.password("pgsecret")
+      c.untilReady()
+
+      def msg(tag: Char, body: Array[Byte]): Unit = {
+        c.out.writeByte(tag); c.out.writeInt(4 + body.length)
+        c.out.write(body); c.out.flush()
+      }
+      def cstr(s: String): Array[Byte] =
+        s.getBytes(StandardCharsets.UTF_8) :+ 0.toByte
+      val bo = java.nio.ByteOrder.BIG_ENDIAN
+
+      // Parse "s1" with one int4 param
+      val parse = new java.io.ByteArrayOutputStream()
+      val pd = new DataOutputStream(parse)
+      pd.write(cstr("s1"))
+      pd.write(cstr("SELECT n_nationkey, n_name FROM geo_nation" +
+        " WHERE n_nationkey < $1 ORDER BY n_nationkey"))
+      pd.writeShort(1); pd.writeInt(23) // one param, int4
+      msg('P', parse.toByteArray)
+
+      // Describe the statement: ParameterDescription + RowDescription
+      msg('D', ('S'.toByte +: cstr("s1")))
+
+      // Bind portal "" with $1 = 3 (text format), then Execute + Sync
+      val bind = new java.io.ByteArrayOutputStream()
+      val bd = new DataOutputStream(bind)
+      bd.write(cstr("")); bd.write(cstr("s1"))
+      bd.writeShort(0) // no param format codes -> text
+      bd.writeShort(1); bd.writeInt(1); bd.write("3".getBytes) // $1 = "3"
+      bd.writeShort(0) // no result format codes
+      msg('B', bind.toByteArray)
+      msg('E', cstr("") ++ Array[Byte](0, 0, 0, 0)) // all rows
+      msg('S', Array.emptyByteArray)
+
+      val frames = c.untilReady()
+      val tags = frames.map(_._1).mkString
+      // ParseComplete, ParameterDescription+RowDescription, BindComplete,
+      // three DataRows (keys 0,1,2 < 3), CommandComplete
+      assert(tags == "1tT2DDDC", s"unexpected frame sequence: $tags")
+      val _ = bo
+
+      // unknown portal aborts until Sync; afterwards the session recovers
+      msg('E', cstr("nope") ++ Array[Byte](0, 0, 0, 0))
+      msg('D', ('S'.toByte +: cstr("s1"))) // must be skipped while aborted
+      msg('S', Array.emptyByteArray)
+      val errFrames = c.untilReady()
+      assert(errFrames.map(_._1) == Seq('E')) // one error, describe skipped
+      c.query("SELECT 1 AS one")
+      assert(c.untilReady().count(_._1 == 'D') == 1)
+      c.close()
+    } finally server.stop()
+  }
+
   test("workspace credentials authenticate their own project only") {
     val store = fixture()
     val server = new PgWireServer(spark, store, apiKey = Some("adm")).start()
