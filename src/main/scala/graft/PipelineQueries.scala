@@ -555,6 +555,38 @@ object PipelineQueries {
              |SELECT id AS doc_id, MIN(m)::BIGINT AS cluster_id
              |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // leakage-safe split: one md5-uniform draw per dedup CLUSTER, so
+    // near-dup docs land in the same split; oracle replays the x19
+    // clustering then the identical hash arithmetic
+    Q("x30_leakage_safe_split",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+        val pairs = TextDedup.simHashPairs(docs, "doc_id", "text", maxHamming = 6)
+        TextDedup.leakageSafeSplit(docs, "doc_id", pairs,
+            trainFrac = 0.9, salt = "split")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $simhashShCtes,
+             |pairs AS (
+             |  SELECT a.id AS a_id, b.id AS b_id
+             |  FROM sh a JOIN sh b ON a.id < b.id
+             |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
+             |), edges AS (
+             |  SELECT a_id AS src, b_id AS dst FROM pairs
+             |  UNION SELECT b_id, a_id FROM pairs
+             |), reach(id, m) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, r.m FROM edges e JOIN reach r ON r.id = e.src
+             |), clusters AS (
+             |  SELECT id AS doc_id, MIN(m)::BIGINT AS cluster_id
+             |  FROM reach GROUP BY 1
+             |)
+             |SELECT doc_id, cluster_id,
+             |  CASE WHEN ${hashUniformSql("cluster_id", "split")} < 0.9
+             |    THEN 'train' ELSE 'holdout' END AS split
+             |FROM clusters ORDER BY doc_id""".stripMargin)),
+
     // Gopher-style repetition/quality rules: signals + keep verdict,
     // thresholds shared between the Spark side and the generated SQL
     Q("x21_gopher_rules",

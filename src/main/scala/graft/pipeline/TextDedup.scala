@@ -359,6 +359,27 @@ object TextDedup {
       .select(col("id"), coalesce(col("cid"), col("id")).as("cluster_id"))
   }
 
+  /** Leakage-safe train/holdout split: near-duplicate documents must land
+    * in the SAME split, or the holdout evaluates on paraphrases of
+    * training content — the dedup-aware eval-hygiene split of corpus
+    * prep. Documents are clustered over the near-dup pair graph
+    * ([[connectedComponents]]); the split then draws ONE engine-neutral
+    * uniform hash per CLUSTER ([[TextAnalysis.hashUniform]]), so every
+    * member of a cluster moves together by construction.
+    *
+    * Scale shape: clustering iterates only over pair-graph vertices; the
+    * split itself is a map-side hash over the cluster label — no extra
+    * shuffle beyond the clustering, and the same rows land in the same
+    * split on every rerun, any partitioning. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      trainFrac: Double, salt: String = "split"): DataFrame = {
+    require(trainFrac >= 0 && trainFrac <= 1, s"trainFrac $trainFrac")
+    connectedComponents(docs, idCol, pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        when(TextAnalysis.hashUniform(col("cluster_id"), salt) < trainFrac,
+          lit("train")).otherwise(lit("holdout")).as("split"))
+  }
+
   /** Cross-document boilerplate pruning — the corpus-level cleanup rule of
     * C4 (Raffel et al. 2020: discard any line occurring more than once in
     * the corpus), generalized to a fixed `win`-token non-overlapping

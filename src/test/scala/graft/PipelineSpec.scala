@@ -452,6 +452,28 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L, 1L), (2L, 1L, 1L), (5L, 4L, 2L)))
   }
 
+  test("leakageSafeSplit: every near-dup cluster lands in one split") {
+    val docs = (1L to 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // pair graph: {1,2,3} and {10,11} are near-dup clusters
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val out = TextDedup.leakageSafeSplit(docs, "doc_id", pairs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 60)
+    // cluster members share the label AND the split
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster(1L).map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(byCluster(1L).map(_._3).toSet.size == 1)
+    assert(byCluster(10L).map(_._1).toSet == Set(10L, 11L))
+    assert(byCluster(10L).map(_._3).toSet.size == 1)
+    // both splits occur at 80/20 over 57 clusters, and the draw is
+    // deterministic across reruns
+    val splits = out.map(_._3).toSet
+    assert(splits == Set("train", "holdout"))
+    val again = TextDedup.leakageSafeSplit(docs, "doc_id", pairs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("unigramPerplexity: add-one-smoothed mean nll, hand-computed") {
     // corpus: N=5 tokens, V=3 terms -> denom 8; counts a=2, b=2, c=1
     val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
