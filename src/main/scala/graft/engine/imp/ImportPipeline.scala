@@ -112,10 +112,26 @@ object ImportPipeline {
     mergeByPriority(staging, target, target.columns.toSeq, keys, order)
 
   /** D5: `ON CONFLICT DO NOTHING` (table_import.py:216-222) — insert only
-    * keys not already present; existing rows never change. */
+    * keys not already present; existing rows never change.
+    *
+    * NOT mergeByPriority: because the target side is immutable here, it
+    * never needs to be shuffled at all — anti-join staging against the
+    * target's KEY projection (narrow), dedup only the surviving staging
+    * rows, and union the untouched target back on top. Wide bytes
+    * through the shuffle = staging + survivors, vs target + staging for
+    * the union-aggregate form; at a 100 TB target that is the difference
+    * between O(staging) and O(table) network. Anti-join BEFORE dedup is
+    * safe: the join removes whole key groups, which cannot change the
+    * per-key winner among the rest. */
   def insertIfAbsent(target: DataFrame, staging: DataFrame, keys: Seq[String],
-      order: Seq[Column]): DataFrame =
-    mergeByPriority(target, staging, target.columns.toSeq, keys, order)
+      order: Seq[Column]): DataFrame = {
+    val cols = target.columns.toSeq
+    val incoming = dedup(
+      staging.select(cols.map(col): _*)
+        .join(target.select(keys.map(col): _*), keys, "left_anti"),
+      keys, order)
+    target.unionByName(incoming)
+  }
 
   /** D6: fail_on_duplicates — plain insert, but any PK collision (within
     * staging or against the target) raises, mirroring the reference's
