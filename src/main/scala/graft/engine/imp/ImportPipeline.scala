@@ -82,7 +82,7 @@ object ImportPipeline {
         .drop("__rn")
     }
 
-  /** Merge core for D4/D5: one winner per key from the union of both
+  /** Merge core for D4 upsert: one winner per key from the union of both
     * sides, picked by `max_by` over a (side-priority, order...) struct —
     * lexicographic struct comparison makes the preferred side win
     * outright and breaks ties within a side by `order` (matching the
