@@ -186,6 +186,39 @@ object PipelineQueries {
              |FROM s WHERE sim >= 0.4
              |ORDER BY a_id, b_id""".stripMargin)),
 
+    // SemDeDup-style semantic dedup: embedding near-dup pairs (banded
+    // LSH + exact verify, x13's machinery) -> connected components ->
+    // keep one representative per cluster. Oracle: brute pairs +
+    // recursive transitive closure.
+    Q("x31_semantic_dedup",
+      (s, dir) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val pairs = Similarity.cosineNearDupPairs(emb, 0.4)
+        TextDedup.connectedComponents(emb.select(col("vec_id")), "vec_id", pairs)
+          .select(col("id").as("vec_id"), col("cluster_id"),
+            (col("id") === col("cluster_id")).as("keep"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |    list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             |    (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             |     sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |), pairs AS (
+             |  SELECT a_id, b_id FROM s WHERE sim >= 0.4
+             |), edges AS (
+             |  SELECT a_id AS src, b_id AS dst FROM pairs
+             |  UNION SELECT b_id, a_id FROM pairs
+             |), reach(id, m) AS (
+             |  SELECT vec_id, vec_id FROM embeddings
+             |  UNION
+             |  SELECT e.dst, r.m FROM edges e JOIN reach r ON r.id = e.src
+             |)
+             |SELECT id AS vec_id, MIN(m)::BIGINT AS cluster_id,
+             |  (id = MIN(m)) AS keep
+             |FROM reach GROUP BY 1 ORDER BY vec_id""".stripMargin)),
+
     // int8-quantized KNN: quantize -> dequantize -> exact top-k; shows the
     // 4x-footprint retrieval path stays oracle-exact
     Q("x15_quantized_knn",

@@ -452,6 +452,24 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L, 1L), (2L, 1L, 1L), (5L, 4L, 2L)))
   }
 
+  test("semantic dedup keeps exactly one representative per cluster") {
+    val emb = Tables.df(spark, sfDir, "embeddings")
+    val pairs = pipeline.Similarity.cosineNearDupPairs(emb, 0.4)
+    val out = TextDedup.connectedComponents(
+        emb.select(col("vec_id")), "vec_id", pairs)
+      .select(col("id"), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("keep"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == emb.count())
+    // exactly one keeper per cluster, and it IS the cluster label
+    out.groupBy(_._2).foreach { case (cid, members) =>
+      val keepers = members.filter(_._3)
+      assert(keepers.length == 1 && keepers.head._1 == cid)
+    }
+    // the pair graph actually collapsed something (near-dups exist)
+    assert(out.count(_._3) < out.length)
+  }
+
   test("leakageSafeSplit: every near-dup cluster lands in one split") {
     val docs = (1L to 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // pair graph: {1,2,3} and {10,11} are near-dup clusters
