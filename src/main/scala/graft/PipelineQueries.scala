@@ -854,6 +854,32 @@ object PipelineQueries {
              |FROM corpus_grams c JOIN eval_grams e USING (gram)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // RAG chunking: 32-token windows, 8-token overlap; map-only slices,
+    // exact list-function twin
+    Q("x32_chunking",
+      (s, dir) => TextAnalysis.chunkDocuments(
+          Tables.df(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), ' +'),
+             |      x -> x <> '') AS toks
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN []
+             |    ELSE list_transform(
+             |      range(0, greatest(CAST(ceil((len(toks) - 8) / 24.0) AS BIGINT), 1)),
+             |      i -> {'i': i,
+             |            'n': len(toks[i*24 + 1 : i*24 + 32]),
+             |            'txt': array_to_string(toks[i*24 + 1 : i*24 + 32], ' ')})
+             |    END) AS u
+             |  FROM t
+             |)
+             |SELECT doc_id, u.i::BIGINT AS chunk_idx, u.n::BIGINT AS n_tokens,
+             |  u.txt AS chunk_text
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // CCNet-style unigram pseudo-perplexity: mean -ln p(token) per doc
     // under the corpus's own add-one-smoothed unigram model; 4dp both
     // engines, term-window corpus counts (no vocab broadcast/join)

@@ -227,6 +227,34 @@ object TextAnalysis {
         "seq_id", "crosses_boundary")
   }
 
+  /** RAG-style document chunking: split each document into fixed-size
+    * token windows advancing by `chunkTokens - overlap` (the prep step
+    * between a clean corpus and an embedding/retrieval index; overlap
+    * keeps boundary-straddling context retrievable). Pure map-side array
+    * algebra — one posexplode over computed slices, zero shuffle, linear
+    * in corpus tokens. The final chunk of a document may be shorter;
+    * empty documents emit no chunks. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap ($overlap) < chunkTokens ($chunkTokens)")
+    val stride = chunkTokens - overlap
+    df.select(col(idCol).as("doc_id"),
+        expr(s"filter(split(trim($textCol), ' +'), x -> x != '')").as("toks"))
+      .withColumn("chunks", expr(
+        s"""CASE WHEN size(toks) = 0 THEN array()
+           |ELSE transform(
+           |  sequence(0, int(greatest(
+           |    ceil((size(toks) - $overlap) / CAST($stride AS DOUBLE)), 1)) - 1),
+           |  i -> slice(toks, i * $stride + 1, $chunkTokens))
+           |END""".stripMargin))
+      .select(col("doc_id"), posexplode(col("chunks")))
+      .select(col("doc_id"),
+        col("pos").cast(LongType).as("chunk_idx"),
+        size(col("col")).cast(LongType).as("n_tokens"),
+        array_join(col("col"), " ").as("chunk_text"))
+  }
+
   /** Deterministic uniform [0,1) draw from an id column: the first 6 hex
     * digits of md5(salt || id) as a 24-bit integer / 2^24. md5 is
     * bit-identical across engines and the arithmetic is exact in doubles

@@ -492,6 +492,24 @@ class PipelineSpec extends SparkSpec {
     assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("chunkDocuments: overlapping windows, short tail, empty doc") {
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 7 tokens, chunk 4 / overlap 1 -> stride 3
+      (2L, "x y"),           // shorter than one chunk -> single chunk
+      (3L, "")               // no tokens -> no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "doc_id", "text", 4, 1)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1: ceil((7-1)/3) = 2 chunks at offsets 0 and 3
+    assert(out.toSeq == Seq(
+      (1L, 0L, 4L, "a b c d"),
+      (1L, 1L, 4L, "d e f g"),
+      (2L, 0L, 2L, "x y")))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(out(0)._4.split(" ").last == out(1)._4.split(" ").head)
+  }
+
   test("unigramPerplexity: add-one-smoothed mean nll, hand-computed") {
     // corpus: N=5 tokens, V=3 terms -> denom 8; counts a=2, b=2, c=1
     val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
