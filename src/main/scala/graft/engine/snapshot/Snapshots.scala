@@ -71,14 +71,11 @@ object Snapshots {
     snap
   }
 
-  /** L4 retention: drop snapshots older than the cutoff (the reference
-    * keeps 90 d manual / 7 d auto, CLAUDE.md:280-281). Returns the ids
-    * pruned. `now` is injectable for deterministic tests. */
-  def pruneOlderThan(store: TableStore, cutoff: java.time.Instant): Seq[String] = {
+  /** Delete one snapshot: catalog record + its zstd parquet directory
+    * (reference: DELETE .../snapshots/{id}, src/routers/snapshots.py:404-440). */
+  def delete(store: TableStore, snapshotId: String): Unit = {
     val cat = store.catalog
-    val stale = cat.listSnapshots().filter(s =>
-      java.time.Instant.parse(s.createdAt).isBefore(cutoff))
-    stale.foreach { s =>
+    cat.getSnapshot(snapshotId).foreach { s =>
       cat.removeSnapshot(s.id)
       val dir = cat.root.resolve("snapshots").resolve(s.project).resolve(s.id)
       if (Files.exists(dir)) {
@@ -86,6 +83,15 @@ object Snapshots {
           .forEach(p => Files.delete(p))
       }
     }
+  }
+
+  /** L4 retention: drop snapshots older than the cutoff (the reference
+    * keeps 90 d manual / 7 d auto, CLAUDE.md:280-281). Returns the ids
+    * pruned. `now` is injectable for deterministic tests. */
+  def pruneOlderThan(store: TableStore, cutoff: java.time.Instant): Seq[String] = {
+    val stale = store.catalog.listSnapshots().filter(s =>
+      java.time.Instant.parse(s.createdAt).isBefore(cutoff))
+    stale.foreach(s => delete(store, s.id))
     stale.map(_.id)
   }
 
@@ -101,14 +107,7 @@ object Snapshots {
       java.time.Instant.parse(s.createdAt)
         .plus(java.time.Duration.ofDays(days.toLong)).isBefore(now)
     }
-    stale.foreach { s =>
-      cat.removeSnapshot(s.id)
-      val dir = cat.root.resolve("snapshots").resolve(s.project).resolve(s.id)
-      if (Files.exists(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(p => Files.delete(p))
-      }
-    }
+    stale.foreach(s => delete(store, s.id))
     stale.map(_.id)
   }
 }

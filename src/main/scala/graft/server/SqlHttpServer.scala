@@ -350,6 +350,10 @@ final class SqlHttpServer(
   //   POST .../tables/{t}/export   {format?} -> {fileId, rowsExported}
   //   POST .../tables/{t}/profile?mode=
   //   GET  .../tables/{t}/changes?from=&to=&limit=  incremental feed
+  //   POST .../tables/{t}/snapshots             create manual snapshot
+  //   GET  .../projects/{p}/snapshots?bucket=&table=&type=
+  //   POST .../projects/{p}/snapshots/{id}/restore
+  //   DELETE .../projects/{p}/snapshots/{id}
   private lazy val storageApi = new graft.api.StorageApi.Handler(spark, store)
 
   server.createContext("/storage", (ex: HttpExchange) => handle(ex) {
@@ -447,6 +451,39 @@ final class SqlHttpServer(
       case ("DELETE", "projects" :: p :: "buckets" :: b :: "tables" :: t :: Nil) =>
         storageApi.execute(DropTable(p, b, t))
         respondJson(ex, 200, """{"dropped":true}""")
+
+      // snapshots: create (manual), list with filters, restore, delete —
+      // the reference's snapshot router surface
+      // (src/routers/snapshots.py:275-470)
+      case ("POST", "projects" :: p :: "buckets" :: b :: "tables" :: t :: "snapshots" :: Nil) =>
+        val SnapshotRef(id) = storageApi.execute(CreateSnapshot(p, b, t)): @unchecked
+        val m = store.catalog.getSnapshot(id).get
+        respondJson(ex, 201, snapshotJson(m))
+
+      case ("GET", "projects" :: p :: "snapshots" :: Nil) =>
+        val items = store.catalog.listSnapshots()
+          .filter(_.project == p)
+          .filter(m => query.get("bucket").forall(_ == m.bucket))
+          .filter(m => query.get("table").forall(_ == m.table))
+          .filter(m => query.get("type").forall(_ == m.kind))
+          .sortBy(_.createdAt).reverse
+        respondJson(ex, 200,
+          s"""{"snapshots":[${items.map(snapshotJson).mkString(",")}],"total":${items.length}}""")
+
+      case ("POST", "projects" :: p :: "snapshots" :: id :: "restore" :: Nil) =>
+        val m = store.catalog.getSnapshot(id)
+          .filter(_.project == p)
+          .getOrElse(throw new NoSuchElementException(s"snapshot $id"))
+        storageApi.execute(RestoreSnapshot(id))
+        respondJson(ex, 200,
+          s"""{"restored":true,"bucket":"${m.bucket}","table":"${m.table}"}""")
+
+      case ("DELETE", "projects" :: p :: "snapshots" :: id :: Nil) =>
+        val m = store.catalog.getSnapshot(id)
+          .filter(_.project == p)
+          .getOrElse(throw new NoSuchElementException(s"snapshot $id"))
+        graft.engine.snapshot.Snapshots.delete(store, m.id)
+        respondJson(ex, 200, """{"deleted":true}""")
 
       // incremental change feed: rows added/rewritten between two
       // committed versions (manifest diff — no table scan to discover
@@ -835,6 +872,16 @@ final class SqlHttpServer(
     ex.getResponseHeaders.set("Content-Type", "application/xml")
     ex.sendResponseHeaders(code, bytes.length.toLong)
     ex.getResponseBody.write(bytes)
+  }
+
+  /** SnapshotResponse shape (reference src/models/responses.py:658-670). */
+  private def snapshotJson(m: graft.core.StorageCatalog#SnapshotMeta): String = {
+    val o = om.createObjectNode()
+    o.put("id", m.id); o.put("project_id", m.project)
+    o.put("bucket_name", m.bucket); o.put("table_name", m.table)
+    o.put("snapshot_type", m.kind); o.put("row_count", m.rowCount)
+    o.put("created_at", m.createdAt)
+    om.writeValueAsString(o)
   }
 
   /** Result-set JSON envelope: {"columns":[...],"rows":[[...]],"rowCount":n}. */

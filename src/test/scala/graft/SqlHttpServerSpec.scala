@@ -114,6 +114,45 @@ class SqlHttpServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("snapshot lifecycle over HTTP: create, list, restore, delete") {
+    val store = fixture()
+    val server = new SqlHttpServer(spark, store).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    try {
+      val created = post(
+        s"$base/storage/projects/p/buckets/geo/tables/nation/snapshots", "{}")
+      assert(created.statusCode() == 201)
+      val snap = om.readTree(created.body())
+      val id = snap.get("id").asText
+      assert(snap.get("snapshot_type").asText == "manual")
+      assert(snap.get("row_count").asLong == 25L)
+
+      // list with filters finds it; a non-matching filter doesn't
+      val ls = om.readTree(get(
+        s"$base/storage/projects/p/snapshots?bucket=geo&table=nation").body())
+      assert(ls.get("total").asInt == 1)
+      assert(om.readTree(get(
+        s"$base/storage/projects/p/snapshots?bucket=other").body())
+        .get("total").asInt == 0)
+
+      // mutate the table, restore the snapshot, rows come back
+      store.overwrite("p", "geo", "nation",
+        store.read("p", "geo", "nation").limit(3))
+      assert(store.read("p", "geo", "nation").count() == 3L)
+      val restored = post(s"$base/storage/projects/p/snapshots/$id/restore", "{}")
+      assert(restored.statusCode() == 200)
+      assert(store.read("p", "geo", "nation").count() == 25L)
+
+      // delete removes the record; restore then 404s
+      val del = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/storage/projects/p/snapshots/$id")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode() == 200)
+      assert(post(s"$base/storage/projects/p/snapshots/$id/restore", "{}")
+        .statusCode() == 404)
+    } finally server.stop()
+  }
+
   test("files API over HTTP: prepare/upload/register/list/download/delete") {
     val server = new SqlHttpServer(spark, fixture()).start()
     val base = s"http://127.0.0.1:${server.boundPort}"
