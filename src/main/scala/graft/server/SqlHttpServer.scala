@@ -354,6 +354,9 @@ final class SqlHttpServer(
   //   GET  .../projects/{p}/snapshots?bucket=&table=&type=
   //   POST .../projects/{p}/snapshots/{id}/restore
   //   DELETE .../projects/{p}/snapshots/{id}
+  //   POST|GET .../projects/{p}/branches[/{id}]   branch registry
+  //   DELETE .../projects/{p}/branches/{id}       drop CoW copies
+  //   POST .../branches/{id}/tables/{b}/{t}/pull  back to live view
   private lazy val storageApi = new graft.api.StorageApi.Handler(spark, store)
 
   server.createContext("/storage", (ex: HttpExchange) => handle(ex) {
@@ -451,6 +454,52 @@ final class SqlHttpServer(
       case ("DELETE", "projects" :: p :: "buckets" :: b :: "tables" :: t :: Nil) =>
         storageApi.execute(DropTable(p, b, t))
         respondJson(ex, 200, """{"dropped":true}""")
+
+      // dev branches: create/list/get/delete + table pull — the
+      // reference's branches router (src/routers/branches.py:89-330).
+      // Branches are CoW-lazy (L1): creation is a registry row; the first
+      // branch write makes the O(1) manifest copy; delete drops the
+      // copies so reads fall back to main.
+      case ("POST", "projects" :: p :: "branches" :: Nil) =>
+        val id = reqField(body, "branchId")
+        store.catalog.putSetting(s"branch/$p/$id", "created")
+        respondJson(ex, 201, s"""{"branch_id":"$id","project_id":"$p"}""")
+
+      case ("GET", "projects" :: p :: "branches" :: Nil) =>
+        val arr = om.createObjectNode()
+        val a = arr.putArray("branches")
+        store.catalog.settingsWithPrefix(s"branch/$p/").keys.toSeq.sorted
+          .foreach { k =>
+            val id = k.stripPrefix(s"branch/$p/")
+            val b = a.addObject()
+            b.put("branch_id", id)
+            b.put("copied_tables",
+              store.catalog.listBranchTables(p, id).length)
+          }
+        respondJson(ex, 200, om.writeValueAsString(arr))
+
+      case ("GET", "projects" :: p :: "branches" :: id :: Nil) =>
+        if (store.catalog.getSetting(s"branch/$p/$id").isEmpty &&
+            store.catalog.listBranchTables(p, id).isEmpty)
+          throw new NoSuchElementException(s"branch $p/$id")
+        val o = om.createObjectNode()
+        o.put("branch_id", id); o.put("project_id", p)
+        val ts = o.putArray("copied_tables")
+        store.catalog.listBranchTables(p, id).foreach { m =>
+          val t = ts.addObject()
+          t.put("bucket", m.bucket); t.put("table", m.table)
+        }
+        respondJson(ex, 200, om.writeValueAsString(o))
+
+      case ("DELETE", "projects" :: p :: "branches" :: id :: Nil) =>
+        store.catalog.dropBranch(p, id)
+        store.catalog.removeSetting(s"branch/$p/$id")
+        respondJson(ex, 200, """{"deleted":true}""")
+
+      case ("POST", "projects" :: p :: "branches" :: id :: "tables" :: b :: t :: "pull" :: Nil) =>
+        store.catalog.pullBranchTable(p, id, b, t)
+        respondJson(ex, 200,
+          s"""{"pulled":true,"bucket":"$b","table":"$t"}""")
 
       // snapshots: create (manual), list with filters, restore, delete —
       // the reference's snapshot router surface

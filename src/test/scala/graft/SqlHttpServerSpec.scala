@@ -114,6 +114,37 @@ class SqlHttpServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("branch lifecycle over HTTP: create, CoW write, live view, pull, delete") {
+    val store = fixture()
+    val server = new SqlHttpServer(spark, store).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    try {
+      assert(post(s"$base/storage/projects/p/branches",
+        """{"branchId":"dev1"}""").statusCode() == 201)
+      // CoW write into the branch; main is untouched, the branch diverges
+      store.writeToBranch("p", "dev1", "geo", "nation",
+        store.read("p", "geo", "nation").limit(2))
+      assert(store.read("p", "geo", "nation").count() == 25L)
+      assert(store.read("p", "geo", "nation", Some("dev1")).count() == 2L)
+      val ls = om.readTree(get(s"$base/storage/projects/p/branches").body())
+      assert(ls.get("branches").size == 1)
+      assert(ls.get("branches").get(0).get("copied_tables").asInt == 1)
+      val detail = om.readTree(
+        get(s"$base/storage/projects/p/branches/dev1").body())
+      assert(detail.get("copied_tables").get(0).get("table").asText == "nation")
+      // pull: branch copy dropped, reads fall back to main's live view
+      assert(post(
+        s"$base/storage/projects/p/branches/dev1/tables/geo/nation/pull",
+        "{}").statusCode() == 200)
+      assert(store.read("p", "geo", "nation", Some("dev1")).count() == 25L)
+      // delete unregisters; details 404
+      assert(client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/storage/projects/p/branches/dev1")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
+      assert(get(s"$base/storage/projects/p/branches/dev1").statusCode() == 404)
+    } finally server.stop()
+  }
+
   test("snapshot lifecycle over HTTP: create, list, restore, delete") {
     val store = fixture()
     val server = new SqlHttpServer(spark, store).start()
