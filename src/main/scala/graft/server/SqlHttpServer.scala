@@ -357,6 +357,7 @@ final class SqlHttpServer(
   //   POST|GET .../projects/{p}/branches[/{id}]   branch registry
   //   DELETE .../projects/{p}/branches/{id}       drop CoW copies
   //   POST .../branches/{id}/tables/{b}/{t}/pull  back to live view
+  //   GET|PUT|DELETE .../settings/snapshots at project/bucket/table
   private lazy val storageApi = new graft.api.StorageApi.Handler(spark, store)
 
   server.createContext("/storage", (ex: HttpExchange) => handle(ex) {
@@ -454,6 +455,33 @@ final class SqlHttpServer(
       case ("DELETE", "projects" :: p :: "buckets" :: b :: "tables" :: t :: Nil) =>
         storageApi.execute(DropTable(p, b, t))
         respondJson(ex, 200, """{"dropped":true}""")
+
+      // hierarchical snapshot settings (system -> project -> bucket ->
+      // table), the reference's snapshot_settings router
+      // (src/routers/snapshot_settings.py:111-330): GET returns the
+      // resolved config + per-key inheritance source + the local layer,
+      // PUT validates and sets the layer, DELETE clears it
+      case ("GET", "projects" :: p :: "settings" :: "snapshots" :: Nil) =>
+        respondJson(ex, 200, snapshotSettingsJson(p, None, None))
+      case ("GET", "projects" :: p :: "buckets" :: b :: "settings" :: "snapshots" :: Nil) =>
+        respondJson(ex, 200, snapshotSettingsJson(p, Some(b), None))
+      case ("GET", "projects" :: p :: "buckets" :: b :: "tables" :: t :: "settings" :: "snapshots" :: Nil) =>
+        respondJson(ex, 200, snapshotSettingsJson(p, Some(b), Some(t)))
+
+      case ("PUT", "projects" :: p :: "settings" :: "snapshots" :: Nil) =>
+        putSnapshotSettings(ex, body, p, None, None)
+      case ("PUT", "projects" :: p :: "buckets" :: b :: "settings" :: "snapshots" :: Nil) =>
+        putSnapshotSettings(ex, body, p, Some(b), None)
+      case ("PUT", "projects" :: p :: "buckets" :: b :: "tables" :: t :: "settings" :: "snapshots" :: Nil) =>
+        putSnapshotSettings(ex, body, p, Some(b), Some(t))
+
+      case ("DELETE", "projects" :: p :: "settings" :: "snapshots" :: Nil) =>
+        snapConfig.clear(p); respondJson(ex, 200, """{"reset":true}""")
+      case ("DELETE", "projects" :: p :: "buckets" :: b :: "settings" :: "snapshots" :: Nil) =>
+        snapConfig.clear(p, Some(b)); respondJson(ex, 200, """{"reset":true}""")
+      case ("DELETE", "projects" :: p :: "buckets" :: b :: "tables" :: t :: "settings" :: "snapshots" :: Nil) =>
+        snapConfig.clear(p, Some(b), Some(t))
+        respondJson(ex, 200, """{"reset":true}""")
 
       // dev branches: create/list/get/delete + table pull — the
       // reference's branches router (src/routers/branches.py:89-330).
@@ -921,6 +949,56 @@ final class SqlHttpServer(
     ex.getResponseHeaders.set("Content-Type", "application/xml")
     ex.sendResponseHeaders(code, bytes.length.toLong)
     ex.getResponseBody.write(bytes)
+  }
+
+  private lazy val snapConfig =
+    new graft.engine.snapshot.SnapshotConfig.Registry(store.catalog)
+
+  /** SnapshotSettingsResponse: effective config + per-key inheritance
+    * source + the local layer (reference snapshot_settings.py:131-137). */
+  private def snapshotSettingsJson(p: String, b: Option[String],
+      t: Option[String]): String = {
+    val eff = snapConfig.resolve(p, b, t)
+    val o = om.createObjectNode()
+    val e = o.putObject("effective_config")
+    val tr = e.putObject("triggers")
+    eff.triggers.toSeq.sortBy(_._1).foreach { case (k, v) => tr.put(k, v) }
+    e.put("manual_days", eff.manualDays)
+    e.put("auto_days", eff.autoDays)
+    e.put("enabled", eff.enabled)
+    val inh = o.putObject("inheritance")
+    eff.sources.toSeq.sortBy(_._1).foreach { case (k, v) => inh.put(k, v) }
+    snapConfig.localOf(p, b, t) match {
+      case None => o.putNull("local_config")
+      case Some(s) =>
+        val l = o.putObject("local_config")
+        val lt = l.putObject("triggers")
+        s.triggers.toSeq.sortBy(_._1).foreach { case (k, v) => lt.put(k, v) }
+        s.manualDays.foreach(l.put("manual_days", _))
+        s.autoDays.foreach(l.put("auto_days", _))
+        s.enabled.foreach(l.put("enabled", _))
+    }
+    om.writeValueAsString(o)
+  }
+
+  private def putSnapshotSettings(ex: HttpExchange, body: JsonNode,
+      p: String, b: Option[String], t: Option[String]): Unit = {
+    import graft.engine.snapshot.SnapshotConfig
+    val triggers = Option(body.get("triggers")).map { n =>
+      val it = n.properties().iterator()
+      val m = scala.collection.mutable.Map[String, Boolean]()
+      while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asBoolean }
+      m.toMap
+    }.getOrElse(Map.empty[String, Boolean])
+    val s = SnapshotConfig.Settings(triggers,
+      Option(body.get("manual_days")).map(_.asInt),
+      Option(body.get("auto_days")).map(_.asInt),
+      Option(body.get("enabled")).map(_.asBoolean))
+    val errs = SnapshotConfig.validate(s)
+    if (errs.nonEmpty)
+      throw new IllegalArgumentException(errs.mkString("; "))
+    snapConfig.set(p, b, t, s)
+    respondJson(ex, 200, snapshotSettingsJson(p, b, t))
   }
 
   /** SnapshotResponse shape (reference src/models/responses.py:658-670). */

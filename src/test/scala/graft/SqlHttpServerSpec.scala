@@ -145,6 +145,56 @@ class SqlHttpServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("snapshot settings over HTTP: inheritance, local layers, reset, validation") {
+    val server = new SqlHttpServer(spark, fixture()).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    def put(url: String, b: String) = client.send(
+      HttpRequest.newBuilder(URI.create(url))
+        .PUT(HttpRequest.BodyPublishers.ofString(b)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    try {
+      // system defaults resolve with every key sourced "system"
+      val sys0 = om.readTree(
+        get(s"$base/storage/projects/p/settings/snapshots").body())
+      assert(sys0.get("effective_config").get("manual_days").asInt == 90)
+      assert(sys0.get("inheritance").get("manual_days").asText == "system")
+      assert(sys0.get("local_config").isNull)
+
+      // project layer overrides; bucket level inherits it
+      val p1 = put(s"$base/storage/projects/p/settings/snapshots",
+        """{"manual_days":30,"triggers":{"truncate_table":true}}""")
+      assert(p1.statusCode() == 200)
+      val onBucket = om.readTree(get(
+        s"$base/storage/projects/p/buckets/geo/settings/snapshots").body())
+      assert(onBucket.get("effective_config").get("manual_days").asInt == 30)
+      assert(onBucket.get("inheritance").get("manual_days").asText == "project")
+      assert(onBucket.get("effective_config").get("triggers")
+        .get("truncate_table").asBoolean)
+
+      // table layer overrides the project layer
+      put(s"$base/storage/projects/p/buckets/geo/tables/nation/settings/snapshots",
+        """{"manual_days":7}""")
+      val onTable = om.readTree(get(
+        s"$base/storage/projects/p/buckets/geo/tables/nation/settings/snapshots").body())
+      assert(onTable.get("effective_config").get("manual_days").asInt == 7)
+      assert(onTable.get("inheritance").get("manual_days").asText == "table")
+
+      // invalid settings are rejected with 400, not stored
+      assert(put(s"$base/storage/projects/p/settings/snapshots",
+        """{"manual_days":-1}""").statusCode() == 400)
+      assert(put(s"$base/storage/projects/p/settings/snapshots",
+        """{"triggers":{"bogus":true}}""").statusCode() == 400)
+
+      // reset the project layer -> back to system defaults
+      client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/storage/projects/p/settings/snapshots"))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+      val after = om.readTree(
+        get(s"$base/storage/projects/p/settings/snapshots").body())
+      assert(after.get("effective_config").get("manual_days").asInt == 90)
+    } finally server.stop()
+  }
+
   test("snapshot lifecycle over HTTP: create, list, restore, delete") {
     val store = fixture()
     val server = new SqlHttpServer(spark, store).start()
