@@ -74,7 +74,14 @@ final class StorageCatalog(val root: Path) {
   def getTable(project: String, bucket: String, table: String): Option[TableMeta] =
     tables.get(key(project, bucket, table))
 
-  def updateTable(meta: TableMeta): Unit = {
+  def updateTable(meta: TableMeta): Unit = updateTable(meta, Map.empty)
+
+  /** Update a table pointer AND a set of settings in ONE catalog persist
+    * (one atomic catalog.json rename) — commits that carry a watermark
+    * (e.g. streaming ingest's last-batch id) stay exactly-once because the
+    * pointer flip and the watermark can never be observed separately. */
+  def updateTable(meta: TableMeta, extraSettings: Map[String, String]): Unit = {
+    extraSettings.foreach { case (k, v) => settings.put(k, v) }
     tables.put(key(meta.project, meta.bucket, meta.table), meta); persist()
   }
 

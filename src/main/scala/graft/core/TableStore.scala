@@ -256,7 +256,12 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
     * src/routers/table_import.py:185-206). Staging is coerced to the table
     * schema (the reference's COPY coercion); extra columns are an error. */
   def append(project: String, bucket: String, table: String, df: DataFrame,
-      branch: Option[String] = None): TableMeta =
+      branch: Option[String] = None,
+      /** Settings persisted in the SAME atomic catalog write as the
+        * version flip — a commit-carried watermark (streaming ingest's
+        * last-batch id) that can never be observed separately from the
+        * commit it describes. */
+      commitSettings: Map[String, String] = Map.empty): TableMeta =
     withWriteLock(project, bucket, table, branch) { meta =>
       val tdir = tableDirOf(project, bucket, table, branch)
       val vdir = tdir.resolve(s"v${meta.version}")
@@ -274,7 +279,8 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
             ManifestEntry(relPath(vdir), -1),
             writeSegment(staged, tdir, Nil)), 0, Nil)
       }
-      commit(project, bucket, table, branch, meta, next, meta.schemaDdl)
+      commit(project, bucket, table, branch, meta, next, meta.schemaDdl,
+        commitSettings)
     }
 
   /** D4: incremental upsert (`ON CONFLICT DO UPDATE`,
@@ -494,14 +500,17 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
 
   private def commit(project: String, bucket: String, table: String,
       branch: Option[String], meta: TableMeta, manifest: Manifest,
-      schemaDdl: String): TableMeta = {
+      schemaDdl: String,
+      commitSettings: Map[String, String] = Map.empty): TableMeta = {
     val next = meta.copy(version = meta.version + 1, schemaDdl = schemaDdl)
     val tdir = tableDirOf(project, bucket, table, branch)
     Manifest.writeTo(tdir.resolve(s"v${next.version}"),
       maybeAutoCompact(tdir, manifest))
     branch match {
-      case Some(b) => catalog.updateBranchTable(b, next)
-      case None    => catalog.updateTable(next)
+      case Some(b) =>
+        commitSettings.foreach { case (k, v) => catalog.putSetting(k, v) }
+        catalog.updateBranchTable(b, next)
+      case None => catalog.updateTable(next, commitSettings)
     }
     gc(project, bucket, table, branch, next.version)
     next

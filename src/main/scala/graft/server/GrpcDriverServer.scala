@@ -765,16 +765,22 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
       new Writer().str(1, s"branch_${id}_${branch}_readonly"))
   }
 
-  /** DropDevBranchCommand {devBranchReadOnlyRoleName = 1} — parses the
-    * role minted by create (branch.py:111-150 does the same split). */
+  /** DropDevBranchCommand {devBranchReadOnlyRoleName = 1}. The role name
+    * (minted by create, branch.py:111-150) is ambiguous under a split when
+    * ids contain underscores (`branch_a_b_c_readonly`: project `a_b`
+    * branch `c`, or project `a` branch `b_c`), so resolve it against the
+    * branches recorded at create time instead of parsing. */
   private def dropDevBranch(fs: Seq[Field]): Option[(String, Writer)] = {
     val role = str(fs, 1)
-    val core = role.stripPrefix("branch_").stripSuffix("_readonly")
-    core.split("_", 2) match {
-      case Array(id, branch) if role.startsWith("branch_") =>
+    store.catalog.settingsWithPrefix("branch/").keysIterator
+      .map(_.split("/", 3))
+      .collectFirst { case Array(_, id, branch)
+        if s"branch_${id}_${branch}_readonly" == role => (id, branch) }
+    match {
+      case Some((id, branch)) =>
         store.catalog.dropBranch(id, branch)
         store.catalog.removeSetting(s"branch/$id/$branch")
-      case _ => // idempotent like the reference — unknown role is a no-op
+      case None => // idempotent like the reference — unknown role is a no-op
     }
     None
   }

@@ -275,13 +275,22 @@ final class PgWireServer(
                   d.writeShort(oids.length); oids.foreach(d.writeInt)
                   out.writeByte('t'); out.writeInt(4 + payload.size())
                   out.write(payload.toByteArray)
-                  // schema from an analysis-only pass with NULL params
-                  rowDescription(out, session.sql(
-                    substituteParams(sql, oids.map(_ => None), oids)).schema)
+                  // schema from an analysis-only pass with NULL params —
+                  // must NOT execute: pgjdbc Describes before Execute, and
+                  // getMetaData() Describes statements the client may never
+                  // run. Command plans (DDL/DML) answer NoData.
+                  analyzedSchema(session,
+                    substituteParams(sql, oids.map(_ => None), oids)) match {
+                    case Some(schema) => rowDescription(out, schema)
+                    case None => out.writeByte('n'); out.writeInt(4) // NoData
+                  }
               }
               case 'P' => portals.get(name) match {
                 case None => fail("34000", s"unknown portal: $name")
-                case Some(sql) => rowDescription(out, session.sql(sql).schema)
+                case Some(sql) => analyzedSchema(session, sql) match {
+                  case Some(schema) => rowDescription(out, schema)
+                  case None => out.writeByte('n'); out.writeInt(4) // NoData
+                }
               }
               case k => fail("08P01", s"bad describe kind: $k")
             }
@@ -324,26 +333,91 @@ final class PgWireServer(
     }
   }
 
-  /** Interpolate text-format parameters into `$n` placeholders (highest
-    * index first so `$12` never matches inside `$1`): NULL for absent
-    * values, raw for numerics under a numeric OID, standard
-    * quote-doubling otherwise. */
+  /** Schema by analysis only — parse + analyze, never execute. Spark's
+    * `sql()` eagerly runs command plans (DDL/DML/CTAS), which would make
+    * Describe side-effecting; here commands answer None (-> NoData) and
+    * only Execute runs them. */
+  private def analyzedSchema(session: SparkSession,
+      sql: String): Option[StructType] = {
+    val plan = session.sessionState.sqlParser.parsePlan(sql)
+    val analyzed = session.sessionState.executePlan(plan).analyzed
+    if (analyzed.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.Command]) None
+    else Some(analyzed.schema)
+  }
+
+  /** Render one text-format parameter as a SQL literal: NULL for absent
+    * values, raw for numerics under a numeric OID, quote-doubling AND
+    * backslash-doubling otherwise (Spark's default parser treats `\` as
+    * an escape inside string literals, so a value ending in `\` would
+    * otherwise swallow the closing quote). */
+  private def renderParam(value: Option[String], oid: Int): String = {
+    val numericOids = Set(20, 21, 23, 26, 700, 701, 1700)
+    value match {
+      case None => "NULL"
+      case Some(v) =>
+        if (numericOids.contains(oid) &&
+          v.matches("[+-]?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?")) v
+        else if (oid == 16) if (v == "t" || v == "true") "true" else "false"
+        else "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+    }
+  }
+
+  /** Interpolate text-format parameters into `$n` placeholders, walking
+    * the SQL so placeholders inside string literals, quoted identifiers,
+    * and comments are left untouched (a literal `'$1'` is data, not a
+    * parameter slot). */
   private def substituteParams(sql: String, params: Seq[Option[String]],
       oids: Seq[Int]): String = {
-    val numericOids = Set(20, 21, 23, 26, 700, 701, 1700)
-    params.zipWithIndex.sortBy(-_._2).foldLeft(sql) {
-      case (acc, (value, i)) =>
-        val lit = value match {
-          case None => "NULL"
-          case Some(v) =>
-            val oid = if (i < oids.length) oids(i) else 0
-            if (numericOids.contains(oid) &&
-              v.matches("[+-]?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?")) v
-            else if (oid == 16) if (v == "t" || v == "true") "true" else "false"
-            else "'" + v.replace("'", "''") + "'"
-        }
-        acc.replace(s"$$${i + 1}", lit)
+    val lits = params.zipWithIndex.map { case (v, i) =>
+      renderParam(v, if (i < oids.length) oids(i) else 0)
     }
+    val n = sql.length
+    val sb = new StringBuilder(n + 16)
+    var i = 0
+    while (i < n) {
+      sql.charAt(i) match {
+        case '\'' => // string literal: honor \x and '' escapes
+          sb.append('\''); i += 1
+          var open = true
+          while (i < n && open) {
+            val c = sql.charAt(i)
+            if (c == '\\' && i + 1 < n) {
+              sb.append(c).append(sql.charAt(i + 1)); i += 2
+            } else if (c == '\'') {
+              if (i + 1 < n && sql.charAt(i + 1) == '\'') {
+                sb.append("''"); i += 2
+              } else { sb.append(c); i += 1; open = false }
+            } else { sb.append(c); i += 1 }
+          }
+        case q @ ('"' | '`') => // quoted identifier: doubled-quote escape
+          sb.append(q); i += 1
+          var open = true
+          while (i < n && open) {
+            val c = sql.charAt(i)
+            if (c == q) {
+              if (i + 1 < n && sql.charAt(i + 1) == q) {
+                sb.append(q).append(q); i += 2
+              } else { sb.append(c); i += 1; open = false }
+            } else { sb.append(c); i += 1 }
+          }
+        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' => // line comment
+          while (i < n && sql.charAt(i) != '\n') { sb.append(sql.charAt(i)); i += 1 }
+        case '/' if i + 1 < n && sql.charAt(i + 1) == '*' => // block comment
+          sb.append("/*"); i += 2
+          while (i < n && !(sql.charAt(i) == '*' &&
+            i + 1 < n && sql.charAt(i + 1) == '/')) { sb.append(sql.charAt(i)); i += 1 }
+          if (i < n) { sb.append("*/"); i += 2 }
+        case '$' if i + 1 < n && sql.charAt(i + 1).isDigit =>
+          var j = i + 1
+          while (j < n && sql.charAt(j).isDigit) j += 1
+          val idx = sql.substring(i + 1, j).toInt
+          if (idx >= 1 && idx <= lits.length) { sb.append(lits(idx - 1)); i = j }
+          else { sb.append('$'); i += 1 }
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.toString
   }
 
   // ----------------------------------------------------- message encoding

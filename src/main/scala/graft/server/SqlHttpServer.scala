@@ -409,7 +409,9 @@ final class SqlHttpServer(
         val name = reqField(b, "name")
         store.catalog.declareBucket(p, name,
           Option(b.get("description")).map(_.asText).getOrElse(""))
-        respondJson(ex, 201, s"""{"name":"$name"}""")
+        val bo = om.createObjectNode() // mapper-built: names may hold quotes
+        bo.put("name", name)
+        respondJson(ex, 201, om.writeValueAsString(bo))
 
       case ("GET", "projects" :: p :: "buckets" :: b :: "tables" :: Nil) =>
         val root = om.createObjectNode()
@@ -491,7 +493,9 @@ final class SqlHttpServer(
       case ("POST", "projects" :: p :: "branches" :: Nil) =>
         val id = reqField(body, "branchId")
         store.catalog.putSetting(s"branch/$p/$id", "created")
-        respondJson(ex, 201, s"""{"branch_id":"$id","project_id":"$p"}""")
+        val o = om.createObjectNode() // mapper-built: ids may hold quotes
+        o.put("branch_id", id); o.put("project_id", p)
+        respondJson(ex, 201, om.writeValueAsString(o))
 
       case ("GET", "projects" :: p :: "branches" :: Nil) =>
         val arr = om.createObjectNode()
@@ -526,8 +530,9 @@ final class SqlHttpServer(
 
       case ("POST", "projects" :: p :: "branches" :: id :: "tables" :: b :: t :: "pull" :: Nil) =>
         store.catalog.pullBranchTable(p, id, b, t)
-        respondJson(ex, 200,
-          s"""{"pulled":true,"bucket":"$b","table":"$t"}""")
+        val o = om.createObjectNode()
+        o.put("pulled", true); o.put("bucket", b); o.put("table", t)
+        respondJson(ex, 200, om.writeValueAsString(o))
 
       // snapshots: create (manual), list with filters, restore, delete —
       // the reference's snapshot router surface

@@ -107,18 +107,20 @@ object EventsStream {
 
   /** One micro-batch of a streaming ingest, idempotent on `batchId`:
     * foreachBatch re-runs a batch after a failure, so the append commits
-    * only when this batchId is beyond the last recorded one — the
-    * watermark lives in the same catalog the manifest commit writes, so
-    * a replayed batch is a no-op and the table sees each batch exactly
-    * once. Factored out of [[ingestToStore]] so replay is unit-testable. */
+    * only when this batchId is beyond the last recorded one — and the
+    * watermark travels INSIDE the append's commit (one atomic catalog
+    * persist flips the version pointer and records the batch id), so
+    * there is no crash window where the data landed but the watermark
+    * didn't: a replayed batch is a no-op and the table sees each batch
+    * exactly once. Factored out of [[ingestToStore]] so replay is
+    * unit-testable. */
   def ingestBatch(store: graft.core.TableStore, project: String,
       bucket: String, table: String)(batch: DataFrame, batchId: Long): Unit = {
     val key = s"stream/$project/$bucket/$table/lastBatch"
     val last = store.catalog.getSetting(key).map(_.toLong).getOrElse(-1L)
-    if (batchId > last) {
-      store.append(project, bucket, table, batch)
-      store.catalog.putSetting(key, batchId.toString)
-    }
+    if (batchId > last)
+      store.append(project, bucket, table, batch,
+        commitSettings = Map(key -> batchId.toString))
   }
 
   /** Streaming ingest into a store table (parity-plus: the reference's

@@ -334,6 +334,14 @@ class GrpcDriverSpec extends SparkSpec {
       assert(str(br, 1) == "branch_acme_dev1_readonly")
       exec(port, "project.DropDevBranchCommand",
         new Writer().str(1, "branch_acme_dev1_readonly"))
+      assert(store.catalog.getSetting("branch/acme/dev1").isEmpty)
+      // underscores in project/branch ids resolve against the recorded
+      // branches (a lossy split would drop project "a" branch "b_dev_2")
+      exec(port, "project.CreateDevBranchCommand",
+        new Writer().str(2, "a_b").str(3, "dev_2"))
+      exec(port, "project.DropDevBranchCommand",
+        new Writer().str(1, "branch_a_b_dev_2_readonly"))
+      assert(store.catalog.getSetting("branch/a_b/dev_2").isEmpty)
 
       // share acme/pub, link into proj2 as "ext"
       store.createTable("acme", "pub", "t", Seq((1L, "x")).toDF("id", "s").schema)

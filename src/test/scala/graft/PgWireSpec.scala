@@ -190,6 +190,71 @@ class PgWireSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("describe analyzes without executing; params escape safely") {
+    val server = new PgWireServer(spark, fixture(),
+      apiKey = Some("pgsecret")).start()
+    try {
+      val c = new Client(server.boundPort)
+      c.startup("jdbc", "p")
+      c.frame(); c.password("pgsecret"); c.untilReady()
+
+      def msg(tag: Char, body: Array[Byte]): Unit = {
+        c.out.writeByte(tag); c.out.writeInt(4 + body.length)
+        c.out.write(body); c.out.flush()
+      }
+      def cstr(s: String): Array[Byte] =
+        s.getBytes(StandardCharsets.UTF_8) :+ 0.toByte
+      def bindExec(stmt: String, params: Seq[String]): Unit = {
+        val bind = new java.io.ByteArrayOutputStream()
+        val bd = new DataOutputStream(bind)
+        bd.write(cstr("")); bd.write(cstr(stmt))
+        bd.writeShort(0)
+        bd.writeShort(params.length)
+        params.foreach { p =>
+          val b = p.getBytes(StandardCharsets.UTF_8)
+          bd.writeInt(b.length); bd.write(b)
+        }
+        bd.writeShort(0)
+        msg('B', bind.toByteArray)
+        msg('E', cstr("") ++ Array[Byte](0, 0, 0, 0))
+      }
+      def rowValues(frames: Seq[(Char, Array[Byte])]): Seq[String] = {
+        val row = frames.find(_._1 == 'D').get._2
+        val bb = java.nio.ByteBuffer.wrap(row)
+        val cols = bb.getShort.toInt
+        (0 until cols).map { _ =>
+          val l = bb.getInt
+          val v = new Array[Byte](l); bb.get(v)
+          new String(v, StandardCharsets.UTF_8)
+        }
+      }
+
+      // Describe of a command plan answers NoData and does NOT run it —
+      // pgjdbc's getMetaData() Describes statements before any execute.
+      msg('P', cstr("ddl") ++ cstr(
+        "CREATE TEMPORARY VIEW pgv AS SELECT 41 + 1 AS x") ++
+        Array[Byte](0, 0))
+      msg('D', 'S'.toByte +: cstr("ddl"))
+      msg('S', Array.emptyByteArray)
+      assert(c.untilReady().map(_._1).mkString == "1tn")
+      c.query("SELECT x FROM pgv") // must not exist yet
+      assert(c.untilReady().map(_._1) == Seq('E'))
+      bindExec("ddl", Nil); msg('S', Array.emptyByteArray)
+      assert(c.untilReady().map(_._1).contains('C')) // executed at 'E' only
+      c.query("SELECT x FROM pgv")
+      assert(rowValues(c.untilReady()) == Seq("42"))
+
+      // a parameter ending in backslash must not swallow the closing
+      // quote, and a `$1` inside a string literal is data, not a slot
+      msg('P', cstr("esc") ++ cstr("SELECT $1 AS v, '$1' AS lit") ++
+        Array[Byte](0, 0))
+      bindExec("esc", Seq("a\\")); msg('S', Array.emptyByteArray)
+      val esc = c.untilReady()
+      assert(rowValues(esc) == Seq("a\\", "$1"))
+      c.close()
+    } finally server.stop()
+  }
+
   test("workspace credentials authenticate their own project only") {
     val store = fixture()
     val server = new PgWireServer(spark, store, apiKey = Some("adm")).start()
