@@ -124,6 +124,15 @@ object StorageApi {
       Snapshots.autoSnapshotIfConfigured(
         spark, store, snapshotConfig, p, b, t, trigger)(op)
 
+    /** Zone-map bounds a command's filters imply for this table (empty
+      * when nothing is prunable — reads fall back to the full root set). */
+    private def boundsFor(p: String, b: String, t: String,
+        filters: Seq[FilterAlgebra.WhereFilter],
+        since: Option[String] = None,
+        until: Option[String] = None): Seq[graft.core.SegmentStats.Bound] =
+      FilterAlgebra.pruningBounds(filters, since, until, store.schemaOf(p, b, t),
+        spark.sessionState.conf.sessionLocalTimeZone)
+
     private def ctx(cmd: Command): (String, String) = cmd match {
       case c: RestoreSnapshot => ("", c.snapshotId)
       case other: Product =>
@@ -203,14 +212,17 @@ object StorageApi {
         dispatch(ImportData(p, b, t, staging, incremental, mode, stamp))
 
       case Preview(p, b, t, columns, filters, limit) =>
-        var df = store.read(p, b, t)
+        // zone-map pruning: a PK/eq-filtered preview plans only the roots
+        // whose min/max admit the value (the row filter still applies)
+        var df = store.readPruned(p, b, t, boundsFor(p, b, t, filters))
         if (columns.nonEmpty) df = df.select(columns.map(col): _*)
         FilterAlgebra.compileAll(filters).foreach(f => df = df.filter(f))
         Rows(df.limit(math.min(math.max(limit, 1), PreviewMaxLimit)))
 
       case ExportTable(p, b, t, path, format, columns, filters, where, limit, comp) =>
-        val df = Export.exportQuery(store.read(p, b, t), columns, filters,
-          where, limit)
+        val df = Export.exportQuery(
+          store.readPruned(p, b, t, boundsFor(p, b, t, filters)),
+          columns, filters, where, limit)
         format match {
           case "csv" => Export.toCsv(df, path, compression = comp)
           case "parquet" => Export.toParquet(df, path,
@@ -233,8 +245,11 @@ object StorageApi {
         val pred = (FilterAlgebra.compileAll(filters) ++ temporal)
           .reduceOption(_ && _)
           .getOrElse(org.apache.spark.sql.functions.lit(true)) // delete-all
-        val doDelete = () => store.overwrite(p, b, t,
-          ImportPipeline.deleteWhere(store.read(p, b, t), pred))
+        // manifest-level delete: only roots whose zone maps overlap the
+        // predicate are rewritten; a changeSince-scoped delete on a
+        // long-appended table touches O(matching-roots), not O(table)
+        val doDelete = () => store.deleteWhere(p, b, t, pred,
+          boundsFor(p, b, t, filters, since, until))
         if (filters.isEmpty && since.isEmpty && until.isEmpty)
           // D10 delete-all — the truncate-class trigger
           withTrigger(p, b, t, "delete_all_rows") { doDelete(); () }

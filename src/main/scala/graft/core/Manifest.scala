@@ -10,8 +10,14 @@ import java.nio.file.{Files, Path}
   * root). A bucketed leaf points at one `__gb=k` partition directory; the
   * bucket id lives only here — it is derivable from the PK, so it is never
   * stored in the data files.
+  *
+  * `stats` holds the root's zone map: canonical min/max strings per
+  * tracked column (PK + `_timestamp`), harvested from parquet footers at
+  * write time (see [[SegmentStats]]). Absent for roots written before
+  * stats existed — readers treat a missing column as unprunable.
   */
-final case class ManifestEntry(path: String, bucket: Int)
+final case class ManifestEntry(path: String, bucket: Int,
+    stats: Map[String, (String, String)] = Map.empty)
 
 /** Version manifest: `v{N+1}` = {prior version's surviving roots + newly
   * written roots}. This is what makes incremental commits O(staging) instead
@@ -41,7 +47,16 @@ object Manifest {
       val n = om.readTree(Files.readString(f))
       val es = n.get("entries")
       val entries = (0 until es.size()).map { i =>
-        ManifestEntry(es.get(i).get("path").asText, es.get(i).get("bucket").asInt)
+        val e = es.get(i)
+        val stats = Option(e.get("stats")).map { st =>
+          val b = Map.newBuilder[String, (String, String)]
+          st.properties().forEach { kv =>
+            b += kv.getKey ->
+              (kv.getValue.get("min").asText, kv.getValue.get("max").asText)
+          }
+          b.result()
+        }.getOrElse(Map.empty[String, (String, String)])
+        ManifestEntry(e.get("path").asText, e.get("bucket").asInt, stats)
       }
       val bk = n.get("bucketKeys")
       Some(Manifest(entries, n.get("numBuckets").asInt,
@@ -57,7 +72,13 @@ object Manifest {
     val root = om.createObjectNode()
     val arr = root.putArray("entries")
     m.entries.foreach { e =>
-      val n = arr.addObject(); n.put("path", e.path); n.put("bucket", e.bucket); ()
+      val n = arr.addObject(); n.put("path", e.path); n.put("bucket", e.bucket)
+      if (e.stats.nonEmpty) {
+        val st = n.putObject("stats")
+        e.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+          val cn = st.putObject(c); cn.put("min", mn); cn.put("max", mx); ()
+        }
+      }
     }
     root.put("numBuckets", m.numBuckets)
     val bk = root.putArray("bucketKeys")

@@ -1,0 +1,202 @@
+package graft.core
+
+import java.nio.file.{Files, Path}
+
+import scala.util.Try
+
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.types._
+
+/** Per-root zone maps: min/max of tracked columns (primary key +
+  * `_timestamp`) recorded in the manifest at write time and consulted at
+  * read time to skip whole data roots — the manifest-level analog of
+  * DuckDB's internal zone maps (the reference gets this for free inside
+  * its storage engine) and of Iceberg/Delta file statistics.
+  *
+  * Stats come from the parquet FOOTERS of the just-written segment — an
+  * O(files) metadata read, never a second scan of the data. Values are
+  * stored as canonical strings: numerics in decimal form, timestamps as
+  * epoch micros, dates as epoch days, strings raw. Parquet's own binary
+  * stats may be truncated, but truncation only widens bounds (min rounds
+  * down, max up), so pruning on them stays sound.
+  *
+  * Pruning is conservative everywhere: a root with no stats for a bound's
+  * column is kept, an unparsable bound prunes nothing, and callers always
+  * re-apply the row-level filter — the zone map only decides which roots
+  * the scan PLANS, which is what makes `changeSince` and PK lookups
+  * O(touched-roots) instead of O(table) at 100 TB.
+  */
+object SegmentStats {
+
+  /** Inclusive one-sided bound over a tracked column (Eq = both sides).
+    * `canonical` uses the same encoding as stored stats; `numeric` picks
+    * the comparison domain (BigDecimal vs raw string). */
+  sealed abstract class Side
+  case object Ge extends Side
+  case object Le extends Side
+  final case class Bound(column: String, side: Side, canonical: String,
+      numeric: Boolean)
+
+  /** Build a bound from a raw filter value, encoding it the way segment
+    * stats for `dt` are encoded. None = this column/type/value cannot
+    * prune (caller just doesn't pass a bound — never an error). */
+  def bound(column: String, side: Side, raw: String, dt: DataType,
+      sessionZone: String): Option[Bound] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+        DoubleType | _: DecimalType =>
+      Try(BigDecimal(raw.trim)).toOption
+        .map(v => Bound(column, side, v.toString, numeric = true))
+    case StringType => Some(Bound(column, side, raw, numeric = false))
+    case TimestampType =>
+      val micros: Option[Long] =
+        if (raw.nonEmpty && raw.forall(_.isDigit))
+          Some(raw.toLong * 1000000L) // epoch seconds, proto convention
+        else
+          Option(org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .stringToTimestamp(
+              org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+              java.time.ZoneId.of(sessionZone))
+            .getOrElse(null)).map(_.asInstanceOf[Long])
+      micros.map(m => Bound(column, side, m.toString, numeric = true))
+    case DateType =>
+      Option(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .stringToDate(
+          org.apache.spark.unsafe.types.UTF8String.fromString(raw))
+        .getOrElse(null)).map(_.asInstanceOf[Int])
+        .map(d => Bound(column, side, d.toString, numeric = true))
+    case _ => None
+  }
+
+  private def cmp(a: String, b: String, numeric: Boolean): Int =
+    if (numeric) BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+
+  /** Can `entry` contain rows satisfying every bound? Missing stats for a
+    * bound's column keep the entry (conservative). */
+  def keeps(entry: ManifestEntry, bounds: Seq[Bound]): Boolean =
+    bounds.forall { b =>
+      entry.stats.get(b.column) match {
+        case None => true
+        case Some((mn, mx)) => b.side match {
+          case Ge => Try(cmp(mx, b.canonical, b.numeric) >= 0).getOrElse(true)
+          case Le => Try(cmp(mn, b.canonical, b.numeric) <= 0).getOrElse(true)
+        }
+      }
+    }
+
+  def prune(entries: Seq[ManifestEntry], bounds: Seq[Bound]): Seq[ManifestEntry] =
+    if (bounds.isEmpty) entries else entries.filter(keeps(_, bounds))
+
+  // ------------------------------------------------- footer collection
+
+  /** Min/max per tracked column across every parquet file under `dir`,
+    * read from footers only. A column is dropped entirely if ANY file
+    * lacks usable stats for it (conservative: partial stats could claim
+    * a range the unstated file violates). All-null chunks contribute
+    * nothing but don't invalidate. */
+  def collect(dir: Path, track: Map[String, DataType],
+      hadoopConf: org.apache.hadoop.conf.Configuration): Map[String, (String, String)] = {
+    if (track.isEmpty || !Files.exists(dir)) return Map.empty
+    val files = {
+      val s = Files.walk(dir)
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .toList
+      finally s.close()
+    }
+    if (files.isEmpty) return Map.empty
+    val acc = scala.collection.mutable.Map[String, (String, String)]()
+    val dead = scala.collection.mutable.Set[String]()
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toUri), hadoopConf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        (0 until blocks.size).foreach { bi =>
+          val cols = blocks.get(bi).getColumns
+          (0 until cols.size).foreach { ci =>
+            val c = cols.get(ci)
+            val name = c.getPath.toDotString
+            if (track.contains(name) && !dead(name)) {
+              val s = c.getStatistics
+              if (s == null || s.isEmpty) dead += name
+              else if (!s.hasNonNullValue) {
+                // usable only if provably an all-null chunk
+                if (!(s.isNumNullsSet && s.getNumNulls == c.getValueCount))
+                  dead += name
+              } else chunkMinMax(c, track(name)) match {
+                case None => dead += name
+                case Some((mn, mx)) =>
+                  val numeric = track(name) != StringType
+                  acc.get(name) match {
+                    case None => acc(name) = (mn, mx)
+                    case Some((omn, omx)) => acc(name) = (
+                      if (cmp(mn, omn, numeric) < 0) mn else omn,
+                      if (cmp(mx, omx, numeric) > 0) mx else omx)
+                  }
+              }
+            }
+          }
+        }
+      } finally reader.close()
+    }
+    (acc -- dead).toMap
+  }
+
+  /** Canonical (min, max) of one column chunk, or None when the physical
+    * type can't back the Spark type's encoding (e.g. INT96 timestamps,
+    * NaN-polluted floats). */
+  private def chunkMinMax(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      dt: DataType): Option[(String, String)] = {
+    val s = c.getStatistics
+    val prim = c.getPrimitiveType
+    def num(v: Any): Option[String] = v match {
+      case l: java.lang.Long    => Some(l.toString)
+      case i: java.lang.Integer => Some(i.toString)
+      case d: java.lang.Double  => if (d.isNaN) None else Some(BigDecimal(d.doubleValue).toString)
+      case fl: java.lang.Float  => if (fl.isNaN) None else Some(BigDecimal(fl.doubleValue).toString)
+      case _                    => None
+    }
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType =>
+        for (mn <- num(s.genericGetMin); mx <- num(s.genericGetMax)) yield (mn, mx)
+      case DateType if prim.getPrimitiveTypeName == PrimitiveTypeName.INT32 =>
+        for (mn <- num(s.genericGetMin); mx <- num(s.genericGetMax)) yield (mn, mx)
+      case TimestampType if prim.getPrimitiveTypeName == PrimitiveTypeName.INT64 =>
+        val scale = prim.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => Some(1L)
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(1000L)
+              case _ => None // NANOS etc: not what TimestampType stores
+            }
+          case _ => None
+        }
+        scale.flatMap { k =>
+          (s.genericGetMin, s.genericGetMax) match {
+            case (mn: java.lang.Long, mx: java.lang.Long) =>
+              Some(((mn * k).toString, (mx * k).toString))
+            case _ => None
+          }
+        }
+      case StringType if prim.getPrimitiveTypeName == PrimitiveTypeName.BINARY &&
+          prim.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        (s.genericGetMin, s.genericGetMax) match {
+          case (mn: Binary, mx: Binary) =>
+            Some((mn.toStringUsingUTF8, mx.toStringUsingUTF8))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext = it.hasNext; def next() = it.next()
+    }
+  }
+}

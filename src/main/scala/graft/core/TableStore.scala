@@ -61,6 +61,22 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
     * few files; at 100 TB this is a per-table knob (buckets ~ table/1 GB). */
   val DefaultNumBuckets = 64
 
+  // Timestamps land as INT64 micros, not legacy INT96: parquet writes no
+  // usable footer statistics for INT96, and footer stats are where the
+  // manifest zone maps (`_timestamp` min/max for changeSince pruning)
+  // come from. Micros is also what modern readers (DuckDB, Arrow) prefer.
+  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+  /** Columns whose zone maps are harvested at write time: primary key +
+    * the `_timestamp` system column, when present in the schema. */
+  private def trackedCols(schemaDdl: String,
+      primaryKey: Seq[String]): Map[String, org.apache.spark.sql.types.DataType] = {
+    val schema = StructType.fromDDL(schemaDdl)
+    (primaryKey :+ "_timestamp").distinct
+      .flatMap(c => schema.fields.find(_.name == c).map(f => f.name -> f.dataType))
+      .toMap
+  }
+
   // -------------------------------------------------------------- reads
 
   def read(project: String, bucket: String, table: String,
@@ -125,6 +141,34 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
     val children = p.toFile.listFiles()
     children != null &&
       children.exists(c => c.isDirectory && c.getName.contains("="))
+  }
+
+  /** Zone-map-pruned read: plans a scan over ONLY the data roots whose
+    * recorded min/max can satisfy every bound (roots without stats are
+    * kept). Row-level filtering stays the caller's job — this decides
+    * which files the scan PLANS, which is what makes `changeSince` and PK
+    * point lookups O(touched-roots) instead of O(table-roots) on a table
+    * with years of appends. With no bounds this is exactly [[read]]. */
+  def readPruned(project: String, bucket: String, table: String,
+      bounds: Seq[SegmentStats.Bound],
+      branch: Option[String] = None): DataFrame =
+    readPrunedWith(spark, project, bucket, table, bounds, branch)
+
+  def readPrunedWith(session: SparkSession, project: String, bucket: String,
+      table: String, bounds: Seq[SegmentStats.Bound],
+      branch: Option[String] = None): DataFrame = {
+    val (meta, vdir) = catalog.resolveForRead(project, bucket, table, branch)
+    val declared = StructType.fromDDL(meta.schemaDdl)
+    Manifest.readFrom(vdir) match {
+      case Some(m) if bounds.nonEmpty =>
+        val kept = SegmentStats.prune(m.entries, bounds)
+        if (kept.isEmpty)
+          session.createDataFrame(
+            session.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+        else readRoots(session,
+          kept.map(e => catalog.root.resolve(e.path)), Some(declared))
+      case _ => loadVersionDir(session, vdir, Some(declared))
+    }
   }
 
   /** D13: time-travel read — load a historical version still kept by the
@@ -227,13 +271,14 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
 
   // ------------------------------------------------------------- writes
 
-  /** Create an empty table with declared schema + PK (C1). */
+  /** Create an empty table with declared schema + PK (C1). v0 is an
+    * EMPTY MANIFEST, not a parquet write: no Spark job on create, and no
+    * stats-less legacy root that zone-map pruning would have to keep in
+    * every pruned scan forever. */
   def createTable(project: String, bucket: String, table: String,
       schema: StructType, primaryKey: Seq[String] = Nil): TableMeta = {
     val meta = catalog.createTable(project, bucket, table, schema.toDDL, primaryKey)
-    val dir = catalog.versionDir(meta)
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .write.mode("overwrite").parquet(dir.toString)
+    Manifest.writeTo(catalog.versionDir(meta), Manifest(Nil, 0, Nil))
     meta
   }
 
@@ -245,7 +290,8 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
   def overwrite(project: String, bucket: String, table: String, df: DataFrame,
       branch: Option[String] = None, partitionBy: Seq[String] = Nil): TableMeta =
     withWriteLock(project, bucket, table, branch) { meta =>
-      val entry = writeSegment(df, tableDirOf(project, bucket, table, branch), partitionBy)
+      val entry = writeSegment(df, tableDirOf(project, bucket, table, branch),
+        partitionBy, trackedCols(df.schema.toDDL, meta.primaryKey))
       commit(project, bucket, table, branch, meta,
         Manifest(Seq(entry), 0, Nil), df.schema.toDDL)
     }
@@ -266,18 +312,19 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
       val tdir = tableDirOf(project, bucket, table, branch)
       val vdir = tdir.resolve(s"v${meta.version}")
       val staged = alignTo(df, meta.schemaDdl)
+      val track = trackedCols(meta.schemaDdl, meta.primaryKey)
       val next = Manifest.readFrom(vdir) match {
         case Some(m) if m.isBucketed =>
           // keep the bucketed layout invariant so upsert stays incremental
           m.copy(entries = m.entries ++
-            writeBucketedSegment(staged, tdir, m.bucketKeys, m.numBuckets))
+            writeBucketedSegment(staged, tdir, m.bucketKeys, m.numBuckets, track))
         case Some(m) =>
-          m.copy(entries = m.entries :+ writeSegment(staged, tdir, Nil))
+          m.copy(entries = m.entries :+ writeSegment(staged, tdir, Nil, track))
         case None =>
           // current version is a legacy plain dir: adopt it as an entry
           Manifest(Seq(
             ManifestEntry(relPath(vdir), -1),
-            writeSegment(staged, tdir, Nil)), 0, Nil)
+            writeSegment(staged, tdir, Nil, track)), 0, Nil)
       }
       commit(project, bucket, table, branch, meta, next, meta.schemaDdl,
         commitSettings)
@@ -316,6 +363,7 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
       val tdir = tableDirOf(project, bucket, table, branch)
       val vdir = tdir.resolve(s"v${meta.version}")
       val staged = alignTo(staging, meta.schemaDdl)
+      val track = trackedCols(meta.schemaDdl, meta.primaryKey)
       def merge(target: DataFrame) =
         if (preferStaging)
           graft.engine.imp.ImportPipeline.upsert(target, staged, keys, order)
@@ -336,15 +384,57 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
             else hit.map(e => spark.read.parquet(catalog.root.resolve(e.path).toString))
               .reduce(_.unionByName(_))
           Manifest(untouched ++
-            writeBucketedSegment(merge(target), tdir, keys, m.numBuckets),
+            writeBucketedSegment(merge(target), tdir, keys, m.numBuckets, track),
             m.numBuckets, keys)
         case _ =>
           // one-time (re-)bucketing: merge against the full current version
           val target = loadVersion(spark, meta, vdir)
-          Manifest(writeBucketedSegment(merge(target), tdir, keys, numBuckets),
+          Manifest(writeBucketedSegment(merge(target), tdir, keys, numBuckets, track),
             numBuckets, keys)
       }
       commit(project, bucket, table, branch, meta, next, meta.schemaDdl)
+    }
+
+  /** D9/D10 at manifest granularity: delete rows matching `pred` by
+    * rewriting ONLY the data roots whose zone maps could contain a
+    * matching row; every other root is carried into the new version
+    * untouched. A changeSince-scoped delete on a long-appended table
+    * rewrites O(touched-roots), not O(table). `bounds` empty = all roots
+    * rewritten (delete-all / unprunable predicate). Bucketed layouts are
+    * preserved (rows never change bucket, so rewritten leaves merge with
+    * carried ones). */
+  def deleteWhere(project: String, bucket: String, table: String,
+      pred: Column, bounds: Seq[SegmentStats.Bound] = Nil,
+      branch: Option[String] = None): TableMeta =
+    withWriteLock(project, bucket, table, branch) { meta =>
+      val tdir = tableDirOf(project, bucket, table, branch)
+      val vdir = tdir.resolve(s"v${meta.version}")
+      val track = trackedCols(meta.schemaDdl, meta.primaryKey)
+      val declared = StructType.fromDDL(meta.schemaDdl)
+      Manifest.readFrom(vdir) match {
+        case Some(m) if m.entries.nonEmpty =>
+          val (touched, untouched) =
+            m.entries.partition(SegmentStats.keeps(_, bounds))
+          if (touched.isEmpty) meta // no root can hold a matching row
+          else {
+            val df = readRoots(spark,
+              touched.map(e => catalog.root.resolve(e.path)), Some(declared))
+            val kept = graft.engine.imp.ImportPipeline.deleteWhere(df, pred)
+            val rewritten =
+              if (m.isBucketed)
+                writeBucketedSegment(kept, tdir, m.bucketKeys, m.numBuckets, track)
+              else Seq(writeSegment(kept, tdir, Nil, track))
+            commit(project, bucket, table, branch, meta,
+              Manifest(untouched ++ rewritten, m.numBuckets, m.bucketKeys),
+              meta.schemaDdl)
+          }
+        case _ => // legacy plain version or empty table: plain rewrite
+          val kept = graft.engine.imp.ImportPipeline
+            .deleteWhere(loadVersion(spark, meta, vdir), pred)
+          commit(project, bucket, table, branch, meta,
+            Manifest(Seq(writeSegment(kept, tdir, Nil, track)), 0, Nil),
+            meta.schemaDdl)
+      }
     }
 
   /** Fold accumulated append/upsert roots back into a single root (the
@@ -362,7 +452,8 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
     * set and are GC'd after the next commit. O(table) when it fires, but it
     * fires once per `autoCompactEntries` O(staging) commits — the amortized
     * cost is the same bounded-manifest bargain LSM/table formats make. */
-  private def maybeAutoCompact(tdir: Path, m: Manifest): Manifest =
+  private def maybeAutoCompact(tdir: Path, m: Manifest,
+      track: Map[String, org.apache.spark.sql.types.DataType]): Manifest =
     // a bucketed table can never fold below numBuckets leaves, so only
     // fire when appends have stacked extra segments beyond that floor
     if (m.entries.size <= math.max(autoCompactEntries, m.numBuckets)) m
@@ -371,9 +462,9 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
         .map(e => spark.read.parquet(catalog.root.resolve(e.path).toString))
         .reduce(_.unionByName(_))
       if (m.isBucketed)
-        Manifest(writeBucketedSegment(df, tdir, m.bucketKeys, m.numBuckets),
+        Manifest(writeBucketedSegment(df, tdir, m.bucketKeys, m.numBuckets, track),
           m.numBuckets, m.bucketKeys)
-      else Manifest(Seq(writeSegment(df, tdir, Nil)), 0, Nil)
+      else Manifest(Seq(writeSegment(df, tdir, Nil, track)), 0, Nil)
     }
 
   def dropTable(project: String, bucket: String, table: String): Unit = {
@@ -505,7 +596,8 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
     val next = meta.copy(version = meta.version + 1, schemaDdl = schemaDdl)
     val tdir = tableDirOf(project, bucket, table, branch)
     Manifest.writeTo(tdir.resolve(s"v${next.version}"),
-      maybeAutoCompact(tdir, manifest))
+      maybeAutoCompact(tdir, manifest,
+        trackedCols(schemaDdl, meta.primaryKey)))
     branch match {
       case Some(b) =>
         commitSettings.foreach { case (k, v) => catalog.putSetting(k, v) }
@@ -528,12 +620,18 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
       .relativize(p.toAbsolutePath.normalize).toString
 
   private def writeSegment(df: DataFrame, tableDir: Path,
-      partitionBy: Seq[String]): ManifestEntry = {
+      partitionBy: Seq[String],
+      track: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): ManifestEntry = {
     val seg = newSegmentDir(tableDir)
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(seg.toString)
-    ManifestEntry(relPath(seg), -1)
+    // zone map from the written footers (hive-partitioned roots rely on
+    // their directory partition pruning instead)
+    val stats =
+      if (partitionBy.nonEmpty) Map.empty[String, (String, String)]
+      else SegmentStats.collect(seg, track, spark.sparkContext.hadoopConfiguration)
+    ManifestEntry(relPath(seg), -1, stats)
   }
 
   private def bucketExpr(keys: Seq[String], numBuckets: Int): Column =
@@ -543,7 +641,8 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
     * leaf per non-empty bucket. The bucket column is stripped by
     * `partitionBy` — bucket identity lives in the manifest only. */
   private def writeBucketedSegment(df: DataFrame, tableDir: Path,
-      keys: Seq[String], numBuckets: Int): Seq[ManifestEntry] = {
+      keys: Seq[String], numBuckets: Int,
+      track: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): Seq[ManifestEntry] = {
     val seg = newSegmentDir(tableDir)
     df.withColumn(BucketCol, bucketExpr(keys, numBuckets))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(seg.toString)
@@ -552,7 +651,8 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
       .filter(_.getFileName.toString.startsWith(s"$BucketCol="))
       .map { leaf =>
         val k = leaf.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
-        ManifestEntry(relPath(leaf), k)
+        ManifestEntry(relPath(leaf), k,
+          SegmentStats.collect(leaf, track, spark.sparkContext.hadoopConfiguration))
       }.toSeq.sortBy(_.bucket)
     finally children.close()
   }

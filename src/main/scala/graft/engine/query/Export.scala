@@ -33,6 +33,52 @@ object Export {
     compression.fold(w)(c => w.option("compression", c)).csv(path)
   }
 
+  /** Single-FILE CSV export without a single-TASK write: the DataFrame
+    * writes part files with full parallelism, then the parts are
+    * concatenated (streamed, in part order — the same total order
+    * `coalesce(1)` would have produced) into `target`, keeping part 0's
+    * header and skipping the others'. The one-file API semantic costs a
+    * sequential local concat of bytes already on disk, not a one-task
+    * funnel of the whole computation. Returns the part-file count. */
+  def toSingleCsvFile(df: DataFrame, target: java.nio.file.Path,
+      delimiter: String = ","): Int = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv1")
+    try {
+      val dir = tmp.resolve("csv")
+      toCsv(df, dir.toString, delimiter)
+      val parts = {
+        val s = java.nio.file.Files.list(dir)
+        try {
+          val b = List.newBuilder[java.nio.file.Path]
+          val it = s.iterator()
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getFileName.toString.startsWith("part-")) b += f
+          }
+          b.result().sortBy(_.getFileName.toString)
+        } finally s.close()
+      }
+      require(parts.nonEmpty, "no export part files")
+      val out = java.nio.file.Files.newOutputStream(target)
+      try parts.zipWithIndex.foreach { case (p, i) =>
+        val in = java.nio.file.Files.newInputStream(p)
+        try {
+          if (i > 0) { // skip this part's header line
+            var c = in.read()
+            while (c != -1 && c != '\n') c = in.read()
+          }
+          in.transferTo(out)
+        } finally in.close()
+      } finally out.close()
+      parts.size
+    } finally {
+      val s = java.nio.file.Files.walk(tmp)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally s.close()
+    }
+  }
+
   /** S6/S7: Parquet sink with codec (gzip | zstd | snappy). */
   def toParquet(df: DataFrame, path: String, compression: String = "snappy"): Unit =
     df.write.mode("overwrite").option("compression", compression).parquet(path)

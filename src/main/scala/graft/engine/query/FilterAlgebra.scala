@@ -105,6 +105,50 @@ object FilterAlgebra {
   def compileAll(filters: Seq[WhereFilter]): Option[Column] =
     filters.map(compile).reduceOption(_ && _)
 
+  /** Zone-map bounds implied by a filter set plus changeSince/changeUntil,
+    * for [[graft.core.TableStore.readPruned]]: single-value Eq/Ge/Gt/Le/Lt
+    * filters become inclusive bounds (Gt/Lt widen to Ge/Le — sound for
+    * pruning), everything else prunes nothing. A bound is emitted only
+    * when the filter's declared type and the column's schema type share a
+    * comparison domain — e.g. a numeric-typed filter on a string column
+    * compares numerically in Spark but the stats are lexicographic, so no
+    * bound is derivable there. */
+  def pruningBounds(filters: Seq[WhereFilter], changeSince: Option[String],
+      changeUntil: Option[String], schema: StructType,
+      sessionZone: String): Seq[graft.core.SegmentStats.Bound] = {
+    import graft.core.SegmentStats
+    def dtOf(c: String): Option[DataType] =
+      schema.fields.find(_.name == c).map(_.dataType)
+    def numeric(t: DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+          DoubleType | _: DecimalType => true
+      case _ => false
+    }
+    def sameDomain(declared: String, actual: DataType): Boolean =
+      Try(sparkType(declared)).toOption.exists { d =>
+        (numeric(d) && numeric(actual)) ||
+          (d == StringType && actual == StringType) ||
+          (d == TimestampType && actual == TimestampType)
+      }
+    def mk(c: String, side: SegmentStats.Side, v: String): Seq[SegmentStats.Bound] =
+      dtOf(c).toSeq.flatMap(dt => SegmentStats.bound(c, side, v, dt, sessionZone))
+    val fromFilters = filters.flatMap { f =>
+      dtOf(f.column) match {
+        case Some(dt) if sameDomain(f.dataType, dt) => (f.op, f.values) match {
+          case (Op.Eq, Seq(v)) =>
+            mk(f.column, SegmentStats.Ge, v) ++ mk(f.column, SegmentStats.Le, v)
+          case (Op.Ge | Op.Gt, Seq(v)) => mk(f.column, SegmentStats.Ge, v)
+          case (Op.Le | Op.Lt, Seq(v)) => mk(f.column, SegmentStats.Le, v)
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+    }
+    fromFilters ++
+      changeSince.toSeq.flatMap(mk("_timestamp", graft.core.SegmentStats.Ge, _)) ++
+      changeUntil.toSeq.flatMap(mk("_timestamp", graft.core.SegmentStats.Le, _))
+  }
+
   /** changeSince / changeUntil temporal predicates on a timestamp column
     * (reference: src/grpc/handlers/schema.py:400-404; system column
     * `_timestamp` by convention). Values are epoch-seconds or timestamp

@@ -50,16 +50,31 @@ object TextDedup {
       .filter(col("k") > 0)
 
   /** All pairs with word-n-gram Jaccard >= threshold, via inverted index.
-    * `maxDocFreq`: shingles appearing in more docs than this are dropped
-    * from the index (stop-shingles) — REDUCES RECALL, so the default
-    * (None) keeps everything; set it at very large scale. */
+    *
+    * The index's join cost is Σ(posting-list²): one "stop shingle"
+    * present in d docs alone contributes d² candidate pairs, so a web
+    * corpus's boilerplate ("of the", cookie banners) turns the equi-join
+    * quadratic. Guard rails: `maxDocFreq` drops shingles appearing in
+    * more docs than the cap from the index. Explicit None is AUTO — the
+    * cap stays OFF below `autoCapAbove` docs (small corpora keep exact
+    * recall, and the oracle twin matches bit-for-bit) and engages at 1%
+    * of the corpus size above it. A dropped shingle can only shrink
+    * `common`, so capping never invents a pair — it can only MISS pairs
+    * whose overlap lives in boilerplate, which is the intended trade at
+    * scale (x18/x26 cap their grams the same way). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
+      n: Int, threshold: Double, maxDocFreq: Option[Int] = None,
+      autoCapAbove: Long = 100000L): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n)
+    val cap = maxDocFreq.orElse {
+      // metadata-cheap corpus size (parquet row counts), not a shingle scan
+      val docs = df.count()
+      if (docs > autoCapAbove) Some(math.max(64L, docs / 100L).toInt) else None
+    }
     val posts0 = sets.select(col("id"), col("k"), explode(col("sh")).as("s"))
-    val posts = maxDocFreq.fold(posts0) { cap =>
+    val posts = cap.fold(posts0) { c =>
       val freq = posts0.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= cap).select("s")
+        .filter(col("df") <= c).select("s")
       posts0.join(freq, "s")
     }
     val a = posts.select(col("id").as("a_id"), col("k").as("ka"), col("s"))

@@ -612,27 +612,22 @@ final class SqlHttpServer(
 
       case ("POST", "projects" :: p :: "buckets" :: b :: "tables" :: t :: "export" :: Nil) =>
         // reference shape: export lands in the file store, the client then
-        // downloads the file id (cli/commands/tables.py:302-346). Single
-        // CSV object => coalesce(1); bulk exports go through the parquet
-        // ExportTable command instead.
+        // downloads the file id (cli/commands/tables.py:302-346). The
+        // single-CSV-object semantic is honored by a parallel part-file
+        // write + streamed server-side concat — one FILE, never one TASK;
+        // bulk exports go through the parquet ExportTable command instead.
         val rows = store.cachedRowCount(p, b, t)
         val tmp = Files.createTempDirectory("graft-export")
         try {
-          graft.engine.query.Export.toCsv(store.read(p, b, t).coalesce(1),
-            tmp.resolve("csv").toString)
-          // the part file MOVES into the file store — a multi-GB export
-          // never transits the server heap (the reference streams COPY TO
-          // to disk the same way, table_import.py:610-629)
-          val part = Files.list(tmp.resolve("csv")).iterator()
-          var partFile: Option[java.nio.file.Path] = None
-          while (part.hasNext) {
-            val f = part.next()
-            if (f.getFileName.toString.startsWith("part-")) partFile = Some(f)
-          }
+          val single = tmp.resolve("export.csv")
+          graft.engine.query.Export.toSingleCsvFile(
+            store.read(p, b, t), single)
+          // the file MOVES into the file store — a multi-GB export never
+          // transits the server heap (the reference streams COPY TO disk
+          // the same way, table_import.py:610-629)
           val stamp = java.time.Instant.now().toEpochMilli
           val info = files.putObjectFromFile(p, s"exports/$b.$t-$stamp.csv",
-            partFile.getOrElse(throw new IllegalStateException("no export part file")),
-            "text/csv")
+            single, "text/csv")
           respondJson(ex, 200,
             s"""{"fileId":"${info.id}","rowsExported":$rows}""")
         } finally deleteTree(tmp)

@@ -60,4 +60,25 @@ class CsvOptionsSpec extends SparkSpec {
   test("explicit null marker") {
     roundtrip(CsvOptions(nullValue = "\\N", multiline = true))
   }
+
+  test("single-file export concatenates parallel parts byte-identically") {
+    val df = spark.range(0, 10000, 1, 8) // 8 partitions => 8 write tasks
+      .toDF("id").withColumn("s", org.apache.spark.sql.functions
+        .concat(org.apache.spark.sql.functions.lit("row,\""),
+          org.apache.spark.sql.functions.col("id")))
+    val single = Files.createTempFile("graft-one", ".csv")
+    val parts = Export.toSingleCsvFile(df, single)
+    assert(parts > 1, s"expected a parallel multi-part write, got $parts")
+    // byte-identical to what the one-task coalesce(1) shape produced
+    val refDir = Files.createTempDirectory("graft-ref")
+    Export.toCsv(df.coalesce(1), refDir.resolve("csv").toString)
+    val refPart = Files.list(refDir.resolve("csv")).iterator()
+    var ref: Option[java.nio.file.Path] = None
+    while (refPart.hasNext) {
+      val f = refPart.next()
+      if (f.getFileName.toString.startsWith("part-")) ref = Some(f)
+    }
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(single), Files.readAllBytes(ref.get)))
+  }
 }

@@ -67,6 +67,28 @@ class PipelineSpec extends SparkSpec {
     assert(out == Seq((1L, 1.0), (2L, 1.0), (3L, 0.0)))
   }
 
+  test("jaccard auto-cap bounds a planted hot shingle's posting list") {
+    // 60 docs all sharing one boilerplate trigram, otherwise disjoint:
+    // uncapped, the hot shingle alone feeds 60*59/2 = 1770 candidate
+    // pairs into the join; the auto cap drops it above the threshold
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"common legal boilerplate w${i}a w${i}b w${i}c w${i}d")
+    }.toDF("doc_id", "text")
+    val uncapped = TextDedup.ngramJaccardPairs(
+      docs, "doc_id", "text", 3, 0.05, autoCapAbove = Long.MaxValue)
+    val capped = TextDedup.ngramJaccardPairs(
+      docs, "doc_id", "text", 3, 0.05, autoCapAbove = 50L)
+    // uncapped: every doc pairs with every other through the hot shingle
+    assert(uncapped.count() == 60L * 59 / 2)
+    // capped (cap = max(64, 60/100) = 64 >= 60 keeps it): force a tight
+    // explicit cap to show the bound, as the 1% rule would at web scale
+    val tight = TextDedup.ngramJaccardPairs(
+      docs, "doc_id", "text", 3, 0.05, maxDocFreq = Some(10))
+    assert(tight.count() == 0) // no candidates survive the stop-shingle drop
+    // auto cap above threshold stays recall-safe here (64 > 60 docs)
+    assert(capped.count() == uncapped.count())
+  }
+
   test("minhash LSH finds the planted near-dup pairs (recall vs exact)") {
     val docs = Tables.df(spark, sfDir, "documents")
     val exact = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)

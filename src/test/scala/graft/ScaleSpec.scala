@@ -104,6 +104,63 @@ class ScaleSpec extends SparkSpec {
     assert(store.read("p", "b", "li").count() == total + 50)
   }
 
+  test("zone maps prune appended roots for changeSince, PK reads, deletes") {
+    import graft.core.{Manifest, SegmentStats}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-zone")))
+    val base = 1700000000L
+    def batch(i: Int) = spark.range(i * 100L, (i + 1) * 100L).toDF("id")
+      .withColumn("v", concat(lit("r"), col("id")))
+      .withColumn("_timestamp", timestamp_seconds(lit(base + i * 3600L)))
+    store.createTable("p", "b", "t", batch(0).schema, primaryKey = Seq("id"))
+    (0 until 8).foreach(i => store.append("p", "b", "t", batch(i)))
+
+    // every appended root carries id + _timestamp zone maps
+    val meta0 = store.catalog.getTable("p", "b", "t").get
+    val m0 = Manifest.readFrom(store.catalog.versionDir(meta0)).get
+    assert(m0.entries.size == 8)
+    assert(m0.entries.forall(e =>
+      e.stats.contains("id") && e.stats.contains("_timestamp")))
+
+    def scannedRoots(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.size
+      }.sum
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+
+    // changeSince covering the last two append windows plans 2 roots
+    val sinceSecs = (base + 6 * 3600L).toString
+    val sinceBounds = SegmentStats.bound(
+      "_timestamp", SegmentStats.Ge, sinceSecs, TimestampType, zone).toSeq
+    val since = store.readPruned("p", "b", "t", sinceBounds)
+    assert(scannedRoots(since) == 2, s"planned ${scannedRoots(since)} roots")
+    assert(since.filter(graft.engine.query.FilterAlgebra
+      .changeSince("_timestamp", sinceSecs)).count() == 200)
+
+    // a PK point lookup plans exactly the one root holding the id range
+    val pkBounds = Seq(
+      SegmentStats.bound("id", SegmentStats.Ge, "427", LongType, zone).get,
+      SegmentStats.bound("id", SegmentStats.Le, "427", LongType, zone).get)
+    val pk = store.readPruned("p", "b", "t", pkBounds)
+    assert(scannedRoots(pk) == 1)
+    assert(pk.filter(col("id") === 427L).count() == 1)
+
+    // a scoped delete rewrites ONLY the overlapping root; the other
+    // seven survive as the same physical paths
+    store.deleteWhere("p", "b", "t",
+      col("_timestamp") >= timestamp_seconds(lit(base + 7 * 3600L)),
+      SegmentStats.bound(
+        "_timestamp", SegmentStats.Ge, (base + 7 * 3600L).toString,
+        TimestampType, zone).toSeq)
+    val meta1 = store.catalog.getTable("p", "b", "t").get
+    val m1 = Manifest.readFrom(store.catalog.versionDir(meta1)).get
+    val survivors = m0.entries.map(_.path).toSet intersect m1.entries.map(_.path).toSet
+    assert(survivors.size == 7, s"${survivors.size} roots survived the delete")
+    assert(store.read("p", "b", "t").count() == 700)
+  }
+
   test("auto-compaction folds the manifest once it exceeds the threshold") {
     val store = new TableStore(spark,
       new StorageCatalog(Files.createTempDirectory("graft-cmp")),
