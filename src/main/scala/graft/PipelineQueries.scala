@@ -560,6 +560,26 @@ object PipelineQueries {
              |  hex(substring(text, 1, 8)::BLOB) AS head_hex
              |FROM documents ORDER BY asset_id""".stripMargin)),
 
+    // REAL image decode end-to-end: synthesize one PNG per doc with
+    // dimensions derived from the id, decode with javax.imageio, report
+    // what the raster actually says. The oracle predicts the dimensions
+    // from the id — a wrong decoder (or a stub) cannot match it.
+    Q("x33_image_decode",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+          .filter(col("doc_id") < 2000)
+        val assets = Multimodal.syntheticImageAssets(s, docs, "doc_id")
+        Multimodal.imageFeatures(s, assets).toDF()
+          .select("asset_id", "width", "height", "channels")
+          .orderBy("asset_id")
+      },
+      Some("""SELECT doc_id AS asset_id,
+             |  CAST(16 + doc_id % 32 AS INT) AS width,
+             |  CAST(16 + (doc_id * 7) % 32 AS INT) AS height,
+             |  CAST(3 AS INT) AS channels
+             |FROM documents WHERE doc_id < 2000
+             |ORDER BY asset_id""".stripMargin)),
+
     // dedup CLUSTERS: connected components over the simhash near-dup
     // pairs — every doc labeled with min reachable doc id (keep-one-per-
     // cluster = doc_id = cluster_id). Oracle: recursive transitive

@@ -7,32 +7,38 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: opaque binary payloads + typed metadata,
-  * with a batched per-partition "decode / feature-extract" stage.
+  * with batched per-partition decode / feature-extract / resize stages.
   *
-  * The real decode (image/audio codecs) is STUBBED — the container has no
-  * media libraries — but everything Spark-side is real and tested: the
-  * binary column schema, the partition-wise batched iteration (the Scala
-  * analog of mapInPandas: one buffer per partition, not per row), and the
-  * deterministic feature extraction used as the stand-in so results are
-  * oracle-checkable (byte length, md5, head-bytes hex).
+  * IMAGE decode is REAL: `javax.imageio` ships with the JDK (pure JVM,
+  * no native codecs needed) and reads PNG/JPEG/GIF/BMP, so
+  * [[imageFeatures]] reports actual width/height/channels and
+  * [[resizeImages]] actually rescales pixels and re-encodes. Only VIDEO
+  * frame extraction remains a stub ([[frameSampleStub]]) — no video
+  * codec exists in the JDK — with the Spark-side plumbing (one row
+  * exploding to N frame rows, map-side) kept real.
   *
   * At scale: assets ride as BinaryType columns inside Parquet row groups;
   * decode is a map-side mapPartitions with zero shuffle, so it scales with
-  * executors and never touches the driver.
+  * executors and never touches the driver. The per-partition closure pays
+  * codec/setup cost once per batch, the Scala analog of mapInPandas.
   */
 object Multimodal {
 
-  /** A decoded-asset feature row (what a real decoder would emit:
-    * dimensions/duration/etc.; here deterministic stand-ins). */
+  /** Byte-level features of any asset (media-agnostic: length, digest,
+    * magic bytes) — the cheap first-pass profile of a binary column. */
   final case class AssetFeatures(
       asset_id: Long,
       n_bytes: Long,
       content_md5: String,
-      head_hex: String,
-      // STUB fields — a real image decoder would fill these from pixels;
-      // deterministic fakes derived from the payload keep tests meaningful.
-      fake_width: Int,
-      fake_height: Int)
+      head_hex: String)
+
+  /** Decoded-image features; non-image payloads yield (-1, -1, -1). */
+  final case class ImageFeatures(
+      asset_id: Long,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      channels: Int)
 
   /** Wrap a string column as a binary "asset" payload with metadata.
     * (Models media blobs; in production the bytes come from files.) */
@@ -44,22 +50,94 @@ object Multimodal {
         length(col(payloadCol)).cast(LongType).as("n_bytes"),
         lit("text/plain").as("mime")).as("meta"))
 
-  final case class ResizedAsset(asset_id: Long, content: Array[Byte],
-      n_bytes: Long, mime: String)
+  /** Deterministic RGB PNG of the given size: pixel (x,y) is a fixed
+    * mix of (seed, x, y), so the same call always produces the same
+    * bytes — synthetic image assets for tests and oracle queries. */
+  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (seed * 31 + y.toLong * w + x) * 2654435761L
+        img.setRGB(x, y, (v & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
-  /** STUB "resize": a real image resize needs a codec; the Spark-side
-    * contract it models is real — binary in, binary out, metadata updated,
-    * pure per-partition map (no shuffle). Stand-in: keep every k-th byte,
-    * so tests can assert exact output shapes. */
-  def resizeStub(spark: SparkSession, assets: DataFrame,
-      factor: Int): Dataset[ResizedAsset] = {
-    require(factor > 0)
+  /** One synthetic PNG asset per input row, dimensions derived from the
+    * id (width = 16 + id%32, height = 16 + (7*id)%32) — an oracle can
+    * predict the decoded dimensions without decoding anything. */
+  def syntheticImageAssets(spark: SparkSession, df: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType)).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache churn
+      ids.map { id =>
+        val w = 16 + (id % 32).toInt
+        val h = 16 + ((id * 7) % 32).toInt
+        (id, syntheticPng(id, w, h))
+      }
+    }.toDF("asset_id", "content")
+  }
+
+  /** REAL image decode, batched per partition: width/height from the
+    * raster, channels from the color model. Payloads no installed
+    * ImageIO reader recognizes (plain text, truncated files) decode to
+    * (-1, -1, -1) instead of failing the job — a 100 TB corpus always
+    * contains garbage rows. */
+  def imageFeatures(spark: SparkSession,
+      assets: DataFrame): Dataset[ImageFeatures] = {
     import spark.implicits._
     assets.select("asset_id", "content").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, bytes) =>
-          val out = bytes.grouped(factor).map(_.head).toArray
-          ResizedAsset(id, out, out.length.toLong, s"bin/resized;f=$factor")
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) ImageFeatures(id, bytes.length.toLong, -1, -1, -1)
+          else ImageFeatures(id, bytes.length.toLong, img.getWidth,
+            img.getHeight, img.getColorModel.getNumComponents)
+        }
+      }
+  }
+
+  final case class ResizedAsset(asset_id: Long, content: Array[Byte],
+      n_bytes: Long, mime: String)
+
+  /** REAL image resize: decode, rescale onto a target-size RGB canvas,
+    * re-encode as PNG. Pure per-partition map, no shuffle; non-image
+    * payloads are dropped (flatMap None). */
+  def resizeImages(spark: SparkSession, assets: DataFrame,
+      targetW: Int, targetH: Int): Dataset[ResizedAsset] = {
+    require(targetW > 0 && targetH > 0)
+    import spark.implicits._
+    assets.select("asset_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) None
+          else {
+            val out = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try g.drawImage(img, 0, 0, targetW, targetH, null)
+            finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            val b = bos.toByteArray
+            Some(ResizedAsset(id, b, b.length.toLong, "image/png"))
+          }
         }
       }
   }
@@ -67,10 +145,11 @@ object Multimodal {
   final case class Frame(asset_id: Long, frame_no: Int, offset: Long,
       frame_bytes: Array[Byte])
 
-  /** STUB "frame sampling": models video -> every-nth-frame extraction.
-    * Real plumbing: one input row explodes to N frame rows (flatMap over
-    * partitions, no driver involvement); the "frame" is a fixed-size byte
-    * window — a codec would decode real frames. */
+  /** STUB "frame sampling": models video -> every-nth-frame extraction
+    * (the JDK has no video codec). Real plumbing: one input row explodes
+    * to N frame rows (flatMap over partitions, no driver involvement);
+    * the "frame" is a fixed-size byte window — a codec would decode real
+    * frames. */
   def frameSampleStub(spark: SparkSession, assets: DataFrame,
       frameSize: Int, everyNth: Int): Dataset[Frame] = {
     import spark.implicits._
@@ -82,8 +161,8 @@ object Multimodal {
       }
   }
 
-  /** Batched per-partition feature extraction (mapPartitions — the Scala
-    * analog of a pandas-batched UDF). The decode itself is the stub. */
+  /** Batched per-partition byte-level feature extraction (mapPartitions —
+    * the Scala analog of a pandas-batched UDF). */
   def extractFeatures(spark: SparkSession, assets: DataFrame): Dataset[AssetFeatures] = {
     import spark.implicits._
     assets.select("asset_id", "content").as[(Long, Array[Byte])]
@@ -95,10 +174,7 @@ object Multimodal {
           md.reset()
           val digest = md.digest(bytes).map("%02x".format(_)).mkString
           val headHex = bytes.take(8).map("%02X".format(_)).mkString
-          // STUB decode: derive fake dimensions deterministically
-          val w = 16 + (bytes.length % 64)
-          val h = 16 + (math.abs(bytes.foldLeft(0)(_ * 31 + _)) % 64)
-          AssetFeatures(id, bytes.length.toLong, digest, headHex, w, h)
+          AssetFeatures(id, bytes.length.toLong, digest, headHex)
         }
       }
   }

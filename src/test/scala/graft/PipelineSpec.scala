@@ -181,19 +181,37 @@ class PipelineSpec extends SparkSpec {
     val viaSql = assets.select(col("asset_id"), md5(col("content")).as("m"))
       .as[(Long, String)].collect().toMap
     a.foreach(f => assert(viaSql(f.asset_id) == f.content_md5))
-    a.foreach(f => assert(f.fake_width >= 16 && f.fake_height >= 16))
   }
 
-  test("multimodal resize/frame-sample stubs: real plumbing, exact shapes") {
-    val docs = Tables.df(spark, sfDir, "documents").limit(10)
-    val assets = Multimodal.toAssets(docs, "doc_id", "text")
-    val sizes = assets.select(col("asset_id"),
-      length(col("content")).as("n")).as[(Long, Int)].collect().toMap
-    val resized = Multimodal.resizeStub(spark, assets, 4).collect()
-    resized.foreach { r =>
-      assert(r.n_bytes == (sizes(r.asset_id) + 3) / 4) // ceil(n/4)
+  test("image decode: real dimensions/channels from generated PNGs") {
+    val docs = Tables.df(spark, sfDir, "documents").limit(20)
+    val assets = Multimodal.syntheticImageAssets(spark, docs, "doc_id")
+    val feats = Multimodal.imageFeatures(spark, assets).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      assert(f.width == 16 + (f.asset_id % 32).toInt)
+      assert(f.height == 16 + ((f.asset_id * 7) % 32).toInt)
+      assert(f.channels == 3 && f.n_bytes > 0)
     }
-    val frames = Multimodal.frameSampleStub(spark, assets, 32, 2).collect()
+    // garbage bytes decode to the sentinel, not an exception
+    val junk = Multimodal.toAssets(docs, "doc_id", "text")
+    assert(Multimodal.imageFeatures(spark, junk).collect()
+      .forall(f => f.width == -1 && f.height == -1 && f.channels == -1))
+  }
+
+  test("image resize re-encodes to the target dimensions; video stub") {
+    val docs = Tables.df(spark, sfDir, "documents").limit(10)
+    val assets = Multimodal.syntheticImageAssets(spark, docs, "doc_id")
+    val resized = Multimodal.resizeImages(spark, assets, 8, 6)
+    val back = Multimodal.imageFeatures(spark, resized.toDF()).collect()
+    assert(back.length == 10)
+    back.foreach(f => assert(f.width == 8 && f.height == 6 && f.channels == 3))
+    // non-images are dropped, not crashed on
+    val junk = Multimodal.toAssets(docs, "doc_id", "text")
+    assert(Multimodal.resizeImages(spark, junk, 8, 6).count() == 0)
+    // video frame sampling stays a stub (no JDK video codec): byte-window
+    // frames with exact shapes, exploded map-side
+    val frames = Multimodal.frameSampleStub(spark, junk, 32, 2).collect()
     assert(frames.nonEmpty)
     frames.foreach { f =>
       assert(f.frame_no % 2 == 0 && f.frame_bytes.length <= 32 &&
