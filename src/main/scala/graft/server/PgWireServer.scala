@@ -43,10 +43,48 @@ final class PgWireServer(
     port: Int = 0,
     apiKey: Option[String] = None,
     timeoutSeconds: Int = 300,
-    maxRows: Int = Workspace.ExecuteQueryMaxRows) {
+    maxRows: Int = Workspace.ExecuteQueryMaxRows,
+    /** Answer SSLRequest with a real TLS upgrade (self-signed cert).
+      * false -> decline with 'N' (clients with sslmode=prefer fall back
+      * to cleartext, sslmode=require fails — a server without ssl). */
+    tls: Boolean = true) {
 
   private val apiKeys = new graft.engine.auth.ApiKeys(store.catalog)
   val credentials = new WorkspaceCredentials(store.catalog)
+
+  /** Self-signed TLS context, built lazily on the first SSLRequest: the
+    * keypair+cert come from the JDK's own keytool into a temp PKCS12
+    * keystore (no sun.security.* internals, no native deps) — the same
+    * trust model as the reference's auto-generated dev cert
+    * (src/pgwire_server.py:374-420). None when generation fails; the
+    * probe then degrades to 'N'. */
+  private lazy val sslContext: Option[javax.net.ssl.SSLContext] =
+    if (!tls) None
+    else try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-pgtls")
+      val ks = dir.resolve("server.p12")
+      val pw = java.util.UUID.randomUUID().toString
+      val keytool = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "keytool").toString
+      val p = new ProcessBuilder(keytool, "-genkeypair", "-alias", "pgwire",
+        "-keyalg", "RSA", "-keysize", "2048", "-validity", "3650",
+        "-dname", "CN=graft-pgwire", "-storetype", "PKCS12",
+        "-keystore", ks.toString, "-storepass", pw)
+        .redirectErrorStream(true).start()
+      p.waitFor()
+      if (!java.nio.file.Files.exists(ks)) None
+      else {
+        val keyStore = java.security.KeyStore.getInstance("PKCS12")
+        val in = java.nio.file.Files.newInputStream(ks)
+        try keyStore.load(in, pw.toCharArray) finally in.close()
+        val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+          javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+        kmf.init(keyStore, pw.toCharArray)
+        val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+        ctx.init(kmf.getKeyManagers, null, null)
+        Some(ctx)
+      }
+    } catch { case _: Exception => None }
 
   private val server = new ServerSocket(port)
   @volatile private var running = false
@@ -76,45 +114,63 @@ final class PgWireServer(
 
   // ------------------------------------------------------------ session
 
-  private def serve(sock: Socket): Unit = {
-    val in = new DataInputStream(sock.getInputStream)
-    val out = new DataOutputStream(sock.getOutputStream)
+  private def serve(sock0: Socket): Unit = {
+    var sock = sock0
+    var in = new DataInputStream(sock.getInputStream)
+    var out = new DataOutputStream(sock.getOutputStream)
     try {
-      startupPhase(in, out) match {
-        case None => () // auth failed; error already sent
-        case Some(session) =>
-          queryLoop(in, out, session)
+      // pre-startup probe loop: SSLRequest may UPGRADE the transport —
+      // answer 'S', TLS-handshake over the same socket, then read the
+      // real StartupMessage from inside the tunnel (postgres protocol
+      // flow; reference: src/pgwire_server.py:374-420)
+      var startupBody: Array[Byte] = null
+      var alive = true
+      while (alive && startupBody == null) {
+        val len = in.readInt()
+        val code = in.readInt()
+        code match {
+          case 80877103 => // SSLRequest
+            sslContext match {
+              case Some(ctx) =>
+                out.writeByte('S'); out.flush()
+                val ssl = ctx.getSocketFactory.createSocket(
+                  sock, sock.getInetAddress.getHostAddress, sock.getPort, true)
+                  .asInstanceOf[javax.net.ssl.SSLSocket]
+                ssl.setUseClientMode(false)
+                ssl.startHandshake()
+                sock = ssl
+                in = new DataInputStream(ssl.getInputStream)
+                out = new DataOutputStream(ssl.getOutputStream)
+              case None =>
+                out.writeByte('N'); out.flush()
+            }
+          case 80877104 => // GSSENCRequest -> decline
+            out.writeByte('N'); out.flush()
+          case 196608 => // protocol 3.0 startup
+            startupBody = new Array[Byte](len - 8)
+            in.readFully(startupBody)
+          case 80877102 => // CancelRequest: not tracked per-backend
+            alive = false
+          case other =>
+            sendError(out, "08P01", s"unsupported protocol code $other")
+            alive = false
+        }
       }
+      if (alive)
+        startupPhase(in, out, parseStartupParams(startupBody)) match {
+          case None => () // auth failed; error already sent
+          case Some(session) => queryLoop(in, out, session)
+        }
     } catch {
       case _: EOFException => ()
       case _: java.net.SocketException => ()
+      case _: javax.net.ssl.SSLException => () // failed handshake
     } finally sock.close()
   }
 
-  /** Handles SSL/GSSENC probes + StartupMessage + cleartext auth.
-    * Returns the mounted Spark session on success. */
-  private def startupPhase(in: DataInputStream,
-      out: DataOutputStream): Option[SparkSession] = {
-    var params = Map.empty[String, String]
-    var done = false
-    while (!done) {
-      val len = in.readInt()
-      val code = in.readInt()
-      code match {
-        case 80877103 | 80877104 => // SSLRequest | GSSENCRequest -> decline
-          out.writeByte('N'); out.flush()
-        case 196608 => // protocol 3.0 startup
-          val body = new Array[Byte](len - 8)
-          in.readFully(body)
-          params = parseStartupParams(body)
-          done = true
-        case 80877102 => // CancelRequest: not tracked per-backend; ignore
-          return None
-        case other =>
-          sendError(out, "08P01", s"unsupported protocol code $other")
-          return None
-      }
-    }
+  /** StartupMessage params -> cleartext auth -> mounted Spark session. */
+  private def startupPhase(in: DataInputStream, out: DataOutputStream,
+      params: Map[String, String]): Option[SparkSession] = {
     val user = params.getOrElse("user", "")
     val database = params.getOrElse("database", user)
     // AuthenticationCleartextPassword

@@ -25,13 +25,37 @@ class PgWireSpec extends SparkSpec {
 
   /** Tiny frontend: returns (tag, body) frames. */
   private final class Client(port: Int) {
-    val sock = new Socket("127.0.0.1", port)
-    val in = new DataInputStream(sock.getInputStream)
-    val out = new DataOutputStream(sock.getOutputStream)
+    var sock = new Socket("127.0.0.1", port)
+    var in = new DataInputStream(sock.getInputStream)
+    var out = new DataOutputStream(sock.getOutputStream)
 
     def sslProbe(): Char = {
       out.writeInt(8); out.writeInt(80877103); out.flush()
       in.read().toChar
+    }
+
+    /** Client half of the TLS upgrade after an 'S' probe answer
+      * (trust-all — the server cert is self-signed, like psql's default
+      * sslmode which doesn't verify). */
+    def upgradeTls(): Unit = {
+      val trustAll = new javax.net.ssl.X509TrustManager {
+        def checkClientTrusted(c: Array[java.security.cert.X509Certificate],
+            a: String): Unit = ()
+        def checkServerTrusted(c: Array[java.security.cert.X509Certificate],
+            a: String): Unit = ()
+        def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+          Array.empty
+      }
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, Array(trustAll), null)
+      val ssl = ctx.getSocketFactory.createSocket(
+        sock, "127.0.0.1", sock.getPort, true)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      ssl.setUseClientMode(true)
+      ssl.startHandshake()
+      sock = ssl
+      in = new DataInputStream(ssl.getInputStream)
+      out = new DataOutputStream(ssl.getOutputStream)
     }
 
     def startup(user: String, database: String): Unit = {
@@ -82,10 +106,10 @@ class PgWireSpec extends SparkSpec {
 
   test("startup, auth, SELECT over the wire; bad password rejected") {
     val server = new PgWireServer(spark, fixture(),
-      apiKey = Some("pgsecret")).start()
+      apiKey = Some("pgsecret"), tls = false).start()
     try {
       val c = new Client(server.boundPort)
-      assert(c.sslProbe() == 'N') // no TLS, like a server without ssl
+      assert(c.sslProbe() == 'N') // tls=false: a server without ssl
       c.startup("alice", "p")
       val (authTag, authBody) = c.frame()
       assert(authTag == 'R' &&
@@ -186,6 +210,31 @@ class PgWireSpec extends SparkSpec {
       assert(errFrames.map(_._1) == Seq('E')) // one error, describe skipped
       c.query("SELECT 1 AS one")
       assert(c.untilReady().count(_._1 == 'D') == 1)
+      c.close()
+    } finally server.stop()
+  }
+
+  test("SSLRequest upgrades to TLS; query runs inside the tunnel") {
+    val server = new PgWireServer(spark, fixture(),
+      apiKey = Some("pgsecret")).start() // tls on by default
+    try {
+      val c = new Client(server.boundPort)
+      assert(c.sslProbe() == 'S') // server accepts the upgrade
+      c.upgradeTls()
+      c.startup("alice", "p")
+      val (authTag, authBody) = c.frame()
+      assert(authTag == 'R' &&
+        java.nio.ByteBuffer.wrap(authBody).getInt == 3)
+      c.password("pgsecret")
+      val ok = c.untilReady()
+      assert(java.nio.ByteBuffer.wrap(ok.head._2).getInt == 0) // AuthOk
+      c.query("SELECT COUNT(*) AS n FROM geo_nation")
+      val frames = c.untilReady()
+      val row = frames.find(_._1 == 'D').get._2
+      val bb = java.nio.ByteBuffer.wrap(row)
+      bb.getShort; val l = bb.getInt
+      val v = new Array[Byte](l); bb.get(v)
+      assert(new String(v, StandardCharsets.UTF_8) == "25")
       c.close()
     } finally server.stop()
   }
