@@ -1,0 +1,30 @@
+package graft.server
+
+import java.util.concurrent.{Executors, TimeUnit}
+
+/** Periodic background maintenance on a single daemon thread — the
+  * counterpart of the reference's asyncio reaper loops (src/main.py:41-84,
+  * idempotency + stale-session cleanup). Each sweep is independent and
+  * exception-isolated: one failing sweep never kills the loop or the
+  * others. Sweeps are also run inline on their hot paths (TTL checks on
+  * access); the reaper's job is the idle server — staged uploads and
+  * session state get reclaimed even when no request ever arrives again. */
+final class Reaper(periodSeconds: Long)(sweeps: (() => Unit)*) {
+  private val exec = Executors.newSingleThreadScheduledExecutor(r => {
+    val t = new Thread(r, "graft-reaper")
+    t.setDaemon(true)
+    t
+  })
+
+  def start(): Reaper = {
+    exec.scheduleWithFixedDelay(() => runOnce(),
+      periodSeconds, periodSeconds, TimeUnit.SECONDS)
+    this
+  }
+
+  /** One pass over every sweep (also called directly by tests). */
+  def runOnce(): Unit =
+    sweeps.foreach(s => try s() catch { case _: Exception => () })
+
+  def stop(): Unit = { exec.shutdownNow(); () }
+}

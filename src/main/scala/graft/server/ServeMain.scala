@@ -41,6 +41,9 @@ object ServeMain {
     val grpc = new GrpcDriverServer(spark, store,
       secret => apiKey.forall(_ == secret))
     val grpcBound = grpc.start(grpcPort)
+    // background maintenance: staged-upload TTL, idle workspace sessions,
+    // idempotency-cache expiry — reclaimed even while the server is idle
+    new Reaper(60)(() => server.maintain()).start()
     println(s"graft sql server listening on :${server.boundPort} " +
       s"(pg-wire :${pg.boundPort}, grpc :$grpcBound, root=$root)")
     Thread.currentThread().join() // serve until interrupted

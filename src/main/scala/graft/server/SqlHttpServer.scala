@@ -90,6 +90,21 @@ final class SqlHttpServer(
 
   def boundPort: Int = server.getAddress.getPort
 
+  /** One background maintenance sweep: staged-upload TTLs (both file
+    * registries), idle workspace sessions, idempotency-cache expiry.
+    * Every one of these is also enforced inline on its hot path; the
+    * sweep exists so an IDLE server reclaims disk and state too
+    * (reference: the async reaper loops in src/main.py:41-84). Driven
+    * periodically by [[Reaper]] from ServeMain. */
+  def maintain(): Unit = {
+    files.expireSessions()
+    storageApi.files.expireSessions()
+    mgr.reapIdle()
+    val now = System.currentTimeMillis()
+    idemCache.entrySet().removeIf(e => now - e.getValue.at > IdempotencyTtlMs)
+    ()
+  }
+
   // --------------------------------------------------------- handlers
 
   server.createContext("/health", (ex: HttpExchange) => handle(ex) {

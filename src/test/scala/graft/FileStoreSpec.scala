@@ -86,6 +86,24 @@ class FileStoreSpec extends SparkSpec {
     assertThrows[NoSuchElementException](fs.register(s.key))
   }
 
+  test("background reaper collects an expired staged file with no API call") {
+    val (_, fs) = fixture()
+    // staged 25 hours ago: the 24 h TTL has already lapsed by "now"
+    val t0 = Instant.now.minusSeconds(25 * 3600)
+    val s = fs.prepare("p", "orphan.csv", now = t0)
+    val staged = fs.uploadStream(s.key,
+      new java.io.ByteArrayInputStream("a,b\n1,2\n".getBytes("UTF-8")),
+      now = t0.plusSeconds(60))
+    val path = staged.stagingPath.get
+    assert(Files.exists(path))
+    // the reaper's periodic sweep — NOT an API access — reclaims it
+    val reaper = new graft.server.Reaper(3600)(() => fs.expireSessions())
+    reaper.runOnce()
+    reaper.stop()
+    assert(!Files.exists(path), "staging file should be reaped")
+    assert(fs.sessionProject(s.key).isEmpty, "session should be gone")
+  }
+
   test("staged file id drives an import through the command registry") {
     val (store, _) = fixture()
     val api = new graft.api.StorageApi.Handler(spark, store)
