@@ -7,9 +7,9 @@ import java.nio.file.{Files, Path}
   * `path` is relative to the catalog root (so manifests stay valid when the
   * whole store moves, and branch manifests can reference main's segments).
   * `bucket` is the PK-hash bucket this leaf holds (`-1` for an unbucketed
-  * root). A bucketed leaf points at one `__gb=k` partition directory; the
-  * bucket id lives only here — it is derivable from the PK, so it is never
-  * stored in the data files.
+  * root). A bucketed leaf points at one Spark bucket FILE (the id is also
+  * encoded in the file name by Spark's bucketed writer, which is what
+  * lets workspaces mount the layout as a real `CLUSTERED BY` table).
   *
   * `stats` holds the root's zone map: canonical min/max strings per
   * tracked column (PK + `_timestamp`), harvested from parquet footers at
@@ -25,9 +25,11 @@ final case class ManifestEntry(path: String, bucket: Int,
   * `INSERT INTO` append (reference: src/routers/table_import.py:185-206),
   * expressed as file-set metadata the way table formats do it.
   *
-  * `numBuckets > 0` means every entry is a PK-hash bucket leaf
-  * (`pmod(xxhash64(bucketKeys), numBuckets)`), which lets upsert touch only
-  * the buckets staging hashes into. `numBuckets == 0` is a plain file list.
+  * `numBuckets > 0` means every entry is a PK-hash bucket leaf — assigned
+  * by Spark's own bucketing hash (`pmod(murmur3(bucketKeys), numBuckets)`)
+  * so the layout doubles as a mountable Spark bucketed table — which lets
+  * upsert touch only the buckets staging hashes into. `numBuckets == 0` is
+  * a plain file list.
   */
 final case class Manifest(
     entries: Seq[ManifestEntry], numBuckets: Int, bucketKeys: Seq[String]) {

@@ -251,6 +251,18 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
     overwrite(dp, destBucket, destTable, df)
   }
 
+  /** Current-version manifest, if the version has one (legacy plain
+    * versions don't). Paths inside are catalog-root-relative; resolve
+    * with [[absolutePathOf]]. */
+  def currentManifest(project: String, bucket: String, table: String,
+      branch: Option[String] = None): Option[Manifest] = {
+    val (_, vdir) = catalog.resolveForRead(project, bucket, table, branch)
+    Manifest.readFrom(vdir)
+  }
+
+  def absolutePathOf(entry: ManifestEntry): Path =
+    catalog.root.resolve(entry.path)
+
   /** Physical data roots of the current version (manifest entries, or the
     * version dir itself for legacy plain versions). */
   def dataPaths(project: String, bucket: String, table: String,
@@ -634,26 +646,54 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
     ManifestEntry(relPath(seg), -1, stats)
   }
 
+  /** Bucket assignment = Spark's OWN bucketing function
+    * (`HashPartitioning.partitionIdExpression`: pmod(murmur3, n)), so the
+    * store's layout IS a Spark bucketed layout — workspaces can mount a
+    * bucketed table with truthful `CLUSTERED BY` metadata and PK-PK joins
+    * plan with zero Exchange on both sides. */
   private def bucketExpr(keys: Seq[String], numBuckets: Int): Column =
-    pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int")
+    pmod(org.apache.spark.sql.functions.hash(keys.map(col): _*),
+      lit(numBuckets)).cast("int")
 
-  /** Write `df` hive-partitioned by PK-hash bucket and return one manifest
-    * leaf per non-empty bucket. The bucket column is stripped by
-    * `partitionBy` — bucket identity lives in the manifest only. */
+  /** Spark bucket-file suffix: part-...-uuid_00003.c000.snappy.parquet. */
+  private val BucketFileId = "_([0-9]{5})\\.".r
+
+  /** Bucket id encoded in a Spark bucketed-write file name, if any. */
+  def bucketIdOfFile(name: String): Option[Int] =
+    BucketFileId.findFirstMatchIn(name).map(_.group(1).toInt)
+
+  /** Write `df` as a NATIVE Spark bucketed layout (one segment, bucket id
+    * in each file name) and return one manifest entry per bucket file.
+    * The pre-write repartition uses the identical partitionIdExpression,
+    * so every bucket lands as exactly ONE file regardless of input
+    * parallelism — bounded file counts under append-heavy load, and a
+    * layout `CLUSTERED BY` table metadata can describe honestly. The
+    * transient saveAsTable registration is how Spark materializes
+    * bucketed files; the external table entry is dropped immediately
+    * (files stay — LOCATION was set). */
   private def writeBucketedSegment(df: DataFrame, tableDir: Path,
       keys: Seq[String], numBuckets: Int,
       track: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): Seq[ManifestEntry] = {
     val seg = newSegmentDir(tableDir)
-    df.withColumn(BucketCol, bucketExpr(keys, numBuckets))
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(seg.toString)
+    val tmpTable =
+      s"graft_seg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    df.repartition(numBuckets, keys.map(col): _*)
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", seg.toString)
+      .saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE `$tmpTable`") // external: data files remain
     val children = Files.list(seg)
     try children.iterator().asScala
-      .filter(_.getFileName.toString.startsWith(s"$BucketCol="))
-      .map { leaf =>
-        val k = leaf.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
-        ManifestEntry(relPath(leaf), k,
-          SegmentStats.collect(leaf, track, spark.sparkContext.hadoopConfiguration))
-      }.toSeq.sortBy(_.bucket)
+      .flatMap { f =>
+        val name = f.getFileName.toString
+        if (!name.startsWith("part-")) None
+        else bucketIdOfFile(name).map { k =>
+          ManifestEntry(relPath(f), k,
+            SegmentStats.collect(f, track, spark.sparkContext.hadoopConfiguration))
+        }
+      }.toSeq.sortBy(e => (e.bucket, e.path))
     finally children.close()
   }
 

@@ -35,11 +35,92 @@ object Workspace {
       shufflePartitions: Int = DefaultWorkspaceShufflePartitions): SparkSession = {
     val session = spark.newSession()
     session.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
+    // per-session mount namespace: bucketed mounts register transient
+    // catalog tables under this prefix; closeSession reaps them
+    val sid = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong())
+    session.conf.set("graft.workspace.sid", sid)
     for (bucket <- buckets; meta <- store.catalog.listTables(project, bucket)) {
-      store.readWith(session, project, bucket, meta.table, branch)
-        .createOrReplaceTempView(s"${bucket}_${meta.table}")
+      val view = s"${bucket}_${meta.table}"
+      if (!mountBucketed(session, store, project, bucket, meta.table, branch,
+          view, sid))
+        store.readWith(session, project, bucket, meta.table, branch)
+          .createOrReplaceTempView(view)
     }
     session
+  }
+
+  /** Mount a manifest-bucketed table as a real Spark bucketed table so
+    * workspace SQL gets co-located joins: the store's bucket layout IS
+    * Spark's (same partitionIdExpression, bucket ids in file names), so a
+    * `CLUSTERED BY` external table over exactly the manifest's files is
+    * truthful metadata — a PK-PK join of two such mounts plans ZERO
+    * Exchange. The mount dir holds one symlink per manifest file (a
+    * metadata snapshot: concurrent commits don't change what this session
+    * reads, same isolation as the view mount). Falls back to a plain view
+    * mount (returns false) for unbucketed/legacy layouts.
+    *
+    * At cluster scale the same contract is served by a DSv2 relation
+    * reporting KeyGroupedPartitioning (storage-partitioned joins);
+    * symlink mounts are the single-node/POSIX realization. */
+  private def mountBucketed(session: SparkSession, store: TableStore,
+      project: String, bucket: String, table: String, branch: Option[String],
+      view: String, sid: String): Boolean =
+    store.currentManifest(project, bucket, table, branch) match {
+      case Some(m) if m.isBucketed && m.entries.nonEmpty &&
+          m.entries.forall(e => e.path.endsWith(".parquet") &&
+            store.bucketIdOfFile(
+              java.nio.file.Paths.get(e.path).getFileName.toString)
+              .contains(e.bucket)) =>
+        try {
+          val mountDir = java.nio.file.Files.createTempDirectory("graft-mnt")
+          m.entries.foreach { e =>
+            val target = store.absolutePathOf(e).toAbsolutePath.normalize
+            java.nio.file.Files.createSymbolicLink(
+              mountDir.resolve(target.getFileName.toString), target)
+          }
+          val meta = store.catalog.getTable(project, bucket, table)
+            .orElse(branch.flatMap(b =>
+              store.catalog.getBranchTable(project, b, bucket, table))).get
+          val schema = org.apache.spark.sql.types.StructType
+            .fromDDL(meta.schemaDdl)
+          val tbl = s"graft_mnt_${sid}_$view"
+          val keys = m.bucketKeys.map(k => s"`$k`").mkString(", ")
+          session.sql(
+            s"""CREATE TABLE `$tbl` (${schema.toDDL}) USING PARQUET
+               |CLUSTERED BY ($keys) SORTED BY ($keys)
+               |INTO ${m.numBuckets} BUCKETS
+               |LOCATION '${mountDir.toUri}'""".stripMargin)
+          session.sql(
+            s"CREATE OR REPLACE TEMPORARY VIEW `$view` AS SELECT * FROM `$tbl`")
+          true
+        } catch { case _: Exception => false } // fall back to a view mount
+      case _ => false
+    }
+
+  /** Drop this session's transient bucketed-mount tables (and their
+    * symlink dirs). Idempotent; plain view mounts need no cleanup (temp
+    * views die with the session object). */
+  def closeSession(session: SparkSession): Unit = {
+    val sid = session.conf.getOption("graft.workspace.sid").getOrElse("")
+    if (sid.nonEmpty) {
+      val prefix = s"graft_mnt_${sid}_"
+      session.catalog.listTables().collect()
+        .filter(_.name.startsWith(prefix)).foreach { t =>
+          try {
+            val loc = session.sessionState.catalog.getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(t.name)).location
+            session.sql(s"DROP TABLE IF EXISTS `${t.name}`")
+            val dir = java.nio.file.Paths.get(loc)
+            if (java.nio.file.Files.isDirectory(dir)) {
+              val s = java.nio.file.Files.list(dir)
+              try s.forEach(f => java.nio.file.Files.deleteIfExists(f))
+              finally s.close()
+              java.nio.file.Files.deleteIfExists(dir)
+            }
+          } catch { case _: Exception => () }
+        }
+    }
   }
 
   /** Result-fetch hard cap, enforced IN THE PLAN (a `LIMIT` on top of the

@@ -68,7 +68,11 @@ final class WorkspaceManager(
     ws
   }
 
-  def close(id: String): Boolean = sessions.remove(id) != null
+  def close(id: String): Boolean = {
+    val ws = sessions.remove(id)
+    if (ws != null) Workspace.closeSession(ws.session)
+    ws != null
+  }
 
   def get(id: String): Option[WsSession] = Option(sessions.get(id))
 
@@ -76,7 +80,10 @@ final class WorkspaceManager(
   def reapIdle(nowMs: Long = System.currentTimeMillis()): Int = {
     val dead = sessions.values.asScala
       .filter(ws => nowMs - ws.lastUsedMs > idleTimeoutMs).toList
-    dead.foreach(ws => sessions.remove(ws.id))
+    dead.foreach { ws =>
+      sessions.remove(ws.id)
+      Workspace.closeSession(ws.session)
+    }
     dead.size
   }
 

@@ -159,7 +159,9 @@ final class PgWireServer(
       if (alive)
         startupPhase(in, out, parseStartupParams(startupBody)) match {
           case None => () // auth failed; error already sent
-          case Some(session) => queryLoop(in, out, session)
+          case Some(session) =>
+            try queryLoop(in, out, session)
+            finally Workspace.closeSession(session) // reap bucketed mounts
         }
     } catch {
       case _: EOFException => ()

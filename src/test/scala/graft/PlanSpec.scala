@@ -78,6 +78,45 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Union"), "bucketed read still plans a Union")
   }
 
+  test("workspace PK join of co-bucketed mounts plans zero exchange") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val store = new graft.core.TableStore(spark,
+      new graft.core.StorageCatalog(
+        java.nio.file.Files.createTempDirectory("graft-cobucket")))
+    val o = graft.core.Tables.df(spark, sfDir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val o2 = o.withColumn("o_totalprice", col("o_totalprice") * lit(2.0))
+      .withColumnRenamed("o_totalprice", "p2")
+    store.createTable("p", "b", "t1", o.schema, Seq("o_orderkey"))
+    store.createTable("p", "b", "t2", o2.schema, Seq("o_orderkey"))
+    store.overwrite("p", "b", "t1", o)
+    store.overwrite("p", "b", "t2", o2)
+    // bucketed layout on the PK for both sides (8 buckets each)
+    store.upsert("p", "b", "t1", o.limit(1), Seq("o_orderkey"), numBuckets = 8)
+    store.upsert("p", "b", "t2", o2.limit(1), Seq("o_orderkey"), numBuckets = 8)
+    val session = graft.engine.workspace.Workspace.openSession(
+      spark, store, "p", Seq("b"))
+    try {
+      session.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = session.sql(
+        """SELECT sum(a.o_totalprice + b.p2) AS s
+          |FROM b_t1 a JOIN b_t2 b ON a.o_orderkey = b.o_orderkey
+          |""".stripMargin)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      // co-located: the bucketed scans feed the join with NO shuffle
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed mount join still shuffles:\n${plan.take(2000)}")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"scan is not bucketed:\n${plan.take(2000)}")
+      // correctness vs the plain DataFrame join
+      val expect = o.join(o2, "o_orderkey")
+        .agg(org.apache.spark.sql.functions.sum(
+          col("o_totalprice") + col("p2"))).collect()(0).getDouble(0)
+      assert(math.abs(joined.collect()(0).getDouble(0) - expect) < 1e-6)
+    } finally graft.engine.workspace.Workspace.closeSession(session)
+  }
+
   test("decontamination joins the eval grams by broadcast, never shuffling corpus grams") {
     val df = Queries.byName("x28_decontaminate").fn(spark, sfDir)
     df.collect() // finalize AQE

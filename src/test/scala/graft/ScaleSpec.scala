@@ -204,8 +204,9 @@ class ScaleSpec extends SparkSpec {
     assert(manifest1.isBucketed && manifest1.bucketKeys == pk)
     // second upsert: small staging -> only its hash buckets rewritten
     val stage2 = orders.limit(5).withColumn("o_totalprice", lit(2.0))
+    // same bucket function the store uses (Spark's partitionIdExpression)
     val touched = stage2.select(
-      pmod(xxhash64(col("o_orderkey")), lit(store.DefaultNumBuckets.toLong))
+      pmod(hash(col("o_orderkey")), lit(store.DefaultNumBuckets))
         .cast("int")).distinct().collect().map(_.getInt(0)).toSet
     store.upsert("p", "b", "o", stage2, pk)
     val manifest2 = graft.core.Manifest.readFrom(
