@@ -26,7 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 32g: the three-scale bench (sf0.1+sf1+sf3 in one JVM) carries GC
+  // debt between sections at 16g — single-pass sf3 numbers inflated up
+  // to 6x vs the same query isolated in a fresh JVM; headroom keeps the
+  // old gen from churning (the box has 128 GiB)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   // 32 executor threads hitting native gzip/snappy critical sections
   // starve allocations behind the GCLocker; the JDK default (2 retries)
   // surfaces as a spurious "Java heap space" OOM long before the heap

@@ -64,7 +64,11 @@ object StorageApi {
       columns: Seq[String] = Nil,
       filters: Seq[FilterAlgebra.WhereFilter] = Nil,
       where: Option[String] = None, limit: Option[Int] = None,
-      compression: Option[String] = None) extends Command
+      compression: Option[String] = None,
+      /** changeSince/changeUntil arrive structurally (not folded into
+        * `where`) so the export read can zone-map-prune roots. */
+      changeSince: Option[String] = None,
+      changeUntil: Option[String] = None) extends Command
   final case class DeleteRows(project: String, bucket: String, table: String,
       filters: Seq[FilterAlgebra.WhereFilter],
       changeSince: Option[String] = None,
@@ -219,10 +223,14 @@ object StorageApi {
         FilterAlgebra.compileAll(filters).foreach(f => df = df.filter(f))
         Rows(df.limit(math.min(math.max(limit, 1), PreviewMaxLimit)))
 
-      case ExportTable(p, b, t, path, format, columns, filters, where, limit, comp) =>
-        val df = Export.exportQuery(
-          store.readPruned(p, b, t, boundsFor(p, b, t, filters)),
-          columns, filters, where, limit)
+      case ExportTable(p, b, t, path, format, columns, filters, where,
+          limit, comp, since, until) =>
+        var base = store.readPruned(p, b, t,
+          boundsFor(p, b, t, filters, since, until))
+        (since.map(FilterAlgebra.changeSince("_timestamp", _)) ++
+          until.map(FilterAlgebra.changeUntil("_timestamp", _)))
+          .foreach(pred => base = base.filter(pred))
+        val df = Export.exportQuery(base, columns, filters, where, limit)
         format match {
           case "csv" => Export.toCsv(df, path, compression = comp)
           case "parquet" => Export.toParquet(df, path,

@@ -701,26 +701,19 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
       str(fp, 1), str(fp, 2), str(fp, 3), credentialsOf(sub(fs, 5)))
     val eo = sub(fs, 6)
     val ef = sub(eo, 4)
-    // changeSince/changeUntil ride the validated free-form WHERE channel
-    val temporal = Seq(
-      nonEmpty(str(ef, 4)).map(v => s"_timestamp >= ${tsLiteral(v)}"),
-      nonEmpty(str(ef, 5)).map(v => s"_timestamp <= ${tsLiteral(v)}")).flatten
+    // changeSince/changeUntil pass structurally so the export read can
+    // zone-map-prune roots (the handler applies the row filter too)
     handler.execute(StorageApi.ExportTable(p, b, t, url, "csv",
       columns = strs(eo, 2),
       filters = whereFilters(ef, 7),
-      where = if (temporal.isEmpty) None else Some(temporal.mkString(" AND ")),
       limit = Some(long(ef, 3)).filter(_ > 0).map(_.toInt),
-      compression = if (long(eo, 1) != 0) Some("gzip") else None))
+      compression = if (long(eo, 1) != 0) Some("gzip") else None,
+      changeSince = nonEmpty(str(ef, 4)),
+      changeUntil = nonEmpty(str(ef, 5))))
     logInfo(s"Exported $p/$b/$t")
     ("table.TableExportToFileResponse",
       new Writer().msg(1, tableInfoWriter(p, b, t)))
   }
-
-  /** epoch-seconds or timestamp-string literal, matching
-    * FilterAlgebra.parseTs's two accepted shapes. */
-  private def tsLiteral(v: String): String =
-    if (v.forall(_.isDigit)) s"timestamp_seconds($v)"
-    else s"CAST('${v.replace("'", "''")}' AS TIMESTAMP)"
 
   // ---------------------------------------------------- project lifecycle
 
