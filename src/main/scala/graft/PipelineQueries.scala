@@ -580,6 +580,32 @@ object PipelineQueries {
              |FROM documents WHERE doc_id < 2000
              |ORDER BY asset_id""".stripMargin)),
 
+    // REAL audio decode end-to-end: synthesize one WAV per doc (16-bit
+    // PCM square wave, amplitude/channels/length derived from the id),
+    // decode with javax.sound.sampled, report format + PCM stats. Square
+    // waves make peak and RMS exactly the amplitude, so the oracle
+    // predicts every decoded value in closed form from the id alone.
+    Q("x34_audio_decode",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+          .filter(col("doc_id") < 2000)
+        val assets = Multimodal.syntheticAudioAssets(s, docs, "doc_id")
+        Multimodal.audioFeatures(s, assets).toDF()
+          .select(col("asset_id"), col("sample_rate"), col("channels"),
+            col("n_frames"), round(col("duration_ms"), 4).as("duration_ms"),
+            col("peak"), round(col("rms"), 4).as("rms"))
+          .orderBy("asset_id")
+      },
+      Some("""SELECT doc_id AS asset_id,
+             |  CAST(8000 AS INT) AS sample_rate,
+             |  CAST(1 + doc_id % 2 AS INT) AS channels,
+             |  CAST(4000 + (doc_id * 13) % 4000 AS BIGINT) AS n_frames,
+             |  ROUND((4000 + (doc_id * 13) % 4000) / 8.0, 4) AS duration_ms,
+             |  CAST(500 + doc_id % 1500 AS INT) AS peak,
+             |  ROUND(CAST(500 + doc_id % 1500 AS DOUBLE), 4) AS rms
+             |FROM documents WHERE doc_id < 2000
+             |ORDER BY asset_id""".stripMargin)),
+
     // dedup CLUSTERS: connected components over the simhash near-dup
     // pairs — every doc labeled with min reachable doc id (keep-one-per-
     // cluster = doc_id = cluster_id). Oracle: recursive transitive

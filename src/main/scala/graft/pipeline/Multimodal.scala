@@ -12,7 +12,9 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: `javax.imageio` ships with the JDK (pure JVM,
   * no native codecs needed) and reads PNG/JPEG/GIF/BMP, so
   * [[imageFeatures]] reports actual width/height/channels and
-  * [[resizeImages]] actually rescales pixels and re-encodes. Only VIDEO
+  * [[resizeImages]] actually rescales pixels and re-encodes. AUDIO decode
+  * is REAL too: `javax.sound.sampled` reads WAV/AIFF/AU, so
+  * [[audioFeatures]] reports format and PCM-derived stats. Only VIDEO
   * frame extraction remains a stub ([[frameSampleStub]]) — no video
   * codec exists in the JDK — with the Spark-side plumbing (one row
   * exploding to N frame rows, map-side) kept real.
@@ -137,6 +139,102 @@ object Multimodal {
             javax.imageio.ImageIO.write(out, "png", bos)
             val b = bos.toByteArray
             Some(ResizedAsset(id, b, b.length.toLong, "image/png"))
+          }
+        }
+      }
+  }
+
+  /** Decoded-audio features; non-audio payloads yield all -1s. `rms` and
+    * `peak` are over raw PCM sample values across all channels. */
+  final case class AudioFeatures(
+      asset_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      duration_ms: Double,
+      peak: Int,
+      rms: Double)
+
+  /** Deterministic 16-bit PCM WAV: a square wave of amplitude `amp`
+    * flipping every 4 frames, identical in every channel. Square waves
+    * make the decoded features exact integers (peak = rms = amp), so an
+    * oracle can predict them without any audio library. */
+  def syntheticWav(amp: Int, channels: Int, nFrames: Int,
+      sampleRate: Int = 8000): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v = if (((i >> 2) & 1) == 0) amp else -amp
+      var c = 0
+      while (c < channels) {
+        val off = (i * channels + c) * 2
+        pcm(off) = (v & 0xff).toByte // little-endian
+        pcm(off + 1) = ((v >> 8) & 0xff).toByte
+        c += 1
+      }
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** One synthetic WAV asset per input row, parameters derived from the
+    * id (amp = 500 + id%1500, channels = 1 + id%2, frames =
+    * 4000 + 13*id % 4000) — an oracle predicts the decoded features in
+    * closed form; a stub decoder cannot match them. */
+  def syntheticAudioAssets(spark: SparkSession, df: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType)).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val amp = 500 + (id % 1500).toInt
+        val ch = 1 + (id % 2).toInt
+        val frames = 4000 + ((id * 13) % 4000).toInt
+        (id, syntheticWav(amp, ch, frames))
+      }
+    }.toDF("asset_id", "content")
+  }
+
+  /** REAL audio decode, batched per partition: format and frame count
+    * from the WAV header via `javax.sound.sampled` (pure JVM), peak and
+    * RMS computed over the decoded 16-bit PCM samples. Unrecognized or
+    * truncated payloads decode to all -1s instead of failing the job. */
+  def audioFeatures(spark: SparkSession,
+      assets: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    assets.select("asset_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val fmt = ais.getFormat
+              val nFrames = ais.getFrameLength
+              val pcm = ais.readAllBytes()
+              var peak = 0
+              var sumSq = 0.0
+              var n = 0
+              var off = 0
+              // 16-bit signed little-endian PCM, all channels interleaved
+              while (off + 1 < pcm.length) {
+                val v = ((pcm(off + 1) << 8) | (pcm(off) & 0xff)).toShort.toInt
+                if (math.abs(v) > peak) peak = math.abs(v)
+                sumSq += v.toDouble * v; n += 1
+                off += 2
+              }
+              val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+              AudioFeatures(id, fmt.getSampleRate.toInt, fmt.getChannels,
+                nFrames, nFrames * 1000.0 / fmt.getSampleRate, peak, rms)
+            } finally ais.close()
+          } catch {
+            case _: Exception => AudioFeatures(id, -1, -1, -1L, -1.0, -1, -1.0)
           }
         }
       }

@@ -199,6 +199,27 @@ class PipelineSpec extends SparkSpec {
       .forall(f => f.width == -1 && f.height == -1 && f.channels == -1))
   }
 
+  test("audio decode: real WAV format and PCM stats from generated assets") {
+    val docs = Tables.df(spark, sfDir, "documents").limit(20)
+    val assets = Multimodal.syntheticAudioAssets(spark, docs, "doc_id")
+    val feats = Multimodal.audioFeatures(spark, assets).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      val amp = 500 + (f.asset_id % 1500).toInt
+      assert(f.sample_rate == 8000)
+      assert(f.channels == 1 + (f.asset_id % 2).toInt)
+      assert(f.n_frames == 4000 + ((f.asset_id * 13) % 4000))
+      assert(f.duration_ms == f.n_frames / 8.0)
+      // square wave: every sample is +-amp, so peak == rms == amp exactly
+      assert(f.peak == amp)
+      assert(math.abs(f.rms - amp) < 1e-9, s"rms ${f.rms} != $amp")
+    }
+    // garbage bytes decode to the sentinel, not an exception
+    val junk = Multimodal.toAssets(docs, "doc_id", "text")
+    assert(Multimodal.audioFeatures(spark, junk).collect()
+      .forall(f => f.sample_rate == -1 && f.n_frames == -1L))
+  }
+
   test("image resize re-encodes to the target dimensions; video stub") {
     val docs = Tables.df(spark, sfDir, "documents").limit(10)
     val assets = Multimodal.syntheticImageAssets(spark, docs, "doc_id")
