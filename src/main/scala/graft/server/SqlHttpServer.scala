@@ -690,6 +690,22 @@ final class SqlHttpServer(
       ex.getResponseBody.write(bytes)
     })
 
+  // Self-contained ops dashboard over /metrics + /ops — the analog of
+  // the reference's duckdb-api-service/dashboard.html, rebuilt as a
+  // single file with zero external assets (the server may have no
+  // egress). The page itself carries no data; /ops fetches from it
+  // still require an API key when one is configured.
+  server.createContext("/dashboard", (ex: HttpExchange) =>
+    handleWith(ex, skipAuth = true) {
+      val in = getClass.getResourceAsStream("/dashboard.html")
+      val bytes =
+        try in.readAllBytes()
+        finally in.close()
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+    })
+
   server.createContext("/ops", (ex: HttpExchange) => handle(ex) {
     val n = parseQuery(ex.getRequestURI.getRawQuery)
       .get("limit").map(_.toInt).getOrElse(50)

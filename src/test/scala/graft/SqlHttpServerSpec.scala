@@ -75,6 +75,23 @@ class SqlHttpServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("dashboard serves the self-contained HTML without auth") {
+    val server = new SqlHttpServer(spark, fixture()).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    try {
+      val res = get(s"$base/dashboard")
+      assert(res.statusCode() == 200)
+      assert(res.headers().firstValue("Content-Type").orElse("")
+        .startsWith("text/html"))
+      val html = new String(res.body(), "UTF-8")
+      assert(html.contains("<html"))
+      // it reads the same endpoints the reference dashboard does
+      assert(html.contains("/metrics") && html.contains("/ops"))
+      // zero external assets: usable on a zero-egress box
+      assert(!html.contains("http://") && !html.contains("https://"))
+    } finally server.stop()
+  }
+
   test("arrow content negotiation round-trips typed results") {
     val server = new SqlHttpServer(spark, fixture()).start()
     val base = s"http://127.0.0.1:${server.boundPort}"
