@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Ratio table from graft.Bench's BENCH_FULL.json and bench_duckdb.py's
+output: per scale section, the strict name-intersection of queries both
+engines timed, their totals, the ratio, and the slowest per-query
+ratios. This is the computation BENCH_NOTES.md quotes — rerun it to
+reproduce any table there:
+
+  python3 tools/bench_compare.py BENCH_FULL.json /tmp/duck.json
+"""
+import json
+import sys
+
+
+def main():
+    bench = json.load(open(sys.argv[1]))
+    duck = json.load(open(sys.argv[2]))["queries"]
+
+    # graft.Bench sections: top-level "queries" is the SPARK_GRAFT_SF_DIR
+    # run (sf0.1 for the driver); "sf1"/"sf3" are nested sections.
+    sections = {bench.get("sf", "sf0.1"): bench["queries"]}
+    for k in ("sf1", "sf3"):
+        if isinstance(bench.get(k), dict) and "queries" in bench[k]:
+            sections[bench[k].get("dir", k)] = bench[k]["queries"]
+
+    # pair each bench section with the duck dir whose suffix matches
+    def duck_for(tag):
+        for d in duck:
+            if tag.split("/")[-1] in d or d.split("/")[-1] in tag:
+                return duck[d]
+        return None
+
+    for tag, squeries in sections.items():
+        dq = duck_for(tag)
+        if dq is None:
+            print(f"== {tag}: no matching DuckDB dir, skipped")
+            continue
+        common = sorted(set(squeries) & set(dq))
+        common = [q for q in common if squeries[q] >= 0 and dq[q] >= 0]
+        stot = sum(squeries[q] for q in common)
+        dtot = sum(dq[q] for q in common)
+        print(f"== {tag}: {len(common)} queries | "
+              f"Spark {stot:.1f} s | DuckDB {dtot:.1f} s | "
+              f"ratio {stot / dtot:.2f}x")
+        worst = sorted(common, key=lambda q: squeries[q] / max(dq[q], 1e-9),
+                       reverse=True)[:5]
+        for q in worst:
+            print(f"   {q}: {squeries[q]:.2f} / {dq[q]:.2f} = "
+                  f"{squeries[q] / max(dq[q], 1e-9):.1f}x")
+        heavy = [q for q in common if dq[q] >= 1.0]
+        if heavy:
+            s, d = (sum(squeries[q] for q in heavy), sum(dq[q] for q in heavy))
+            print(f"   DuckDB>=1s subset ({len(heavy)} queries): "
+                  f"Spark {s:.1f} s / DuckDB {d:.1f} s = {s / d:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

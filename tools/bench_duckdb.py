@@ -35,9 +35,15 @@ SKIP = {"x2_ngram_jaccard", "x3_minhash_lsh", "x13_embedding_neardup",
 # x19 closure oracle DNFs outright at 50k replicated docs)
 SKIP_REPLICATED = SKIP | {
     "x5_knn_cosine", "x6_ann_lsh", "x14_ann_ivf", "x15_quantized_knn",
-    "x1_exact_dedup", "x19_dedup_clusters", "x26_boilerplate_prune"}
+    "x1_exact_dedup", "x19_dedup_clusters", "x26_boilerplate_prune",
+    # same replica artifacts as graft.Bench's sf1Excluded: every replica
+    # of an eval doc is "contaminated" (x28); x30/x31 run the same
+    # recursive reach CTE as x19, which DNFs on the replica pair graph
+    "x28_decontaminate", "x30_leakage_safe_split", "x31_semantic_dedup"}
 
 PASSES = 3
+TIMEOUT_S = 300  # per query, enforced via con.interrupt() — a recursive
+                 # twin that exceeds this is recorded as -1, not waited out
 
 
 def bench_dir(oracle, sf_dir):
@@ -57,13 +63,21 @@ def bench_dir(oracle, sf_dir):
     for name, sql in sorted(oracle.items()):
         if name in skip:
             continue
-        try:
-            con.execute(sql).fetchall()  # warmup (I/O cache + plan)
-            best = None
-            for _ in range(PASSES):
+        def timed_run():
+            import threading
+            timer = threading.Timer(TIMEOUT_S, con.interrupt)
+            timer.start()
+            try:
                 t0 = time.time()
                 con.execute(sql).fetchall()
-                dt = time.time() - t0
+                return time.time() - t0
+            finally:
+                timer.cancel()
+        try:
+            timed_run()  # warmup (I/O cache + plan)
+            best = None
+            for _ in range(PASSES):
+                dt = timed_run()
                 best = dt if best is None else min(best, dt)
             out[name] = round(best, 4)
         except Exception as e:
