@@ -170,6 +170,22 @@ object Workspace {
       maxRows: Int = ExecuteQueryMaxRows): Array[org.apache.spark.sql.Row] =
     executeQueryWithSchema(session, sql, timeoutSeconds, maxRows)._1
 
+  /** EXPLAIN without execution: parse, then build the QueryExecution
+    * with `CommandExecutionMode.SKIP` so command plans (DDL/DML/CTAS)
+    * are planned but never eagerly run — `session.sql(...).explain`
+    * would execute them first (the same hazard the PG-wire Describe
+    * path avoids). Modes mirror Dataset.explain: simple / extended /
+    * codegen / cost / formatted. */
+  def explainQuery(session: SparkSession, sql: String,
+      mode: String = "formatted"): String = {
+    val plan = session.sessionState.sqlParser.parsePlan(sql)
+    val qe = new org.apache.spark.sql.execution.QueryExecution(
+      // QueryExecution takes the concrete session type in Spark 4
+      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan,
+      mode = org.apache.spark.sql.execution.CommandExecutionMode.SKIP)
+    qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+  }
+
   /** D11: workspace load — filtered CTAS from a stored table into a
     * workspace-local table (columns / where / limit subset). */
   def loadTable(session: SparkSession, store: TableStore, project: String,

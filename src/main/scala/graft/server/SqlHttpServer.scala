@@ -177,6 +177,21 @@ final class SqlHttpServer(
             respondJson(ex, 200, om.writeValueAsString(dfJson(rows, schema)))
           }
         }
+      case ("POST", id :: "explain" :: Nil) =>
+        // plan introspection: never executes (CommandExecutionMode.SKIP
+        // inside explainQuery), so explaining DDL/DML is side-effect-free
+        withSession(ex, id) { ws =>
+          requireAccess(ex, ws.project, write = false)
+          val body = om.readTree(ex.getRequestBody.readAllBytes())
+          val sql = reqField(body, "sql")
+          val mode = Option(body.get("mode")).map(_.asText)
+            .getOrElse("formatted")
+          ws.touch()
+          val root = om.createObjectNode()
+          root.put("mode", mode)
+          root.put("plan", Workspace.explainQuery(ws.session, sql, mode))
+          respondJson(ex, 200, om.writeValueAsString(root))
+        }
       case ("POST", id :: "load" :: Nil) =>
         withSession(ex, id) { ws =>
           requireAccess(ex, ws.project, write = false)

@@ -65,6 +65,12 @@ class SqlHttpServerSpec extends SparkSpec {
       val capped = post(s"$base/sessions/$sid/query",
         """{"sql":"SELECT * FROM geo_nation","maxRows":4}""")
       assert(om.readTree(capped.body()).get("rowCount").asInt == 4)
+      // plan introspection without execution
+      val ex1 = post(s"$base/sessions/$sid/explain",
+        """{"sql":"SELECT n_name FROM geo_nation WHERE n_regionkey = 1"}""")
+      assert(ex1.statusCode() == 200)
+      assert(om.readTree(ex1.body()).get("plan").asText
+        .contains("Physical Plan"))
       // close, then the session is gone
       val del = client.send(HttpRequest.newBuilder(
         URI.create(s"$base/sessions/$sid")).DELETE().build(),

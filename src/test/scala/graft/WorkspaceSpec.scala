@@ -40,6 +40,22 @@ class WorkspaceSpec extends SparkSpec {
     assert(rows.head.getLong(0) == 5)
   }
 
+  test("explainQuery shows the physical plan without executing") {
+    val store = storeWithCustomer()
+    val ws = Workspace.openSession(spark, store, "p", Seq("sales"))
+    // a query explain reaches the physical plan with pushdown evidence
+    val plan = Workspace.explainQuery(ws,
+      "SELECT c_name FROM sales_customer WHERE c_custkey = 7")
+    assert(plan.contains("Physical Plan"))
+    assert(plan.contains("PushedFilters") || plan.contains("Scan parquet"))
+    // explaining DDL/DML must not run it: the table must NOT exist after
+    val ddl = Workspace.explainQuery(ws,
+      "CREATE TABLE graft_explain_probe AS SELECT 1 AS x", mode = "simple")
+    assert(ddl.nonEmpty)
+    assert(!ws.catalog.tableExists("graft_explain_probe"),
+      "explain executed the CTAS")
+  }
+
   test("executeQuery times out and cancels the job group") {
     val store = storeWithCustomer()
     val ws = Workspace.openSession(spark, store, "p", Seq("sales"))
