@@ -289,10 +289,26 @@ object Cli {
         0
       } finally ctx.call("DELETE", s"/sessions/$sid")
 
+    case "explain" :: p :: sql :: Nil =>
+      // plan introspection through the same session surface as `query`;
+      // the server never executes the statement (analysis-only endpoint)
+      val sid = ctx.call("POST", "/sessions",
+        Some(s"""{"project":"$p","buckets":${bucketsOf(ctx, p)},"workspace":"cli"}"""))
+        .get("sessionId").asText
+      try {
+        val mode = flag("--mode").getOrElse("formatted")
+        val r = ctx.call("POST", s"/sessions/$sid/explain",
+          Some(ctx.om.createObjectNode().put("sql", sql)
+            .put("mode", mode).toString))
+        if (ctx.json) ctx.out.println(r.toString)
+        else ctx.out.println(r.get("plan").asText)
+        0
+      } finally ctx.call("DELETE", s"/sessions/$sid")
+
     case other =>
       ctx.err.println(
         s"""unknown command: ${other.mkString(" ")}
-           |usage: graft-cli <config|projects|buckets|tables|files|query> ...""".stripMargin)
+           |usage: graft-cli <config|projects|buckets|tables|files|query|explain> ...""".stripMargin)
       2
   }
 

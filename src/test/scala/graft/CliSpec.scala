@@ -70,6 +70,11 @@ class CliSpec extends SparkSpec {
         "SELECT COUNT(*) AS n FROM raw_items")
       assert(c6 == 0 && qOut.contains("4"), qOut)
 
+      // explain renders the physical plan without running the statement
+      val (cE, eOut) = runCli(base, "explain", "p",
+        "SELECT * FROM raw_items WHERE id = 1")
+      assert(cE == 0 && eOut.contains("Physical Plan"), eOut)
+
       // profile renders rows; files list shows the export object
       val (c7, profOut) = runCli(base, "tables", "profile", "p", "raw", "items")
       assert(c7 == 0 && profOut.nonEmpty)
