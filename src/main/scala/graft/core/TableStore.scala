@@ -178,7 +178,11 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
     * never a handler (proto/table.proto:513-525); here it falls naturally
     * out of the versioned-manifest layout. */
   def readVersion(project: String, bucket: String, table: String,
-      version: Int, branch: Option[String] = None): DataFrame = {
+      version: Int, branch: Option[String] = None): DataFrame =
+    readVersionWith(spark, project, bucket, table, version, branch)
+
+  def readVersionWith(session: SparkSession, project: String, bucket: String,
+      table: String, version: Int, branch: Option[String] = None): DataFrame = {
     val (meta, cvdir) = catalog.resolveForRead(project, bucket, table, branch)
     require(version >= 0 && version <= meta.version,
       s"version $version out of range [0, ${meta.version}]")
@@ -187,7 +191,28 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
       throw new NoSuchElementException(
         s"$project/$bucket/$table@v$version was garbage-collected " +
           s"(retention keeps $gcRetainVersions versions / ${gcRetainMillis}ms)")
-    loadVersionDir(spark, vdir, None)
+    loadVersionDir(session, vdir, None)
+  }
+
+  /** Newest retained version committed at or before `tsMillis` (version
+    * dirs are written once at commit, so their mtime IS the commit time).
+    * Resolves `TIMESTAMP AS OF` the way table formats do — against the
+    * commit log, not data contents. */
+  def versionAtTimestamp(project: String, bucket: String, table: String,
+      tsMillis: Long, branch: Option[String] = None): Int = {
+    val (_, cvdir) = catalog.resolveForRead(project, bucket, table, branch)
+    val versions = Files.list(cvdir.getParent)
+    val candidates =
+      try versions.iterator().asScala.toList
+        .filter(_.getFileName.toString.matches("v\\d+"))
+        .filter(d => Files.getLastModifiedTime(d).toMillis <= tsMillis)
+        .map(_.getFileName.toString.drop(1).toInt)
+      finally versions.close()
+    if (candidates.isEmpty)
+      throw new NoSuchElementException(
+        s"$project/$bucket/$table has no retained version at or before " +
+          s"timestamp ${java.time.Instant.ofEpochMilli(tsMillis)}")
+    candidates.max
   }
 
   /** Incremental change feed between two retained versions: the rows of

@@ -30,6 +30,25 @@ object Workspace {
     * concern on Spark (per-executor), noted for parity. */
   val DefaultWorkspaceShufflePartitions = 4
 
+  /** What a workspace view name points at in the store — consulted by
+    * the `VERSION/TIMESTAMP AS OF` analyzer rule
+    * (graft.plans.ResolveGraftTimeTravel) to resolve time travel over
+    * mounted views, keyed by the session's `graft.workspace.sid`. */
+  final case class MountReg(store: TableStore, project: String,
+      branch: Option[String], views: Map[String, (String, String)])
+  private val mountRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, MountReg]()
+
+  /** The (store, bucket, table) behind `view` in this session, if it is
+    * a workspace mount. */
+  def lookupMount(session: SparkSession,
+      view: String): Option[(MountReg, String, String)] =
+    for {
+      sid <- session.conf.getOption("graft.workspace.sid")
+      reg <- Option(mountRegistry.get(sid))
+      bt <- reg.views.get(view)
+    } yield (reg, bt._1, bt._2)
+
   def openSession(spark: SparkSession, store: TableStore, project: String,
       buckets: Seq[String], branch: Option[String] = None,
       shufflePartitions: Int = DefaultWorkspaceShufflePartitions): SparkSession = {
@@ -40,13 +59,16 @@ object Workspace {
     val sid = java.lang.Long.toHexString(
       java.util.concurrent.ThreadLocalRandom.current().nextLong())
     session.conf.set("graft.workspace.sid", sid)
+    val views = Map.newBuilder[String, (String, String)]
     for (bucket <- buckets; meta <- store.catalog.listTables(project, bucket)) {
       val view = s"${bucket}_${meta.table}"
+      views += view -> (bucket, meta.table)
       if (!mountBucketed(session, store, project, bucket, meta.table, branch,
           view, sid))
         store.readWith(session, project, bucket, meta.table, branch)
           .createOrReplaceTempView(view)
     }
+    mountRegistry.put(sid, MountReg(store, project, branch, views.result()))
     session
   }
 
@@ -104,6 +126,7 @@ object Workspace {
   def closeSession(session: SparkSession): Unit = {
     val sid = session.conf.getOption("graft.workspace.sid").getOrElse("")
     if (sid.nonEmpty) {
+      mountRegistry.remove(sid)
       val prefix = s"graft_mnt_${sid}_"
       session.catalog.listTables().collect()
         .filter(_.name.startsWith(prefix)).foreach { t =>

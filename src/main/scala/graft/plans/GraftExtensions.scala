@@ -1,0 +1,74 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.TimestampType
+
+import graft.engine.workspace.Workspace
+
+/** Session extensions — registered via
+  * `spark.sql.extensions=graft.plans.GraftExtensions` on every entry
+  * point, inherited by `newSession()` workspace sessions.
+  *
+  * Currently one rule: SQL time travel over workspace mounts. The
+  * reference registers a time-travel command but never a handler
+  * (proto/table.proto:513-525); here Spark's own parser already accepts
+  * `FROM t VERSION AS OF 3` / `TIMESTAMP AS OF '...'` (the DSv2 time
+  * travel grammar) and produces a [[RelationTimeTravel]] node — the rule
+  * resolves it against the store's versioned manifests, the idiomatic
+  * `SparkSessionExtensions` realization of the feature. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    // hint-resolution batch: runs BEFORE the main Resolution batch, so
+    // mounts are rewritten before Spark's ResolveRelations can reject
+    // time travel on a temp view
+    ext.injectHintResolutionRule(s => new ResolveGraftTimeTravel(s))
+}
+
+/** Resolves `RelationTimeTravel(workspace mount)` to the historical
+  * version's scan. Non-mount relations are left untouched for Spark's
+  * own resolution (which reports its usual unsupported error). */
+class ResolveGraftTimeTravel(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver)
+          if u.multipartIdentifier.length == 1 =>
+        Workspace.lookupMount(session, u.multipartIdentifier.head) match {
+          case Some((reg, bucket, table)) =>
+            val version = ver match {
+              case Some(v) =>
+                try v.toInt
+                catch {
+                  case _: NumberFormatException =>
+                    throw new IllegalArgumentException(
+                      s"VERSION AS OF expects an integer version, got '$v'")
+                }
+              case None =>
+                reg.store.versionAtTimestamp(reg.project, bucket, table,
+                  evalTimestampMillis(ts.get), reg.branch)
+            }
+            val df = reg.store.readVersionWith(session, reg.project,
+              bucket, table, version, reg.branch)
+            org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+              u.multipartIdentifier.head, df.queryExecution.analyzed)
+          case None => tt
+        }
+    }
+
+  /** Evaluate the parsed `TIMESTAMP AS OF` expression to epoch millis
+    * (it is a literal or foldable expression; cast through Spark's own
+    * timestamp semantics in the session timezone). */
+  private def evalTimestampMillis(e: Expression): Long = {
+    val cast = Cast(e, TimestampType,
+      Some(session.sessionState.conf.sessionLocalTimeZone))
+    require(cast.foldable, s"TIMESTAMP AS OF must be a constant: ${e.sql}")
+    val micros = cast.eval(null)
+    require(micros != null, s"TIMESTAMP AS OF evaluated to NULL: ${e.sql}")
+    micros.asInstanceOf[Long] / 1000L
+  }
+}

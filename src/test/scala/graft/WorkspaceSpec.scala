@@ -40,6 +40,38 @@ class WorkspaceSpec extends SparkSpec {
     assert(rows.head.getLong(0) == 5)
   }
 
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF over mounts") {
+    val store = storeWithCustomer()
+    val cust = Tables.df(spark, sfDir, "customer")
+    val v1Count = cust.count()
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    store.append("p", "sales", "customer", cust.limit(10)) // -> v2
+    val ws = Workspace.openSession(spark, store, "p", Seq("sales"))
+    try {
+      // current view sees the append; VERSION AS OF 1 sees the original
+      val now = Workspace.executeQuery(ws,
+        "SELECT COUNT(*) AS n FROM sales_customer").head.getLong(0)
+      assert(now == v1Count + 10)
+      val v1 = Workspace.executeQuery(ws,
+        "SELECT COUNT(*) AS n FROM sales_customer VERSION AS OF 1")
+        .head.getLong(0)
+      assert(v1 == v1Count)
+      // TIMESTAMP AS OF between the two commits resolves to v1
+      val ts = new java.sql.Timestamp(afterV1).toInstant.toString
+      val byTs = Workspace.executeQuery(ws,
+        s"SELECT COUNT(*) AS n FROM sales_customer TIMESTAMP AS OF '$ts'")
+        .head.getLong(0)
+      assert(byTs == v1Count)
+      // out-of-range version is a clear error, not a wrong answer
+      val err = intercept[Exception](Workspace.executeQuery(ws,
+        "SELECT COUNT(*) FROM sales_customer VERSION AS OF 99"))
+      assert(err.getMessage.contains("out of range"))
+      // non-mount relations keep Spark's own behavior
+      Workspace.executeQuery(ws, "SELECT 1").head // session still healthy
+    } finally Workspace.closeSession(ws)
+  }
+
   test("explainQuery shows the physical plan without executing") {
     val store = storeWithCustomer()
     val ws = Workspace.openSession(spark, store, "p", Seq("sales"))
