@@ -231,6 +231,12 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
     * incremental consumer reads O(commit), never O(table). */
   def changesBetween(project: String, bucket: String, table: String,
       fromVersion: Int, toVersion: Int,
+      branch: Option[String] = None): DataFrame =
+    changesBetweenWith(spark, project, bucket, table, fromVersion, toVersion,
+      branch)
+
+  def changesBetweenWith(session: SparkSession, project: String,
+      bucket: String, table: String, fromVersion: Int, toVersion: Int,
       branch: Option[String] = None): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
@@ -247,16 +253,16 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
     }
     val toDir = vdirOf(toVersion)
     if (fromVersion == toVersion)
-      return loadVersionDir(spark, toDir, None).limit(0)
+      return loadVersionDir(session, toDir, None).limit(0)
     val fromPaths: Set[String] =
       Manifest.readFrom(vdirOf(fromVersion)).map(_.entries.map(_.path).toSet)
         .getOrElse(Set.empty) // legacy plain version: no shared roots
     Manifest.readFrom(toDir) match {
-      case None => loadVersionDir(spark, toDir, None) // legacy: full replace
+      case None => loadVersionDir(session, toDir, None) // legacy: full replace
       case Some(m) =>
         val fresh = m.entries.filterNot(e => fromPaths.contains(e.path))
-        if (fresh.isEmpty) loadVersionDir(spark, toDir, None).limit(0)
-        else readRoots(spark, fresh.map(e => catalog.root.resolve(e.path)), None)
+        if (fresh.isEmpty) loadVersionDir(session, toDir, None).limit(0)
+        else readRoots(session, fresh.map(e => catalog.root.resolve(e.path)), None)
     }
   }
 

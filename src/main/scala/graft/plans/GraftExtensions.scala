@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{IntegerType, StringType, TimestampType}
 
 import graft.engine.workspace.Workspace
 
@@ -58,7 +58,42 @@ class ResolveGraftTimeTravel(session: SparkSession)
               u.multipartIdentifier.head, df.queryExecution.analyzed)
           case None => tt
         }
+
+      // table_changes('<mount>', fromVersion, toVersion): the manifest-
+      // diff incremental change feed as a SQL table-valued function —
+      // discovery is O(commit), never a table scan (TableStore
+      // .changesBetween). Unknown names fall through to Spark.
+      case tvf: UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase) == Seq("table_changes") &&
+            tvf.functionArgs.length == 3 =>
+        val view = evalConst(tvf.functionArgs.head, StringType,
+          "table_changes view name").toString
+        Workspace.lookupMount(session, view) match {
+          case Some((reg, bucket, table)) =>
+            val from = evalConst(tvf.functionArgs(1), IntegerType,
+              "table_changes fromVersion").asInstanceOf[Int]
+            val to = evalConst(tvf.functionArgs(2), IntegerType,
+              "table_changes toVersion").asInstanceOf[Int]
+            val df = reg.store.changesBetweenWith(session, reg.project,
+              bucket, table, from, to, reg.branch)
+            org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+              view, df.queryExecution.analyzed)
+          case None =>
+            throw new NoSuchElementException(
+              s"table_changes: '$view' is not a workspace mount")
+        }
     }
+
+  /** Evaluate a constant argument, cast to `dt`. */
+  private def evalConst(e: Expression, dt: org.apache.spark.sql.types.DataType,
+      what: String): Any = {
+    val cast = Cast(e, dt,
+      Some(session.sessionState.conf.sessionLocalTimeZone))
+    require(cast.foldable, s"$what must be a constant: ${e.sql}")
+    val v = cast.eval(null)
+    require(v != null, s"$what evaluated to NULL: ${e.sql}")
+    v
+  }
 
   /** Evaluate the parsed `TIMESTAMP AS OF` expression to epoch millis
     * (it is a literal or foldable expression; cast through Spark's own

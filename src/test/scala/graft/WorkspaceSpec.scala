@@ -67,6 +67,14 @@ class WorkspaceSpec extends SparkSpec {
       val err = intercept[Exception](Workspace.executeQuery(ws,
         "SELECT COUNT(*) FROM sales_customer VERSION AS OF 99"))
       assert(err.getMessage.contains("out of range"))
+      // table_changes TVF: the manifest-diff feed between two versions
+      val changed = Workspace.executeQuery(ws,
+        "SELECT COUNT(*) AS n FROM table_changes('sales_customer', 1, 2)")
+        .head.getLong(0)
+      assert(changed == 10, s"change feed saw $changed rows")
+      val noMount = intercept[Exception](Workspace.executeQuery(ws,
+        "SELECT * FROM table_changes('nope', 1, 2)"))
+      assert(noMount.getMessage.contains("not a workspace mount"))
       // non-mount relations keep Spark's own behavior
       Workspace.executeQuery(ws, "SELECT 1").head // session still healthy
     } finally Workspace.closeSession(ws)
