@@ -154,6 +154,37 @@ class PgWireSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("time travel and table_changes work over the wire") {
+    val store = fixture()
+    val nation = Tables.df(spark, sfDir, "nation")
+    store.append("p", "geo", "nation", nation.limit(5)) // -> v2
+    val server = new PgWireServer(spark, store,
+      apiKey = Some("pgsecret"), tls = false).start()
+    try {
+      val c = new Client(server.boundPort)
+      assert(c.sslProbe() == 'N')
+      c.startup("alice", "p")
+      c.frame(); c.password("pgsecret"); c.untilReady()
+
+      c.query("SELECT COUNT(*) AS n FROM geo_nation VERSION AS OF 1")
+      val v1 = c.untilReady()
+      val row = v1.find(_._1 == 'D').get._2
+      val bb = java.nio.ByteBuffer.wrap(row)
+      bb.getShort; val l = bb.getInt
+      val v = new Array[Byte](l); bb.get(v)
+      assert(new String(v, StandardCharsets.UTF_8) == nation.count().toString)
+
+      c.query("SELECT COUNT(*) AS n FROM table_changes('geo_nation', 1, 2)")
+      val feed = c.untilReady()
+      val row2 = feed.find(_._1 == 'D').get._2
+      val bb2 = java.nio.ByteBuffer.wrap(row2)
+      bb2.getShort; val l2 = bb2.getInt
+      val v2 = new Array[Byte](l2); bb2.get(v2)
+      assert(new String(v2, StandardCharsets.UTF_8) == "5")
+      c.close()
+    } finally server.stop()
+  }
+
   test("extended protocol: parse/bind/describe/execute with parameters") {
     val server = new PgWireServer(spark, fixture(),
       apiKey = Some("pgsecret")).start()
