@@ -510,6 +510,46 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
       else Manifest(Seq(writeSegment(df, tdir, Nil, track)), 0, Nil)
     }
 
+  /** Reclaim segment roots no retained manifest references — the disk a
+    * crashed import leaks (its segment was written, its commit never
+    * flipped the pointer). Commits already do this per-table (gc); this
+    * sweep covers the idle server, run from the background Reaper. Only
+    * roots older than `minAgeMillis` are touched — writes hold the table
+    * lock we take here, the age guard is belt-and-braces. Returns the
+    * number of roots removed. */
+  def sweepOrphans(minAgeMillis: Long = 60L * 60 * 1000L): Int = {
+    var removed = 0
+    for {
+      project <- catalog.listProjects
+      meta <- catalog.listTablesOfProject(project)
+    } {
+      val lock = catalog.lockFor(catalog.key(project, meta.bucket, meta.table))
+      lock.lock()
+      try {
+        val protectedSet = protectedPaths(project, meta.bucket, meta.table)
+        val contexts = (None: Option[String]) +:
+          catalog.branchesOf(project, meta.bucket, meta.table)
+            .map { case (b, _) => Some(b): Option[String] }
+        contexts.foreach { br =>
+          val segRoot =
+            tableDirOf(project, meta.bucket, meta.table, br).resolve("seg")
+          if (Files.exists(segRoot)) {
+            val segs = Files.list(segRoot)
+            val dead = try segs.iterator().asScala.toList.filter { p =>
+              val rel = relPath(p)
+              !protectedSet.exists(q => q == rel || q.startsWith(rel + "/")) &&
+                System.currentTimeMillis() -
+                  Files.getLastModifiedTime(p).toMillis > minAgeMillis
+            } finally segs.close()
+            dead.foreach(deleteRecursively)
+            removed += dead.size
+          }
+        }
+      } finally lock.unlock()
+    }
+    removed
+  }
+
   def dropTable(project: String, bucket: String, table: String): Unit = {
     val lock = catalog.lockFor(catalog.key(project, bucket, table))
     lock.lock()

@@ -102,6 +102,7 @@ final class SqlHttpServer(
     mgr.reapIdle()
     val now = System.currentTimeMillis()
     idemCache.entrySet().removeIf(e => now - e.getValue.at > IdempotencyTtlMs)
+    store.sweepOrphans() // crashed-import segments on an idle server
     ()
   }
 

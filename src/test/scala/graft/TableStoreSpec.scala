@@ -71,6 +71,27 @@ class TableStoreSpec extends SparkSpec {
     assert(n < 1000L, s"feed should be bucket-sized, got $n rows")
   }
 
+  test("sweepOrphans reclaims crashed-import segments, keeps live roots") {
+    val store = newStore()
+    val cust = Tables.df(spark, sfDir, "customer")
+    store.createTable("p", "b", "t", cust.schema)
+    store.overwrite("p", "b", "t", cust)
+    val n = store.read("p", "b", "t").count()
+    // simulate a crashed import: a segment dir written, never committed
+    val segRoot = store.catalog.tableDir("p", "b", "t", None).resolve("seg")
+    val orphan = segRoot.resolve("deadbeef-crashed-import")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    val live = Files.list(segRoot).count()
+    assert(store.sweepOrphans(minAgeMillis = 0) == 1)
+    assert(!Files.exists(orphan))
+    assert(Files.list(segRoot).count() == live - 1)
+    // the table still reads in full
+    assert(store.read("p", "b", "t").count() == n)
+    // nothing left to sweep; repeated sweeps are stable
+    assert(store.sweepOrphans(minAgeMillis = 0) == 0)
+  }
+
   test("concurrent same-table appends serialize without lost updates") {
     // the reference proves its per-table lock with concurrent imports
     // (tests/test_table_lock.py:125-193); here 8 threads race appends at
