@@ -1,0 +1,51 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+
+/** Executor-safe parquet row reading through Spark's OWN file format —
+  * the same reader stack FileSourceScanExec ships to executors, reused
+  * by graft's DSv2 streaming change-feed source. Lives in this package
+  * for visibility of the `private[sql]` datasource internals; no Spark
+  * logic is reimplemented here.
+  *
+  * The closure is built with vectorization OFF: the vectorized path
+  * yields ColumnarBatch behind an InternalRow-typed iterator (its
+  * consumer is expected to special-case it), which cannot cross a DSv2
+  * `PartitionReader[InternalRow]` boundary. The row-based parquet-mr
+  * path returns true rows. CDC batches are incremental, so the
+  * vectorized throughput delta is not the design point. */
+object ParquetRead {
+
+  /** A serializable `PartitionedFile => Iterator[InternalRow]` for
+    * `schema`-typed parquet files (whole-file splits). */
+  def rowReader(spark: SparkSession,
+      schema: StructType): PartitionedFile => Iterator[InternalRow] = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+    new ParquetFileFormat().buildReaderWithPartitionValues(
+      sparkSession = s,
+      dataSchema = schema,
+      partitionSchema = StructType(Nil),
+      requiredSchema = schema,
+      filters = Nil,
+      options = Map.empty,
+      hadoopConf = s.sessionState.newHadoopConf())
+  }
+
+  /** Whole-file PartitionedFile for the reader closure. */
+  def wholeFile(path: String, length: Long, mtimeMs: Long): PartitionedFile =
+    PartitionedFile(
+      partitionValues = InternalRow.empty,
+      filePath = SparkPath.fromPath(new Path(path)),
+      start = 0L,
+      length = length,
+      locations = Array.empty,
+      modificationTime = mtimeMs,
+      fileSize = length)
+}

@@ -105,6 +105,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == batchTotals)
   }
 
+  test("change-feed source streams each commit's rows by version offset") {
+    val store = new graft.core.TableStore(spark,
+      new graft.core.StorageCatalog(Files.createTempDirectory("graft-cdc")))
+    import spark.implicits._
+    val base = (1L to 100L).map(i => (i, s"base$i")).toDF("id", "s")
+    store.createTable("p", "b", "t", base.schema)
+    store.overwrite("p", "b", "t", base) // v1
+    val feed = spark.readStream.format("graft-changes")
+      .option("root", store.catalog.root.toString)
+      .option("project", "p").option("bucket", "b").option("table", "t")
+      .load()
+    assert(feed.isStreaming)
+    val q = feed.writeStream.format("memory").queryName("cdc_sink")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cdc-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdc_sink").count() == 100) // v1 state from v0
+      store.append("p", "b", "t",
+        (101L to 110L).map(i => (i, s"a$i")).toDF("id", "s")) // v2
+      q.processAllAvailable()
+      assert(spark.table("cdc_sink").count() == 110)
+      // exactly the appended rows arrived, values intact
+      assert(spark.table("cdc_sink").as[(Long, String)].collect().toSet ==
+        (1L to 100L).map(i => (i, s"base$i")).toSet ++
+          (101L to 110L).map(i => (i, s"a$i")).toSet)
+      store.append("p", "b", "t", Seq((111L, "b111")).toDF("id", "s")) // v3
+      q.processAllAvailable()
+      assert(spark.table("cdc_sink").count() == 111)
+    } finally q.stop()
+  }
+
   test("streaming ingest appends each micro-batch exactly once") {
     val store = new graft.core.TableStore(spark,
       new graft.core.StorageCatalog(Files.createTempDirectory("graft-ingest")))
