@@ -49,7 +49,12 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
       * this long even if several commits land during the read. Version-
       * count retention alone has a race: reader on v(n) + two commits →
       * v(n) deleted mid-scan. Set to 0 in tests that assert deletion. */
-    val gcRetainMillis: Long = 30L * 60 * 1000) {
+    val gcRetainMillis: Long = 30L * 60 * 1000,
+    /** Target pre-compression bytes per clustered data file (drives the
+      * range-partition count of clustered compaction; actual files land
+      * smaller after encoding). Lowered in tests to force multi-file
+      * clustered layouts on small data. */
+    val clusterFileTargetBytes: Long = 128L * 1024 * 1024) {
 
   import catalog.TableMeta
 
@@ -68,14 +73,49 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
   spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
   /** Columns whose zone maps are harvested at write time: primary key +
-    * the `_timestamp` system column, when present in the schema. */
-  private def trackedCols(schemaDdl: String,
-      primaryKey: Seq[String]): Map[String, org.apache.spark.sql.types.DataType] = {
+    * the `_timestamp` system column + any declared clustering columns,
+    * when present in the schema. */
+  private def trackedCols(schemaDdl: String, primaryKey: Seq[String],
+      clustering: Seq[String] = Nil): Map[String, org.apache.spark.sql.types.DataType] = {
     val schema = StructType.fromDDL(schemaDdl)
-    (primaryKey :+ "_timestamp").distinct
+    (primaryKey ++ clustering :+ "_timestamp").distinct
       .flatMap(c => schema.fields.find(_.name == c).map(f => f.name -> f.dataType))
       .toMap
   }
+
+  // ------------------------------------------------------- clustering
+
+  /** Declared clustering columns: the sort/range key [[compact]] lays a
+    * table out on, and an extra zone-map tracked set on every write. The
+    * analog of Delta's OPTIMIZE ZORDER / Iceberg's sort orders — sorting
+    * does nothing for correctness, everything for pruning: after a
+    * clustered compaction every data file covers a narrow disjoint range
+    * of the clustering key, so a range predicate plans O(matching-files)
+    * instead of O(table-files). Persisted as a catalog setting, applied
+    * by every later compaction (not retroactively). */
+  def setClustering(project: String, bucket: String, table: String,
+      cols: Seq[String]): Unit = {
+    val schema = StructType.fromDDL(catalog.getTable(project, bucket, table)
+      .getOrElse(throw new NoSuchElementException(s"$project/$bucket/$table"))
+      .schemaDdl)
+    val missing = cols.filterNot(c => schema.fieldNames.contains(c))
+    require(missing.isEmpty, s"clustering columns not in schema: ${missing.mkString(", ")}")
+    if (cols.isEmpty) catalog.removeSetting(clusteringKey(project, bucket, table))
+    else catalog.putSetting(clusteringKey(project, bucket, table),
+      cols.mkString(","))
+  }
+
+  def clusteringOf(project: String, bucket: String, table: String): Seq[String] =
+    catalog.getSetting(clusteringKey(project, bucket, table))
+      .map(_.split(",").toSeq).getOrElse(Nil)
+
+  private def clusteringKey(p: String, b: String, t: String) =
+    s"clustering/$p/$b/$t"
+
+  /** File count of the last clustered compaction — the manifest-size floor
+    * auto-compaction measures append backlog against. */
+  private def clusterFilesKey(p: String, b: String, t: String) =
+    s"clustering/$p/$b/$t/files"
 
   // -------------------------------------------------------------- reads
 
@@ -145,10 +185,14 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
 
   /** Zone-map-pruned read: plans a scan over ONLY the data roots whose
     * recorded min/max can satisfy every bound (roots without stats are
-    * kept). Row-level filtering stays the caller's job — this decides
-    * which files the scan PLANS, which is what makes `changeSince` and PK
-    * point lookups O(touched-roots) instead of O(table-roots) on a table
-    * with years of appends. With no bounds this is exactly [[read]]. */
+    * kept). On a bucketed table, an equality over the full bucket key
+    * additionally prunes to the ONE hash bucket the value lands in — zone
+    * maps can't do that (every hash bucket spans the full key range), so
+    * without it a PK point lookup scans all numBuckets leaves. Row-level
+    * filtering stays the caller's job — this decides which files the scan
+    * PLANS, which is what makes `changeSince` and PK point lookups
+    * O(touched-roots) instead of O(table-roots) on a table with years of
+    * appends. With no bounds this is exactly [[read]]. */
   def readPruned(project: String, bucket: String, table: String,
       bounds: Seq[SegmentStats.Bound],
       branch: Option[String] = None): DataFrame =
@@ -161,7 +205,8 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
     val declared = StructType.fromDDL(meta.schemaDdl)
     Manifest.readFrom(vdir) match {
       case Some(m) if bounds.nonEmpty =>
-        val kept = SegmentStats.prune(m.entries, bounds)
+        val kept = SegmentStats.prune(
+          bucketPrunedEntries(m, declared, bounds), bounds)
         if (kept.isEmpty)
           session.createDataFrame(
             session.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
@@ -169,6 +214,67 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
           kept.map(e => catalog.root.resolve(e.path)), Some(declared))
       case _ => loadVersionDir(session, vdir, Some(declared))
     }
+  }
+
+  /** Entries surviving hash-bucket pruning: when `bounds` pin EVERY bucket
+    * key to one value, only the leaves of that value's bucket (plus any
+    * unbucketed legacy root) can hold a matching row. The bucket id is
+    * Spark's own bucket function — pmod(murmur3(keys), numBuckets), the
+    * same expression [[bucketExpr]] lays files out with — evaluated
+    * driver-side on the reconstructed literal. Conservative everywhere: a
+    * key whose type can't be reconstructed EXACTLY from the canonical
+    * bound encoding (floats, decimals) prunes nothing. */
+  private def bucketPrunedEntries(m: Manifest, declared: StructType,
+      bounds: Seq[SegmentStats.Bound]): Seq[ManifestEntry] = {
+    if (!m.isBucketed) return m.entries
+    val eqOf: Map[String, String] = bounds.groupBy(_.column).collect {
+      case (c, bs)
+          if bs.exists(_.side == SegmentStats.Ge) &&
+            bs.exists(_.side == SegmentStats.Le) &&
+            bs.map(_.canonical).distinct.size == 1 =>
+        c -> bs.head.canonical
+    }
+    val lits: Option[Seq[org.apache.spark.sql.catalyst.expressions.Literal]] =
+      traverse(m.bucketKeys) { k =>
+        for {
+          v <- eqOf.get(k)
+          f <- declared.fields.find(_.name == k)
+          lit <- literalFromCanonical(v, f.dataType)
+        } yield lit
+      }
+    lits match {
+      case Some(ls) =>
+        val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(ls, 42)
+          .eval(null).asInstanceOf[Int]
+        val id = ((h % m.numBuckets) + m.numBuckets) % m.numBuckets
+        m.entries.filter(e => e.bucket == id || e.bucket < 0)
+      case None => m.entries
+    }
+  }
+
+  /** Catalyst literal for a canonical zone-map string (the encodings of
+    * [[SegmentStats.bound]]), or None when the reconstruction wouldn't be
+    * bit-exact (then hashing it could prune the WRONG bucket). */
+  private def literalFromCanonical(v: String, dt: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.catalyst.expressions.Literal] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    scala.util.Try(dt match {
+      case ByteType => Literal(v.toByte, ByteType)
+      case ShortType => Literal(v.toShort, ShortType)
+      case IntegerType => Literal(v.toInt, IntegerType)
+      case LongType => Literal(v.toLong, LongType)
+      case StringType =>
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(v), StringType)
+      case TimestampType => Literal(v.toLong, TimestampType) // epoch micros
+      case DateType => Literal(v.toInt, DateType) // epoch days
+      case _ => null
+    }).toOption.filter(_ != null)
+  }
+
+  private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
+    val out = xs.flatMap(f(_))
+    if (out.size == xs.size) Some(out) else None
   }
 
   /** D13: time-travel read — load a historical version still kept by the
@@ -334,7 +440,8 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
       branch: Option[String] = None, partitionBy: Seq[String] = Nil): TableMeta =
     withWriteLock(project, bucket, table, branch) { meta =>
       val entry = writeSegment(df, tableDirOf(project, bucket, table, branch),
-        partitionBy, trackedCols(df.schema.toDDL, meta.primaryKey))
+        partitionBy, trackedCols(df.schema.toDDL, meta.primaryKey,
+          clusteringOf(project, bucket, table)))
       commit(project, bucket, table, branch, meta,
         Manifest(Seq(entry), 0, Nil), df.schema.toDDL)
     }
@@ -355,7 +462,8 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
       val tdir = tableDirOf(project, bucket, table, branch)
       val vdir = tdir.resolve(s"v${meta.version}")
       val staged = alignTo(df, meta.schemaDdl)
-      val track = trackedCols(meta.schemaDdl, meta.primaryKey)
+      val track = trackedCols(meta.schemaDdl, meta.primaryKey,
+        clusteringOf(project, bucket, table))
       val next = Manifest.readFrom(vdir) match {
         case Some(m) if m.isBucketed =>
           // keep the bucketed layout invariant so upsert stays incremental
@@ -406,7 +514,8 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
       val tdir = tableDirOf(project, bucket, table, branch)
       val vdir = tdir.resolve(s"v${meta.version}")
       val staged = alignTo(staging, meta.schemaDdl)
-      val track = trackedCols(meta.schemaDdl, meta.primaryKey)
+      val track = trackedCols(meta.schemaDdl, meta.primaryKey,
+        clusteringOf(project, bucket, table))
       def merge(target: DataFrame) =
         if (preferStaging)
           graft.engine.imp.ImportPipeline.upsert(target, staged, keys, order)
@@ -438,6 +547,65 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
       commit(project, bucket, table, branch, meta, next, meta.schemaDdl)
     }
 
+  /** Append into a PK-hash-bucketed LAYOUT without merge semantics: rows
+    * land as bucket leaves of `keys` (establishing the layout on an empty
+    * table), so later probes can read only the buckets a key set hashes
+    * into ([[readMatchingBuckets]]). The index-table primitive — an LSH /
+    * band-signature index legitimately holds MANY rows per key value, so
+    * upsert's key-uniqueness merge is the wrong tool there. */
+  def appendBucketed(project: String, bucket: String, table: String,
+      df: DataFrame, keys: Seq[String],
+      numBuckets: Int = DefaultNumBuckets,
+      branch: Option[String] = None): TableMeta =
+    withWriteLock(project, bucket, table, branch) { meta =>
+      require(keys.nonEmpty, "appendBucketed requires non-empty keys")
+      val tdir = tableDirOf(project, bucket, table, branch)
+      val vdir = tdir.resolve(s"v${meta.version}")
+      val staged = alignTo(df, meta.schemaDdl)
+      val track = trackedCols(meta.schemaDdl, meta.primaryKey,
+        clusteringOf(project, bucket, table))
+      val next = Manifest.readFrom(vdir) match {
+        case Some(m) if m.isBucketed =>
+          require(m.bucketKeys == keys,
+            s"table is bucketed on ${m.bucketKeys.mkString(",")}, not ${keys.mkString(",")}")
+          m.copy(entries = m.entries ++
+            writeBucketedSegment(staged, tdir, keys, m.numBuckets, track))
+        case Some(m) if m.entries.isEmpty =>
+          Manifest(writeBucketedSegment(staged, tdir, keys, numBuckets, track),
+            numBuckets, keys)
+        case _ => throw new IllegalStateException(
+          s"$project/$bucket/$table holds non-bucketed data; rewrite it bucketed first")
+      }
+      commit(project, bucket, table, branch, meta, next, meta.schemaDdl)
+    }
+
+  /** Scan ONLY the hash buckets the probe's bucket-key values land in:
+    * collects the ≤ numBuckets distinct bucket ids of `probe` (ints, never
+    * data rows) and plans a read over those leaves. The probe side of an
+    * index-table lookup — O(touched-buckets) IO instead of O(index), which
+    * is what keeps ingest-time dedup probes incremental when the index has
+    * a year of corpus behind it. `probe` must carry the table's bucket-key
+    * columns with matching types. Falls back to a full read on an
+    * unbucketed table. */
+  def readMatchingBuckets(project: String, bucket: String, table: String,
+      probe: DataFrame, branch: Option[String] = None): DataFrame = {
+    val (meta, vdir) = catalog.resolveForRead(project, bucket, table, branch)
+    val declared = StructType.fromDDL(meta.schemaDdl)
+    Manifest.readFrom(vdir) match {
+      case Some(m) if m.isBucketed =>
+        val ids = probe
+          .select(bucketExpr(m.bucketKeys, m.numBuckets).as(BucketCol))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val kept = m.entries.filter(e => ids(e.bucket) || e.bucket < 0)
+        if (kept.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+        else readRoots(spark, kept.map(e => catalog.root.resolve(e.path)),
+          Some(declared))
+      case _ => loadVersionDir(spark, vdir, Some(declared))
+    }
+  }
+
   /** D9/D10 at manifest granularity: delete rows matching `pred` by
     * rewriting ONLY the data roots whose zone maps could contain a
     * matching row; every other root is carried into the new version
@@ -452,12 +620,17 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
     withWriteLock(project, bucket, table, branch) { meta =>
       val tdir = tableDirOf(project, bucket, table, branch)
       val vdir = tdir.resolve(s"v${meta.version}")
-      val track = trackedCols(meta.schemaDdl, meta.primaryKey)
+      val track = trackedCols(meta.schemaDdl, meta.primaryKey,
+        clusteringOf(project, bucket, table))
       val declared = StructType.fromDDL(meta.schemaDdl)
       Manifest.readFrom(vdir) match {
         case Some(m) if m.entries.nonEmpty =>
-          val (touched, untouched) =
-            m.entries.partition(SegmentStats.keeps(_, bounds))
+          // a leaf can hold a deletable row only if it survives BOTH the
+          // hash-bucket prune (PK-equality deletes touch one bucket) and
+          // the zone maps; everything else carries over untouched
+          val inBucket = bucketPrunedEntries(m, declared, bounds).toSet
+          val (touched, untouched) = m.entries.partition(e =>
+            inBucket(e) && SegmentStats.keeps(e, bounds))
           if (touched.isEmpty) meta // no root can hold a matching row
           else {
             val df = readRoots(spark,
@@ -482,11 +655,39 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
 
   /** Fold accumulated append/upsert roots back into a single root (the
     * maintenance story for long-lived tables: manifests grow by one entry
-    * per append; compaction restores big scan units). */
+    * per append; compaction restores big scan units).
+    *
+    * On a table with declared [[setClustering]] columns (and no hive
+    * partitioning or PK-bucket layout), compaction instead lays the table
+    * out CLUSTERED: range-repartitioned + sorted on the clustering key,
+    * one manifest entry PER FILE, each with its own zone map. Files cover
+    * disjoint key ranges by construction, so a later range/point read
+    * plans only the matching files — Delta OPTIMIZE ZORDER / Iceberg
+    * sort-order semantics, expressed as repartitionByRange + footer
+    * stats. */
   def compact(project: String, bucket: String, table: String,
-      branch: Option[String] = None, partitionBy: Seq[String] = Nil): TableMeta =
-    overwrite(project, bucket, table, read(project, bucket, table, branch),
-      branch, partitionBy)
+      branch: Option[String] = None, partitionBy: Seq[String] = Nil): TableMeta = {
+    val cluster = clusteringOf(project, bucket, table)
+    val bucketed = currentManifest(project, bucket, table, branch)
+      .exists(_.isBucketed)
+    if (cluster.isEmpty || partitionBy.nonEmpty || bucketed)
+      overwrite(project, bucket, table, read(project, bucket, table, branch),
+        branch, partitionBy)
+    else withWriteLock(project, bucket, table, branch) { meta =>
+      val tdir = tableDirOf(project, bucket, table, branch)
+      val vdir = tdir.resolve(s"v${meta.version}")
+      val bytes = Manifest.readFrom(vdir)
+        .map(_.entries.map(e => walkSize(catalog.root.resolve(e.path))).sum)
+        .getOrElse(walkSize(vdir))
+      val entries = writeClusteredSegment(
+        loadVersion(spark, meta, vdir), tdir, cluster,
+        trackedCols(meta.schemaDdl, meta.primaryKey, cluster), bytes)
+      catalog.putSetting(clusterFilesKey(project, bucket, table),
+        entries.size.toString)
+      commit(project, bucket, table, branch, meta,
+        Manifest(entries, 0, Nil), meta.schemaDdl)
+    }
+  }
 
   /** Inline auto-compaction, applied at commit time: if the manifest being
     * committed exceeds [[autoCompactEntries]] roots, fold it into one root
@@ -495,11 +696,22 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
     * set and are GC'd after the next commit. O(table) when it fires, but it
     * fires once per `autoCompactEntries` O(staging) commits — the amortized
     * cost is the same bounded-manifest bargain LSM/table formats make. */
-  private def maybeAutoCompact(tdir: Path, m: Manifest,
-      track: Map[String, org.apache.spark.sql.types.DataType]): Manifest =
-    // a bucketed table can never fold below numBuckets leaves, so only
-    // fire when appends have stacked extra segments beyond that floor
-    if (m.entries.size <= math.max(autoCompactEntries, m.numBuckets)) m
+  private def maybeAutoCompact(project: String, bucket: String, table: String,
+      tdir: Path, m: Manifest,
+      track: Map[String, org.apache.spark.sql.types.DataType]): Manifest = {
+    val cluster = clusteringOf(project, bucket, table)
+    // a bucketed table can never fold below numBuckets leaves, and a
+    // clustered table legitimately holds one entry per ~128 MB file — its
+    // threshold counts only segments stacked BEYOND the last compaction's
+    // file count, else every append after it would re-fold the whole table
+    val threshold =
+      if (m.isBucketed) math.max(autoCompactEntries, m.numBuckets)
+      else if (cluster.nonEmpty)
+        autoCompactEntries + catalog
+          .getSetting(clusterFilesKey(project, bucket, table))
+          .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
+      else autoCompactEntries
+    if (m.entries.size <= threshold) m
     else {
       val df = m.entries
         .map(e => spark.read.parquet(catalog.root.resolve(e.path).toString))
@@ -507,8 +719,16 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
       if (m.isBucketed)
         Manifest(writeBucketedSegment(df, tdir, m.bucketKeys, m.numBuckets, track),
           m.numBuckets, m.bucketKeys)
-      else Manifest(Seq(writeSegment(df, tdir, Nil, track)), 0, Nil)
+      else if (cluster.nonEmpty) {
+        val bytes = m.entries
+          .map(e => walkSize(catalog.root.resolve(e.path))).sum
+        val entries = writeClusteredSegment(df, tdir, cluster, track, bytes)
+        catalog.putSetting(clusterFilesKey(project, bucket, table),
+          entries.size.toString)
+        Manifest(entries, 0, Nil)
+      } else Manifest(Seq(writeSegment(df, tdir, Nil, track)), 0, Nil)
     }
+  }
 
   /** Reclaim segment roots no retained manifest references — the disk a
     * crashed import leaks (its segment was written, its commit never
@@ -679,8 +899,9 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
     val next = meta.copy(version = meta.version + 1, schemaDdl = schemaDdl)
     val tdir = tableDirOf(project, bucket, table, branch)
     Manifest.writeTo(tdir.resolve(s"v${next.version}"),
-      maybeAutoCompact(tdir, manifest,
-        trackedCols(schemaDdl, meta.primaryKey)))
+      maybeAutoCompact(project, bucket, table, tdir, manifest,
+        trackedCols(schemaDdl, meta.primaryKey,
+          clusteringOf(project, bucket, table))))
     branch match {
       case Some(b) =>
         commitSettings.foreach { case (k, v) => catalog.putSetting(k, v) }
@@ -701,6 +922,31 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
   private def relPath(p: Path): String =
     catalog.root.toAbsolutePath.normalize
       .relativize(p.toAbsolutePath.normalize).toString
+
+  /** Clustered rewrite: range-partition on the clustering key (file count
+    * sized from pre-compression bytes / [[clusterFileTargetBytes]]), sort
+    * within each partition, and return one stats-bearing manifest entry
+    * PER FILE. Disjoint per-file ranges are what turn the zone maps from
+    * "skip unrelated appends" into "skip everything but the key's file". */
+  private def writeClusteredSegment(df: DataFrame, tableDir: Path,
+      cluster: Seq[String],
+      track: Map[String, org.apache.spark.sql.types.DataType],
+      approxBytes: Long): Seq[ManifestEntry] = {
+    val parts = math.max(1, math.min(10000,
+      ((approxBytes + clusterFileTargetBytes - 1) / clusterFileTargetBytes).toInt))
+    val seg = newSegmentDir(tableDir)
+    df.repartitionByRange(parts, cluster.map(col): _*)
+      .sortWithinPartitions(cluster.map(col): _*)
+      .write.mode("overwrite").parquet(seg.toString)
+    val children = Files.list(seg)
+    try children.iterator().asScala
+      .filter(f => f.getFileName.toString.startsWith("part-") &&
+        f.getFileName.toString.endsWith(".parquet"))
+      .map(f => ManifestEntry(relPath(f), -1,
+        SegmentStats.collect(f, track, spark.sparkContext.hadoopConfiguration)))
+      .toSeq.sortBy(_.path)
+    finally children.close()
+  }
 
   private def writeSegment(df: DataFrame, tableDir: Path,
       partitionBy: Seq[String],

@@ -161,6 +161,116 @@ class ScaleSpec extends SparkSpec {
     assert(store.read("p", "b", "t").count() == 700)
   }
 
+  test("PK-equality reads on a bucketed table plan one hash bucket") {
+    import graft.core.{Manifest, SegmentStats}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-bkt")))
+    val df = spark.range(0L, 1000L).toDF("id")
+      .withColumn("name", concat(lit("n"), col("id")))
+    store.createTable("p", "b", "t", df.schema, primaryKey = Seq("id"))
+    store.upsert("p", "b", "t", df, Seq("id"), numBuckets = 16)
+    val m = Manifest.readFrom(store.catalog.versionDir(
+      store.catalog.getTable("p", "b", "t").get)).get
+    assert(m.isBucketed && m.entries.size == 16)
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    def scanned(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+    // every id must resolve to exactly ONE bucket leaf and still be found
+    // (hash agreement with Spark's own layout, not just "some pruning")
+    for (id <- Seq(0L, 427L, 999L)) {
+      val bounds = Seq(
+        SegmentStats.bound("id", SegmentStats.Ge, id.toString, LongType, zone).get,
+        SegmentStats.bound("id", SegmentStats.Le, id.toString, LongType, zone).get)
+      val pruned = store.readPruned("p", "b", "t", bounds)
+      assert(scanned(pruned).size == 1, s"id=$id planned ${scanned(pruned).size} leaves")
+      assert(pruned.filter(col("id") === id).count() == 1)
+    }
+    // a range predicate can't pin the bucket: all leaves stay planned
+    val range = store.readPruned("p", "b", "t",
+      SegmentStats.bound("id", SegmentStats.Ge, "500", LongType, zone).toSeq)
+    assert(scanned(range).size == 16)
+
+    // string keys: same single-leaf plan through the murmur3 of UTF8
+    val sdf = spark.range(0L, 300L).toDF("k0")
+      .select(concat(lit("key_"), col("k0")).as("k"), col("k0").as("v"))
+    store.createTable("p", "b", "s", sdf.schema, primaryKey = Seq("k"))
+    store.upsert("p", "b", "s", sdf, Seq("k"), numBuckets = 8)
+    val sb = Seq(
+      SegmentStats.bound("k", SegmentStats.Ge, "key_42", StringType, zone).get,
+      SegmentStats.bound("k", SegmentStats.Le, "key_42", StringType, zone).get)
+    val sp = store.readPruned("p", "b", "s", sb)
+    assert(scanned(sp).size == 1)
+    assert(sp.filter(col("k") === "key_42").count() == 1)
+
+    // PK-scoped delete rewrites one bucket leaf; 15 survive untouched
+    store.deleteWhere("p", "b", "t", col("id") === 427L, Seq(
+      SegmentStats.bound("id", SegmentStats.Ge, "427", LongType, zone).get,
+      SegmentStats.bound("id", SegmentStats.Le, "427", LongType, zone).get))
+    val m1 = Manifest.readFrom(store.catalog.versionDir(
+      store.catalog.getTable("p", "b", "t").get)).get
+    val survivors = m.entries.map(_.path).toSet intersect m1.entries.map(_.path).toSet
+    assert(survivors.size == 15, s"${survivors.size} leaves survived")
+    assert(store.read("p", "b", "t").count() == 999)
+  }
+
+  test("clustered compaction yields range-disjoint files that prune reads") {
+    import graft.core.{Manifest, SegmentStats}
+    import org.apache.spark.sql.types.LongType
+    // tiny per-file target so the test table lands as many clustered files
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-clu")),
+      clusterFileTargetBytes = 64L * 1024)
+    // appends arrive in event-time SHUFFLED order: each root spans nearly
+    // the whole key range, so pre-compaction zone maps prune nothing
+    val df = spark.range(0L, 40000L).toDF("seq")
+      .withColumn("event_id", pmod(col("seq") * 7919L, lit(40000L)))
+      .withColumn("payload", concat(lit("p"), col("seq")))
+    store.createTable("p", "b", "ev", df.drop("seq").schema)
+    store.setClustering("p", "b", "ev", Seq("event_id"))
+    (0 until 4).foreach(i =>
+      store.append("p", "b", "ev", df.filter(pmod(col("seq"), lit(4)) === i).drop("seq")))
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val bounds = Seq(
+      SegmentStats.bound("event_id", SegmentStats.Ge, "100", LongType, zone).get,
+      SegmentStats.bound("event_id", SegmentStats.Le, "150", LongType, zone).get)
+    def planned(bs: Seq[SegmentStats.Bound]): Int =
+      store.readPruned("p", "b", "ev", bs).queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.size
+      }.sum
+    assert(planned(bounds) == 4, "shuffled appends should not prune")
+
+    store.compact("p", "b", "ev")
+    val m = Manifest.readFrom(store.catalog.versionDir(
+      store.catalog.getTable("p", "b", "ev").get)).get
+    assert(m.entries.size > 4, s"expected multi-file clustered layout, got ${m.entries.size}")
+    assert(m.entries.forall(_.stats.contains("event_id")))
+    // files are range-disjoint on the clustering key
+    val ranges = m.entries.map(e => e.stats("event_id"))
+      .map { case (mn, mx) => (BigDecimal(mn), BigDecimal(mx)) }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) => assert(aMax < bMin)
+      case _ =>
+    }
+    // a narrow range predicate now plans a single file, and stays correct
+    assert(planned(bounds) == 1, s"clustered read planned ${planned(bounds)} files")
+    val got = store.readPruned("p", "b", "ev", bounds)
+      .filter(col("event_id").between(100L, 150L)).count()
+    assert(got == 51)
+    assert(store.read("p", "b", "ev").count() == 40000L)
+
+    // auto-compaction's threshold floats on the clustered file floor:
+    // one more append must NOT re-fold the table
+    store.append("p", "b", "ev", df.filter(col("seq") < 10).drop("seq"))
+    val m2 = Manifest.readFrom(store.catalog.versionDir(
+      store.catalog.getTable("p", "b", "ev").get)).get
+    assert(m2.entries.size == m.entries.size + 1)
+  }
+
   test("auto-compaction folds the manifest once it exceeds the threshold") {
     val store = new TableStore(spark,
       new StorageCatalog(Files.createTempDirectory("graft-cmp")),
