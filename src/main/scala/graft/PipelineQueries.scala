@@ -950,6 +950,66 @@ object PipelineQueries {
              |  ROUND(SUM(tf.tf * -ln((ct.ct + 1) / tot.denom))
              |    / SUM(tf.tf), 4) AS mean_nll
              |FROM tf JOIN ct USING (term) CROSS JOIN tot
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // incremental dedup-on-ingest: two batches flow through a persistent
+    // corpus + LSH band-signature index (bucket-pruned probes); each batch
+    // is normalized (in-batch components, min-id rep) then checked against
+    // the corpus. Oracle replays the semantics exactly: per-batch closure
+    // over exact-Jaccard pairs, then reps minus corpus matches. Banding
+    // recall 1.0 on this corpus (same argument as x3).
+    Q("x33_incremental_dedup",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.core.{StorageCatalog, TableStore}
+        val docs = Tables.df(s, dir, "documents").select("doc_id", "text")
+        val store = new TableStore(s,
+          new StorageCatalog(Files.createTempDirectory("graft-incdedup")))
+        val inc = new graft.pipeline.IncrementalDedup(store, "p", "b",
+          "corpus", "corpus_idx", n = 3, threshold = 0.5,
+          numHashes = 64, bands = 16)
+        inc.init()
+        inc.ingest(docs.filter(col("doc_id") % 2 === 0))
+        inc.ingest(docs.filter(col("doc_id") % 2 === 1))
+        inc.corpus().select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE s AS ($shingleSetsSql),
+             |jac AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+             |), e1 AS (
+             |  SELECT a_id AS src, b_id AS dst FROM jac
+             |  WHERE a_id % 2 = 0 AND b_id % 2 = 0
+             |  UNION SELECT b_id, a_id FROM jac
+             |  WHERE a_id % 2 = 0 AND b_id % 2 = 0
+             |), r1(id, m) AS (
+             |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 2 = 0
+             |  UNION
+             |  SELECT e.dst, r.m FROM e1 e JOIN r1 r ON r.id = e.src
+             |), kept1 AS (
+             |  SELECT id FROM r1 GROUP BY id HAVING MIN(m) = id
+             |), e2 AS (
+             |  SELECT a_id AS src, b_id AS dst FROM jac
+             |  WHERE a_id % 2 = 1 AND b_id % 2 = 1
+             |  UNION SELECT b_id, a_id FROM jac
+             |  WHERE a_id % 2 = 1 AND b_id % 2 = 1
+             |), r2(id, m) AS (
+             |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 2 = 1
+             |  UNION
+             |  SELECT e.dst, r.m FROM e2 e JOIN r2 r ON r.id = e.src
+             |), rep2 AS (
+             |  SELECT id FROM r2 GROUP BY id HAVING MIN(m) = id
+             |), kept2 AS (
+             |  SELECT id FROM rep2
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM jac j JOIN kept1 k ON
+             |      (j.a_id = rep2.id AND j.b_id = k.id) OR
+             |      (j.b_id = rep2.id AND j.a_id = k.id))
+             |)
+             |SELECT id AS doc_id FROM kept1
+             |UNION ALL SELECT id FROM kept2
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.TableStore
+
+/** Incremental near-duplicate deduplication ON INGEST — the corpus-
+  * maintenance shape of a training-data pipeline. A one-shot dedup
+  * (x3/x19) re-pairs the WHOLE corpus every time data arrives; at 100 TB
+  * that's an O(corpus) bill per batch. This maintains a persistent LSH
+  * band-signature INDEX table alongside the corpus table, so ingesting a
+  * batch costs O(batch + touched index buckets):
+  *
+  *  1. batch-normalize — exact-verified near-dup pairs WITHIN the batch
+  *     ([[TextDedup.minHashPairs]]: banded MinHash candidates → exact
+  *     Jaccard), connected components, keep the min-id representative per
+  *     component;
+  *  2. corpus-check — the representatives' band signatures probe the
+  *     index table, which is stored PK-hash-bucketed on `band_sig` so the
+  *     probe plans ONLY the buckets this batch's signatures land in
+  *     ([[TableStore.readMatchingBuckets]] — bucket ids are collected as
+  *     ints, the index data itself never moves unless matched);
+  *     candidates then verify with exact Jaccard against the matched
+  *     corpus docs' texts;
+  *  3. commit — survivors append to the corpus and their band rows append
+  *     to the index ([[TableStore.appendBucketed]] keeps the bucketed
+  *     layout), both O(batch) writes.
+  *
+  * Exactness contract (same as minHashPairs): banding only GENERATES
+  * candidates; every drop decision is made by exact Jaccard. On any
+  * corpus where banding recalls every true pair, the final corpus equals
+  * the batch-order-deterministic exact result:
+  * {{{ kept(B_i) = reps(components(pairs(B_i)))
+  *                 minus { d : exists c in corpus, jaccard(d, c) >= t } }}}
+  * which is what the DuckDB oracle replays (x33).
+  */
+final class IncrementalDedup(store: TableStore, project: String,
+    bucket: String, corpusTable: String, indexTable: String,
+    n: Int = 3, threshold: Double = 0.5,
+    numHashes: Int = 64, bands: Int = 16,
+    indexBuckets: Int = 64) {
+
+  /** Corpus schema is fixed: (doc_id BIGINT PK, text STRING). */
+  def init(): Unit = {
+    store.createTable(project, bucket, corpusTable,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))), Seq("doc_id"))
+    store.createTable(project, bucket, indexTable,
+      StructType(Seq(StructField("band_sig", StringType),
+        StructField("doc_id", LongType))))
+  }
+
+  /** Band rows keyed for the index table: band_sig = "band:sig". */
+  private def bandRowsOf(docs: DataFrame): DataFrame =
+    TextDedup.bandSignatures(docs, "doc_id", "text", n, numHashes, bands)
+      .select(concat(col("band").cast(StringType), lit(":"),
+        col("sig").cast(StringType)).as("band_sig"),
+        col("id").as("doc_id"))
+
+  /** Ingest one batch; returns the number of docs that survived into the
+    * corpus. Deterministic for a fixed batch sequence. */
+  def ingest(staging0: DataFrame): Long = {
+    val staging = staging0.select(col("doc_id"), col("text"))
+
+    // 1. batch-normalize: components over exact-verified in-batch pairs,
+    // min-id representative survives (singletons represent themselves)
+    val pairs = TextDedup.minHashPairs(staging, "doc_id", "text", n,
+      threshold, numHashes, bands)
+    val reps = staging.join(
+      TextDedup.connectedComponents(staging.select("doc_id"), "doc_id", pairs)
+        .filter(col("id") === col("cluster_id"))
+        .select(col("id").as("doc_id")),
+      "doc_id").persist()
+
+    // 2. corpus-check: probe only the index buckets this batch's band
+    // signatures hash into, then exact-verify candidates against the
+    // matched corpus texts
+    val bandRows = bandRowsOf(reps).persist()
+    val idx = store.readMatchingBuckets(project, bucket, indexTable,
+      bandRows.select("band_sig"))
+    val candidates = bandRows
+      .join(idx.select(col("band_sig"), col("doc_id").as("old_id")), "band_sig")
+      .select(col("doc_id").as("new_id"), col("old_id")).distinct()
+    val corpus = store.read(project, bucket, corpusTable)
+    val dupNew = candidates
+      .join(reps.select(col("doc_id").as("new_id"), col("text").as("new_text")),
+        "new_id")
+      .join(corpus.select(col("doc_id").as("old_id"), col("text").as("old_text")),
+        "old_id")
+      .withColumn("sha", TextDedup.shingles("new_text", n))
+      .withColumn("shb", TextDedup.shingles("old_text", n))
+      .withColumn("common",
+        size(array_intersect(col("sha"), col("shb"))).cast(LongType))
+      .filter(col("common").cast(DoubleType) /
+        (size(col("sha")) + size(col("shb")) - col("common")) >= threshold)
+      .select(col("new_id").as("doc_id")).distinct()
+    val kept = reps.join(dupNew, Seq("doc_id"), "left_anti").persist()
+    val nKept = kept.count()
+
+    // 3. commit survivors + their index rows (both O(batch))
+    store.append(project, bucket, corpusTable, kept)
+    store.appendBucketed(project, bucket, indexTable,
+      bandRows.join(kept.select("doc_id"), "doc_id")
+        .select("band_sig", "doc_id"),
+      Seq("band_sig"), indexBuckets)
+
+    reps.unpersist(); bandRows.unpersist(); kept.unpersist()
+    nKept
+  }
+
+  def corpus(): DataFrame = store.read(project, bucket, corpusTable)
+}

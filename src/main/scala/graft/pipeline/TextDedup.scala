@@ -112,6 +112,29 @@ object TextDedup {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Banded MinHash signature rows (id, band, sig) — the LSH bucketing key
+    * of [[minHashPairs]], exposed standalone for INCREMENTAL dedup: an
+    * index table persists these rows, and a new batch joins its own band
+    * rows against the index instead of re-pairing the whole corpus. Same
+    * hash chain as minHashPairs (xxhash64 per shingle → per-function min →
+    * per-band xxhash64 of the slice), so index rows written at ingest N
+    * match probes at ingest N+k bit-for-bit. Docs with fewer than n words
+    * emit no rows (no signature → never a candidate → always kept). */
+  def bandSignatures(df: DataFrame, idCol: String, textCol: String, n: Int,
+      numHashes: Int = 64, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    shingleSets(df, idCol, textCol, n)
+      .withColumn("h0s", expr("transform(sh, s -> xxhash64(s))"))
+      .select(col("id"), expr(
+        s"""transform(sequence(0, ${numHashes - 1}),
+           |  i -> array_min(transform(h0s, h -> xxhash64(h, i))))""".stripMargin)
+        .as("sig"))
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(array_join(slice(sig, b * $r + 1, $r), ',')))")))
+      .toDF("id", "band", "sig")
+  }
+
   /** MinHash signature + LSH banding candidate pairs, verified with exact
     * Jaccard. numHashes must be divisible by bands; rows per band r =
     * numHashes/bands controls the S-curve: P(candidate) = 1-(1-j^r)^bands.

@@ -600,4 +600,54 @@ class PipelineSpec extends SparkSpec {
     assert(top1._2 == "spark")
     assert(math.abs(top1._5 - math.rint(2 * math.log(1.5) * 1e4) / 1e4) < 1e-9)
   }
+
+  test("incremental dedup: batches dedup against corpus via bucket-pruned index") {
+    import java.nio.file.Files
+    import graft.core.{Manifest, StorageCatalog, TableStore}
+    import graft.pipeline.IncrementalDedup
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-inc")))
+    val inc = new IncrementalDedup(store, "p", "b", "corpus", "idx",
+      n = 3, threshold = 0.5, numHashes = 64, bands = 16, indexBuckets = 16)
+    inc.init()
+    def doc(id: Long, t: String) = (id, t)
+    val base = (0 until 20).map(i =>
+      doc(i, s"unique document number $i with body text alpha$i beta$i gamma$i delta$i"))
+    // batch 1: 20 uniques + an in-batch dup pair (21 dups 20's text)
+    val b1 = (base ++ Seq(
+      doc(20L, "the quick brown fox jumps over the lazy dog again and again"),
+      doc(21L, "the quick brown fox jumps over the lazy dog again and again")))
+      .toDF("doc_id", "text")
+    assert(inc.ingest(b1) == 21) // 22 docs, one in-batch dup dropped
+    // batch 2: a dup of a corpus doc, an in-batch dup pair, one unique
+    val b2 = Seq(
+      doc(30L, "the quick brown fox jumps over the lazy dog again and again"),
+      doc(31L, "entirely novel content about storage engines and manifests here"),
+      doc(32L, "entirely novel content about storage engines and manifests here"),
+      doc(33L, "another genuinely unique body of text nothing else resembles at all"))
+      .toDF("doc_id", "text")
+    assert(inc.ingest(b2) == 2) // 30 dups corpus; 32 dups 31 in-batch
+    val ids = inc.corpus().select("doc_id").as[Long].collect().sorted
+    assert(ids.length == 23)
+    assert(ids.contains(20L) && !ids.contains(21L))
+    assert(ids.contains(31L) && !ids.contains(32L) && !ids.contains(30L))
+    assert(ids.contains(33L))
+    // the index is a bucketed layout and the probe plans only touched buckets
+    val m = Manifest.readFrom(store.catalog.versionDir(
+      store.catalog.getTable("p", "b", "idx").get)).get
+    assert(m.isBucketed && m.bucketKeys == Seq("band_sig"))
+    val probe = Seq("0:12345").toDF("band_sig") // arbitrary single key
+    val scanned = store.readMatchingBuckets("p", "b", "idx", probe)
+      .queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.size
+      }.sum
+    val totalLeaves = m.entries.size
+    assert(scanned < totalLeaves,
+      s"probe planned $scanned of $totalLeaves leaves")
+    // re-ingesting an already-kept doc is idempotent (dups itself in corpus)
+    assert(inc.ingest(Seq(doc(40L,
+      "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")) == 0)
+  }
 }
