@@ -379,6 +379,93 @@ object PipelineQueries {
              |FROM c2f JOIN sz ON c2f.cent_id = sz.cent_id
              |ORDER BY cluster_id, dim""".stripMargin)),
 
+    // product-quantization TRAIN + ENCODE as an oracled surface: L2
+    // normalize -> md5-ordered sample -> per-subspace L2 k-means
+    // codebooks (engine-neutral seeds, rounded-argmin assignment,
+    // 6dp-rounded centroid means) -> every corpus vector's argmin-L2
+    // code per subspace, labeled with the surviving cluster id. The SQL
+    // twin replays the whole pipeline step by step, the way x27 replays
+    // Lloyd's iterations — left-to-right list_reduce folds match Spark's
+    // aggregate() fold order bit-for-bit.
+    Q("x35_pq_encode",
+      (s, dir) => Similarity.pqEncode(Tables.df(s, dir, "embeddings"),
+          m = 2, ksub = 8, iters = 1, sampleSize = 64)
+        .orderBy("vec_id", "subspace"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+             |nrm AS (SELECT vec_id, v0, sqrt(list_reduce(list_prepend(0.0,
+             |          list_transform(v0, y -> y * y)), (acc, x) -> acc + x)) AS nm
+             |        FROM e),
+             |n AS (SELECT vec_id, CASE WHEN nm > 0
+             |        THEN list_transform(v0, x -> x / nm) ELSE v0 END AS v
+             |      FROM nrm),
+             |samp AS (SELECT vec_id, v FROM n
+             |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 64),
+             |subv AS (SELECT ss.s, vec_id, v[ss.s * 32 + 1 : ss.s * 32 + 32] AS sv
+             |         FROM samp, (SELECT unnest(range(0, 2)) AS s) ss),
+             |sids AS (SELECT vec_id, row_number() OVER (
+             |           ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cent_id
+             |         FROM samp ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+             |seed AS (SELECT subv.s, sids.cent_id, subv.sv AS centv
+             |         FROM sids JOIN subv USING (vec_id)),
+             |a1 AS (
+             |  SELECT s, vec_id, sv, cent_id FROM (
+             |    SELECT b.s, b.vec_id, b.sv, sd.cent_id, row_number() OVER (
+             |        PARTITION BY b.s, b.vec_id
+             |        ORDER BY round(list_reduce(list_prepend(0.0,
+             |          list_transform(range(1, 33), i ->
+             |            (b.sv[i] - sd.centv[i]) * (b.sv[i] - sd.centv[i]))),
+             |          (acc, x) -> acc + x), 6), sd.cent_id) AS rn
+             |    FROM subv b JOIN seed sd USING (s)) t WHERE rn = 1),
+             |c1 AS (
+             |  SELECT s, cent_id, list(c ORDER BY dim) AS centv FROM (
+             |    SELECT s, cent_id, ix.idx - 1 AS dim,
+             |           round(avg(sv[ix.idx]), 6) AS c
+             |    FROM a1, (SELECT unnest(range(1, 33)) AS idx) ix
+             |    GROUP BY 1, 2, 3) t
+             |  GROUP BY 1, 2),
+             |allsub AS (SELECT ss.s, vec_id, v[ss.s * 32 + 1 : ss.s * 32 + 32] AS sv
+             |           FROM n, (SELECT unnest(range(0, 2)) AS s) ss),
+             |enc AS (
+             |  SELECT vec_id, s, cent_id FROM (
+             |    SELECT av.vec_id, av.s, cb.cent_id, row_number() OVER (
+             |        PARTITION BY av.vec_id, av.s
+             |        ORDER BY round(list_reduce(list_prepend(0.0,
+             |          list_transform(range(1, 33), i ->
+             |            (av.sv[i] - cb.centv[i]) * (av.sv[i] - cb.centv[i]))),
+             |          (acc, x) -> acc + x), 6), cb.cent_id) AS rn
+             |    FROM allsub av JOIN c1 cb USING (s)) t WHERE rn = 1)
+             |SELECT vec_id, s::BIGINT AS subspace, cent_id AS code
+             |FROM enc ORDER BY vec_id, subspace""".stripMargin)),
+
+    // PQ + ADC + exact rerank, oracled end-to-end: with the ADC cut
+    // widened past |corpus| every candidate survives and the rerank (raw
+    // embeddings, brute's exact rounding/tie-break) IS bruteForceTopK —
+    // so exact-knn SQL is a true oracle for the whole pipeline plumbing
+    // (train, encode, ADC table lookups, rerank join). Production cuts
+    // (rerank=256) are recall-asserted in PipelineSpec instead.
+    Q("x36_pq_adc_rerank",
+      (s, dir) => {
+        val e = Tables.df(s, dir, "embeddings")
+        Similarity.pqTopK(
+            e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), 10,
+            m = 4, ksub = 16, iters = 1, sampleSize = 128,
+            rerank = Int.MaxValue)
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+             |           FROM embeddings WHERE vec_id < 5),
+             |     c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
+             |           FROM embeddings WHERE vec_id >= 5),
+             |     s AS (SELECT q_id, c_id,
+             |             list_inner_product(qv, cv) /
+             |             (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS sim
+             |           FROM q, c),
+             |     r AS (SELECT q_id, c_id, sim, row_number() OVER (
+             |             PARTITION BY q_id ORDER BY round(sim, 6) DESC, c_id) AS rank
+             |           FROM s)
+             |SELECT q_id, c_id, rank, ROUND(sim + 1e-9, 4) AS cosine_sim
+             |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
     // language-ID heuristic: confusion rollup actual x predicted
     Q("x7_lang_id",
       (s, dir) => Tables.df(s, dir, "documents")

@@ -245,7 +245,172 @@ object Similarity {
     * that loses all members drops out (both engines agree). At real scale
     * persist the assignment between iterations instead of recomputing the
     * lineage. */
-  def kmeansRefine(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+  // ------------------------------------------------------ product quantization
+
+  /** L2-normalize an array<double> column held in `v`, guarded for the
+    * zero vector. For unit vectors ||a - b||^2 = 2 - 2*cos(a, b), so every
+    * L2 comparison downstream (training, encode, ADC) is a cosine
+    * comparison up to quantization error. */
+  private def pqNormalized(df: DataFrame, idCol: String, idAs: String,
+      vAs: String): DataFrame =
+    df.select(col(idCol).as(idAs),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("__v0"))
+      .withColumn("__nrm", expr(
+        "sqrt(aggregate(transform(__v0, y -> y * y), CAST(0 AS DOUBLE), (a, x) -> a + x))"))
+      .withColumn(vAs, expr(
+        "CASE WHEN __nrm > 0 THEN transform(__v0, x -> x / __nrm) ELSE __v0 END"))
+      .drop("__v0", "__nrm")
+
+  /** Train per-subspace PQ codebooks on a deterministic md5-ordered sample
+    * of `c` (columns c_id, cv: normalized array<double>): subspace s is
+    * the s-th of `m` equal slices, quantized by [[kmeansRefine]] in L2
+    * mode (engine-neutral seeding, round-6 assignment, round-6 centroid
+    * means). Returns (codebooks, subdim); codebooks(s) keeps the ORIGINAL
+    * surviving cluster ids alongside each centroid — positional use is the
+    * caller's choice. Codebooks are m*ksub*(D/m) doubles: broadcast-tiny
+    * forever. */
+  private def pqTrain(c: DataFrame, m: Int, ksub: Int, iters: Int,
+      sampleSize: Int): (Seq[Seq[(Long, Seq[Double])]], Int) = {
+    val sample = c.orderBy(md5(col("c_id").cast(StringType)), col("c_id"))
+      .limit(sampleSize)
+      .select(col("c_id").as("vec_id"), col("cv").as("embedding"))
+    val dims = sample.select(size(col("embedding"))).first().getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible by m=$m subspaces")
+    val sub = dims / m
+    val codebooks = (0 until m).map { s =>
+      kmeansRefine(sample.select(col("vec_id"),
+          expr(s"slice(embedding, ${s * sub + 1}, $sub)").as("embedding")),
+        ksub, iters, byL2 = true)
+        .select("cluster_id", "dim", "c").collect()
+        .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq) }
+    }
+    (codebooks, sub)
+  }
+
+  /** SQL lambda: squared L2 between a subvector slice of `vCol` and a
+    * codebook centroid, accumulated left-to-right in double. */
+  private def pqL2(vCol: String, sub: Int, centRef: String): String =
+    s"""aggregate(zip_with(slice($vCol, s * $sub + 1, $sub), $centRef,
+       |  (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, d) -> acc + d)""".stripMargin
+
+  /** SQL for the per-subspace argmin-L2 code POSITIONS (0-based into the
+    * codebook arrays bound as `__cb`): distances compare at 6 decimals
+    * with ties to the lower position — the same contract kmeansRefine's
+    * assignment uses, and what an engine-neutral SQL twin replays. One
+    * codegen'd projection; no join, no shuffle. */
+  private def pqEncodeExpr(vCol: String, m: Int, sub: Int): String =
+    s"""transform(sequence(0, ${m - 1}), s ->
+       |  aggregate(sequence(0, size(__cb[s]) - 1),
+       |    named_struct('best', -1, 'bd', CAST('Infinity' AS DOUBLE)),
+       |    (acc, ci) -> CASE
+       |      WHEN round(${pqL2(vCol, sub, "__cb[s][ci]")}, 6) < acc.bd
+       |      THEN named_struct('best', ci,
+       |        'bd', round(${pqL2(vCol, sub, "__cb[s][ci]")}, 6))
+       |      ELSE acc END).best)""".stripMargin
+
+  /** PQ TRAIN + ENCODE as a queryable surface: every corpus vector's
+    * per-subspace code, labeled with the ORIGINAL surviving cluster id of
+    * its sub-centroid. Deterministic end-to-end (md5 sample and seeds,
+    * round-6 L2 everywhere), so a DuckDB twin replays the whole pipeline
+    * bit-for-bit — this is the oracle surface for the PQ family (x34),
+    * the way x27 oracles Lloyd's iterations. Output: (vec_id, subspace,
+    * code) one row per vector per subspace. */
+  def pqEncode(corpus: DataFrame, m: Int = 2, ksub: Int = 8,
+      iters: Int = 1, sampleSize: Int = 64): DataFrame = {
+    val c = pqNormalized(corpus, "vec_id", "c_id", "cv")
+    val (cbs, sub) = pqTrain(c, m, ksub, iters, sampleSize)
+    val cb = typedLit(cbs.map(_.map(_._2)))
+    val ids = typedLit(cbs.map(_.map(_._1)))
+    c.withColumn("__cb", cb).withColumn("__ids", ids)
+      .withColumn("codes", expr(pqEncodeExpr("cv", m, sub)))
+      .select(col("c_id").as("vec_id"),
+        posexplode(expr("zip_with(codes, __ids, (p, idlist) -> idlist[p])")))
+      .select(col("vec_id"), col("pos").cast(LongType).as("subspace"),
+        col("col").as("code"))
+  }
+
+  /** Product-quantization ANN (PQ + ADC + exact rerank) — the memory shape
+    * real 100 TB vector search runs on: the candidate scan touches an
+    * M-code row per vector instead of the D-float embedding (64-dim float
+    * -> 4-8 small ints, a 30-60x read-path compression), and each query
+    * scores a code with M table lookups instead of D multiplies.
+    *
+    *  1. TRAIN — [[pqTrain]]: per-subspace codebooks, deterministic
+    *     sample, broadcast-tiny result.
+    *  2. ENCODE — [[pqEncodeExpr]]: one map-side projection, no shuffle.
+    *  3. ADC SCAN — each query precomputes its M x ksub L2 table; corpus
+    *     codes stream through a broadcast cross join; approx distance =
+    *     M lookups per row. On NORMALIZED vectors L2 order is cosine
+    *     order up to quantization error ([[pqNormalized]]).
+    *  4. RERANK — the `rerank` best candidates per query fetch their full
+    *     embeddings (equi-join on c_id) and rescore with EXACT cosine;
+    *     ranking/rounding matches [[bruteForceTopK]] exactly.
+    *
+    * Approximate by construction: the output equals brute top-k exactly
+    * when the true top-k survive the ADC cut. On embeddings whose
+    * neighbors are separated (real manifolds) modest `rerank` suffices;
+    * on near-random vectors with sub-1e-2 neighbor gaps the cut must be
+    * generous (PipelineSpec asserts recall on this repo's corpus and
+    * exact equality at rerank = corpus). At scale compose with
+    * [[ivfTopK]]'s partition pruning for a sublinear scan; the scan here
+    * is O(N * M lookups) — by design, the compressed exhaustive path. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 32, iters: Int = 2,
+      sampleSize: Int = 256, rerank: Int = 256): DataFrame = {
+    val c = pqNormalized(corpus, "vec_id", "c_id", "cv")
+    val q = pqNormalized(queries, "vec_id", "q_id", "qv")
+    val (cbs, sub) = pqTrain(c, m, ksub, iters, sampleSize)
+    val cb = typedLit(cbs.map(_.map(_._2)))
+
+    // encode once per corpus row (positions suffice internally)
+    val codes = c.withColumn("__cb", cb)
+      .withColumn("codes", expr(pqEncodeExpr("cv", m, sub)))
+      .select(col("c_id"), col("codes"))
+
+    // ADC: per-query M x ksub table, approx distance = M lookups/row
+    val qAdc = q.withColumn("__cb", cb).withColumn("adc", expr(
+      s"""transform(sequence(0, ${m - 1}), s ->
+         |  transform(__cb[s], cent -> ${pqL2("qv", sub, "cent")}))""".stripMargin))
+      .select(col("q_id"), col("adc"))
+    val approx = codes.crossJoin(broadcast(qAdc))
+      .withColumn("ad", expr(
+        "aggregate(zip_with(codes, adc, (ci, t) -> t[ci]), CAST(0 AS DOUBLE), (a, v) -> a + v)"))
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("ad").asc, col("c_id"))
+    val cand = approx.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= rerank)
+      .select(col("q_id"), col("c_id"))
+
+    // exact rerank on the RAW embeddings: cosine is scale-invariant but fp
+    // isn't — rescoring the normalized copies would drift ~1e-16 from the
+    // brute scores. On the raw inputs the rerank IS the brute computation
+    // restricted to the candidate set, so at rerank >= |corpus| the output
+    // equals [[bruteForceTopK]] bit-for-bit (the x36 oracle relies on this)
+    val qRaw = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val cRaw = corpus.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val scored = cand.join(cRaw, "c_id").join(broadcast(qRaw), "q_id")
+      .withColumn("sim", cosine("qv", "cv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("sim"), 6).desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank").cast(LongType).as("rank"),
+        round(col("sim") + lit(1e-9), 4).as("cosine_sim"))
+  }
+
+  def kmeansRefine(corpus: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansRefine(corpus, k, iters, byL2 = false)
+
+  /** `byL2 = true` assigns by squared-L2 distance instead of cosine (ties
+    * to the LOWER cent_id in both modes) — the metric PQ sub-quantizers
+    * need: encode-time argmin-L2 must see the same field the training
+    * refined, or cells mismatch and candidate quality degrades as ksub
+    * grows. Default (cosine) is unchanged — it is what x27's oracle
+    * replays. */
+  def kmeansRefine(corpus: DataFrame, k: Int, iters: Int,
+      byL2: Boolean): DataFrame = {
     require(iters >= 1, "kmeansRefine needs at least one iteration")
     val e = corpus.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -256,15 +421,26 @@ object Similarity {
       .withColumn("cent_id",
         (row_number().over(Window.orderBy(seedOrder: _*)) - 1).cast(LongType))
       .select(col("cent_id"), col("v").as("centv"))
+    val l2 = expr(
+      """aggregate(zip_with(v, centv, (x, y) -> (x - y) * (x - y)),
+        |  CAST(0 AS DOUBLE), (acc, d) -> acc + d)""".stripMargin)
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
-      assigned = e.crossJoin(broadcast(cent))
-        .withColumn("csim", cosine("v", "centv"))
-        .groupBy("vec_id")
-        .agg(
-          max_by(col("cent_id"),
-            struct(round(col("csim"), 6), -col("cent_id"))).as("cent_id"),
-          first(col("v")).as("v"))
+      val scored = e.crossJoin(broadcast(cent))
+      assigned = (if (byL2)
+        scored.withColumn("cdist", l2)
+          .groupBy("vec_id")
+          .agg(
+            min_by(col("cent_id"),
+              struct(round(col("cdist"), 6), col("cent_id"))).as("cent_id"),
+            first(col("v")).as("v"))
+      else
+        scored.withColumn("csim", cosine("v", "centv"))
+          .groupBy("vec_id")
+          .agg(
+            max_by(col("cent_id"),
+              struct(round(col("csim"), 6), -col("cent_id"))).as("cent_id"),
+            first(col("v")).as("v")))
       cent = assigned
         .select(col("cent_id"), posexplode(col("v")))
         .groupBy(col("cent_id"), col("pos"))

@@ -650,4 +650,34 @@ class PipelineSpec extends SparkSpec {
       "the quick brown fox jumps over the lazy dog again and again"))
       .toDF("doc_id", "text")) == 0)
   }
+
+  test("pqEncode/pqTopK: deterministic codes; ADC + rerank tracks brute") {
+    val e = Tables.df(spark, sfDir, "embeddings")
+    val enc = Similarity.pqEncode(e, m = 2, ksub = 8, iters = 1,
+      sampleSize = 64).collect()
+    assert(enc.length == 1000) // 500 vectors x 2 subspaces
+    assert(enc.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 8))
+    val enc2 = Similarity.pqEncode(e, m = 2, ksub = 8, iters = 1,
+      sampleSize = 64).collect()
+    assert(enc.map(_.toString).sorted.sameElements(enc2.map(_.toString).sorted))
+
+    val q = e.filter(col("vec_id") < 5)
+    val c = e.filter(col("vec_id") >= 5)
+    def topSets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topSets(Similarity.bruteForceTopK(q, c, 10))
+    val pq = topSets(Similarity.pqTopK(q, c, 10))
+    // near-random test vectors (neighbor gaps ~1e-2) are adversarial for
+    // any quantizer: assert high per-query recall, not exact equality
+    val recalls = brute.map { case (qid, ids) =>
+      (pq.getOrElse(qid, Set.empty[Long]) intersect ids).size.toDouble / ids.size }
+    assert(recalls.forall(_ >= 0.8), s"recalls: ${recalls.toSeq.sorted}")
+    // with the ADC cut widened to the whole corpus the rerank is exact
+    val full = Similarity.pqTopK(q, c, 10, rerank = 500)
+      .orderBy("q_id", "rank").collect().toSeq
+    val bruteOrdered = Similarity.bruteForceTopK(q, c, 10)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(full == bruteOrdered)
+  }
 }
