@@ -9,6 +9,7 @@ import graft.Queries.Q
 import graft.core.{StorageCatalog, Tables, TableStore}
 import graft.engine.ddl.Ddl
 import graft.engine.imp.ImportPipeline
+import graft.engine.mv.{MatViews, MvAgg}
 import graft.engine.query.Export
 import graft.engine.snapshot.Snapshots
 import graft.engine.workspace.Workspace
@@ -172,6 +173,46 @@ object StorageQueries {
              |UNION ALL SELECT '5_after_pull', COUNT(*),
              |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) FROM customer
              |ORDER BY src""".stripMargin)),
+
+    // MV: incremental aggregate materialized view. Build over 2/3 of
+    // orders, append the last third (append-only merge path), then upsert
+    // a price-bumped slice (removal path: subtractable sum/count netting +
+    // semi-joined min/max recompute of touched groups). The read must
+    // equal a from-scratch aggregate of the final table.
+    Q("mv1_incremental_refresh",
+      (s, dir) => {
+        val store = tempStore(s)
+        val ords = Tables.df(s, dir, "orders")
+        store.createTable("p1", "sales", "orders", ords.schema,
+          primaryKey = Seq("o_orderkey"))
+        store.overwrite("p1", "sales", "orders",
+          ords.filter(col("o_orderkey") % 3 =!= 0))
+        val mv = new MatViews(s, store)
+        mv.create("p1", "mv", "orders_by_status", "p1", "sales", "orders",
+          groupBy = Seq("o_orderstatus"),
+          aggs = Seq(MvAgg("count", "*", "n_orders"),
+            MvAgg("sum", "o_totalprice", "sum_price"),
+            MvAgg("avg", "o_totalprice", "avg_price"),
+            MvAgg("min", "o_totalprice", "min_price"),
+            MvAgg("max", "o_totalprice", "max_price")))
+        store.append("p1", "sales", "orders",
+          ords.filter(col("o_orderkey") % 3 === 0))
+        mv.refresh("p1", "mv", "orders_by_status") // append-only merge
+        store.upsert("p1", "sales", "orders",
+          ords.filter(col("o_orderkey") % 97 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(1.0)),
+          Seq("o_orderkey"))
+        mv.refresh("p1", "mv", "orders_by_status") // netting + recompute
+        mv.read("p1", "mv", "orders_by_status").orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(p AS DECIMAL(38,4))) AS DOUBLE) AS sum_price,
+             |  CAST(SUM(CAST(p AS DECIMAL(38,4))) AS DOUBLE) / COUNT(p) AS avg_price,
+             |  MIN(p) AS min_price, MAX(p) AS max_price
+             |FROM (SELECT o_orderstatus,
+             |        o_totalprice + CASE WHEN o_orderkey % 97 = 0 THEN 1.0 ELSE 0 END AS p
+             |      FROM orders)
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     // D11+Q1: workspace session with {bucket}_{table} mounts, filtered
     // CTAS load, then passthrough SQL joining the loaded table to a mount

@@ -372,6 +372,48 @@ final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
     }
   }
 
+  /** Both directions of the manifest diff between two retained versions:
+    * (removed rows, added rows) — the rows of roots only `fromVersion`
+    * references, and of roots only `toVersion` references. The removed
+    * side is what subtractive consumers need: incremental view
+    * maintenance computes MV' = MV − agg(removed) + agg(added), exact at
+    * root granularity for every commit kind (upsert's touched buckets
+    * appear whole on both sides). Reads O(changed roots), never O(table).
+    * Legacy manifest-less versions diff as a full replace. */
+  def changesDiffBetween(project: String, bucket: String, table: String,
+      fromVersion: Int, toVersion: Int,
+      branch: Option[String] = None): (DataFrame, DataFrame) = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val (meta, cvdir) = catalog.resolveForRead(project, bucket, table, branch)
+    require(toVersion >= 0 && toVersion <= meta.version,
+      s"version $toVersion out of range [0, ${meta.version}]")
+    def vdirOf(v: Int): Path = {
+      val d = cvdir.getParent.resolve(s"v$v")
+      if (!Files.exists(d))
+        throw new NoSuchElementException(
+          s"$project/$bucket/$table@v$v was garbage-collected " +
+            s"(retention keeps $gcRetainVersions versions / ${gcRetainMillis}ms)")
+      d
+    }
+    val toDir = vdirOf(toVersion)
+    val empty = loadVersionDir(spark, toDir, None).limit(0)
+    if (fromVersion == toVersion) return (empty, empty)
+    val fromDir = vdirOf(fromVersion)
+    (Manifest.readFrom(fromDir), Manifest.readFrom(toDir)) match {
+      case (Some(f), Some(t)) =>
+        val toPaths = t.entries.map(_.path).toSet
+        val fromPaths = f.entries.map(_.path).toSet
+        def rows(es: Seq[ManifestEntry]) =
+          if (es.isEmpty) empty
+          else readRoots(spark, es.map(e => catalog.root.resolve(e.path)), None)
+        (rows(f.entries.filterNot(e => toPaths.contains(e.path))),
+          rows(t.entries.filterNot(e => fromPaths.contains(e.path))))
+      case _ => // legacy plain version on either side: full replace
+        (loadVersionDir(spark, fromDir, None), loadVersionDir(spark, toDir, None))
+    }
+  }
+
   /** D13: CTAS from time travel — materialize a historical version of
     * `srcTable` as a NEW table (reference command shape:
     * proto/table.proto:513-525 CreateTableFromTimeTravelCommand). The PK

@@ -1,0 +1,305 @@
+package graft.engine.mv
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.core.{StorageCatalog, TableStore}
+
+/** One aggregate of a materialized view: `fn` ∈ count|sum|avg|min|max,
+  * `col` the base column (`*` only with count), `as` the output name. */
+final case class MvAgg(fn: String, col: String, as: String)
+
+/** A registered view: its own table coordinates, the base table it
+  * aggregates, and the base version its state currently reflects. */
+final case class MvDef(project: String, bucket: String, table: String,
+    baseProject: String, baseBucket: String, baseTable: String,
+    groupBy: Seq[String], aggs: Seq[MvAgg], lastVersion: Int)
+
+final case class RefreshStats(fromVersion: Int, toVersion: Int,
+    changedGroups: Long, vanishedGroups: Long, recomputedGroups: Long,
+    full: Boolean)
+
+/** Incremental aggregate materialized views over the versioned store,
+  * maintained from the manifest change feed — the counting algorithm of
+  * incremental view maintenance expressed Spark-first.
+  *
+  * Refresh never scans the base table: [[TableStore.changesDiffBetween]]
+  * yields the rows of removed and added data roots (O(changed segments)
+  * discovery + read), and the new state is
+  * `MV' = MV − partial(removed) + partial(added)`. Counts are longs and
+  * sums accumulate in DECIMAL(38,4) — associative AND subtractable, so
+  * incrementally-maintained state is bit-equal to a from-scratch
+  * recompute (a double sum would drift: (a+b)−b ≠ a in fp). min/max are
+  * not subtractable; groups the removed side touches are recomputed from
+  * the base restricted to just those group keys (a single semi-joined
+  * scan — the standard IVM fallback), while append-only refreshes merge
+  * min/max incrementally.
+  *
+  * The state itself is a normal store table with the group keys as its
+  * primary key, so a refresh that only changes some groups lands as a
+  * PK-hash-bucketed partial upsert (O(touched buckets) written), the view
+  * is versioned/branchable/time-travelable like any table, and a
+  * workspace can mount it. At 100 TB with an append-heavy base this makes
+  * view maintenance O(commit), not O(table) — the difference between a
+  * nightly full rebuild and a continuous one.
+  *
+  * Definitions persist as catalog settings (JSON), so views survive
+  * restarts and refresh from wherever they left off. If retention has
+  * GC'd the version a view last saw, refresh falls back to a full
+  * rebuild — correct at any distance, incremental whenever possible.
+  */
+final class MatViews(spark: SparkSession, store: TableStore) {
+  private val catalog: StorageCatalog = store.catalog
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private val Fns = Set("count", "sum", "avg", "min", "max")
+  private def settingKey(p: String, b: String, t: String) = s"mv/$p/$b/$t"
+
+  // ------------------------------------------------------------- registry
+
+  private def persistDef(d: MvDef): Unit = {
+    val root = om.createObjectNode()
+    root.put("baseProject", d.baseProject).put("baseBucket", d.baseBucket)
+      .put("baseTable", d.baseTable).put("lastVersion", d.lastVersion)
+    val gb = root.putArray("groupBy"); d.groupBy.foreach(gb.add)
+    val ags = root.putArray("aggs")
+    d.aggs.foreach { a =>
+      ags.addObject().put("fn", a.fn).put("col", a.col).put("as", a.as) }
+    catalog.putSetting(settingKey(d.project, d.bucket, d.table), root.toString)
+  }
+
+  def definitionOf(project: String, bucket: String, table: String): MvDef = {
+    val s = catalog.getSetting(settingKey(project, bucket, table))
+      .getOrElse(throw new NoSuchElementException(
+        s"no materialized view $project/$bucket/$table"))
+    val n = om.readTree(s)
+    val aggs = (0 until n.get("aggs").size()).map { i =>
+      val a = n.get("aggs").get(i)
+      MvAgg(a.get("fn").asText, a.get("col").asText, a.get("as").asText)
+    }
+    MvDef(project, bucket, table,
+      n.get("baseProject").asText, n.get("baseBucket").asText,
+      n.get("baseTable").asText,
+      (0 until n.get("groupBy").size()).map(n.get("groupBy").get(_).asText),
+      aggs, n.get("lastVersion").asInt)
+  }
+
+  // ------------------------------------------------------- state algebra
+
+  private def hasMinMax(d: MvDef) =
+    d.aggs.exists(a => a.fn == "min" || a.fn == "max")
+
+  /** Partial-aggregate state of `df`: one row per group, `__n` row count
+    * plus per-agg accumulators (`__s_*` decimal sums, `__c_*` non-null
+    * counts, `__lo_*`/`__hi_*` extrema). All map-side-combinable — the
+    * shuffle moves groups, not rows. */
+  private def partialState(d: MvDef, df: DataFrame): DataFrame = {
+    val aggExprs: Seq[Column] =
+      Seq(count(lit(1)).cast(LongType).as("__n")) ++ d.aggs.flatMap {
+        case MvAgg("count", "*", as) => Nil // surfaced from __n
+        case MvAgg("count", c, as) =>
+          Seq(count(col(c)).cast(LongType).as(s"__c_$as"))
+        case MvAgg(fn, c, as) if fn == "sum" || fn == "avg" => Seq(
+          sum(col(c).cast(DecimalType(38, 4))).cast(DecimalType(38, 4))
+            .as(s"__s_$as"),
+          count(col(c)).cast(LongType).as(s"__c_$as"))
+        case MvAgg("min", c, as) => Seq(min(col(c)).as(s"__lo_$as"))
+        case MvAgg("max", c, as) => Seq(max(col(c)).as(s"__hi_$as"))
+        case MvAgg(fn, _, _) =>
+          throw new IllegalArgumentException(s"unsupported MV aggregate: $fn")
+      }
+    df.groupBy(d.groupBy.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+  }
+
+  /** State column names beyond the group keys, in partialState order. */
+  private def stateCols(d: MvDef): Seq[String] =
+    "__n" +: d.aggs.flatMap {
+      case MvAgg("count", "*", _) => Nil
+      case MvAgg("count", _, as) => Seq(s"__c_$as")
+      case MvAgg(fn, _, as) if fn == "sum" || fn == "avg" =>
+        Seq(s"__s_$as", s"__c_$as")
+      case MvAgg("min", _, as) => Seq(s"__lo_$as")
+      case MvAgg("max", _, as) => Seq(s"__hi_$as")
+      case a => throw new IllegalArgumentException(a.fn)
+    }
+
+  // ------------------------------------------------------------ lifecycle
+
+  /** Register + build a view: computes the initial state from the base
+    * version current at call time (pinned — a concurrent commit can't
+    * make state and recorded version disagree) and stores it as a table
+    * whose PK is the group keys. */
+  def create(project: String, bucket: String, table: String,
+      baseProject: String, baseBucket: String, baseTable: String,
+      groupBy: Seq[String], aggs: Seq[MvAgg]): MvDef = {
+    require(groupBy.nonEmpty, "materialized view needs group-by keys")
+    aggs.foreach { a =>
+      require(Fns(a.fn), s"unsupported MV aggregate: ${a.fn}")
+      require(a.col != "*" || a.fn == "count", s"${a.fn}(*) is not supported")
+    }
+    require(aggs.map(_.as).distinct.size == aggs.size,
+      "duplicate output names in MV aggregates")
+    val baseMeta = catalog.getTable(baseProject, baseBucket, baseTable)
+      .getOrElse(throw new NoSuchElementException(
+        s"$baseProject/$baseBucket/$baseTable"))
+    val d = MvDef(project, bucket, table, baseProject, baseBucket, baseTable,
+      groupBy, aggs, baseMeta.version)
+    val state = partialState(d,
+      store.readVersion(baseProject, baseBucket, baseTable, baseMeta.version))
+    store.createTable(project, bucket, table, state.schema, groupBy)
+    store.overwrite(project, bucket, table, state)
+    persistDef(d)
+    d
+  }
+
+  def drop(project: String, bucket: String, table: String): Unit = {
+    definitionOf(project, bucket, table) // throws if absent
+    catalog.removeSetting(settingKey(project, bucket, table))
+    store.dropTable(project, bucket, table)
+  }
+
+  /** Advance the view to the base's current version.
+    *
+    * Incremental path: partial-aggregate the removed and added root rows,
+    * net them per group, and merge into the stored state — new/changed
+    * groups land as a PK-bucketed upsert; groups whose row count reaches
+    * zero force a (rare) rewrite that drops them; groups with removals
+    * recompute min/max from a single semi-joined base scan. Falls back to
+    * a full rebuild when the last-seen version was GC'd. */
+  def refresh(project: String, bucket: String, table: String): RefreshStats = {
+    val d = definitionOf(project, bucket, table)
+    val baseMeta = catalog.getTable(d.baseProject, d.baseBucket, d.baseTable)
+      .getOrElse(throw new NoSuchElementException(
+        s"${d.baseProject}/${d.baseBucket}/${d.baseTable}"))
+    val cur = baseMeta.version
+    if (cur == d.lastVersion)
+      return RefreshStats(cur, cur, 0, 0, 0, full = false)
+
+    val diff =
+      try Some(store.changesDiffBetween(d.baseProject, d.baseBucket,
+        d.baseTable, d.lastVersion, cur))
+      catch { case _: NoSuchElementException => None } // GC'd: full rebuild
+
+    diff match {
+      case None =>
+        val state = partialState(d,
+          store.readVersion(d.baseProject, d.baseBucket, d.baseTable, cur))
+        store.overwrite(project, bucket, table, state)
+        persistDef(d.copy(lastVersion = cur))
+        RefreshStats(d.lastVersion, cur, -1, -1, -1, full = true)
+      case Some((removed, added)) =>
+        val stats = applyDelta(d, cur, removed, added)
+        persistDef(d.copy(lastVersion = cur))
+        stats
+    }
+  }
+
+  private def applyDelta(d: MvDef, cur: Int, removed: DataFrame,
+      added: DataFrame): RefreshStats = {
+    val keys = d.groupBy
+    def pfx(df: DataFrame, p: String) = stateCols(d)
+      .foldLeft(df)((acc, c) => acc.withColumnRenamed(c, p + c))
+    val dAdd = pfx(partialState(d, added), "a")
+    val dRem = pfx(partialState(d, removed), "r")
+    val old = pfx(store.read(d.project, d.bucket, d.table), "o")
+
+    // net delta per touched group, joined to current state
+    val merged = dAdd.join(dRem, keys, "full_outer")
+      .join(old, keys, "left_outer")
+      .persist()
+    try {
+      def l(p: String, c: String) =
+        coalesce(col(p + c).cast(LongType), lit(0L))
+      def dec(p: String, c: String) =
+        coalesce(col(p + c), lit(0).cast(DecimalType(38, 4)))
+      val newN = (l("o", "__n") + l("a", "__n") - l("r", "__n")).as("__n")
+      val remTouched = l("r", "__n") > 0
+
+      // subtractable accumulators: exact in long / decimal
+      val exactCols: Seq[Column] = d.aggs.flatMap {
+        case MvAgg("count", "*", _) => Nil
+        case MvAgg("count", _, as) =>
+          val c = s"__c_$as"
+          Seq((l("o", c) + l("a", c) - l("r", c)).as(c))
+        case MvAgg(fn, _, as) if fn == "sum" || fn == "avg" =>
+          val s = s"__s_$as"; val c = s"__c_$as"
+          Seq((dec("o", s) + dec("a", s) - dec("r", s))
+            .cast(DecimalType(38, 4)).as(s),
+            (l("o", c) + l("a", c) - l("r", c)).as(c))
+        // append-only merge (least/greatest skip nulls); removal-touched
+        // groups are replaced by the recompute below
+        case MvAgg("min", _, as) =>
+          val c = s"__lo_$as"; Seq(least(col("o" + c), col("a" + c)).as(c))
+        case MvAgg("max", _, as) =>
+          val c = s"__hi_$as"; Seq(greatest(col("o" + c), col("a" + c)).as(c))
+        case a => throw new IllegalArgumentException(a.fn)
+      }
+      val combined = merged.select(
+        keys.map(col) ++ Seq(newN, remTouched.as("__rt")) ++ exactCols: _*)
+
+      val vanished = combined.filter(col("__n") <= 0)
+      val vanCount = vanished.count()
+      val live = combined.filter(col("__n") > 0)
+
+      // min/max can't subtract: recompute groups the removal touched from
+      // the base, pruned to just those keys (semi join — one scan, only
+      // when extrema are at stake)
+      val (incremental, recomputed, recompCount) =
+        if (!hasMinMax(d)) (live.drop("__rt"), None, 0L)
+        else {
+          val rkeys = live.filter(col("__rt")).select(keys.map(col): _*)
+          val rc = rkeys.count()
+          if (rc == 0) (live.drop("__rt"), None, 0L)
+          else {
+            val base = store.readVersion(
+              d.baseProject, d.baseBucket, d.baseTable, cur)
+            val fresh = partialState(d,
+              base.join(broadcast(rkeys), keys, "left_semi"))
+            (live.filter(!col("__rt")).drop("__rt"), Some(fresh), rc)
+          }
+        }
+      val staging = recomputed.fold(incremental)(incremental.unionByName(_))
+      val changed = staging.count()
+
+      if (vanCount == 0)
+        store.upsert(d.project, d.bucket, d.table, staging, keys)
+      else {
+        // groups dropped out: rewrite state without them (rare — only
+        // deletes/overwrites of a whole group get here)
+        val untouched = store.read(d.project, d.bucket, d.table)
+          .join(combined.select(keys.map(col): _*), keys, "left_anti")
+        store.overwrite(d.project, d.bucket, d.table,
+          untouched.unionByName(staging))
+      }
+      RefreshStats(d.lastVersion, cur, changed, vanCount, recompCount,
+        full = false)
+    } finally merged.unpersist()
+  }
+
+  // ---------------------------------------------------------------- reads
+
+  /** The user-facing view: group keys + named aggregates, derived from
+    * the stored accumulators. Sums/averages surface as DOUBLE of the
+    * exact decimal state (NULL when the group has no non-null inputs),
+    * counts as LONG, extrema in their native type. */
+  def read(project: String, bucket: String, table: String): DataFrame = {
+    val d = definitionOf(project, bucket, table)
+    val st = store.read(project, bucket, table)
+    val outs: Seq[Column] = d.aggs.map {
+      case MvAgg("count", "*", as) => col("__n").as(as)
+      case MvAgg("count", _, as) => col(s"__c_$as").as(as)
+      case MvAgg("sum", _, as) =>
+        when(col(s"__c_$as") === 0, lit(null))
+          .otherwise(col(s"__s_$as").cast(DoubleType)).as(as)
+      case MvAgg("avg", _, as) =>
+        when(col(s"__c_$as") === 0, lit(null))
+          .otherwise(col(s"__s_$as").cast(DoubleType) / col(s"__c_$as"))
+          .as(as)
+      case MvAgg("min", _, as) => col(s"__lo_$as").as(as)
+      case MvAgg("max", _, as) => col(s"__hi_$as").as(as)
+      case a => throw new IllegalArgumentException(a.fn)
+    }
+    st.select(d.groupBy.map(col) ++ outs: _*)
+  }
+}

@@ -794,12 +794,20 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
       new Writer().str(1, s"share_${pid}_$bucket"))
   }
 
+  /** Resolve a share role name back to (projectId, bucket) by matching
+    * against the registered shares — ids may themselves contain `_`, so
+    * splitting the role string is ambiguous (same hazard dropDevBranch
+    * avoids for branch roles). */
+  private def resolveShareRole(role: String): Option[(String, String)] =
+    store.catalog.settingsWithPrefix("share/").keysIterator
+      .map(_.split("/", 3))
+      .collectFirst { case Array(_, pid, bucket)
+        if s"share_${pid}_$bucket" == role => (pid, bucket) }
+
   /** UnshareBucketCommand {bucketShareRoleName = 2}. Void. */
   private def unshareBucket(fs: Seq[Field]): Option[(String, Writer)] = {
-    str(fs, 2).split("_", 3) match {
-      case Array("share", pid, bucket) =>
-        store.catalog.removeSetting(s"share/$pid/$bucket")
-      case _ =>
+    resolveShareRole(str(fs, 2)).foreach { case (pid, bucket) =>
+      store.catalog.removeSetting(s"share/$pid/$bucket")
     }
     None
   }
@@ -810,14 +818,12 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
     * an L5 alias — zero data copied. */
   private def linkBucket(fs: Seq[Field]): (String, Writer) = {
     val (target, alias) = (str(fs, 2), str(fs, 3))
-    str(fs, 4).split("_", 3) match {
-      case Array("share", pid, bucket) =>
-        if (store.catalog.getSetting(s"share/$pid/$bucket").isEmpty)
-          throw new NoSuchElementException(s"bucket $pid/$bucket is not shared")
+    resolveShareRole(str(fs, 4)) match {
+      case Some((pid, bucket)) =>
         store.catalog.linkBucket(target, alias, pid, bucket)
         logInfo(s"Bucket $pid/$bucket linked into $target as $alias (zero-copy)")
-      case _ => throw new IllegalArgumentException(
-        s"invalid sourceShareRoleName: ${str(fs, 4)}")
+      case None => throw new NoSuchElementException(
+        s"no shared bucket for role: ${str(fs, 4)}")
     }
     ("bucket.LinkedBucketResponse", new Writer().str(1, alias))
   }

@@ -1,0 +1,164 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.core.{StorageCatalog, TableStore, Tables}
+import graft.engine.mv.{MatViews, MvAgg}
+
+class MatViewsSpec extends SparkSpec {
+
+  private def freshStore(retainMillis: Long = 30L * 60 * 1000,
+      retainVersions: Int = 2): (TableStore, MatViews) = {
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-mv")),
+      gcRetainVersions = retainVersions, gcRetainMillis = retainMillis)
+    (store, new MatViews(spark, store))
+  }
+
+  private val aggs = Seq(
+    MvAgg("count", "*", "n"),
+    MvAgg("sum", "c_acctbal", "total_bal"),
+    MvAgg("avg", "c_acctbal", "avg_bal"),
+    MvAgg("min", "c_acctbal", "min_bal"),
+    MvAgg("max", "c_acctbal", "max_bal"))
+
+  /** Direct recompute of the same aggregate over `df` — the oracle every
+    * refresh result must equal exactly. */
+  private def direct(df: DataFrame): Seq[String] =
+    df.groupBy("c_mktsegment")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(col("c_acctbal").cast(DecimalType(38, 4))).cast(DoubleType)
+          .as("total_bal"),
+        (sum(col("c_acctbal").cast(DecimalType(38, 4))).cast(DoubleType) /
+          count(col("c_acctbal"))).as("avg_bal"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"))
+      .orderBy("c_mktsegment").collect().map(_.toString).toSeq
+
+  private def mvRows(mv: MatViews): Seq[String] =
+    mv.read("p", "mv", "cust_by_seg").orderBy("c_mktsegment")
+      .collect().map(_.toString).toSeq
+
+  test("create computes initial state equal to a direct aggregate") {
+    val (store, mv) = freshStore()
+    val cust = Tables.df(spark, sfDir, "customer")
+    store.createTable("p", "b", "customer", cust.schema, Seq("c_custkey"))
+    store.overwrite("p", "b", "customer", cust)
+    mv.create("p", "mv", "cust_by_seg", "p", "b", "customer",
+      Seq("c_mktsegment"), aggs)
+    assert(mvRows(mv) == direct(store.read("p", "b", "customer")))
+    // definition round-trips through the catalog
+    val d = mv.definitionOf("p", "mv", "cust_by_seg")
+    assert(d.groupBy == Seq("c_mktsegment") && d.aggs == aggs)
+  }
+
+  test("append-only refresh merges incrementally and matches recompute") {
+    val (store, mv) = freshStore()
+    val cust = Tables.df(spark, sfDir, "customer")
+    store.createTable("p", "b", "customer", cust.schema, Seq("c_custkey"))
+    store.overwrite("p", "b", "customer", cust)
+    mv.create("p", "mv", "cust_by_seg", "p", "b", "customer",
+      Seq("c_mktsegment"), aggs)
+    store.append("p", "b", "customer",
+      cust.filter(col("c_custkey") <= 50)
+        .withColumn("c_custkey", col("c_custkey") + 100000L))
+    val st = mv.refresh("p", "mv", "cust_by_seg")
+    assert(!st.full && st.vanishedGroups == 0 && st.recomputedGroups == 0)
+    assert(mvRows(mv) == direct(store.read("p", "b", "customer")))
+    // idempotent: nothing new to fold in
+    val st2 = mv.refresh("p", "mv", "cust_by_seg")
+    assert(st2.changedGroups == 0 && st2.fromVersion == st2.toVersion)
+  }
+
+  test("upsert refresh recomputes extrema only for removal-touched groups") {
+    val (store, mv) = freshStore()
+    val cust = Tables.df(spark, sfDir, "customer")
+    store.createTable("p", "b", "customer", cust.schema, Seq("c_custkey"))
+    store.overwrite("p", "b", "customer", cust)
+    // bucket the layout first so the upsert is a partial rewrite
+    store.upsert("p", "b", "customer",
+      cust.limit(0), Seq("c_custkey"))
+    mv.create("p", "mv", "cust_by_seg", "p", "b", "customer",
+      Seq("c_mktsegment"), aggs)
+    store.upsert("p", "b", "customer",
+      cust.filter(col("c_custkey") <= 30)
+        .withColumn("c_acctbal", col("c_acctbal") * 2),
+      Seq("c_custkey"))
+    val st = mv.refresh("p", "mv", "cust_by_seg")
+    assert(!st.full && st.recomputedGroups > 0)
+    assert(mvRows(mv) == direct(store.read("p", "b", "customer")))
+  }
+
+  test("groups that lose every row vanish from the view") {
+    val (store, mv) = freshStore()
+    val cust = Tables.df(spark, sfDir, "customer")
+    store.createTable("p", "b", "customer", cust.schema, Seq("c_custkey"))
+    store.overwrite("p", "b", "customer", cust)
+    mv.create("p", "mv", "cust_by_seg", "p", "b", "customer",
+      Seq("c_mktsegment"), aggs)
+    val seg = cust.select("c_mktsegment").orderBy("c_mktsegment")
+      .first().getString(0)
+    store.overwrite("p", "b", "customer",
+      cust.filter(col("c_mktsegment") =!= seg))
+    val st = mv.refresh("p", "mv", "cust_by_seg")
+    assert(st.vanishedGroups == 1)
+    val rows = mv.read("p", "mv", "cust_by_seg")
+    assert(rows.filter(col("c_mktsegment") === seg).count() == 0)
+    assert(mvRows(mv) == direct(store.read("p", "b", "customer")))
+  }
+
+  test("GC'd last-seen version falls back to a full rebuild") {
+    val (store, mv) = freshStore(retainMillis = 0L, retainVersions = 1)
+    val cust = Tables.df(spark, sfDir, "customer")
+    store.createTable("p", "b", "customer", cust.schema, Seq("c_custkey"))
+    store.overwrite("p", "b", "customer", cust)
+    mv.create("p", "mv", "cust_by_seg", "p", "b", "customer",
+      Seq("c_mktsegment"), aggs)
+    // two commits: the version the view saw is gone under retention=1
+    store.append("p", "b", "customer",
+      cust.limit(10).withColumn("c_custkey", col("c_custkey") + 200000L))
+    store.append("p", "b", "customer",
+      cust.limit(10).withColumn("c_custkey", col("c_custkey") + 300000L))
+    val st = mv.refresh("p", "mv", "cust_by_seg")
+    assert(st.full)
+    assert(mvRows(mv) == direct(store.read("p", "b", "customer")))
+  }
+
+  test("null inputs: sum/avg are NULL for all-null groups, counts exact") {
+    val (store, mv) = freshStore()
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(1.5)), ("a", None), ("b", None), ("b", None))
+      .toDF("g", "v")
+    store.createTable("p", "b", "t", df.schema)
+    store.overwrite("p", "b", "t", df)
+    mv.create("p", "mv2", "by_g", "p", "b", "t", Seq("g"),
+      Seq(MvAgg("count", "*", "n"), MvAgg("count", "v", "n_v"),
+        MvAgg("sum", "v", "s"), MvAgg("avg", "v", "a")))
+    store.append("p", "b", "t", Seq(("b", Option.empty[Double])).toDF("g", "v"))
+    mv.refresh("p", "mv2", "by_g")
+    val rows = mv.read("p", "mv2", "by_g").orderBy("g").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(rows(0).getLong(1) == 2 && rows(0).getLong(2) == 1)
+    assert(rows(0).getDouble(3) == 1.5)
+    assert(rows(1).getLong(1) == 3 && rows(1).getLong(2) == 0)
+    assert(rows(1).isNullAt(3) && rows(1).isNullAt(4))
+  }
+
+  test("drop removes the definition and the state table") {
+    val (store, mv) = freshStore()
+    val cust = Tables.df(spark, sfDir, "customer")
+    store.createTable("p", "b", "customer", cust.schema, Seq("c_custkey"))
+    store.overwrite("p", "b", "customer", cust)
+    mv.create("p", "mv", "cust_by_seg", "p", "b", "customer",
+      Seq("c_mktsegment"), Seq(MvAgg("count", "*", "n")))
+    mv.drop("p", "mv", "cust_by_seg")
+    intercept[NoSuchElementException] {
+      mv.definitionOf("p", "mv", "cust_by_seg") }
+    assert(store.catalog.getTable("p", "mv", "cust_by_seg").isEmpty)
+  }
+}
