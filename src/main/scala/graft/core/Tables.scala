@@ -14,6 +14,13 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def df(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // driver-generated parquet marks timestamps isAdjustedToUTC=false;
+    // Spark 4 would infer TIMESTAMP_NTZ where the engine (and the DuckDB
+    // oracle, under the UTC session) expects plain TIMESTAMP — read them
+    // as LTZ like Spark 3.x did. Runtime conf, idempotent, and set here
+    // (the one choke point for test-table reads) so every session that
+    // touches these tables is covered.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw =
       if (name == "events") events(spark, dir)
       else spark.read.parquet(s"$dir/$name.parquet")
