@@ -9,7 +9,7 @@ import graft.Queries.Q
 import graft.core.{StorageCatalog, Tables, TableStore}
 import graft.engine.imp.ImportPipeline
 import graft.engine.profile.Profiler
-import graft.engine.query.{Export, FilterAlgebra}
+import graft.engine.query.{Export, FilterAlgebra, TemporalJoins}
 import graft.engine.query.FilterAlgebra.{Op, WhereFilter}
 
 /** Coverage-completing queries: schema-inferring CSV (S2), append (D3),
@@ -390,6 +390,80 @@ object ExtraQueries {
            |       WHEN CAST(COUNT(DISTINCT $c) AS DOUBLE) / COUNT($c) > 0.01 THEN 'low'
            |       ELSE 'very_low' END AS cardinality_class
            |FROM documents""".stripMargin
-      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")))
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))),
+
+    // aj1 — as-of join (parity-plus): for each purchase, the same user's
+    // most recent view at-or-before the purchase. Spark side is the
+    // union+window formulation (engine/query/TemporalJoins.asofJoin —
+    // ZERO join operators, one shuffle; PlanSpec asserts it); the oracle
+    // is DuckDB's native ASOF LEFT JOIN. Both sides pre-aggregate views
+    // to one row per (user_id, ts) so equal-time ties are deterministic.
+    Q("aj1_asof_join",
+      (s, dir) => {
+        val ev = Tables.df(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts")
+          .agg(max("event_id").as("view_id"),
+            max_by(col("value"), col("event_id")).as("view_value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        TemporalJoins.asofJoin(purchases, views,
+            leftKey = "user_id", rightKey = "user_id",
+            leftTime = "ts", rightTime = "ts",
+            valueCols = Seq("view_id", "view_value"))
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            unix_millis(col("ts")).as("t_ms"),
+            unix_millis(col("asof_ts")).as("view_ms"),
+            col("asof_view_id").as("view_id"),
+            col("asof_view_value").as("view_value"))
+          .orderBy("purchase_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, ts, MAX(event_id) AS view_id,
+             |    arg_max(value, event_id) AS view_value
+             |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+             |), p AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'purchase'
+             |)
+             |SELECT p.event_id AS purchase_id, p.user_id,
+             |  epoch_ms(p.ts) AS t_ms, epoch_ms(v.ts) AS view_ms,
+             |  v.view_id, v.view_value
+             |FROM p ASOF LEFT JOIN v
+             |  ON p.user_id = v.user_id AND v.ts <= p.ts
+             |ORDER BY purchase_id""".stripMargin)),
+
+    // rj1 — banded range join (parity-plus): views in the 5 minutes
+    // before each purchase, NO equi-key — the shape Spark would plan as a
+    // BroadcastNestedLoopJoin. TemporalJoins.rangeJoin quantizes time
+    // into 5-minute bins and equi-joins on the bin id (PlanSpec asserts
+    // no BNLJ/cartesian); the oracle is the plain inequality join DuckDB
+    // plans natively (IEJoin).
+    Q("rj1_range_join",
+      (s, dir) => {
+        val ev = Tables.df(s, dir, "events")
+        val w = 300000L
+        val anchors = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            unix_millis(col("ts")).as("hi"))
+          .withColumn("lo", col("hi") - w)
+        val points = ev.filter(col("event_type") === "view")
+          .select(unix_millis(col("ts")).as("pt"),
+            col("event_id").as("view_id"))
+        TemporalJoins.rangeJoin(anchors, points,
+            loCol = "lo", hiCol = "hi", ptCol = "pt",
+            pointCols = Seq("view_id"), binWidthMs = w)
+          .groupBy("purchase_id")
+          .agg(max(col("hi")).as("t_ms"), count(col("view_id")).as("n_views"))
+          .orderBy("purchase_id")
+      },
+      Some("""SELECT a.event_id AS purchase_id, epoch_ms(a.ts) AS t_ms,
+             |  COUNT(v.event_id) AS n_views
+             |FROM events a LEFT JOIN events v
+             |  ON v.event_type = 'view'
+             | AND epoch_ms(v.ts) >= epoch_ms(a.ts) - 300000
+             | AND epoch_ms(v.ts) < epoch_ms(a.ts)
+             |WHERE a.event_type = 'purchase'
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
   )
 }

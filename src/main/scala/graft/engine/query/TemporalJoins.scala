@@ -1,0 +1,148 @@
+package graft.engine.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark lacks as built-in operators, composed from the
+  * operators it has (the builder brief's preference order (a)): the
+  * as-of (point-in-time) join and the banded range join. Both avoid the
+  * shapes that die at scale — Spark plans a raw inequality join as a
+  * BroadcastNestedLoopJoin (O(N*M) compares, broadcast of a whole side),
+  * and a naive as-of "max earlier timestamp" subquery is a self-join plus
+  * re-aggregation that shuffles the fact table twice.
+  *
+  * The reference has no analog (DuckDB grew ASOF JOIN as a native
+  * operator; its SQL surface in the reference is never exercised with
+  * one) — these are parity-plus operators for the time-series side of a
+  * training-data/analytics pipeline, and the DuckDB twins oracle them
+  * with the real `ASOF JOIN` / inequality-join syntax.
+  */
+object TemporalJoins {
+
+  /** As-of join: for each left row, the single right row with the same
+    * key and the greatest right-time at-or-before (strict: strictly
+    * before) the left row's time — trades-and-quotes, point-in-time
+    * feature lookup, "state of X when Y happened".
+    *
+    * Shape: NO join operator at all. Both sides are tagged and unioned,
+    * then ONE window over (key) ordered by (time, side) carries the
+    * latest right payload forward into each left row
+    * (`last(_, ignoreNulls)` over UNBOUNDED PRECEDING..CURRENT ROW — a
+    * running frame, O(rows) after the sort, not O(rows * frame)). Cost is
+    * one hash-partition shuffle of N+M rows and a per-partition sort —
+    * the same bill as one sort-merge join side, with no build side held
+    * in memory and no broadcast. Skew concentrates a hot KEY in one
+    * task's sort, exactly like any keyed window; pre-aggregate or salt
+    * upstream if a single key exceeds a task.
+    *
+    * Equal-time ties: non-strict (`strict=false`) makes a right row at
+    * exactly the left time visible to it; strict hides it. Among right
+    * rows sharing (key, time) the carried row is the last under the
+    * union's sort, which Spark does not define further — pre-aggregate
+    * the right side to one row per (key, time) (e.g. `max_by`) when that
+    * distinction matters; the oracle twins do.
+    *
+    * @param valueCols right-side payload columns carried to the output as
+    *                  `prefix + name`; the matched right time travels as
+    *                  `prefix + rightTime`. Unmatched (or out-of-
+    *                  tolerance) left rows keep NULLs — LEFT OUTER asof.
+    * @param toleranceMs with Some(t), a match older than t milliseconds
+    *                  (left time - right time > t) is discarded —
+    *                  "the quote must be at most t old".
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      valueCols: Seq[String],
+      strict: Boolean = false,
+      toleranceMs: Option[Long] = None,
+      prefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(leftCols.contains(leftKey) && leftCols.contains(leftTime))
+    val rPayload = (rightTime +: valueCols).distinct
+    // strict: a right row at the SAME time must sort after the left row
+    // (invisible to its running frame); non-strict: before it (visible).
+    val (leftTag, rightTag) = if (strict) (0, 1) else (1, 0)
+
+    def rawCol(c: String) = s"__r_$c"
+    val lNorm = left.select(
+      leftCols.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(leftTag).as("__side")) ++
+        rPayload.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(rawCol(c))): _*)
+    val rNorm = right.select(
+      leftCols.map { c =>
+        if (c == leftKey) col(rightKey).cast(left.schema(c).dataType).as(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)
+      } ++
+        Seq(col(rightTime).cast(left.schema(leftTime).dataType).as("__t"),
+          lit(rightTag).as("__side")) ++
+        rPayload.map(c => col(c).as(rawCol(c))): _*)
+
+    val w = Window.partitionBy(col(leftKey)).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rPayload.foldLeft(lNorm.unionByName(rNorm)) { (df, c) =>
+      df.withColumn(prefix + c, last(col(rawCol(c)), ignoreNulls = true).over(w))
+    }
+    val matchedTime = col(prefix + rightTime)
+    // tolerance compares in epoch ms whether the time column is a
+    // timestamp or already a numeric epoch-ms value
+    def asMs(c: Column): Column =
+      if (left.schema(leftTime).dataType.typeName == "timestamp") unix_millis(c)
+      else c
+    val inTolerance: Column = toleranceMs match {
+      case Some(t) => asMs(col(leftTime)) - asMs(matchedTime) <= t
+      case None => lit(true)
+    }
+    val out = rPayload.foldLeft(carried.where(col("__side") === leftTag)) {
+      (df, c) => df.withColumn(prefix + c,
+        when(inTolerance, col(prefix + c)))
+    }
+    out.select(leftCols.map(col) ++ rPayload.map(c => col(prefix + c)): _*)
+  }
+
+  /** Banded range join: pairs (interval, point) where
+    * `lo <= point < hi`, with NO equi-key — the case Spark plans as a
+    * BroadcastNestedLoopJoin (every point compared against every
+    * interval, one side broadcast whole).
+    *
+    * Shape: time is quantized into `binWidthMs` bins; each interval
+    * explodes into the bins it overlaps (ceil(len/width)+1 rows, ~2 for
+    * intervals no longer than a bin), each point maps to exactly ONE bin,
+    * and the join becomes an EQUI-join on the bin id with the range
+    * predicate as a residual filter. A matching pair meets in exactly one
+    * bin (the point's), so no dedup is needed; compare cost falls from
+    * O(N*M) to O(pairs-sharing-a-bin) and the join shuffles hash-
+    * partitioned like any other. Pick `binWidthMs` near the typical
+    * interval length: wider bins → more residual compares, narrower →
+    * more interval replicas. A hot bin (time skew) salts/AQE-splits like
+    * any hot join key.
+    *
+    * LEFT OUTER on the intervals side: an interval with no points keeps
+    * one all-NULL point row per exploded bin — aggregate or
+    * de-duplicate downstream (a `groupBy` over the interval id, as the
+    * rj1 query does, absorbs it; for raw pairs filter
+    * `pointCols.head is not null`).
+    *
+    * @param intervals must expose `loCol`/`hiCol` (epoch-ms LongType)
+    * @param points    must expose `ptCol` (epoch-ms LongType) and
+    *                  `pointCols` payload
+    */
+  def rangeJoin(intervals: DataFrame, points: DataFrame,
+      loCol: String, hiCol: String, ptCol: String,
+      pointCols: Seq[String], binWidthMs: Long,
+      joinType: String = "left_outer"): DataFrame = {
+    require(binWidthMs > 0)
+    val iBinned = intervals.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidthMs),
+        floor((col(hiCol) - 1) / binWidthMs))))
+    val pBinned = points
+      .select(col(ptCol) +: pointCols.map(col): _*)
+      .withColumn("__bin", floor(col(ptCol) / binWidthMs))
+    val cond = iBinned("__bin") === pBinned("__bin") &&
+      pBinned(ptCol) >= iBinned(loCol) && pBinned(ptCol) < iBinned(hiCol)
+    iBinned.join(pBinned, cond, joinType)
+      .drop("__bin")
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.query.TemporalJoins
+
+/** As-of + banded range join semantics on handcrafted rows, equivalence
+  * against brute-force formulations on real data, and the plan shapes
+  * that make them scale (no join operator at all for as-of; an equi-join,
+  * never a BroadcastNestedLoopJoin, for the range join). */
+class TemporalJoinsSpec extends SparkSpec {
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  private def quotes = {
+    import spark.implicits._
+    Seq(
+      (1L, ts(1000), 10.0),
+      (1L, ts(3000), 30.0),
+      (2L, ts(2000), 99.0)
+    ).toDF("qkey", "qts", "price")
+  }
+
+  private def trades = {
+    import spark.implicits._
+    Seq(
+      (100L, 1L, ts(500)),   // before any quote
+      (101L, 1L, ts(1000)),  // exactly at the first quote
+      (102L, 1L, ts(2999)),  // between quotes
+      (103L, 1L, ts(9000)),  // long after the last quote
+      (104L, 2L, ts(2500)),  // other key
+      (105L, 3L, ts(2500))   // key with no quotes at all
+    ).toDF("trade_id", "key", "tts")
+  }
+
+  test("asofJoin non-strict: latest quote at-or-before each trade") {
+    val out = TemporalJoins.asofJoin(trades, quotes,
+        leftKey = "key", rightKey = "qkey",
+        leftTime = "tts", rightTime = "qts", valueCols = Seq("price"))
+      .select("trade_id", "asof_price")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out === Map(
+      100L -> None, 101L -> Some(10.0), 102L -> Some(10.0),
+      103L -> Some(30.0), 104L -> Some(99.0), 105L -> None))
+  }
+
+  test("asofJoin strict: an equal-time quote is invisible") {
+    val out = TemporalJoins.asofJoin(trades, quotes,
+        leftKey = "key", rightKey = "qkey",
+        leftTime = "tts", rightTime = "qts",
+        valueCols = Seq("price"), strict = true)
+      .select("trade_id", "asof_price")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(101L) === None)     // quote at exactly t=1000 hidden
+    assert(out(102L) === Some(10.0))
+  }
+
+  test("asofJoin tolerance: stale matches fall back to NULL") {
+    val out = TemporalJoins.asofJoin(trades, quotes,
+        leftKey = "key", rightKey = "qkey",
+        leftTime = "tts", rightTime = "qts",
+        valueCols = Seq("price"), toleranceMs = Some(2000L))
+      .select("trade_id", "asof_price", "asof_qts")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // trade 103 at t=9000: best quote t=3000 is 6000ms old -> dropped
+    assert(out(103L) === None)
+    assert(out(102L) === Some(10.0)) // 1999ms old -> kept
+  }
+
+  test("asofJoin matches the brute self-join formulation on real events") {
+    val ev = core.Tables.df(spark, sfDir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("view_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val fast = TemporalJoins.asofJoin(purchases, views,
+        "user_id", "user_id", "ts", "ts", Seq("view_id"))
+      .select(col("event_id"), col("asof_view_id"))
+
+    val brute = purchases.alias("p")
+      .join(views.alias("v"),
+        col("p.user_id") === col("v.user_id") && col("v.ts") <= col("p.ts"),
+        "left_outer")
+      .groupBy(col("p.event_id").as("event_id"))
+      .agg(max_by(col("v.view_id"), col("v.ts")).as("asof_view_id"))
+
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
+  }
+
+  test("asofJoin plans NO join operator — union + one window") {
+    val views = core.Tables.df(spark, sfDir, "events")
+      .filter(col("event_type") === "view").select("user_id", "ts", "event_id")
+    val purchases = core.Tables.df(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")
+    val plan = TemporalJoins.asofJoin(purchases, views,
+        "user_id", "user_id", "ts", "ts", Seq("event_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join operator:\n$plan")
+    assert(plan.contains("Window"))
+  }
+
+  test("rangeJoin matches the brute inequality join; no BNLJ in the plan") {
+    val ev = core.Tables.df(spark, sfDir, "events")
+    val w = 300000L
+    val anchors = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), unix_millis(col("ts")).as("hi"))
+      .withColumn("lo", col("hi") - w)
+    val points = ev.filter(col("event_type") === "view")
+      .select(unix_millis(col("ts")).as("pt"), col("event_id").as("view_id"))
+
+    val fast = TemporalJoins.rangeJoin(anchors, points,
+        "lo", "hi", "pt", Seq("view_id"), binWidthMs = w)
+      .groupBy("purchase_id").agg(count(col("view_id")).as("n"))
+
+    val brute = anchors.alias("a").join(points.alias("p"),
+        col("p.pt") >= col("a.lo") && col("p.pt") < col("a.hi"), "left_outer")
+      .groupBy("purchase_id").agg(count(col("view_id")).as("n"))
+
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
+
+    val plan = TemporalJoins.rangeJoin(anchors, points,
+        "lo", "hi", "pt", Seq("view_id"), binWidthMs = w)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("rangeJoin: interval spanning many bins still pairs each point once") {
+    import spark.implicits._
+    // one interval [0, 10*w) over 10 bins, points at every bin boundary
+    val w = 100L
+    val intervals = Seq((1L, 0L, 1000L)).toDF("iid", "lo", "hi")
+    val points = (0L until 1200L by 100L).map(t => (t, s"p$t"))
+      .toDF("pt", "pid")
+    val got = TemporalJoins.rangeJoin(intervals, points,
+        "lo", "hi", "pt", Seq("pid"), binWidthMs = w)
+      .filter(col("pid").isNotNull)
+      .select("pid").as[String].collect().sorted
+    assert(got.toSeq === (0L until 1000L by 100L).map(t => s"p$t").sorted)
+  }
+}
