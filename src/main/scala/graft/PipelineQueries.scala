@@ -1097,6 +1097,61 @@ object PipelineQueries {
              |)
              |SELECT id AS doc_id FROM kept1
              |UNION ALL SELECT id FROM kept2
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // x37 — DSIR importance resampling (Xie et al. 2023): treat src0/src1
+    // docs as the in-domain target, score every other doc by the hashed-
+    // unigram log-likelihood ratio target-vs-raw, then Gumbel-top-k sample
+    // (the Gumbel-max trick = sampling w/o replacement ∝ exp(score)).
+    // Fully engine-neutral: md5 term buckets, 6dp-rounded decimal-summed
+    // log-ratios, md5-uniform Gumbel noise, 4dp-rounded cut.
+    Q("x37_dsir_resample",
+      (s, dir) => TextAnalysis.dsirResample(
+          Tables.df(s, dir, "documents"), "doc_id", "text",
+          isTarget = col("source").isin("src0", "src1"),
+          k = 100, buckets = 128)
+        .select("doc_id", "n_tokens", "noisy_score"),
+      Some {
+        val bucket = Seq(1048576L, 65536L, 4096L, 256L, 16L, 1L).zipWithIndex
+          .map { case (m, i) =>
+            s"(strpos('0123456789abcdef', substring(md5('dsir' || term), ${i + 1}, 1)) - 1) * $m"
+          }.mkString("(", "\n     + ", ") % 128")
+        val gumbelU = Seq(1048576d, 65536d, 4096d, 256d, 16d, 1d).zipWithIndex
+          .map { case (m, i) =>
+            s"(strpos('0123456789abcdef', substring(md5('dsir-g' || CAST(doc_id AS VARCHAR)), ${i + 1}, 1)) - 1) * $m"
+          }.mkString("((", "\n     + ", ") / 16777216.0 + 1.0/33554432)")
+        s"""WITH toks AS (
+           |  SELECT doc_id, source IN ('src0','src1') AS is_target,
+           |    unnest(string_split_regex(lower(trim(text)), ' +')) AS term
+           |  FROM documents
+           |), tf AS (
+           |  SELECT doc_id, is_target, $bucket AS bucket,
+           |    COUNT(*)::BIGINT AS tf
+           |  FROM toks WHERE term <> '' GROUP BY 1, 2, 3
+           |), profile AS (
+           |  SELECT bucket,
+           |    SUM(CASE WHEN is_target THEN tf ELSE 0 END)::BIGINT AS ct,
+           |    SUM(CASE WHEN NOT is_target THEN tf ELSE 0 END)::BIGINT AS cr
+           |  FROM tf GROUP BY 1
+           |), tot AS (
+           |  SELECT SUM(ct)::BIGINT AS t_tot, SUM(cr)::BIGINT AS r_tot
+           |  FROM profile
+           |), lr AS (
+           |  SELECT bucket,
+           |    CAST(ROUND(ln((ct + 1.0) / (t_tot + 128.0))
+           |             - ln((cr + 1.0) / (r_tot + 128.0)), 6)
+           |      AS DECIMAL(18,6)) AS lr
+           |  FROM profile CROSS JOIN tot
+           |), sc AS (
+           |  SELECT tf.doc_id, SUM(tf)::BIGINT AS n_tokens,
+           |    CAST(SUM(tf * lr) AS DOUBLE) AS score
+           |  FROM tf JOIN lr USING (bucket)
+           |  WHERE NOT is_target GROUP BY 1
+           |)
+           |SELECT doc_id, n_tokens,
+           |  ROUND(score - ln(-ln($gumbelU)), 4) AS noisy_score
+           |FROM sc
+           |ORDER BY noisy_score DESC, doc_id LIMIT 100""".stripMargin
+      })
   )
 }

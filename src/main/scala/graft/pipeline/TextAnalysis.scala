@@ -456,4 +456,76 @@ object TextAnalysis {
         round(sum(col("tf") * -log((col("ct") + 1d) / denom)) /
           sum(col("tf")), 4).as("mean_nll"))
   }
+
+  /** DSIR-style data selection (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", 2023): score each raw document by
+    * the log-likelihood ratio of its hashed-unigram profile under the
+    * target corpus vs the raw corpus — "how much more target-like than
+    * crawl-like is this text" — then resample the raw pool by the noisy
+    * score. `isTarget` marks the in-domain exemplar rows (e.g. wiki);
+    * everything else is the raw pool being scored.
+    *
+    * Engine-neutral by construction: terms hash to `buckets` buckets via
+    * md5 (bit-identical everywhere), per-bucket log-ratios are rounded to
+    * 6 dp and summed as DECIMAL (exact, order-independent), so a DuckDB
+    * twin reproduces every score.
+    *
+    * Shape at 100 TB: token explode + one (doc,bucket) count shuffle; the
+    * bucket profile is `buckets` rows (broadcast), the totals one row —
+    * per-doc scoring is a broadcast join + hash agg, no corpus-sized
+    * state anywhere. */
+  def dsirScores(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 128,
+      salt: String = "dsir"): DataFrame = {
+    require(buckets > 0)
+    val toks = df
+      .select(col(idCol).as("doc_id"), isTarget.as("is_target"),
+        explode(split(lower(trim(col(textCol))), " +")).as("term"))
+      .filter(col("term") =!= "")
+    val bucket = pmod(
+      conv(substring(md5(concat(lit(salt), col("term"))), 1, 6), 16, 10)
+        .cast(LongType), lit(buckets.toLong))
+    val tf = toks.groupBy(col("doc_id"), col("is_target"),
+        bucket.as("bucket"))
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+    val profile = tf.groupBy("bucket").agg(
+      sum(when(col("is_target"), col("tf")).otherwise(0L)).as("ct"),
+      sum(when(!col("is_target"), col("tf")).otherwise(0L)).as("cr"))
+    val totals = profile.agg(sum(col("ct")).as("t_tot"),
+      sum(col("cr")).as("r_tot"))
+    // add-one smoothing over the bucket space; log-ratio per bucket,
+    // rounded then decimal so the per-doc sum is order-independent
+    val logRatio = profile.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(log((col("ct") + lit(1d)) / (col("t_tot") + lit(buckets.toDouble))) -
+              log((col("cr") + lit(1d)) / (col("r_tot") + lit(buckets.toDouble))), 6)
+          .cast(DecimalType(18, 6)).as("lr"))
+    tf.filter(!col("is_target"))
+      .join(broadcast(logRatio), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).cast(LongType).as("n_tokens"),
+        sum(col("tf") * col("lr")).cast(DoubleType).as("score"))
+  }
+
+  /** Importance RESAMPLING over [[dsirScores]]: Gumbel-top-k — adding
+    * Gumbel(0,1) noise to a log-weight and taking the top k draws k
+    * samples without replacement proportionally to the weights (the
+    * Gumbel-max trick), which is exactly DSIR's sampling step. The noise
+    * is a [[hashUniform]] draw, so selection is reproducible on any
+    * cluster AND replayable by the DuckDB twin; the cut ranks by the
+    * 4 dp-rounded noisy score with doc_id tiebreak, keeping the k-th
+    * place engine-neutral. Top-k is sort+limit: TakeOrderedAndProject,
+    * O(n log k) per partition, never a global sort. */
+  def dsirResample(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, k: Int, buckets: Int = 128,
+      temperature: Double = 1.0, salt: String = "dsir"): DataFrame = {
+    // u in (0,1): shift the 24-bit draw by half an ulp so ln(ln(u)) is
+    // finite at both ends
+    val u = hashUniform(col("doc_id"), salt + "-g") + lit(1d / 33554432d)
+    dsirScores(df, idCol, textCol, isTarget, buckets, salt)
+      .withColumn("noisy_score",
+        round(col("score") / temperature - log(-log(u)), 4))
+      .orderBy(col("noisy_score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -680,4 +680,36 @@ class PipelineSpec extends SparkSpec {
       .orderBy("q_id", "rank").collect().toSeq
     assert(full == bruteOrdered)
   }
+
+  test("dsirScores: target-like raw docs outscore off-domain ones") {
+    // target corpus speaks "zebra quagga okapi"; half the raw pool does
+    // too, the other half speaks "bolt nut wrench"
+    val target = (0L until 20L).map(i => (i, "zebra quagga okapi zebra", true))
+    val rawIn = (100L until 110L).map(i => (i, "zebra okapi quagga", false))
+    val rawOut = (200L until 210L).map(i => (i, "bolt nut wrench bolt", false))
+    val df = (target ++ rawIn ++ rawOut).toDF("doc_id", "text", "tgt")
+    val scores = TextAnalysis.dsirScores(df, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // only raw docs are scored
+    assert(scores.keySet == ((100L until 110L) ++ (200L until 210L)).toSet)
+    val inMin = (100L until 110L).map(scores).min
+    val outMax = (200L until 210L).map(scores).max
+    assert(inMin > outMax,
+      s"in-domain min $inMin should beat off-domain max $outMax")
+  }
+
+  test("dsirResample: Gumbel-top-k is deterministic and k-bounded") {
+    val docs = Tables.df(spark, sfDir, "documents")
+    val isTgt = col("source").isin("src0", "src1")
+    val a = TextAnalysis.dsirResample(docs, "doc_id", "text", isTgt, k = 20)
+      .select("doc_id").as[Long].collect().toSeq
+    val b = TextAnalysis.dsirResample(
+        docs.repartition(7), "doc_id", "text", isTgt, k = 20)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(a.size == 20)
+    assert(a == b) // same draw on any partitioning
+    // a target doc never samples itself into the raw selection
+    val targets = docs.filter(isTgt).select("doc_id").as[Long].collect().toSet
+    assert(a.forall(!targets.contains(_)))
+  }
 }
