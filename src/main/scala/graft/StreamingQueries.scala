@@ -30,6 +30,23 @@ object StreamingQueries {
              |    (epoch_ms(ts) // 3600000) * 3600000 - i * 3600000 AS window_start
              |  FROM events, (SELECT UNNEST(range(0, 2)) AS i))
              |GROUP BY 1, 2
-             |ORDER BY window_start, event_type""".stripMargin))
+             |ORDER BY window_start, event_type""".stripMargin)),
+
+    // st3 — stream-stream interval join (purchase attribution): the batch
+    // twin oracles here; StreamingSpec asserts the watermarked
+    // stream-stream join emits exactly this set.
+    Q("st3_attribution",
+      (s, dir) => EventsStream.attributionBatch(
+          Tables.df(s, dir, "events"), 60 * 60 * 1000L)
+        .orderBy("purchase_id", "view_id"),
+      Some("""SELECT p.event_id AS purchase_id, p.user_id,
+             |  epoch_ms(p.ts) AS p_ms, v.event_id AS view_id,
+             |  epoch_ms(v.ts) AS v_ms
+             |FROM events p JOIN events v
+             |  ON p.user_id = v.user_id
+             | AND v.ts <= p.ts
+             | AND v.ts >= p.ts - INTERVAL 60 MINUTE
+             |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+             |ORDER BY purchase_id, view_id""".stripMargin))
   )
 }

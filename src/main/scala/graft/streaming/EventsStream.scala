@@ -68,6 +68,51 @@ object EventsStream {
       .select(unix_millis(col("window.start")).as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join — batch twin: each purchase paired with
+    * every view by the same user in the `windowMs` before it (ad/
+    * conversion attribution). Inner join; purchases with no prior view
+    * simply don't appear (stream-stream outer joins emit nulls only on
+    * watermark expiry, which a bounded replay never reaches — keep the
+    * twin exactly comparable). */
+  def attributionBatch(events: DataFrame, windowMs: Long): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val v = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    p.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL ${windowMs / 1000} SECOND"))
+      .select(col("purchase_id"), col("user_id"),
+        unix_millis(col("p_ts")).as("p_ms"), col("view_id"),
+        unix_millis(col("v_ts")).as("v_ms"))
+  }
+
+  /** The same attribution as a stream-stream join: both sides watermarked
+    * (bounding each side's buffered state to the watermark horizon +
+    * join window) and joined on the equi-key plus the event-time range —
+    * the condition shape Structured Streaming requires to garbage-collect
+    * join state. At scale each side shuffles once on user_id and the
+    * state store holds only the horizon's rows. */
+  def attributionStream(events: DataFrame, windowSpec: String,
+      watermark: String): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val v = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    p.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowSpec"))
+      .select(col("purchase_id"), col("user_id"),
+        unix_millis(col("p_ts")).as("p_ms"), col("view_id"),
+        unix_millis(col("v_ts")).as("v_ms"))
+  }
+
   /** Streaming exact dedup: emit the FIRST event per key, with state
     * bounded by the watermark horizon (dropDuplicatesWithinWatermark
     * drops a key's state once the watermark passes it — at 100 TB/day
@@ -82,13 +127,22 @@ object EventsStream {
   /** Read the events parquet as a file-source stream (nanos handled the
     * same way as the batch reader in core.Tables). */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // the driver has shipped events.ts as INT64 TIMESTAMP(NANOS) (reads as
+    // long) and as µs TIMESTAMP(isAdjustedToUTC=false); probe the actual
+    // file schema with a batch read and declare the stream schema to match
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val tsIsNanosLong =
+      spark.read.parquet(dir).schema("ts").dataType == LongType
     val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType),
+      StructField("ts", if (tsIsNanosLong) LongType else TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(raw).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // int division
+    val s = spark.readStream.schema(raw).parquet(dir)
+    if (tsIsNanosLong)
+      s.withColumn("ts", expr("timestamp_micros(ts div 1000)")) // int division
+    else s
   }
 
   /** Run a streaming aggregation to completion against a static directory

@@ -45,6 +45,22 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream interval join equals its batch twin") {
+    val batch = EventsStream.attributionBatch(
+        Tables.df(spark, sfDir, "events"), 60 * 60 * 1000L)
+      .orderBy("purchase_id", "view_id").collect().toSeq
+    // inner join: with the horizon past the bounded input, the stream
+    // emits exactly the batch pair set
+    val stream = EventsStream.runToCompletion(spark,
+      EventsStream.attributionStream(
+        EventsStream.readEventsStream(spark, eventsDir),
+        "60 MINUTE", "30 days"),
+      "attribution", OutputMode.Append)
+      .orderBy("purchase_id", "view_id").collect().toSeq
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming dedup emits one event per key, matching batch distinct") {
     val keys = Seq("user_id", "event_type")
     val batchKeys = Tables.df(spark, sfDir, "events")
