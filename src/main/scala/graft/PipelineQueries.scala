@@ -1099,6 +1099,46 @@ object PipelineQueries {
              |UNION ALL SELECT id FROM kept2
              |ORDER BY doc_id""".stripMargin)),
 
+    // x38 — persistent IVF-PQ vector index lifecycle: train a frozen
+    // model, ingest the corpus in two batches (cells + PQ codes appended
+    // bucketed), then search fully probed (nprobe = nCells) with an uncut
+    // rerank. By the exactness contract the result equals brute cosine
+    // top-k bit-for-bit, so the brute SQL twin oracles the WHOLE
+    // lifecycle: any drift in train/encode/probe/ADC/rerank breaks the
+    // match. The pruned sublinear path is pinned in VectorIndexSpec.
+    Q("x38_vector_index",
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.core.{StorageCatalog, TableStore}
+        val e = Tables.df(s, dir, "embeddings")
+        val store = new TableStore(s,
+          new StorageCatalog(Files.createTempDirectory("graft-vecidx")))
+        val idx = new graft.pipeline.VectorIndex(store, "p", "b",
+          "vecs", "vecs_idx", nCells = 8, m = 2, ksub = 8,
+          iters = 1, sampleSize = 64)
+        idx.init()
+        val corpus = e.filter(col("vec_id") >= 5)
+        idx.train(corpus)
+        idx.ingest(corpus.filter(col("vec_id") % 2 === 0))
+        idx.ingest(corpus.filter(col("vec_id") % 2 === 1))
+        idx.search(e.filter(col("vec_id") < 5), k = 10,
+            nprobe = 8, rerank = Int.MaxValue)
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+             |           FROM embeddings WHERE vec_id < 5),
+             |     c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
+             |           FROM embeddings WHERE vec_id >= 5),
+             |     s AS (SELECT q_id, c_id,
+             |             list_inner_product(qv, cv) /
+             |             (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS sim
+             |           FROM q, c),
+             |     r AS (SELECT q_id, c_id, sim, row_number() OVER (
+             |             PARTITION BY q_id ORDER BY round(sim, 6) DESC, c_id) AS rank
+             |           FROM s)
+             |SELECT q_id, c_id, rank, ROUND(sim + 1e-9, 4) AS cosine_sim
+             |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
     // x37 — DSIR importance resampling (Xie et al. 2023): treat src0/src1
     // docs as the in-domain target, score every other doc by the hashed-
     // unigram log-likelihood ratio target-vs-raw, then Gumbel-top-k sample

@@ -33,7 +33,7 @@ import org.apache.spark.sql.types.StructType
   * table size (buckets are the upsert rewrite unit), and `compact()` folds
   * accumulated append roots back into one.
   */
-final class TableStore(spark: SparkSession, val catalog: StorageCatalog,
+final class TableStore(val spark: SparkSession, val catalog: StorageCatalog,
     /** Auto-compaction threshold: when a commit would leave more data
       * roots than this, the table is folded back into one root (bucketed
       * tables into one bucketed segment, preserving the incremental-upsert

@@ -251,7 +251,7 @@ object Similarity {
     * zero vector. For unit vectors ||a - b||^2 = 2 - 2*cos(a, b), so every
     * L2 comparison downstream (training, encode, ADC) is a cosine
     * comparison up to quantization error. */
-  private def pqNormalized(df: DataFrame, idCol: String, idAs: String,
+  private[pipeline] def pqNormalized(df: DataFrame, idCol: String, idAs: String,
       vAs: String): DataFrame =
     df.select(col(idCol).as(idAs),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("__v0"))
@@ -269,7 +269,7 @@ object Similarity {
     * surviving cluster ids alongside each centroid — positional use is the
     * caller's choice. Codebooks are m*ksub*(D/m) doubles: broadcast-tiny
     * forever. */
-  private def pqTrain(c: DataFrame, m: Int, ksub: Int, iters: Int,
+  private[pipeline] def pqTrain(c: DataFrame, m: Int, ksub: Int, iters: Int,
       sampleSize: Int): (Seq[Seq[(Long, Seq[Double])]], Int) = {
     val sample = c.orderBy(md5(col("c_id").cast(StringType)), col("c_id"))
       .limit(sampleSize)
@@ -291,7 +291,7 @@ object Similarity {
 
   /** SQL lambda: squared L2 between a subvector slice of `vCol` and a
     * codebook centroid, accumulated left-to-right in double. */
-  private def pqL2(vCol: String, sub: Int, centRef: String): String =
+  private[pipeline] def pqL2(vCol: String, sub: Int, centRef: String): String =
     s"""aggregate(zip_with(slice($vCol, s * $sub + 1, $sub), $centRef,
        |  (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, d) -> acc + d)""".stripMargin
 
@@ -300,7 +300,7 @@ object Similarity {
     * with ties to the lower position — the same contract kmeansRefine's
     * assignment uses, and what an engine-neutral SQL twin replays. One
     * codegen'd projection; no join, no shuffle. */
-  private def pqEncodeExpr(vCol: String, m: Int, sub: Int): String =
+  private[pipeline] def pqEncodeExpr(vCol: String, m: Int, sub: Int): String =
     s"""transform(sequence(0, ${m - 1}), s ->
        |  aggregate(sequence(0, size(__cb[s]) - 1),
        |    named_struct('best', -1, 'bd', CAST('Infinity' AS DOUBLE)),

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{StorageCatalog, Tables, TableStore}
+import graft.pipeline.{Similarity, VectorIndex}
+
+/** The incremental IVF-PQ index's contracts: fully-probed search equals
+  * brute cosine top-k bit-for-bit, the index content is invariant to how
+  * ingest was batched (the model is frozen at train time), and the
+  * pruned probe keeps high recall while scanning only probed cells. */
+class VectorIndexSpec extends SparkSpec {
+
+  private def freshIndex(): VectorIndex = {
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-vecidx")))
+    new VectorIndex(store, "p", "b", "vecs", "vecs_idx",
+      nCells = 8, m = 2, ksub = 8, iters = 1, sampleSize = 64)
+  }
+
+  private lazy val emb = Tables.df(spark, sfDir, "embeddings")
+  private lazy val corpus = emb.filter(col("vec_id") >= 5)
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+
+  test("fully-probed search equals bruteForceTopK exactly") {
+    val idx = freshIndex()
+    idx.init()
+    idx.train(corpus)
+    idx.ingest(corpus.filter(col("vec_id") % 2 === 0))
+    idx.ingest(corpus.filter(col("vec_id") % 2 === 1))
+    val got = idx.search(queries, k = 10, nprobe = 8, rerank = Int.MaxValue)
+      .orderBy("q_id", "rank").collect().toSeq
+    val want = Similarity.bruteForceTopK(queries, corpus, 10)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("index content is invariant to ingest batching") {
+    def build(parts: Int): (Seq[String], Seq[String]) = {
+      val idx = freshIndex()
+      idx.init()
+      idx.train(corpus)
+      (0 until parts).foreach(i =>
+        idx.ingest(corpus.filter(col("vec_id") % parts === i)))
+      val content = idx.indexContent()
+        .orderBy("vec_id").collect().map(_.toString).toSeq
+      val res = idx.search(queries, k = 5, nprobe = 2, rerank = 64)
+        .orderBy("q_id", "rank").collect().map(_.toString).toSeq
+      (content, res)
+    }
+    val (c1, r1) = build(1)
+    val (c3, r3) = build(3)
+    assert(c1 == c3)
+    assert(r1 == r3)
+    assert(c1.nonEmpty)
+  }
+
+  test("pruned probe: high recall, scans only the probed cells") {
+    val idx = freshIndex()
+    idx.init()
+    idx.train(corpus)
+    idx.ingest(corpus)
+    val k = 10
+    val brute = Similarity.bruteForceTopK(queries, corpus, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val pruned = idx.search(queries, k, nprobe = 4, rerank = 256).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.map { case (q, ids) =>
+      (pruned.getOrElse(q, Set.empty[Long]) intersect ids).size.toDouble / ids.size }
+    assert(recalls.forall(_ >= 0.5), s"recalls: ${recalls.toSeq.sorted}")
+    // a 1-cell probe examines strictly fewer index rows than the corpus
+    assert(idx.probedRows(queries, nprobe = 1) < corpus.count())
+  }
+}
