@@ -10,6 +10,24 @@ reproduce any table there:
 import json
 import sys
 
+# Queries where the two engines do NOT perform equivalent work, in either
+# direction, so their ratio measures formulation choice rather than engine
+# speed. Twin is a small result-check of a Spark-side lifecycle (the Spark
+# number includes building persistent state the twin only validates):
+# x38 (full IVF-PQ index build vs brute top-k over 5 query vectors),
+# x36 (PQ train+encode+ADC vs its restricted replay), mv1 (store setup +
+# incremental refresh vs plain recompute), x33/x34 decode (real image/
+# audio decode vs metadata arithmetic). Twin is an idiomatic-SQL closure
+# that is catastrophically slower or DNFs: x19/x30/x31 (recursive-CTE
+# connected components), x33_incremental_dedup (recursive closure,
+# interrupted at 300 s). Whole-set totals still include everything that
+# ran; this subset is reported alongside them.
+ASYMMETRIC = {
+    "x33_image_decode", "x34_audio_decode", "x36_pq_adc_rerank",
+    "x38_vector_index", "mv1_incremental_refresh", "x33_incremental_dedup",
+    "x19_dedup_clusters", "x30_leakage_safe_split", "x31_semantic_dedup",
+}
+
 
 def main():
     bench = json.load(open(sys.argv[1]))
@@ -50,6 +68,11 @@ def main():
         if heavy:
             s, d = (sum(squeries[q] for q in heavy), sum(dq[q] for q in heavy))
             print(f"   DuckDB>=1s subset ({len(heavy)} queries): "
+                  f"Spark {s:.1f} s / DuckDB {d:.1f} s = {s / d:.2f}x")
+        eq = [q for q in common if q not in ASYMMETRIC]
+        if len(eq) != len(common):
+            s, d = (sum(squeries[q] for q in eq), sum(dq[q] for q in eq))
+            print(f"   equivalent-work subset ({len(eq)} queries): "
                   f"Spark {s:.1f} s / DuckDB {d:.1f} s = {s / d:.2f}x")
 
 

@@ -25,7 +25,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 # brute-twin oracles of sub-quadratic Spark paths: not a fair DuckDB cost
+# x33_incremental_dedup's twin is the same recursive-closure shape that
+# DNFs for x19/x30/x31 — it interrupted at 300 s at every scale in round
+# 6; skip it up front instead of burning the timeout per section.
 SKIP = {"x2_ngram_jaccard", "x3_minhash_lsh", "x13_embedding_neardup",
+        "x33_incremental_dedup",
         "x4_simhash_pairs"}
 
 # GenScale-derived dirs (sf1/sf3 replicas, written as parquet part-file
