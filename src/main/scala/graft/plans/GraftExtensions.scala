@@ -59,6 +59,36 @@ class ResolveGraftTimeTravel(session: SparkSession)
           case None => tt
         }
 
+      // knn_topk('<queries mount>', '<corpus mount>', k) — exact cosine
+      // top-k — and ann_topk('<queries mount>', '<corpus mount>', k,
+      // planes) — hyperplane-LSH-bucketed ANN — as SQL table functions:
+      // the vector-search operators reachable from the passthrough SQL
+      // surface (HTTP sessions, PG wire) over workspace mounts that carry
+      // (vec_id, embedding) columns. The reference's SQL surface has no
+      // vector search at all; this is the parity-plus SQL face of
+      // pipeline/Similarity.
+      case tvf: UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase) == Seq("knn_topk") &&
+            tvf.functionArgs.length == 3 =>
+        val (q, c) = vectorArgs(tvf, "knn_topk")
+        val k = evalConst(tvf.functionArgs(2), IntegerType,
+          "knn_topk k").asInstanceOf[Int]
+        org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+          "knn_topk", graft.pipeline.Similarity.bruteForceTopK(q, c, k)
+            .queryExecution.analyzed)
+
+      case tvf: UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase) == Seq("ann_topk") &&
+            tvf.functionArgs.length == 4 =>
+        val (q, c) = vectorArgs(tvf, "ann_topk")
+        val k = evalConst(tvf.functionArgs(2), IntegerType,
+          "ann_topk k").asInstanceOf[Int]
+        val planes = evalConst(tvf.functionArgs(3), IntegerType,
+          "ann_topk planes").asInstanceOf[Int]
+        org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+          "ann_topk", graft.pipeline.Similarity.annTopK(q, c, k, planes)
+            .queryExecution.analyzed)
+
       // table_changes('<mount>', fromVersion, toVersion): the manifest-
       // diff incremental change feed as a SQL table-valued function —
       // discovery is O(commit), never a table scan (TableStore
@@ -83,6 +113,23 @@ class ResolveGraftTimeTravel(session: SparkSession)
               s"table_changes: '$view' is not a workspace mount")
         }
     }
+
+  /** Resolve the (queries, corpus) mount pair of a vector-search TVF. */
+  private def vectorArgs(tvf: UnresolvedTableValuedFunction,
+      what: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    def mountDf(e: Expression, role: String) = {
+      val view = evalConst(e, StringType, s"$what $role mount").toString
+      Workspace.lookupMount(session, view) match {
+        case Some((reg, bucket, table)) =>
+          reg.store.readWith(session, reg.project, bucket, table, reg.branch)
+        case None => throw new NoSuchElementException(
+          s"$what: '$view' is not a workspace mount")
+      }
+    }
+    (mountDf(tvf.functionArgs.head, "queries"),
+      mountDf(tvf.functionArgs(1), "corpus"))
+  }
 
   /** Evaluate a constant argument, cast to `dt`. */
   private def evalConst(e: Expression, dt: org.apache.spark.sql.types.DataType,

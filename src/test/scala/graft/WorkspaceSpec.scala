@@ -168,4 +168,35 @@ class WorkspaceSpec extends SparkSpec {
     assert(mgr.activeCount == 1)
     assert(mgr.close(ws2.id))
   }
+
+  test("knn_topk / ann_topk TVFs run vector search over mounts") {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-ws-vec")))
+    val emb = Tables.df(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    store.createTable("p", "vec", "queries", emb.schema)
+    store.overwrite("p", "vec", "queries", emb.filter(col("vec_id") < 3))
+    store.createTable("p", "vec", "corpus", emb.schema)
+    store.overwrite("p", "vec", "corpus", emb.filter(col("vec_id") >= 3))
+    val ws = Workspace.openSession(spark, store, "p", Seq("vec"))
+    try {
+      val got = Workspace.executeQuery(ws,
+        "SELECT q_id, c_id, rank FROM knn_topk('vec_queries', 'vec_corpus', 5) ORDER BY q_id, rank")
+      assert(got.size == 15) // 3 queries x 5 neighbors
+      val want = graft.pipeline.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 3), emb.filter(col("vec_id") >= 3), 5)
+        .orderBy("q_id", "rank")
+        .select("q_id", "c_id", "rank").collect().toSeq
+      assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+        want.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+      // LSH variant: answers come from the query's own signature bucket
+      val ann = Workspace.executeQuery(ws,
+        "SELECT q_id, c_id FROM ann_topk('vec_queries', 'vec_corpus', 5, 4)")
+      assert(ann.nonEmpty)
+      val unknown = intercept[Exception](Workspace.executeQuery(ws,
+        "SELECT * FROM knn_topk('nope', 'vec_corpus', 5)"))
+      assert(unknown.getMessage.contains("not a workspace mount"))
+    } finally Workspace.closeSession(ws)
+  }
 }
