@@ -89,6 +89,31 @@ class ResolveGraftTimeTravel(session: SparkSession)
           "ann_topk", graft.pipeline.Similarity.annTopK(q, c, k, planes)
             .queryExecution.analyzed)
 
+      // asof_join('<left mount>', '<right mount>', 'key', 'leftTime',
+      // 'rightTime', 'valueCol') — the point-in-time join as SQL, the
+      // surface DuckDB exposes as ASOF JOIN syntax (which Spark's parser
+      // lacks); resolves to the union+window formulation
+      // (engine/query/TemporalJoins — zero join operators).
+      case tvf: UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase) == Seq("asof_join") &&
+            tvf.functionArgs.length == 6 =>
+        val Seq(l, r) = Seq(("left", 0), ("right", 1)).map { case (role, i) =>
+          val view = evalConst(tvf.functionArgs(i), StringType,
+            s"asof_join $role mount").toString
+          Workspace.lookupMount(session, view) match {
+            case Some((reg, bucket, table)) =>
+              reg.store.readWith(session, reg.project, bucket, table, reg.branch)
+            case None => throw new NoSuchElementException(
+              s"asof_join: '$view' is not a workspace mount")
+          }
+        }
+        val Seq(key, lt, rt, value) = (2 to 5).map(i =>
+          evalConst(tvf.functionArgs(i), StringType, "asof_join column").toString)
+        org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+          "asof_join", graft.engine.query.TemporalJoins
+            .asofJoin(l, r, key, key, lt, rt, Seq(value))
+            .queryExecution.analyzed)
+
       // table_changes('<mount>', fromVersion, toVersion): the manifest-
       // diff incremental change feed as a SQL table-valued function —
       // discovery is O(commit), never a table scan (TableStore

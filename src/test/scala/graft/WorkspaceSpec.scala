@@ -199,4 +199,28 @@ class WorkspaceSpec extends SparkSpec {
       assert(unknown.getMessage.contains("not a workspace mount"))
     } finally Workspace.closeSession(ws)
   }
+
+  test("asof_join TVF: point-in-time join reachable from SQL") {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-ws-asof")))
+    val ev = Tables.df(spark, sfDir, "events")
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    store.createTable("p", "ts", "purchases", ev.schema)
+    store.overwrite("p", "ts", "purchases",
+      ev.filter(col("event_type") === "purchase"))
+    store.createTable("p", "ts", "views", ev.schema)
+    store.overwrite("p", "ts", "views",
+      ev.filter(col("event_type") === "view"))
+    val ws = Workspace.openSession(spark, store, "p", Seq("ts"))
+    try {
+      val got = Workspace.executeQuery(ws,
+        """SELECT event_id, asof_value FROM
+          |asof_join('ts_purchases', 'ts_views', 'user_id', 'ts', 'ts', 'value')
+          |ORDER BY event_id""".stripMargin)
+      val purchases = ev.filter(col("event_type") === "purchase").count()
+      assert(got.size == purchases) // LEFT asof: one row per purchase
+      assert(got.exists(!_.isNullAt(1)) && got.exists(_.isNullAt(1)))
+    } finally Workspace.closeSession(ws)
+  }
 }
