@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.engine.query.TemporalJoins
+
+/** ScalaCheck properties: asofJoin and rangeJoin must agree with
+  * straightforward Scala models on arbitrary generated data — keys that
+  * collide, duplicate left times, empty sides, tolerance cuts, intervals
+  * spanning any number of bins. (Right-side time ties are pre-deduped to
+  * the max-value row, matching the operator's documented contract.) */
+object TemporalJoinPropertySpec extends Properties("TemporalJoins") {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private val quotesGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, for {
+    k <- Gen.choose(1L, 3L)
+    t <- Gen.choose(0L, 50L)
+    v <- Gen.choose(0, 999)
+  } yield (k, t, v.toDouble)))
+
+  private val tradesGen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, for {
+    k <- Gen.choose(1L, 4L) // includes a key quotes may not have
+    t <- Gen.choose(0L, 50L)
+  } yield (k, t)))
+
+  property("asofJoin matches the Scala model (strict and non-strict)") =
+    Prop.forAll(quotesGen, tradesGen, Gen.oneOf(true, false),
+      Gen.option(Gen.choose(0L, 20L))) { (qs0, ts, strict, tolMs) =>
+      // dedup right times per key: winner is the max value (deterministic)
+      val qs = qs0.groupBy(q => (q._1, q._2)).map { case ((k, t), rows) =>
+        (k, t, rows.map(_._3).max) }.toSeq
+      val trades = ts.zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, k, new Timestamp(t * 1000)) }
+      val quotes = qs.map { case (k, t, v) => (k, new Timestamp(t * 1000), v) }
+      val got = TemporalJoins.asofJoin(
+          trades.toDF("trade_id", "key", "tts"),
+          quotes.toDF("qkey", "qts", "price"),
+          "key", "qkey", "tts", "qts", Seq("price"),
+          strict = strict, toleranceMs = tolMs.map(_ * 1000))
+        .select("trade_id", "asof_price").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+
+      val want = trades.map { case (id, k, tts) =>
+        val visible = qs.filter(q => q._1 == k &&
+          (if (strict) q._2 * 1000 < tts.getTime else q._2 * 1000 <= tts.getTime) &&
+          tolMs.forall(tol => tts.getTime - q._2 * 1000 <= tol * 1000))
+        id -> visible.sortBy(_._2).lastOption.map(_._3)
+      }.toMap
+      Prop(got == want) :| s"got=$got want=$want"
+    }
+
+  private val intervalsGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, for {
+    lo <- Gen.choose(0L, 90L)
+    len <- Gen.choose(1L, 40L)
+  } yield (lo, lo + len)))
+
+  private val pointsGen = Gen.choose(0, 25).flatMap(n =>
+    Gen.listOfN(n, Gen.choose(0L, 140L)))
+
+  property("rangeJoin pairs exactly the contained points, any bin width") =
+    Prop.forAll(intervalsGen, pointsGen, Gen.choose(1L, 25L)) {
+      (is, ps, width) =>
+        val intervals = is.zipWithIndex.map { case ((lo, hi), i) =>
+          (i.toLong, lo, hi) }
+        val points = ps.zipWithIndex.map { case (p, i) => (p, i.toLong) }
+        val got = TemporalJoins.rangeJoin(
+            intervals.toDF("iid", "lo", "hi"),
+            points.toDF("pt", "pid"),
+            "lo", "hi", "pt", Seq("pid"), binWidthMs = width)
+          .filter($"pid".isNotNull)
+          .select("iid", "pid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = (for {
+          (iid, lo, hi) <- intervals
+          (p, pid) <- points if p >= lo && p < hi
+        } yield (iid, pid)).toSet
+        Prop(got == want) :| s"got=$got want=$want width=$width"
+    }
+}
