@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path}
 import java.util.Comparator
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+import org.apache.spark.sql.functions.{coalesce, col, greatest, least, lit, max, min, pmod, shiftleft, shiftright, xxhash64}
 import org.apache.spark.sql.types.StructType
 
 /** Parquet-backed table store with atomic versioned commits, per-table write
@@ -93,21 +93,33 @@ final class TableStore(val spark: SparkSession, val catalog: StorageCatalog,
     * of the clustering key, so a range predicate plans O(matching-files)
     * instead of O(table-files). Persisted as a catalog setting, applied
     * by every later compaction (not retroactively). */
+  /** `zorder = true` lays compactions out along a Morton (bit-interleaved)
+    * curve over `cols` instead of the lexicographic sort: with independent
+    * predicates on EITHER column, lexicographic clustering prunes well
+    * only on the leading column (every file spans the full range of the
+    * second), while z-order gives every file a narrow min/max box in ALL
+    * clustering dimensions — Delta's OPTIMIZE ZORDER semantics. */
   def setClustering(project: String, bucket: String, table: String,
-      cols: Seq[String]): Unit = {
+      cols: Seq[String], zorder: Boolean = false): Unit = {
     val schema = StructType.fromDDL(catalog.getTable(project, bucket, table)
       .getOrElse(throw new NoSuchElementException(s"$project/$bucket/$table"))
       .schemaDdl)
     val missing = cols.filterNot(c => schema.fieldNames.contains(c))
     require(missing.isEmpty, s"clustering columns not in schema: ${missing.mkString(", ")}")
+    require(!zorder || cols.size >= 2,
+      "z-order needs at least two clustering columns")
     if (cols.isEmpty) catalog.removeSetting(clusteringKey(project, bucket, table))
     else catalog.putSetting(clusteringKey(project, bucket, table),
-      cols.mkString(","))
+      (if (zorder) "zorder:" else "") + cols.mkString(","))
   }
 
   def clusteringOf(project: String, bucket: String, table: String): Seq[String] =
     catalog.getSetting(clusteringKey(project, bucket, table))
-      .map(_.split(",").toSeq).getOrElse(Nil)
+      .map(_.stripPrefix("zorder:").split(",").toSeq).getOrElse(Nil)
+
+  def clusteringIsZOrder(project: String, bucket: String, table: String): Boolean =
+    catalog.getSetting(clusteringKey(project, bucket, table))
+      .exists(_.startsWith("zorder:"))
 
   private def clusteringKey(p: String, b: String, t: String) =
     s"clustering/$p/$b/$t"
@@ -721,9 +733,15 @@ final class TableStore(val spark: SparkSession, val catalog: StorageCatalog,
       val bytes = Manifest.readFrom(vdir)
         .map(_.entries.map(e => walkSize(catalog.root.resolve(e.path))).sum)
         .getOrElse(walkSize(vdir))
+      val data = loadVersion(spark, meta, vdir)
+      val (laid, sortCols, dropAfter) =
+        if (clusteringIsZOrder(project, bucket, table))
+          (withZValue(data, cluster), Seq(ZValueCol), Seq(ZValueCol))
+        else (data, cluster, Nil)
       val entries = writeClusteredSegment(
-        loadVersion(spark, meta, vdir), tdir, cluster,
-        trackedCols(meta.schemaDdl, meta.primaryKey, cluster), bytes)
+        laid, tdir, sortCols,
+        trackedCols(meta.schemaDdl, meta.primaryKey, cluster), bytes,
+        dropAfter)
       catalog.putSetting(clusterFilesKey(project, bucket, table),
         entries.size.toString)
       commit(project, bucket, table, branch, meta,
@@ -970,15 +988,51 @@ final class TableStore(val spark: SparkSession, val catalog: StorageCatalog,
     * within each partition, and return one stats-bearing manifest entry
     * PER FILE. Disjoint per-file ranges are what turn the zone maps from
     * "skip unrelated appends" into "skip everything but the key's file". */
+  /** 16-bit-per-column Morton (z-order) value of the clustering columns:
+    * each column scales to a 16-bit grid between its table-wide min/max
+    * (one aggregate pass), and the grid bits interleave — bit b of column
+    * i lands at position b·n+i — so range-partitioning on the value walks
+    * the space-filling curve and every file covers a narrow box in EVERY
+    * dimension at once. Numeric/timestamp columns; NULL and constant
+    * columns pin to grid 0. ≤4 columns keep the value in one BIGINT (the
+    * useful range — beyond that, per-dimension selectivity collapses
+    * anyway). */
+  private val ZValueCol = "__graft_z"
+  private def withZValue(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 4,
+      s"z-order supports 2-4 columns, got ${cols.size}")
+    val n = cols.size
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast(org.apache.spark.sql.types.DoubleType)),
+      max(col(c).cast(org.apache.spark.sql.types.DoubleType))))
+    val r = df.agg(aggs.head, aggs.tail: _*).first()
+    val grid = cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) =
+        (if (r.isNullAt(2 * i)) 0d else r.getDouble(2 * i),
+          if (r.isNullAt(2 * i + 1)) 0d else r.getDouble(2 * i + 1))
+      if (hi > lo)
+        coalesce(least(greatest(
+          ((col(c).cast(org.apache.spark.sql.types.DoubleType) - lit(lo)) /
+            lit(hi - lo) * lit(65535d)).cast(org.apache.spark.sql.types.LongType),
+          lit(0L)), lit(65535L)), lit(0L))
+      else lit(0L)
+    }
+    val z = (0 until 16).flatMap(b => grid.zipWithIndex.map { case (g, i) =>
+      shiftleft(shiftright(g, b).bitwiseAND(lit(1L)), b * n + i)
+    }).reduce(_ bitwiseOR _)
+    df.withColumn(ZValueCol, z)
+  }
+
   private def writeClusteredSegment(df: DataFrame, tableDir: Path,
       cluster: Seq[String],
       track: Map[String, org.apache.spark.sql.types.DataType],
-      approxBytes: Long): Seq[ManifestEntry] = {
+      approxBytes: Long, dropAfter: Seq[String] = Nil): Seq[ManifestEntry] = {
     val parts = math.max(1, math.min(10000,
       ((approxBytes + clusterFileTargetBytes - 1) / clusterFileTargetBytes).toInt))
     val seg = newSegmentDir(tableDir)
     df.repartitionByRange(parts, cluster.map(col): _*)
       .sortWithinPartitions(cluster.map(col): _*)
+      .drop(dropAfter: _*)
       .write.mode("overwrite").parquet(seg.toString)
     val children = Files.list(seg)
     try children.iterator().asScala

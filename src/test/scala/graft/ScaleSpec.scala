@@ -271,6 +271,60 @@ class ScaleSpec extends SparkSpec {
     assert(m2.entries.size == m.entries.size + 1)
   }
 
+  test("z-order compaction prunes on EVERY clustering dimension") {
+    import graft.core.SegmentStats
+    import org.apache.spark.sql.types.LongType
+    val mk = () => new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-zo")),
+      clusterFileTargetBytes = 12L * 1024)
+    // two INDEPENDENT uniform keys: lexicographic clustering on (x, y)
+    // makes every file span y's whole range; z-order boxes both
+    val df = spark.range(0L, 40000L).toDF("seq")
+      .withColumn("x", pmod(col("seq") * 7919L, lit(1000L)))
+      // hash-derived so y is NOT a function of x (both keys mod 1000
+      // would collapse to the same residue structure)
+      .withColumn("y", pmod(org.apache.spark.sql.functions.xxhash64(col("seq")), lit(1000L)))
+      .withColumn("payload", concat(lit("p"), col("seq")))
+      .drop("seq")
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val yBounds = Seq(
+      SegmentStats.bound("y", SegmentStats.Ge, "100", LongType, zone).get,
+      SegmentStats.bound("y", SegmentStats.Le, "140", LongType, zone).get)
+    def planned(store: TableStore, bs: Seq[SegmentStats.Bound]): Int =
+      store.readPruned("p", "b", "t", bs).queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.size
+      }.sum
+
+    def build(zorder: Boolean): (TableStore, Int, Int) = {
+      val store = mk()
+      store.createTable("p", "b", "t", df.schema)
+      store.setClustering("p", "b", "t", Seq("x", "y"), zorder = zorder)
+      store.overwrite("p", "b", "t", df)
+      store.compact("p", "b", "t")
+      val total = graft.core.Manifest.readFrom(store.catalog.versionDir(
+        store.catalog.getTable("p", "b", "t").get)).get.entries.size
+      (store, planned(store, yBounds), total)
+    }
+
+    val (lexStore, lexPlanned, lexTotal) = build(zorder = false)
+    val (zStore, zPlanned, zTotal) = build(zorder = true)
+    assert(lexTotal > 8 && zTotal > 8, s"want multi-file layouts: $lexTotal/$zTotal")
+    // lexicographic: y is the trailing key, every file spans ~all of y
+    assert(lexPlanned == lexTotal,
+      s"lexicographic pruned on the trailing column?! $lexPlanned/$lexTotal")
+    // z-order: the y-only predicate prunes a real fraction of the files
+    assert(zPlanned * 2 <= zTotal,
+      s"z-order should prune >=half the files: planned $zPlanned of $zTotal")
+    // and both layouts stay correct
+    val expect = df.filter(col("y").between(100L, 140L)).count()
+    assert(zStore.readPruned("p", "b", "t", yBounds)
+      .filter(col("y").between(100L, 140L)).count() == expect)
+    assert(lexStore.readPruned("p", "b", "t", yBounds)
+      .filter(col("y").between(100L, 140L)).count() == expect)
+    assert(zStore.read("p", "b", "t").count() == 40000L)
+  }
+
   test("auto-compaction folds the manifest once it exceeds the threshold") {
     val store = new TableStore(spark,
       new StorageCatalog(Files.createTempDirectory("graft-cmp")),
