@@ -573,6 +573,34 @@ final class SqlHttpServer(
         val m = store.catalog.getSnapshot(id).get
         respondJson(ex, 201, snapshotJson(m))
 
+      // table maintenance: optional {"cluster": ["x","y"], "zorder": bool}
+      // persists the layout first, then compaction applies it (Delta
+      // OPTIMIZE [ZORDER BY] semantics over the manifest)
+      case ("POST", "projects" :: p :: "buckets" :: b :: "tables" :: t :: "optimize" :: Nil) =>
+        val body = om.readTree(new String(
+          ex.getRequestBody.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8) match {
+            case "" => "{}"; case s => s
+          })
+        if (body.has("cluster")) {
+          val cols = (0 until body.get("cluster").size())
+            .map(i => body.get("cluster").get(i).asText())
+          store.setClustering(p, b, t, cols,
+            zorder = body.path("zorder").asBoolean(false))
+        }
+        val meta = store.compact(p, b, t)
+        val files = graft.core.Manifest.readFrom(
+          store.catalog.versionDir(store.catalog.getTable(p, b, t).get))
+          .map(_.entries.size).getOrElse(0)
+        val node = om.createObjectNode()
+        node.put("optimized", true); node.put("version", meta.version)
+        node.put("files", files)
+        val cl = store.clusteringOf(p, b, t)
+        if (cl.nonEmpty) {
+          val arr = node.putArray("cluster"); cl.foreach(arr.add)
+          node.put("zorder", store.clusteringIsZOrder(p, b, t))
+        }
+        respondJson(ex, 200, om.writeValueAsString(node))
+
       case ("GET", "projects" :: p :: "snapshots" :: Nil) =>
         val items = store.catalog.listSnapshots()
           .filter(_.project == p)

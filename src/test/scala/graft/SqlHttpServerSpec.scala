@@ -137,6 +137,27 @@ class SqlHttpServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("optimize endpoint compacts and persists the clustered layout") {
+    val store = fixture()
+    val server = new SqlHttpServer(spark, store).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    try {
+      val url = s"$base/storage/projects/p/buckets/geo/tables/nation/optimize"
+      // plain compaction, no clustering declared
+      val plain = post(url, "")
+      assert(plain.statusCode() == 200)
+      assert(om.readTree(plain.body()).get("optimized").asBoolean)
+      // declare a z-order layout and re-optimize
+      val zo = post(url, """{"cluster":["n_regionkey","n_nationkey"],"zorder":true}""")
+      assert(zo.statusCode() == 200)
+      val n = om.readTree(zo.body())
+      assert(n.get("zorder").asBoolean)
+      assert(n.get("cluster").get(0).asText == "n_regionkey")
+      assert(store.clusteringIsZOrder("p", "geo", "nation"))
+      assert(store.read("p", "geo", "nation").count() == 25)
+    } finally server.stop()
+  }
+
   test("branch lifecycle over HTTP: create, CoW write, live view, pull, delete") {
     val store = fixture()
     val server = new SqlHttpServer(spark, store).start()
