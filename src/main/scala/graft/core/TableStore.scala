@@ -610,7 +610,9 @@ final class TableStore(val spark: SparkSession, val catalog: StorageCatalog,
   def appendBucketed(project: String, bucket: String, table: String,
       df: DataFrame, keys: Seq[String],
       numBuckets: Int = DefaultNumBuckets,
-      branch: Option[String] = None): TableMeta =
+      branch: Option[String] = None,
+      /** Same commit-carried-watermark contract as [[append]]. */
+      commitSettings: Map[String, String] = Map.empty): TableMeta =
     withWriteLock(project, bucket, table, branch) { meta =>
       require(keys.nonEmpty, "appendBucketed requires non-empty keys")
       val tdir = tableDirOf(project, bucket, table, branch)
@@ -630,7 +632,8 @@ final class TableStore(val spark: SparkSession, val catalog: StorageCatalog,
         case _ => throw new IllegalStateException(
           s"$project/$bucket/$table holds non-bucketed data; rewrite it bucketed first")
       }
-      commit(project, bucket, table, branch, meta, next, meta.schemaDdl)
+      commit(project, bucket, table, branch, meta, next, meta.schemaDdl,
+        commitSettings)
     }
 
   /** Scan ONLY the hash buckets the probe's bucket-key values land in:

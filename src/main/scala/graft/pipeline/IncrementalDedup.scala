@@ -61,7 +61,8 @@ final class IncrementalDedup(store: TableStore, project: String,
 
   /** Ingest one batch; returns the number of docs that survived into the
     * corpus. Deterministic for a fixed batch sequence. */
-  def ingest(staging0: DataFrame): Long = {
+  def ingest(staging0: DataFrame,
+      commitSettings: Map[String, String] = Map.empty): Long = {
     val staging = staging0.select(col("doc_id"), col("text"))
 
     // 1. batch-normalize: components over exact-verified in-batch pairs,
@@ -99,16 +100,50 @@ final class IncrementalDedup(store: TableStore, project: String,
     val kept = reps.join(dupNew, Seq("doc_id"), "left_anti").persist()
     val nKept = kept.count()
 
-    // 3. commit survivors + their index rows (both O(batch))
-    store.append(project, bucket, corpusTable, kept)
+    // 3. commit: index rows FIRST, corpus LAST (carrying any stream
+    // watermark atomically). A crash between the two leaves orphan index
+    // rows whose doc_ids are not in the corpus — provably harmless: a
+    // probe's candidates inner-join the corpus for the old text, so
+    // orphans drop out, and the replayed batch re-appends its rows (the
+    // candidate set is distinct()-ed, duplicate band rows only fatten
+    // the probed buckets). Corpus commit = batch commit.
     store.appendBucketed(project, bucket, indexTable,
       bandRows.join(kept.select("doc_id"), "doc_id")
         .select("band_sig", "doc_id"),
       Seq("band_sig"), indexBuckets)
+    store.append(project, bucket, corpusTable, kept,
+      commitSettings = commitSettings)
 
     reps.unpersist(); bandRows.unpersist(); kept.unpersist()
     nKept
   }
+
+  private def watermarkKey =
+    s"stream/$project/$bucket/$corpusTable/lastBatch"
+
+  /** One micro-batch of a streaming dedup-on-ingest, idempotent on
+    * `batchId`: the last committed batch id travels INSIDE the corpus
+    * append's atomic catalog commit, so a replayed batch is a no-op and
+    * the corpus sees each batch exactly once (the same contract as
+    * EventsStream.ingestBatch; the index is at-least-once with harmless
+    * duplicates — see [[ingest]]). */
+  def ingestBatch(batch: DataFrame, batchId: Long): Unit = {
+    val last = store.catalog.getSetting(watermarkKey).map(_.toLong).getOrElse(-1L)
+    if (batchId > last)
+      ingest(batch, Map(watermarkKey -> batchId.toString))
+  }
+
+  /** Streaming corpus maintenance: every micro-batch of documents flows
+    * through the SAME dedup-on-ingest path as a batch load — in-batch
+    * components, bucket-pruned corpus probes, O(batch) commits. */
+  def ingestStream(docs: DataFrame, checkpointDir: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, id: Long) => ingestBatch(b, id))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 
   def corpus(): DataFrame = store.read(project, bucket, corpusTable)
 }

@@ -137,18 +137,51 @@ final class VectorIndex(store: TableStore, project: String, bucket: String,
   }
 
   /** Ingest one batch of (vec_id, embedding): assign cells, encode codes,
-    * append both tables in their bucketed layouts. Returns rows added. */
-  def ingest(batch: DataFrame): Long = {
+    * append both tables in their bucketed layouts. Returns rows added.
+    *
+    * Commit order is index FIRST, corpus LAST (carrying any stream
+    * watermark atomically): a crash between the two leaves orphan index
+    * rows whose ids are not in the corpus — harmless, because search
+    * candidates inner-join the corpus for the exact rerank, so orphans
+    * drop out; the replayed batch re-appends them (duplicate coded rows
+    * only fatten the probed buckets, and the rerank dedups by id rank). */
+  def ingest(batch: DataFrame,
+      commitSettings: Map[String, String] = Map.empty): Long = {
     val b = batch.select(col("vec_id"), col("embedding")).persist()
     val coded = withCodes(withCell(b)).persist()
-    store.appendBucketed(project, bucket, corpusTable,
-      b, Seq("vec_id"), indexBuckets)
     store.appendBucketed(project, bucket, indexTable,
       coded.select("cell", "vec_id", "codes"), Seq("cell"), indexBuckets)
+    store.appendBucketed(project, bucket, corpusTable,
+      b, Seq("vec_id"), indexBuckets, commitSettings = commitSettings)
     val n = b.count()
     b.unpersist(); coded.unpersist()
     n
   }
+
+  private def watermarkKey =
+    s"stream/$project/$bucket/$corpusTable/lastBatch"
+
+  /** One micro-batch of streaming index maintenance, idempotent on
+    * `batchId` (the watermark rides the corpus append's atomic commit —
+    * exactly-once corpus, at-least-once index with harmless duplicates,
+    * see [[ingest]]). */
+  def ingestBatch(batch: DataFrame, batchId: Long): Unit = {
+    val last = store.catalog.getSetting(watermarkKey).map(_.toLong).getOrElse(-1L)
+    if (batchId > last)
+      ingest(batch, Map(watermarkKey -> batchId.toString))
+  }
+
+  /** Streaming maintenance: embeddings arriving as a stream keep the
+    * index current batch-by-batch, each micro-batch one O(batch)
+    * encode+append under the frozen model. */
+  def ingestStream(embeddings: DataFrame, checkpointDir: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    embeddings.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, id: Long) => ingestBatch(b, id))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 
   /** The inverted file as a frame (cell, vec_id, codes) — inspection /
     * invariance-testing surface. */

@@ -651,6 +651,38 @@ class PipelineSpec extends SparkSpec {
       .toDF("doc_id", "text")) == 0)
   }
 
+  test("incremental dedup maintains the corpus from a document stream") {
+    import java.nio.file.Files
+    import graft.core.{StorageCatalog, TableStore}
+    import graft.pipeline.IncrementalDedup
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-inc-st")))
+    val inc = new IncrementalDedup(store, "p", "b", "corpus", "idx",
+      n = 3, threshold = 0.5, numHashes = 64, bands = 16, indexBuckets = 16)
+    inc.init()
+    val docs = Tables.df(spark, sfDir, "documents").select("doc_id", "text")
+      .filter(col("text").isNotNull)
+    val dir = Files.createTempDirectory("graft-inc-stream")
+    docs.write.mode("overwrite").parquet(dir.resolve("in").toString)
+    val q = inc.ingestStream(
+      spark.readStream.schema(docs.schema).parquet(dir.resolve("in").toString),
+      dir.resolve("ckpt").toString)
+    q.awaitTermination()
+    // same corpus as a one-shot batch ingest of the same documents
+    val batchStore = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-inc-b")))
+    val batchInc = new IncrementalDedup(batchStore, "p", "b", "corpus", "idx",
+      n = 3, threshold = 0.5, numHashes = 64, bands = 16, indexBuckets = 16)
+    batchInc.init()
+    batchInc.ingest(docs)
+    val got = inc.corpus().select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == batchInc.corpus().select("doc_id").as[Long].collect().sorted.toSeq)
+    assert(got.nonEmpty)
+    // replaying a committed batch id is a no-op
+    inc.ingestBatch(docs.limit(3), 0L)
+    assert(inc.corpus().select("doc_id").as[Long].collect().sorted.toSeq == got)
+  }
+
   test("pqEncode/pqTopK: deterministic codes; ADC + rerank tracks brute") {
     val e = Tables.df(spark, sfDir, "embeddings")
     val enc = Similarity.pqEncode(e, m = 2, ksub = 8, iters = 1,

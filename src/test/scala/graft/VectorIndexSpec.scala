@@ -58,6 +58,32 @@ class VectorIndexSpec extends SparkSpec {
     assert(c1.nonEmpty)
   }
 
+  test("streaming maintenance: stream ingest equals batch; replay is a no-op") {
+    val emb2 = emb.select("vec_id", "embedding")
+    val batchIdx = freshIndex()
+    batchIdx.init(); batchIdx.train(corpus)
+    batchIdx.ingest(corpus.select("vec_id", "embedding"))
+
+    val streamIdx = freshIndex()
+    streamIdx.init(); streamIdx.train(corpus)
+    val dir = Files.createTempDirectory("graft-vec-stream")
+    corpus.select("vec_id", "embedding").write.mode("overwrite")
+      .parquet(dir.resolve("in").toString)
+    val streamed = spark.readStream.schema(emb2.schema)
+      .parquet(dir.resolve("in").toString)
+    val q = streamIdx.ingestStream(streamed,
+      dir.resolve("ckpt").toString)
+    q.awaitTermination()
+    assert(streamIdx.indexContent().orderBy("vec_id").collect().toSeq ==
+      batchIdx.indexContent().orderBy("vec_id").collect().toSeq)
+    val r1 = streamIdx.search(queries, k = 5, nprobe = 8,
+      rerank = Int.MaxValue).collect().toSeq
+    // replaying an already-committed batch id is a no-op
+    streamIdx.ingestBatch(corpus.select("vec_id", "embedding").limit(7), 0L)
+    assert(streamIdx.search(queries, k = 5, nprobe = 8,
+      rerank = Int.MaxValue).collect().toSeq == r1)
+  }
+
   test("pruned probe: high recall, scans only the probed cells") {
     val idx = freshIndex()
     idx.init()
