@@ -254,6 +254,9 @@ final class VectorIndex(store: TableStore, project: String, bucket: String,
       .withColumn("arank", row_number().over(wA))
       .filter(col("arank") <= rerank)
       .select(col("q_id"), col("vec_id").as("c_id"))
+      // duplicate coded rows (crash-replay orphans, see ingest) must not
+      // become duplicate top-k entries
+      .distinct()
 
     // exact rerank on raw embeddings, corpus read bucket-pruned by the
     // candidate ids; ranking identical to bruteForceTopK
