@@ -25,6 +25,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *      like the reference's `tables import --create`)
   *   tables export P B T OUT.csv
   *   tables changes P B T [--from V] [--to V] [--limit N]
+  *   tables optimize P B T [--cluster a,b] [--zorder]
   *   tables profile P B T [--mode basic|full]
   *   files upload P FILE               files list P
   *   files download P ID OUT           files delete P ID
@@ -87,7 +88,7 @@ object Cli {
       err: java.io.PrintStream): Int = {
     // flags: --name value (valued) or --name (bare); positionals = the rest
     val valuedFlags = Set("--columns", "--pk", "--limit", "--dedup-mode",
-      "--mode", "--url", "--api-key", "--from", "--to")
+      "--mode", "--url", "--api-key", "--from", "--to", "--cluster")
     val flagsB = scala.collection.mutable.Map[String, String]()
     val posB = scala.collection.mutable.Buffer[String]()
     var i = 0
@@ -214,6 +215,20 @@ object Cli {
           (if (qs.nonEmpty) s"?$qs" else ""))
       if (ctx.json) ctx.out.println(r.toString)
       else renderRows(ctx.out, r)
+      0
+
+    case "tables" :: "optimize" :: p :: b :: t :: Nil =>
+      // compaction; --cluster a,b declares the layout first, --zorder
+      // lays it along the Morton curve (multi-dimension file pruning)
+      val body = flag("--cluster") match {
+        case Some(cols) =>
+          s"""{"cluster":[${cols.split(",").map(c => s""""$c"""").mkString(",")}],
+             |"zorder":${cmdHasBareFlag("--zorder")}}""".stripMargin
+        case None => "{}"
+      }
+      val r = ctx.call("POST",
+        s"/storage/projects/$p/buckets/$b/tables/$t/optimize", Some(body))
+      ctx.out.println(r.toString)
       0
 
     case "tables" :: "import" :: p :: b :: t :: file :: Nil =>

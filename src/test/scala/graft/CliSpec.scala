@@ -81,6 +81,13 @@ class CliSpec extends SparkSpec {
       val (c8, filesOut) = runCli(base, "files", "list", "p")
       assert(c8 == 0 && filesOut.contains("exports/raw.items"))
 
+      // optimize: plain, then a declared z-order layout
+      val (c9, optOut) = runCli(base, "tables", "optimize", "p", "raw", "items")
+      assert(c9 == 0 && optOut.contains("\"optimized\":true"))
+      val (c10, zoOut) = runCli(base, "tables", "optimize", "p", "raw", "items",
+        "--cluster", "id,score", "--zorder")
+      assert(c10 == 0 && zoOut.contains("\"zorder\":true"))
+
       // unknown command is a usage error, not a crash
       assert(runCli(base, "bogus")._1 == 2)
     } finally server.stop()
