@@ -1099,6 +1099,54 @@ object PipelineQueries {
              |UNION ALL SELECT id FROM kept2
              |ORDER BY doc_id""".stripMargin)),
 
+    // x39 — exact repeated-substring dedup (Lee et al. 2021, k-token-span
+    // formulation): only the corpus-wide first occurrence of any 8-token
+    // span survives; every later occurrence's tokens are removed and the
+    // doc reassembled in order. Pure string/integer algebra — the twin
+    // replays it exactly.
+    Q("x39_substring_dedup",
+      (s, dir) => TextDedup.removeRepeatedSpans(
+          Tables.df(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy("doc_id"),
+      Some("""WITH base AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), ' +'),
+             |      x -> x <> '') AS l
+             |  FROM documents WHERE text IS NOT NULL
+             |), g AS (
+             |  SELECT doc_id, t.p AS pos,
+             |    array_to_string(l[t.p + 1 : t.p + 8], ' ') AS gram
+             |  FROM base, unnest(range(0, greatest(len(l) - 7, 0))) AS t(p)
+             |), dup AS (
+             |  SELECT doc_id, pos FROM (
+             |    SELECT doc_id, pos, row_number() OVER (
+             |      PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+             |      count(*) OVER (PARTITION BY gram) AS occ
+             |    FROM g) WHERE rn > 1
+             |), flags AS (
+             |  SELECT DISTINCT doc_id, pos + u.i AS tokpos
+             |  FROM dup, unnest(range(0, 8)) AS u(i)
+             |), toks AS (
+             |  SELECT doc_id, u.tokpos AS tokpos, u.term AS term FROM (
+             |    SELECT doc_id, unnest(list_transform(range(0, len(l)),
+             |      i -> {'tokpos': i, 'term': l[i + 1]})) AS u
+             |    FROM base)
+             |), kept AS (
+             |  SELECT t.doc_id, t.tokpos, t.term FROM toks t
+             |  LEFT JOIN flags f
+             |    ON t.doc_id = f.doc_id AND t.tokpos = f.tokpos
+             |  WHERE f.doc_id IS NULL
+             |), agg AS (
+             |  SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+             |    string_agg(term, ' ' ORDER BY tokpos) AS clean_text
+             |  FROM kept GROUP BY 1
+             |)
+             |SELECT b.doc_id, len(b.l)::BIGINT AS n_tokens,
+             |  (len(b.l) - COALESCE(a.n_kept, 0))::BIGINT AS n_removed,
+             |  COALESCE(a.clean_text, '') AS clean_text
+             |FROM base b LEFT JOIN agg a USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // x38 — persistent IVF-PQ vector index lifecycle: train a frozen
     // model, ingest the corpus in two batches (cells + PQ codes appended
     // bucketed), then search fully probed (nprobe = nCells) with an uncut

@@ -499,4 +499,59 @@ object TextDedup {
              |    size(toks) - n_full * $win), ' ')),
              |  x -> x != ''), ' ')""".stripMargin).as("clean_text"))
   }
+
+  /** Exact repeated-substring dedup (the "Deduplicating Training Data
+    * Makes Language Models Better" operation, Lee et al. 2021, in its
+    * k-token-span formulation): every occurrence of a k-token span that
+    * already occurred earlier in the corpus — (doc, pos) lexicographic,
+    * first occurrence wins — has its tokens removed; only the canonical
+    * copy of any repeated passage survives. Unlike [[boilerplatePrune]]
+    * (fixed non-overlapping windows, df threshold, whole-window drop on
+    * BOTH copies), this slides over every position and keeps exactly one
+    * copy.
+    *
+    * Shape at 100 TB: spans shuffle ONCE on the span hash into a hash
+    * aggregation (min-struct winner + count — partial-combinable
+    * map-side, no windowed sort on the hot span); only duplicate spans
+    * (count > 1) flow back for the flag join; token-flag removal and the
+    * doc-keyed in-order reassembly are the same O(doc) machinery as
+    * [[boilerplatePrune]]. A pathological corpus-wide hot span costs one
+    * reduce key, not a single-partition sort. */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split(lower(trim($textCol)), ' +'), x -> x != '')")
+          .as("toks"))
+    val grams = base.filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, size(toks) - $k)")).as("pos"),
+        col("toks"))
+      .withColumn("gram", expr(s"array_join(slice(toks, pos + 1, $k), ' ')"))
+      .select("doc_id", "pos", "gram")
+    val winners = grams.groupBy("gram")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"),
+        count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+      .select(col("gram"), col("w"))
+    val flags = grams.join(winners, "gram")
+      .filter(!(col("doc_id") === col("w.doc_id") &&
+        col("pos") === col("w.pos")))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("tokpos"))
+      .distinct()
+    val toks = base.select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), col("pos").as("tokpos"), col("col").as("term"))
+    val keptAgg = toks.join(flags, Seq("doc_id", "tokpos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_kept"),
+        expr("array_join(transform(sort_array(collect_list(" +
+          "struct(tokpos, term))), x -> x.term), ' ')").as("clean_text"))
+    base.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        (size(col("toks")) - coalesce(col("n_kept"), lit(0L)))
+          .cast(LongType).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

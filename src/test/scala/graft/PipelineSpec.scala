@@ -713,6 +713,26 @@ class PipelineSpec extends SparkSpec {
     assert(full == bruteOrdered)
   }
 
+  test("removeRepeatedSpans: first occurrence survives, later copies go") {
+    val span = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"intro $span outro"),          // first occurrence -> kept whole
+      (2L, s"other words here $span tail ends"), // later copy -> span removed
+      (3L, s"$span"),                      // exactly the span, later -> empty
+      (4L, "shorter than the k window"),   // < k tokens -> untouched
+      (5L, s"$span and then $span")        // intra-doc repeat -> second goes
+    ).toDF("doc_id", "text")
+    val out = TextDedup.removeRepeatedSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == (0L, s"intro $span outro"))
+    assert(out(2L) == (8L, "other words here tail ends"))
+    assert(out(3L) == (8L, ""))
+    assert(out(4L) == (0L, "shorter than the k window"))
+    // doc 5: the leading copy is pos 0 — but doc 1's copy is earlier
+    // (doc 1 < doc 5), so BOTH of doc 5's copies are later occurrences
+    assert(out(5L) == (16L, "and then"))
+  }
+
   test("dsirScores: target-like raw docs outscore off-domain ones") {
     // target corpus speaks "zebra quagga okapi"; half the raw pool does
     // too, the other half speaks "bolt nut wrench"
