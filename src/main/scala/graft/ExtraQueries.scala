@@ -9,7 +9,7 @@ import graft.Queries.Q
 import graft.core.{StorageCatalog, Tables, TableStore}
 import graft.engine.imp.ImportPipeline
 import graft.engine.profile.Profiler
-import graft.engine.query.{Export, FilterAlgebra, TemporalJoins}
+import graft.engine.query.{Export, FilterAlgebra, SkewJoin, TemporalJoins}
 import graft.engine.query.FilterAlgebra.{Op, WhereFilter}
 
 /** Coverage-completing queries: schema-inferring CSV (S2), append (D3),
@@ -464,6 +464,26 @@ object ExtraQueries {
              | AND epoch_ms(v.ts) >= epoch_ms(a.ts) - 300000
              | AND epoch_ms(v.ts) < epoch_ms(a.ts)
              |WHERE a.event_type = 'purchase'
-             |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // j2 — skew-salted join: documents fan out on `source` (3 distinct
+    // values — every row is a hot key by construction), the per-source
+    // dim is replicated once per salt, and the join adds the salt to the
+    // equi-keys so each hot key spreads over 8 shuffle partitions
+    // instead of piling onto one task. Exact same result multiset as the
+    // plain join (each pair meets exactly once) → plain-SQL oracle.
+    Q("j2_salted_join",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents").select("doc_id", "source")
+        val dim = Tables.df(s, dir, "documents")
+          .groupBy("source").agg(count(lit(1)).as("source_docs"))
+        SkewJoin.saltedJoin(docs, dim, "source", salts = 8)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT d.doc_id, d.source, c.source_docs
+             |FROM documents d
+             |JOIN (SELECT source, count(*) AS source_docs
+             |      FROM documents GROUP BY source) c USING (source)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

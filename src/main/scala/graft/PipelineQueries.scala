@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 
 import graft.Queries.Q
 import graft.core.Tables
-import graft.pipeline.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.pipeline.{Multimodal, Similarity, Sketches, TextAnalysis, TextDedup}
 
 /** Training-data pipeline queries (dedup / similarity / text analysis /
   * multimodal) with DuckDB oracles. Oracle SQL is GENERATED from the same
@@ -1240,6 +1240,73 @@ object PipelineQueries {
            |  ROUND(score - ln(-ln($gumbelU)), 4) AS noisy_score
            |FROM sc
            |ORDER BY noisy_score DESC, doc_id LIMIT 100""".stripMargin
-      })
+      }),
+
+    // x40 — HyperLogLog distinct users per event type (p=8, m=256).
+    // One (group, bucket) → max(rho) hash-agg pass: raw values never
+    // shuffle, per-group flight state is 256 registers. md5-derived
+    // registers + exact BIGINT harmonic sum → the DuckDB twin replays
+    // the estimate integer-exactly, keeping the strict hash compare.
+    Q("x40_hll_distinct",
+      (s, dir) => Sketches.hllDistinct(
+          Tables.df(s, dir, "events"), Seq("event_type"), "user_id")
+        .orderBy("event_type"),
+      Some(Sketches.hllDistinctOracleSql("events", "event_type", "user_id"))),
+
+    // x41 — hot tokens (freq >= total/200) via Count-Min prefilter +
+    // exact verify: the candidate shuffle carries hot-key instances +
+    // CMS false positives, never the key universe. Output exact → the
+    // oracle is plain GROUP BY/HAVING with a pure-BIGINT threshold.
+    Q("x41_hot_tokens",
+      (s, dir) => {
+        val toks = Tables.df(s, dir, "documents").select(
+          explode(expr("filter(split(trim(text), ' +'), x -> x != '')"))
+            .as("token"))
+        Sketches.cmsHeavyHitters(toks, "token", denom = 200).orderBy("key")
+      },
+      Some("""WITH toks AS (
+             |  SELECT t AS key FROM (
+             |    SELECT unnest(string_split_regex(trim(text), ' +')) AS t
+             |    FROM documents) WHERE t <> ''
+             |), tot AS (SELECT count(*) AS total FROM toks)
+             |SELECT key, count(*)::BIGINT AS cnt
+             |FROM toks, tot GROUP BY key, total
+             |HAVING count(*) * 200 >= total
+             |ORDER BY key""".stripMargin)),
+
+    // x42 — decontamination with a broadcast Bloom prefilter (6-gram
+    // eval suite = doc_id % 25 == 0): corpus grams are screened by a
+    // codegen bit-test predicate before the exact verify join, so the
+    // join input shrinks by the uncontaminated fraction — the fixed-
+    // eval-suite-vs-growing-corpus shape. Bloom errs only toward
+    // letting grams through; the verify join restores exactness.
+    Q("x42_bloom_decontaminate",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+        Sketches.bloomDecontaminate(
+            docs.filter(col("doc_id") % 25 =!= 0),
+            docs.filter(col("doc_id") % 25 === 0),
+            "doc_id", "text", n = 6)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+             |  FROM documents
+             |), grams AS (
+             |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 6 THEN
+             |      list_transform(range(1, len(w) - 4),
+             |        i -> array_to_string(w[i:i+5], ' '))
+             |    ELSE [] END)) AS gram
+             |  FROM toks
+             |), eval_grams AS (
+             |  SELECT doc_id AS eval_id, gram FROM grams WHERE doc_id % 25 = 0
+             |), corpus_grams AS (
+             |  SELECT doc_id, gram FROM grams WHERE doc_id % 25 <> 0
+             |)
+             |SELECT c.doc_id, COUNT(DISTINCT c.gram)::BIGINT AS n_hit_grams,
+             |  COUNT(DISTINCT e.eval_id)::BIGINT AS n_eval_docs
+             |FROM corpus_grams c JOIN eval_grams e USING (gram)
+             |GROUP BY c.doc_id
+             |ORDER BY c.doc_id""".stripMargin))
   )
 }

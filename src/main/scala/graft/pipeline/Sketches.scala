@@ -1,0 +1,336 @@
+package graft.pipeline
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Mergeable-sketch operators: HyperLogLog distinct counts, Count-Min
+  * heavy hitters, and a Bloom-filter decontamination prefilter.
+  *
+  * The reference engine answers these questions with exact SQL inside
+  * DuckDB (profiling counts: `duckdb-api-service/src/profiler.py`); at
+  * 100 TB the mergeable-sketch formulations below are what survive: a
+  * sketch is a constant-size summary that combines associatively across
+  * partitions, so every operator here is a map-side partial aggregate
+  * plus an O(sketch) reduce — never a shuffle of the raw key universe.
+  *
+  * Engine neutrality: every hash derives from md5 of the value's
+  * canonical string form (the same trick [[TextAnalysis.hashUniform]]
+  * and the simhash/minhash family use), so a DuckDB oracle replays the
+  * register file / bit positions bit-exactly and the correctness gate
+  * stays a strict hash compare, not a tolerance band. Where a float
+  * enters at all (the final HLL estimate), the register sum is kept in
+  * exact BIGINT arithmetic (powers of two as shifted integers) and only
+  * one double division happens at the end, written identically in both
+  * engines.
+  */
+object Sketches {
+
+  // ------------------------------------------------------------- HLL
+
+  /** HyperLogLog register derivation from a value column:
+    * md5 hex → first 2 hex digits = register index (p = 8, m = 256);
+    * next 13 hex digits = a 52-bit word whose leading-zero run (+1) is
+    * the rank, decoded by string ops (zero-run length + a nibble lookup
+    * on the first non-zero digit) — no float, no engine-specific
+    * hashing, so (bucket, rho) is identical in any engine with md5. */
+  private[pipeline] def hllBucketRho(value: Column): (Column, Column) = {
+    val hex = md5(value.cast(StringType))
+    val bucket = conv(substring(hex, 1, 2), 16, 10).cast(IntegerType)
+    val rest = substring(hex, 3, 13)
+    val lz = length(regexp_extract(rest, "^0*", 0))
+    val d = rest.substr(lz + lit(1), lit(1))
+    val extra = when(d === "1", 3)
+      .when(d.isin("2", "3"), 2)
+      .when(d.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rho = when(lz === 13, lit(53)).otherwise(lz * 4 + extra + 1)
+    (bucket, rho)
+  }
+
+  /** Approximate distinct count of `valueCol` per group via HyperLogLog
+    * with p = 8 (m = 256 registers, σ ≈ 1.04/√m ≈ 6.5%), including the
+    * small-range linear-counting correction of Flajolet et al. 2007.
+    *
+    * Scale shape: ONE hash-aggregate pass — `(group, bucket) → max(rho)`
+    * partial-aggregates map-side (each task emits ≤ 256 rows per group
+    * regardless of input size), then ≤ 256 rows per group reduce to the
+    * estimate. The raw values never shuffle; per-group state in flight
+    * is 256 bytes where exact count-distinct shuffles every distinct
+    * value. Registers combine by max, so the same aggregate merges
+    * incrementally across segments and streams.
+    *
+    * Determinism: the harmonic sum Σ 2^−M_j is computed as an exact
+    * BIGINT Σ 2^(53−M_j) (≤ 256·2^53 < 2^63), so no float summation
+    * order can differ between engines; the single final division and
+    * the ln() of the linear-counting branch are the only doubles, and
+    * the result is rounded to BIGINT.
+    *
+    * Output: group cols + `approx_distinct`, `registers_used`,
+    * `zero_registers` (all integral). */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String)
+      : DataFrame = {
+    val m = 256
+    val g = groupCols.map(col)
+    val (bucket, rho) = hllBucketRho(col(valueCol))
+    val regs = df
+      .select(g :+ bucket.as("bucket") :+ rho.as("rho"): _*)
+      .groupBy(g :+ col("bucket"): _*)
+      .agg(max("rho").as("r"))
+    val agg = regs.groupBy(g: _*).agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - r)")).as("s_reg"),
+      count(lit(1)).cast(IntegerType).as("registers_used"))
+    val zeros = lit(m) - col("registers_used")
+    val sTot = col("s_reg") + zeros.cast(LongType) * lit(1L << 53)
+    // alpha_m * m^2 * 2^53 — same literal arithmetic as the oracle SQL
+    val num = lit((0.7213 / (1 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0)
+    val raw = num / sTot.cast(DoubleType)
+    val est = when(raw <= lit(2.5 * m) && zeros > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast(DoubleType)))
+      .otherwise(raw)
+    agg.select(
+      g ++ Seq(
+        round(est, 0).cast(LongType).as("approx_distinct"),
+        col("registers_used"),
+        zeros.as("zero_registers")): _*)
+  }
+
+  /** DuckDB twin of [[hllDistinct]]: identical register derivation via
+    * md5 string ops (hex digits decoded with a strpos lookup since
+    * DuckDB has no conv), identical BIGINT register sum, identical
+    * final arithmetic. */
+  def hllDistinctOracleSql(table: String, groupCol: String,
+      valueCol: String): String =
+    s"""WITH h AS (
+       |  SELECT $groupCol AS grp, md5(CAST($valueCol AS VARCHAR)) AS hex
+       |  FROM $table
+       |), br AS (
+       |  SELECT grp,
+       |    (strpos('0123456789abcdef', substr(hex, 1, 1)) - 1) * 16
+       |      + (strpos('0123456789abcdef', substr(hex, 2, 1)) - 1) AS bucket,
+       |    CASE WHEN length(regexp_extract(substr(hex, 3, 13), '^0*')) = 13
+       |      THEN 53
+       |      ELSE length(regexp_extract(substr(hex, 3, 13), '^0*')) * 4
+       |        + CASE substr(substr(hex, 3, 13),
+       |            length(regexp_extract(substr(hex, 3, 13), '^0*')) + 1, 1)
+       |            WHEN '1' THEN 3
+       |            WHEN '2' THEN 2 WHEN '3' THEN 2
+       |            WHEN '4' THEN 1 WHEN '5' THEN 1
+       |            WHEN '6' THEN 1 WHEN '7' THEN 1
+       |            ELSE 0 END + 1
+       |      END AS rho
+       |  FROM h
+       |), regs AS (
+       |  SELECT grp, bucket, max(rho) AS r FROM br GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT grp,
+       |    sum(1::BIGINT << (53 - r)) AS s_reg,
+       |    CAST(count(*) AS INTEGER) AS registers_used
+       |  FROM regs GROUP BY 1
+       |)
+       |SELECT grp AS $groupCol,
+       |  CAST(round(CASE WHEN
+       |      (0.7213 / (1 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+       |        / CAST(s_reg + CAST(256 - registers_used AS BIGINT)
+       |            * (1::BIGINT << 53) AS DOUBLE) <= 640.0
+       |      AND 256 - registers_used > 0
+       |    THEN 256.0 * ln(256.0 / CAST(256 - registers_used AS DOUBLE))
+       |    ELSE (0.7213 / (1 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+       |        / CAST(s_reg + CAST(256 - registers_used AS BIGINT)
+       |            * (1::BIGINT << 53) AS DOUBLE)
+       |    END, 0) AS BIGINT) AS approx_distinct,
+       |  registers_used,
+       |  256 - registers_used AS zero_registers
+       |FROM agg
+       |ORDER BY $groupCol""".stripMargin
+
+  // ------------------------------------------------------- Count-Min
+
+  /** SQL fragment: position j of `valueSql` under double hashing
+    * (Kirsch & Mitzenmacher 2006: pos_j = h1 + j·h2 mod width) over the
+    * two 60-bit md5 halves. Both halves are reduced mod `width` FIRST so
+    * j·h2 cannot overflow a BIGINT. One md5 per value per probe site —
+    * Catalyst's common-subexpression elimination collapses the repeated
+    * md5/conv calls inside a projection. */
+  private def posSql(valueSql: String, width: Long, j: Int): String = {
+    val hex = s"md5(CAST($valueSql AS STRING))"
+    val h1 = s"pmod(CAST(conv(substring($hex, 1, 15), 16, 10) AS BIGINT), ${width}L)"
+    val h2 = s"pmod(CAST(conv(substring($hex, 16, 15), 16, 10) AS BIGINT), ${width}L)"
+    s"pmod($h1 + $j * $h2, ${width}L)"
+  }
+
+  /** Distinct keys the Count-Min prefilter lets through — the exact
+    * heavy hitters plus the sketch's false positives. Exposed so tests
+    * can assert the candidate set stays ≪ the key universe. */
+  private[graft] def cmsCandidates(df: DataFrame, keyCol: String,
+      denom: Int, depth: Int = 4, width: Int = 2048): DataFrame =
+    cmsPrefiltered(df, keyCol, denom, depth, width).select("key").distinct()
+
+  /** Key instances surviving the map-side CMS screen (est·denom ≥
+    * total), with the sketch already dropped. */
+  private def cmsPrefiltered(df: DataFrame, keyCol: String, denom: Int,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 16, s"cms $depth x $width")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(keyCol).cast(StringType).as("key"))
+    // pass 1: the sketch as a hash aggregate — ≤ depth·width cells cross
+    // the wire regardless of input size (map-side partial combine)
+    val cells = keys.select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("r"),
+          expr(posSql("key", width, j)).cast(IntegerType).as("c"))): _*))
+        .as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val sk = Array.fill(depth, width)(0L)
+    cells.foreach(row => sk(row.getInt(0))(row.getInt(1)) = row.getLong(2))
+    // every key increments exactly one row-0 cell → row 0 sums to the total
+    val total = sk(0).sum
+    val skDf = broadcast(Seq(Tuple1(sk.map(_.toSeq).toSeq)).toDF("sk"))
+    val estTerms = (0 until depth).map(j =>
+      s"element_at(element_at(sk, ${j + 1}), " +
+        s"CAST(${posSql("key", width, j)} AS INT) + 1)")
+    val estSql =
+      if (depth == 1) estTerms.head
+      else estTerms.mkString("least(", ", ", ")")
+    keys.crossJoin(skDf) // one-row broadcast: narrow, no real join
+      .filter(expr(s"$estSql * CAST($denom AS BIGINT) >= ${total}L"))
+      .drop("sk")
+  }
+
+  /** Heavy hitters — every key with frequency ≥ total/denom — via a
+    * Count-Min sketch prefilter with EXACT verification, so the output
+    * is the exact answer and the oracle is plain GROUP BY … HAVING.
+    *
+    * Pass 1 builds the depth×width sketch as a hash aggregate; the
+    * sketch (a few KB — the whole point of CMS) is collected and
+    * re-broadcast as a one-row DataFrame, and the grand total falls out
+    * of row 0 for free. Pass 2 screens key instances MAP-SIDE where the
+    * CMS estimate (min over rows — an upper bound on the true count, so
+    * the candidate set is a guaranteed superset of the heavy hitters)
+    * clears the threshold, then exact-counts only the survivors: the
+    * final shuffle carries hot-key instances plus the sketch's false
+    * positives, not the key universe. Thresholds compare as
+    * `cnt·denom ≥ total` in pure BIGINT — no float boundary for the
+    * oracle to disagree on.
+    *
+    * Output: (`key`, `cnt`) for exact cnt·denom ≥ total. */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String, denom: Int = 200,
+      depth: Int = 4, width: Int = 2048): DataFrame = {
+    val keys = df.select(col(keyCol).cast(StringType).as("key"))
+    val total = keys.count() // cheap scalar; also derivable from the sketch
+    cmsPrefiltered(df, keyCol, denom, depth, width)
+      .groupBy("key")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(denom.toLong) >= lit(total))
+  }
+
+  // ----------------------------------------------------------- Bloom
+
+  /** Driver-side Bloom filter build, bit-compatible with the probe in
+    * [[bloomDecontaminate]]: one md5 per element, k double-hashed
+    * positions over the two 60-bit digest halves. */
+  private[pipeline] def bloomBuild(elems: Iterable[String], mBits: Int,
+      k: Int): Array[Long] = {
+    val bits = new Array[Long](mBits / 64)
+    val md = MessageDigest.getInstance("MD5")
+    elems.foreach { e =>
+      val hex = md.digest(e.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      md.reset()
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16) % mBits
+      val h2 = java.lang.Long.parseLong(hex.substring(15, 30), 16) % mBits
+      var j = 0
+      while (j < k) {
+        val idx = ((h1 + j * h2) % mBits).toInt
+        bits(idx >> 6) |= (1L << (idx & 63))
+        j += 1
+      }
+    }
+    bits
+  }
+
+  /** Filter size: next power of two ≥ 32 bits/element, clamped to
+    * [2^14, 2^26] (2 KB – 8 MB) — always broadcast-cheap. At 32
+    * bits/element with k = 4 the false-positive rate is
+    * (1 − e^(−1/8))^4 ≈ 2·10⁻⁴. */
+  private[pipeline] def bloomSizeBits(nElems: Int): Int = {
+    val want = math.max(16384L, 32L * math.max(nElems, 1))
+    var m = 16384L
+    while (m < want && m < (1L << 26)) m <<= 1
+    m.toInt
+  }
+
+  /** SQL predicate: all k Bloom positions of `gramSql` are set in the
+    * one-row broadcast `bloom_bits` (array<bigint>). Pure built-in
+    * expressions — the probe stays inside whole-stage codegen. */
+  private def bloomHitSql(gramSql: String, mBits: Int, k: Int): String =
+    (0 until k).map { j =>
+      val idx = posSql(gramSql, mBits.toLong, j)
+      s"((shiftright(element_at(bloom_bits, " +
+        s"CAST(($idx DIV 64) AS INT) + 1), " +
+        s"CAST(($idx % 64) AS INT)) & 1L) = 1L)"
+    }.mkString("(", " AND ", ")")
+
+  /** Benchmark decontamination with a Bloom prefilter — the shape for a
+    * FIXED eval suite against a growing corpus: the filter is built once
+    * from the eval set's n-gram shingles (KBs), broadcast, and probed
+    * MAP-SIDE against every corpus gram, so the exact verify join only
+    * ever sees true hits plus the ~2·10⁻⁴ sliver of false positives.
+    * Versus [[TextDedup.decontaminate]] (x28), which streams ALL corpus
+    * grams into the broadcast join, the join input here shrinks by the
+    * uncontaminated fraction — at 100 TB that is the difference between
+    * a full-corpus explode feeding a join and a full-corpus explode
+    * feeding a codegen predicate.
+    *
+    * The Bloom filter only ever errs TOWARD letting a gram through, and
+    * every survivor is re-checked by the exact broadcast join, so the
+    * output equals [[TextDedup.decontaminate]]'s exactly and the oracle
+    * is the exact SQL twin. Output: (doc_id, n_hit_grams, n_eval_docs)
+    * for corpus docs sharing ≥ 1 n-gram with the eval set. */
+  def bloomDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 8, k: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val evalGrams = evalSet
+      .select(col(idCol).as("eval_id"),
+        explode(TextDedup.shingles(textCol, n)).as("gram"))
+    // the eval suite is the small, fixed side (same assumption as x28's
+    // broadcast); its distinct grams size the filter
+    val distinctGrams =
+      evalGrams.select("gram").distinct().collect().map(_.getString(0))
+    val mBits = bloomSizeBits(distinctGrams.length)
+    val bits = bloomBuild(distinctGrams, mBits, k)
+    val bitsDf = broadcast(Seq(Tuple1(bits.toSeq)).toDF("bloom_bits"))
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(TextDedup.shingles(textCol, n)).as("gram"))
+      .crossJoin(bitsDf) // one-row broadcast: narrow
+      .filter(expr(bloomHitSql("gram", mBits, k)))
+      .drop("bloom_bits")
+      .join(broadcast(evalGrams), "gram") // exact verify: kills Bloom FPs
+      .groupBy("doc_id")
+      .agg(countDistinct("gram").cast(LongType).as("n_hit_grams"),
+        countDistinct("eval_id").cast(LongType).as("n_eval_docs"))
+  }
+
+  /** Corpus grams surviving the Bloom screen alone (before exact
+    * verify) — exposed for false-positive-rate tests. */
+  private[graft] def bloomSurvivors(corpus: DataFrame, idCol: String,
+      textCol: String, evalGrams: Array[String], n: Int, k: Int)
+      : DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val mBits = bloomSizeBits(evalGrams.length)
+    val bits = bloomBuild(evalGrams, mBits, k)
+    val bitsDf = broadcast(Seq(Tuple1(bits.toSeq)).toDF("bloom_bits"))
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(TextDedup.shingles(textCol, n)).as("gram"))
+      .crossJoin(bitsDf)
+      .filter(expr(bloomHitSql("gram", mBits, k)))
+      .drop("bloom_bits")
+  }
+}

@@ -138,4 +138,32 @@ class PlanSpec extends SparkSpec {
     assert(factScans == 1,
       s"expected one lineitem scan (membership tagging), got $factScans")
   }
+
+  test("hll distinct partial-aggregates registers map-side; raw values never shuffle") {
+    val df = Queries.byName("x40_hll_distinct").fn(spark, sfDir)
+    df.collect() // finalize AQE
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the only exchange keys are (event_type, bucket) — the register
+    // file — never the raw user_id values
+    val exchanges = finalPlan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(!_.contains("user_id")),
+      s"raw values crossed the wire: $exchanges")
+    assert(finalPlan.contains("HashAggregate"))
+  }
+
+  test("bloom decontamination verify join is broadcast; prefilter precedes it") {
+    val df = Queries.byName("x42_bloom_decontaminate").fn(spark, sfDir)
+    df.collect() // finalize AQE
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // exact verify of Bloom survivors joins the broadcast eval grams —
+    // corpus grams never sort-merge
+    assert(finalPlan.contains("BroadcastHashJoin"))
+    assert(!finalPlan.contains("SortMergeJoin"))
+    // the bit-test screen runs as a Filter under codegen before the join
+    assert(finalPlan.contains("bloom_bits"))
+  }
 }

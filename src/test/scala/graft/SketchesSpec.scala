@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.query.SkewJoin
+import graft.pipeline.{Sketches, TextDedup}
+
+/** Sketch operators: HLL accuracy on both estimator branches, CMS
+  * candidate pruning + exactness, Bloom prefilter false-positive rate +
+  * exactness, and the salted-join rewrite's result equivalence. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hll: linear-counting branch within 15% at low cardinality") {
+    val df = (1 to 100).map(i => ("g", i)).toDF("g", "v")
+    val row = Sketches.hllDistinct(df, Seq("g"), "v").collect().head
+    val est = row.getAs[Long]("approx_distinct")
+    assert(math.abs(est - 100) <= 15, s"est $est for true 100")
+    assert(row.getAs[Int]("zero_registers") > 0)
+  }
+
+  test("hll: raw branch within 3 sigma (20%) at 20k distinct") {
+    val df = (1 to 20000).map(i => ("g", s"user-$i")).toDF("g", "v")
+    val row = Sketches.hllDistinct(df, Seq("g"), "v").collect().head
+    val est = row.getAs[Long]("approx_distinct")
+    assert(math.abs(est - 20000) <= 4000, s"est $est for true 20000")
+    // 20k values over 256 registers: every register hit
+    assert(row.getAs[Int]("registers_used") === 256)
+  }
+
+  test("hll: duplicate-insensitive (multiset ignored, registers merge by max)") {
+    val once = (1 to 5000).map(i => ("g", i)).toDF("g", "v")
+    val thrice = once.union(once).union(once)
+    val a = Sketches.hllDistinct(once, Seq("g"), "v").collect().head
+    val b = Sketches.hllDistinct(thrice, Seq("g"), "v").collect().head
+    assert(a.getAs[Long]("approx_distinct") === b.getAs[Long]("approx_distinct"))
+  }
+
+  test("cms: exact heavy hitters, candidate set << key universe") {
+    // 8000 cold singleton keys + 3 hot keys at ~1000 each: freq >= total/200
+    val cold = (1 to 8000).map(i => s"cold-$i")
+    val hot = Seq.fill(1000)("hot-a") ++ Seq.fill(900)("hot-b") ++
+      Seq.fill(800)("hot-c")
+    val df = scala.util.Random.shuffle(cold ++ hot).toDF("k")
+    val got = Sketches.cmsHeavyHitters(df, "k", denom = 200)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === Map("hot-a" -> 1000L, "hot-b" -> 900L, "hot-c" -> 800L))
+    // the sketch screen must prune nearly the whole 8003-key universe:
+    // 8000 singletons hashed into 4x2048 cells alongside 3 hot keys leave
+    // some colliding false positives, but nothing like the universe
+    val cand = Sketches.cmsCandidates(df, "k", denom = 200).count()
+    assert(cand >= 3 && cand < 400, s"candidates $cand of 8003 keys")
+  }
+
+  test("cms: depth=1 degenerates gracefully and stays exact") {
+    val df = (Seq.fill(500)("hh") ++ (1 to 500).map("c" + _)).toDF("k")
+    val got = Sketches.cmsHeavyHitters(df, "k", denom = 2, depth = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("hh", 500L)))
+  }
+
+  test("bloom: decontamination output equals the exact x28 operator") {
+    val docs = graft.core.Tables.df(spark, sfDir, "documents")
+    val corpus = docs.filter($"doc_id" % 25 =!= 0)
+    val eval = docs.filter($"doc_id" % 25 === 0)
+    val viaBloom = Sketches.bloomDecontaminate(
+        corpus, eval, "doc_id", "text", n = 6)
+      .orderBy("doc_id").collect().toSeq
+    val exact = TextDedup.decontaminate(corpus, eval, "doc_id", "text", n = 6)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaBloom === exact)
+  }
+
+  test("bloom: prefilter passes ~nothing on a disjoint corpus") {
+    // eval grams disjoint from corpus grams: every survivor is a false
+    // positive; at 32 bits/elem k=4 the rate is ~2e-4
+    val evalGrams = (1 to 2000).map(i => s"eval gram number $i").toArray
+    val corpus = (1 to 300).map { i =>
+      (i.toLong, (1 to 40).map(j => s"w${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val survivors = Sketches.bloomSurvivors(
+      corpus, "doc_id", "text", evalGrams, n = 3, k = 4).count()
+    val totalGrams = corpus
+      .select(explode(TextDedup.shingles("text", 3))).count()
+    assert(totalGrams > 10000L)
+    assert(survivors <= totalGrams / 100,
+      s"$survivors Bloom false positives of $totalGrams grams")
+  }
+
+  test("salted join: hot key spreads across all salt partitions") {
+    // result equivalence + unsafe-join-type rejection live in ScaleSpec;
+    // here: the salt derivation itself spreads a 100%-hot key evenly
+    val large = (1 to 4000).map(i => (i.toLong, "hot")).toDF("id", "k")
+    val spread = large
+      .withColumn("s", pmod(xxhash64(col("id"), col("k")), lit(8L)))
+      .groupBy("s").count().collect()
+    assert(spread.length === 8, "all 8 salts populated for the hot key")
+    val counts = spread.map(_.getLong(1))
+    assert(counts.max < 4000 / 8 * 2, s"skewed salt split: ${counts.toSeq}")
+  }
+}
