@@ -1307,6 +1307,29 @@ object PipelineQueries {
              |  COUNT(DISTINCT e.eval_id)::BIGINT AS n_eval_docs
              |FROM corpus_grams c JOIN eval_grams e USING (gram)
              |GROUP BY c.doc_id
-             |ORDER BY c.doc_id""".stripMargin))
+             |ORDER BY c.doc_id""".stripMargin)),
+
+    // x43 — percentiles from a deterministic md5 bottom-k sample
+    // (mergeable, TakeOrderedAndProject: k rows in flight at any input
+    // size). Rank-indexed read-out — no interpolation float — so the
+    // twin replays the sample AND the percentile values exactly.
+    Q("x43_sampled_percentiles",
+      (s, dir) => Sketches.sampledPercentiles(
+          Tables.df(s, dir, "events"), "value", "event_id")
+        .orderBy("pct"),
+      Some(Sketches.sampledPercentilesOracleSql("events", "value", "event_id"))),
+
+    // x44 — KMV/theta-sketch distinct overlap: click vs purchase user
+    // sets as bottom-512 digest sketches; distinct/union estimates from
+    // the kth hash, intersection from the Jaccard numerator over the
+    // k-sets. Only ≤ k digests leave any task; under-k groups report
+    // exact counts (θ=1), so sf0.01 exercises the exact regime and the
+    // larger bench scales the estimator regime.
+    Q("x44_theta_overlap",
+      (s, dir) => Sketches.thetaOverlap(
+          Tables.df(s, dir, "events"), "event_type", "user_id",
+          "click", "purchase"),
+      Some(Sketches.thetaOverlapOracleSql(
+        "events", "event_type", "user_id", "click", "purchase")))
   )
 }

@@ -97,6 +97,70 @@ object Sketches {
         zeros.as("zero_registers")): _*)
   }
 
+  /** Finalize an HLL register file (one byte per register, 0 = never
+    * hit) to the estimate — the same arithmetic as [[hllDistinct]]'s
+    * column expressions (exact BIGINT harmonic sum, one double
+    * division, linear-counting branch), so the typed aggregator below
+    * and the SQL-replayable path agree bit-for-bit. */
+  private[graft] def hllEstimateFromRegisters(regs: Array[Byte]): Long = {
+    val m = 256
+    var sReg = 0L
+    var used = 0
+    var i = 0
+    while (i < m) {
+      if (regs(i) > 0) { sReg += 1L << (53 - regs(i)); used += 1 }
+      i += 1
+    }
+    val zeros = m - used
+    val sTot = sReg + zeros.toLong * (1L << 53)
+    val raw = (0.7213 / (1 + 1.079 / 256.0)) * 65536.0 *
+      9007199254740992.0 / sTot.toDouble
+    val est =
+      if (raw <= 2.5 * m && zeros > 0) m.toDouble * math.log(m.toDouble / zeros)
+      else raw
+    math.round(est)
+  }
+
+  /** Packed (bucket, rho) register code — `bucket·64 + rho` (rho ≤ 53
+    * fits 6 bits) — computed map-side from [[hllBucketRho]]. The input
+    * shape for [[HllAgg]]. */
+  def hllRegisterCode(value: Column): Column = {
+    val (bucket, rho) = hllBucketRho(value)
+    (bucket.cast(LongType) * 64 + rho.cast(LongType))
+  }
+
+  /** HLL as a typed Aggregator over packed register codes: buffer =
+    * 256-byte register file, reduce/merge = elementwise max. ONE
+    * aggregation, associative and commutative — which is what makes it
+    * legal inside a Structured Streaming windowed aggregate (chained
+    * streaming aggregations are not; see
+    * [[graft.streaming.EventsStream.approxUsersWindowStream]]) and
+    * mergeable across segments for incremental maintenance. */
+  class HllAgg extends org.apache.spark.sql.expressions.Aggregator[
+      Long, Array[Byte], Long] {
+    def zero: Array[Byte] = new Array[Byte](256)
+    def reduce(b: Array[Byte], code: Long): Array[Byte] = {
+      val i = (code >> 6).toInt
+      val r = (code & 63).toByte
+      if (r > b(i)) b(i) = r
+      b
+    }
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < 256) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Byte]): Long = hllEstimateFromRegisters(b)
+    def bufferEncoder = org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** `approx_distinct(value)` as an aggregate Column — usable in any
+    * batch or streaming groupBy. Same estimate as [[hllDistinct]]. */
+  def approxDistinctAgg(value: Column): Column =
+    org.apache.spark.sql.functions.udaf(new HllAgg)
+      .apply(hllRegisterCode(value))
+
   /** DuckDB twin of [[hllDistinct]]: identical register derivation via
     * md5 string ops (hex digits decoded with a strpos lookup since
     * DuckDB has no conv), identical BIGINT register sum, identical
@@ -166,12 +230,14 @@ object Sketches {
     * can assert the candidate set stays ≪ the key universe. */
   private[graft] def cmsCandidates(df: DataFrame, keyCol: String,
       denom: Int, depth: Int = 4, width: Int = 2048): DataFrame =
-    cmsPrefiltered(df, keyCol, denom, depth, width).select("key").distinct()
+    cmsPrefiltered(df, keyCol, denom, depth, width)._1
+      .select("key").distinct()
 
   /** Key instances surviving the map-side CMS screen (est·denom ≥
-    * total), with the sketch already dropped. */
+    * total), with the sketch already dropped, plus the exact grand
+    * total (free from sketch row 0 — no second scan). */
   private def cmsPrefiltered(df: DataFrame, keyCol: String, denom: Int,
-      depth: Int, width: Int): DataFrame = {
+      depth: Int, width: Int): (DataFrame, Long) = {
     require(depth >= 1 && depth <= 8 && width >= 16, s"cms $depth x $width")
     val spark = df.sparkSession
     import spark.implicits._
@@ -196,9 +262,10 @@ object Sketches {
     val estSql =
       if (depth == 1) estTerms.head
       else estTerms.mkString("least(", ", ", ")")
-    keys.crossJoin(skDf) // one-row broadcast: narrow, no real join
+    val screened = keys.crossJoin(skDf) // one-row broadcast: narrow
       .filter(expr(s"$estSql * CAST($denom AS BIGINT) >= ${total}L"))
       .drop("sk")
+    (screened, total)
   }
 
   /** Heavy hitters — every key with frequency ≥ total/denom — via a
@@ -220,9 +287,8 @@ object Sketches {
     * Output: (`key`, `cnt`) for exact cnt·denom ≥ total. */
   def cmsHeavyHitters(df: DataFrame, keyCol: String, denom: Int = 200,
       depth: Int = 4, width: Int = 2048): DataFrame = {
-    val keys = df.select(col(keyCol).cast(StringType).as("key"))
-    val total = keys.count() // cheap scalar; also derivable from the sketch
-    cmsPrefiltered(df, keyCol, denom, depth, width)
+    val (screened, total) = cmsPrefiltered(df, keyCol, denom, depth, width)
+    screened
       .groupBy("key")
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * lit(denom.toLong) >= lit(total))
@@ -314,6 +380,168 @@ object Sketches {
       .groupBy("doc_id")
       .agg(countDistinct("gram").cast(LongType).as("n_hit_grams"),
         countDistinct("eval_id").cast(LongType).as("n_eval_docs"))
+  }
+
+  // --------------------------------------------- bottom-k (KMV) family
+
+  /** Deterministic bottom-k uniform sample: the k rows whose
+    * md5(salt‖id) sorts lowest. Lexicographic order of the lowercase
+    * hex digest equals numeric order of the 128-bit hash, so no hex
+    * decode is needed to SELECT the sample — both engines just ORDER BY
+    * the digest string. Spark plans this as TakeOrderedAndProject:
+    * per-partition top-k heaps merged at the driver — k rows in flight
+    * however large the input, and the same k rows under any
+    * partitioning. */
+  private def bottomK(df: DataFrame, k: Int, salt: String, idCol: String,
+      keep: Column*): DataFrame =
+    df.select(keep :+ md5(concat(lit(salt),
+        col(idCol).cast(StringType))).as("h"): _*)
+      .orderBy("h").limit(k)
+
+  /** Approximate percentiles from a deterministic bottom-k sample
+    * (k = sample size, default 2048 ⇒ rank error ≈ 1/√k ≈ 2%).
+    *
+    * The md5 bottom-k draw is a uniform sample without replacement, and
+    * — unlike reservoir sampling — deterministic and MERGEABLE: the
+    * bottom-k of a union is the bottom-k of the parts' bottom-ks, so
+    * per-segment samples combine without re-reading data. Percentile
+    * q is read at rank ⌈q·n⌉ of the sample ordered by (value, hash) —
+    * a tie-free, integer-indexed definition both engines compute
+    * identically (no interpolation float).
+    *
+    * Output: (`pct`, `value`) per requested quantile. */
+  def sampledPercentiles(df: DataFrame, valueCol: String, idCol: String,
+      k: Int = 2048,
+      qs: Seq[(String, Double)] =
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99),
+      salt: String = "pctl|"): DataFrame = {
+    require(k >= 1 && qs.nonEmpty)
+    val s = bottomK(df, k, salt, idCol,
+      col(valueCol).cast(DoubleType).as("value"))
+    // the sample is ≤ k rows: single-partition window over it is cheap
+    val w = org.apache.spark.sql.expressions.Window.orderBy("value", "h")
+    val ranked = s.select(col("value"),
+      row_number().over(w).as("rn"),
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))).as("n"))
+    qs.map { case (label, q) =>
+      ranked
+        .filter(col("rn") ===
+          greatest(lit(1L), ceil(lit(q) * col("n")).cast(LongType)))
+        .select(lit(label).as("pct"), col("value"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** DuckDB twin of [[sampledPercentiles]]. */
+  def sampledPercentilesOracleSql(table: String, valueCol: String,
+      idCol: String, k: Int = 2048,
+      qs: Seq[(String, Double)] =
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99),
+      salt: String = "pctl|"): String = {
+    val arms = qs.map { case (label, q) =>
+      s"""SELECT '$label' AS pct, value FROM r
+         |WHERE rn = greatest(1, CAST(ceil($q * n) AS BIGINT))""".stripMargin
+    }
+    s"""WITH s AS (
+       |  SELECT CAST($valueCol AS DOUBLE) AS value,
+       |    md5(concat('$salt', CAST($idCol AS VARCHAR))) AS h
+       |  FROM $table ORDER BY h LIMIT $k
+       |), r AS (
+       |  SELECT value, row_number() OVER (ORDER BY value, h) AS rn,
+       |    count(*) OVER () AS n
+       |  FROM s
+       |)
+       |${arms.mkString("", "\nUNION ALL\n", "")}
+       |ORDER BY pct""".stripMargin
+  }
+
+  /** Distinct-set overlap between two groups via KMV/theta sketches
+    * (Beyer et al. 2007 / the DataSketches theta sketch): per group keep
+    * the k smallest md5 hashes of the distinct members; the kth-smallest
+    * hash estimates density (distinct ≈ (k−1)/θ), the union sketch is
+    * the bottom-k of the merged sketches, and the Jaccard numerator ρ =
+    * |U_k ∩ A_k ∩ B_k| rescales the union estimate into an intersection
+    * estimate. Everything that leaves a task is ≤ k digests; the sketch
+    * k-sets join among themselves (k rows), never against the raw sets.
+    *
+    * Engine neutrality: sketches select by digest-string order (no
+    * decode); only the two kth-hash values decode to numbers (top 60
+    * bits), and each estimate is one double expression written
+    * identically in the SQL twin, rounded to BIGINT. Groups smaller
+    * than k report exact counts (θ = 1 regime).
+    *
+    * Output one row: (a_distinct, b_distinct, union_distinct,
+    * intersection_est, jaccard_numerator). */
+  def thetaOverlap(df: DataFrame, typeCol: String, valueCol: String,
+      typeA: String, typeB: String, k: Int = 512,
+      salt: String = "theta|"): DataFrame = {
+    require(k >= 2)
+    val hashes = df.filter(col(typeCol).isin(typeA, typeB))
+      .select(col(typeCol).as("t"),
+        md5(concat(lit(salt), col(valueCol).cast(StringType))).as("h"))
+      .distinct()
+    def kset(t: String) =
+      hashes.filter(col("t") === t).select("h").orderBy("h").limit(k)
+    val uK = hashes.select("h").distinct().orderBy("h").limit(k)
+    val aAgg = kset(typeA).agg(max("h").as("a_max"),
+      count(lit(1)).as("a_n"))
+    val bAgg = kset(typeB).agg(max("h").as("b_max"),
+      count(lit(1)).as("b_n"))
+    val uAgg = uK.agg(max("h").as("u_max"), count(lit(1)).as("u_n"))
+    val rho = uK.join(kset(typeA), "h").join(kset(typeB), "h")
+      .agg(count(lit(1)).as("rho"))
+    def dec(c: String): Column =
+      conv(substring(col(c), 1, 15), 16, 10).cast(LongType).cast(DoubleType)
+    // (k-1) * 2^60 as one precomputed double — the twin writes the same
+    // two literals multiplied, which is the identical IEEE product
+    val num = lit((k - 1).toDouble * 1152921504606846976.0)
+    def est(maxCol: String, nCol: String): Column =
+      when(col(nCol) < k, col(nCol).cast(LongType))
+        .otherwise(round(num / dec(maxCol)).cast(LongType))
+    val uRaw = when(col("u_n") < k, col("u_n").cast(DoubleType))
+      .otherwise(num / dec("u_max"))
+    aAgg.crossJoin(bAgg).crossJoin(uAgg).crossJoin(rho).select(
+      est("a_max", "a_n").as("a_distinct"),
+      est("b_max", "b_n").as("b_distinct"),
+      est("u_max", "u_n").as("union_distinct"),
+      round(col("rho").cast(DoubleType) * uRaw / lit(k.toDouble))
+        .cast(LongType).as("intersection_est"),
+      col("rho").as("jaccard_numerator"))
+  }
+
+  /** DuckDB twin of [[thetaOverlap]]. */
+  def thetaOverlapOracleSql(table: String, typeCol: String,
+      valueCol: String, typeA: String, typeB: String, k: Int = 512,
+      salt: String = "theta|"): String = {
+    val num = s"${(k - 1).toDouble} * 1152921504606846976.0"
+    def dec(c: String) =
+      s"CAST(CAST('0x' || substr($c, 1, 15) AS BIGINT) AS DOUBLE)"
+    def est(m: String, n: String) =
+      s"CASE WHEN $n < $k THEN $n ELSE " +
+        s"CAST(round($num / ${dec(m)}) AS BIGINT) END"
+    s"""WITH hs AS (
+       |  SELECT DISTINCT $typeCol AS t,
+       |    md5(concat('$salt', CAST($valueCol AS VARCHAR))) AS h
+       |  FROM $table WHERE $typeCol IN ('$typeA', '$typeB')
+       |), ak AS (SELECT h FROM hs WHERE t = '$typeA' ORDER BY h LIMIT $k),
+       |bk AS (SELECT h FROM hs WHERE t = '$typeB' ORDER BY h LIMIT $k),
+       |uk AS (SELECT h FROM (SELECT DISTINCT h FROM hs) ORDER BY h LIMIT $k),
+       |aa AS (SELECT max(h) AS a_max, count(*) AS a_n FROM ak),
+       |bb AS (SELECT max(h) AS b_max, count(*) AS b_n FROM bk),
+       |uu AS (SELECT max(h) AS u_max, count(*) AS u_n FROM uk),
+       |rr AS (SELECT count(*) AS rho
+       |       FROM uk JOIN ak USING (h) JOIN bk USING (h))
+       |SELECT
+       |  ${est("a_max", "a_n")} AS a_distinct,
+       |  ${est("b_max", "b_n")} AS b_distinct,
+       |  ${est("u_max", "u_n")} AS union_distinct,
+       |  CAST(round(CAST(rho AS DOUBLE)
+       |    * (CASE WHEN u_n < $k THEN CAST(u_n AS DOUBLE)
+       |            ELSE $num / ${dec("u_max")} END)
+       |    / ${k.toDouble}) AS BIGINT) AS intersection_est,
+       |  rho AS jaccard_numerator
+       |FROM aa, bb, uu, rr""".stripMargin
   }
 
   /** Corpus grams surviving the Bloom screen alone (before exact

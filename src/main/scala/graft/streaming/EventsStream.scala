@@ -68,6 +68,34 @@ object EventsStream {
       .select(unix_millis(col("window.start")).as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Tumbling-window approximate distinct users per event_type — batch
+    * twin. HLL registers ([[graft.pipeline.Sketches.HllAgg]]) are ONE
+    * associative aggregation, so the same sketch is streaming-legal
+    * (chained aggregations — the naive two-level register groupBy —
+    * are not); per (window, type) group only a 256-byte register file
+    * is held in state however many users pass through. */
+  def approxUsersWindowBatch(events: DataFrame, widthMs: Long): DataFrame =
+    events
+      .withColumn("window_start",
+        (floor(unix_millis(col("ts")) / widthMs) * widthMs).cast(LongType))
+      .groupBy("window_start", "event_type")
+      .agg(graft.pipeline.Sketches.approxDistinctAgg(col("user_id"))
+        .as("approx_users"))
+
+  /** The same sketch aggregation as an incremental stream: watermark
+    * bounds state, each window's register file finalizes to its
+    * estimate on emission. Identical column expressions to the batch
+    * twin (asserted stream == batch in StreamingSpec). */
+  def approxUsersWindowStream(events: DataFrame, width: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(graft.pipeline.Sketches.approxDistinctAgg(col("user_id"))
+        .as("approx_users"))
+      .select(unix_millis(col("window.start")).as("window_start"),
+        col("event_type"), col("approx_users"))
+
   /** Stream-stream interval join — batch twin: each purchase paired with
     * every view by the same user in the `windowMs` before it (ad/
     * conversion attribution). Inner join; purchases with no prior view

@@ -36,6 +36,17 @@ class SketchesSpec extends SparkSpec {
     assert(a.getAs[Long]("approx_distinct") === b.getAs[Long]("approx_distinct"))
   }
 
+  test("hll: typed aggregator agrees with the SQL-replayable path") {
+    val df = (1 to 7000).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "v")
+    val viaSql = Sketches.hllDistinct(df, Seq("g"), "v")
+      .select("g", "approx_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaAgg = df.groupBy("g")
+      .agg(Sketches.approxDistinctAgg(col("v")).as("e")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaAgg === viaSql)
+  }
+
   test("cms: exact heavy hitters, candidate set << key universe") {
     // 8000 cold singleton keys + 3 hot keys at ~1000 each: freq >= total/200
     val cold = (1 to 8000).map(i => s"cold-$i")
@@ -85,6 +96,48 @@ class SketchesSpec extends SparkSpec {
     assert(totalGrams > 10000L)
     assert(survivors <= totalGrams / 100,
       s"$survivors Bloom false positives of $totalGrams grams")
+  }
+
+  test("sampled percentiles: close to exact, invariant to partitioning") {
+    // lognormal-ish spread via i^2 so rank errors are visible in value
+    val df = (1 to 50000).map(i => (i.toLong, (i.toDouble * i) / 1000))
+      .toDF("id", "v")
+    val got = Sketches.sampledPercentiles(df, "v", "id", k = 2048)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    // rank error ~1/sqrt(k) ≈ 2.2%: value at rank q±3% bounds the sample
+    for ((label, q) <- Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)) {
+      val lo = math.pow((q - 0.04) * 50000, 2) / 1000
+      val hi = math.pow((q + 0.04) * 50000, 2) / 1000
+      assert(got(label) >= lo && got(label) <= hi,
+        s"$label = ${got(label)} outside [$lo, $hi]")
+    }
+    val repart = Sketches.sampledPercentiles(
+        df.repartition(13), "v", "id", k = 2048)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(repart === got, "bottom-k sample must not depend on partitioning")
+  }
+
+  test("theta overlap: exact below k, estimates within 3 sigma above k") {
+    // A = 1..30000, B = 20001..50000 -> |A|=|B|=30000, |A∩B|=10000, |U|=50000
+    val rows = (1 to 30000).map(i => ("a", i)) ++
+      (20001 to 50000).map(i => ("b", i))
+    val df = rows.toDF("t", "v")
+    val r = Sketches.thetaOverlap(df, "t", "v", "a", "b", k = 512)
+      .collect().head
+    def within(est: Long, truth: Long, tol: Double) =
+      assert(math.abs(est - truth) <= truth * tol, s"$est vs $truth")
+    within(r.getAs[Long]("a_distinct"), 30000, 0.15)
+    within(r.getAs[Long]("b_distinct"), 30000, 0.15)
+    within(r.getAs[Long]("union_distinct"), 50000, 0.15)
+    within(r.getAs[Long]("intersection_est"), 10000, 0.30)
+    // exact regime: both sets under k report true counts
+    val small = ((1 to 300).map(i => ("a", i)) ++
+      (200 to 400).map(i => ("b", i))).toDF("t", "v")
+    val e = Sketches.thetaOverlap(small, "t", "v", "a", "b", k = 512)
+      .collect().head
+    assert(e.getAs[Long]("a_distinct") === 300L)
+    assert(e.getAs[Long]("b_distinct") === 201L)
+    assert(e.getAs[Long]("union_distinct") === 400L)
   }
 
   test("salted join: hot key spreads across all salt partitions") {

@@ -31,6 +31,38 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming approx-distinct sketch equals its batch twin, near exact") {
+    val events = Tables.df(spark, sfDir, "events")
+    val batch = EventsStream.approxUsersWindowBatch(events, 3600L * 1000)
+      .orderBy("window_start", "event_type").collect().toSeq
+    val stream = EventsStream.runToCompletion(spark,
+      EventsStream.approxUsersWindowStream(
+        EventsStream.readEventsStream(spark, eventsDir), "1 hour", "10 minutes"),
+      "hll_users")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+    // sketch accuracy: each window's estimate within 3 sigma (~20%) of
+    // the exact per-window distinct count
+    val exact = events
+      .withColumn("window_start",
+        (org.apache.spark.sql.functions.floor(
+          org.apache.spark.sql.functions.unix_millis(
+            org.apache.spark.sql.functions.col("ts")) / (3600L * 1000))
+          * (3600L * 1000)).cast("long"))
+      .groupBy("window_start", "event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    batch.foreach { r =>
+      val key = (r.getLong(0), r.getString(1))
+      val est = r.getLong(2)
+      val truth = exact(key)
+      assert(math.abs(est - truth) <= math.max(3, truth * 0.2),
+        s"window $key: est $est vs exact $truth")
+    }
+  }
+
   test("sliding-window stream equals its batch twin") {
     val batch = EventsStream.slidingCountsBatch(
         Tables.df(spark, sfDir, "events"), 2 * 3600L * 1000, 3600L * 1000)
