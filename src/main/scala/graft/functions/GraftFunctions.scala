@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.graftshim.{GraftExpressions, Shim}
-import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, ExactPercentiles, HashedDistinctCount, HyperplaneSigPacked, RegexpFullMatch}
+import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, ExactPercentiles, HashedDistinctCount, HyperplaneSigPacked, MinHashBandSigs, MinHashSig, RegexpFullMatch}
 
 /** Column/SQL-facing surface of the native expressions (implementations in
   * org.apache.spark.sql.graftshim.GraftExpressions — see SURVEY.md §2.9). */
@@ -20,6 +20,17 @@ object GraftFunctions {
 
   def regexpFullMatch(s: Column, re: Column): Column =
     Shim.column(RegexpFullMatch(Shim.expression(s), Shim.expression(re)))
+
+  /** K-wide MinHash signature of a shingle-string-array column, one
+    * codegen'd pass (bit-identical to the HOF xxhash64 chain it
+    * replaces — see MinHashSig's scaladoc and FunctionsSpec's parity
+    * test). */
+  def minHashSig(sh: Column, k: Int): Column =
+    Shim.column(MinHashSig(Shim.expression(sh), k))
+
+  /** Banded LSH bucket keys of a MinHash signature column. */
+  def minHashBandSigs(sig: Column, bands: Int): Column =
+    Shim.column(MinHashBandSigs(Shim.expression(sig), bands))
 
   /** Exact interpolated percentiles over a numeric column (QUANTILE_CONT
     * semantics, identical values to Spark's `percentile`), via the native

@@ -52,23 +52,23 @@ final class IncrementalDedup(store: TableStore, project: String,
         StructField("doc_id", LongType))))
   }
 
-  /** Band rows keyed for the index table: band_sig = "band:sig". */
-  private def bandRowsOf(docs: DataFrame): DataFrame =
-    TextDedup.bandSignatures(docs, "doc_id", "text", n, numHashes, bands)
-      .select(concat(col("band").cast(StringType), lit(":"),
-        col("sig").cast(StringType)).as("band_sig"),
-        col("id").as("doc_id"))
-
   /** Ingest one batch; returns the number of docs that survived into the
     * corpus. Deterministic for a fixed batch sequence. */
   def ingest(staging0: DataFrame,
       commitSettings: Map[String, String] = Map.empty): Long = {
     val staging = staging0.select(col("doc_id"), col("text"))
 
+    // ONE signature pass per batch: sets/sigs/band rows computed here are
+    // shared by in-batch pair mining (step 1) AND the index probe rows
+    // (step 2) — the chain used to run twice per batch, and it is the
+    // most expensive projection of the whole ingest
+    val art = TextDedup.minHashArtifacts(staging, "doc_id", "text", n,
+      numHashes, bands)
+    art.sets.persist()
+
     // 1. batch-normalize: components over exact-verified in-batch pairs,
     // min-id representative survives (singletons represent themselves)
-    val pairs = TextDedup.minHashPairs(staging, "doc_id", "text", n,
-      threshold, numHashes, bands)
+    val pairs = TextDedup.minHashPairsFrom(art, threshold, numHashes)
     val reps = staging.join(
       TextDedup.connectedComponents(staging.select("doc_id"), "doc_id", pairs)
         .filter(col("id") === col("cluster_id"))
@@ -77,8 +77,14 @@ final class IncrementalDedup(store: TableStore, project: String,
 
     // 2. corpus-check: probe only the index buckets this batch's band
     // signatures hash into, then exact-verify candidates against the
-    // matched corpus texts
-    val bandRows = bandRowsOf(reps).persist()
+    // matched corpus texts. Probe rows = the precomputed band rows cut to
+    // the surviving representatives (no recompute).
+    val bandRows = art.bands
+      .join(reps.select(col("doc_id").as("id")), "id")
+      .select(concat(col("band").cast(StringType), lit(":"),
+        col("sig").cast(StringType)).as("band_sig"),
+        col("id").as("doc_id"))
+      .persist()
     val idx = store.readMatchingBuckets(project, bucket, indexTable,
       bandRows.select("band_sig"))
     val candidates = bandRows
@@ -86,16 +92,15 @@ final class IncrementalDedup(store: TableStore, project: String,
       .select(col("doc_id").as("new_id"), col("old_id")).distinct()
     val corpus = store.read(project, bucket, corpusTable)
     val dupNew = candidates
-      .join(reps.select(col("doc_id").as("new_id"), col("text").as("new_text")),
-        "new_id")
+      .join(art.sets.select(col("id").as("new_id"), col("sh").as("sha"),
+        col("k").as("ka")), "new_id")
       .join(corpus.select(col("doc_id").as("old_id"), col("text").as("old_text")),
         "old_id")
-      .withColumn("sha", TextDedup.shingles("new_text", n))
       .withColumn("shb", TextDedup.shingles("old_text", n))
       .withColumn("common",
         size(array_intersect(col("sha"), col("shb"))).cast(LongType))
       .filter(col("common").cast(DoubleType) /
-        (size(col("sha")) + size(col("shb")) - col("common")) >= threshold)
+        (col("ka") + size(col("shb")) - col("common")) >= threshold)
       .select(col("new_id").as("doc_id")).distinct()
     val kept = reps.join(dupNew, Seq("doc_id"), "left_anti").persist()
     val nKept = kept.count()
@@ -114,7 +119,8 @@ final class IncrementalDedup(store: TableStore, project: String,
     store.append(project, bucket, corpusTable, kept,
       commitSettings = commitSettings)
 
-    reps.unpersist(); bandRows.unpersist(); kept.unpersist()
+    art.sets.unpersist(); reps.unpersist(); bandRows.unpersist()
+    kept.unpersist()
     nKept
   }
 

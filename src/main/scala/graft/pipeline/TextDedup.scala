@@ -112,6 +112,33 @@ object TextDedup {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** The shared per-batch MinHash artifacts: distinct shingle sets
+    * (id, sh, k), full signatures (id, sig: array&lt;bigint&gt;) and banded
+    * rows (id, band, sig) — computed ONCE and reused by pair mining AND
+    * index maintenance. Before this existed, [[IncrementalDedup]] ran the
+    * signature chain (the hottest projection of the dedup family) twice
+    * per ingested batch: once inside [[minHashPairs]] and once again for
+    * the probe rows. */
+  final case class MinHashArtifacts(sets: DataFrame, sigs: DataFrame,
+      bands: DataFrame)
+
+  /** Computes [[MinHashArtifacts]] with the codegen'd native expressions
+    * (GraftExpressions.MinHashSig / MinHashBandSigs) — one fused pass per
+    * doc, no intermediate arrays. Bit-identical to the HOF xxhash64 chain
+    * this file used through round 6 (parity-pinned in FunctionsSpec), so
+    * index rows written by older builds still match probes. */
+  def minHashArtifacts(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int): MinHashArtifacts = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val sets = shingleSets(df, idCol, textCol, n)
+    val sigs = sets.select(col("id"),
+      graft.functions.GraftFunctions.minHashSig(col("sh"), numHashes).as("sig"))
+    val bandRows = sigs.select(col("id"), posexplode(
+        graft.functions.GraftFunctions.minHashBandSigs(col("sig"), bands)))
+      .toDF("id", "band", "sig")
+    MinHashArtifacts(sets, sigs, bandRows)
+  }
+
   /** Banded MinHash signature rows (id, band, sig) — the LSH bucketing key
     * of [[minHashPairs]], exposed standalone for INCREMENTAL dedup: an
     * index table persists these rows, and a new batch joins its own band
@@ -121,19 +148,8 @@ object TextDedup {
     * match probes at ingest N+k bit-for-bit. Docs with fewer than n words
     * emit no rows (no signature → never a candidate → always kept). */
   def bandSignatures(df: DataFrame, idCol: String, textCol: String, n: Int,
-      numHashes: Int = 64, bands: Int = 32): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val r = numHashes / bands
-    shingleSets(df, idCol, textCol, n)
-      .withColumn("h0s", expr("transform(sh, s -> xxhash64(s))"))
-      .select(col("id"), expr(
-        s"""transform(sequence(0, ${numHashes - 1}),
-           |  i -> array_min(transform(h0s, h -> xxhash64(h, i))))""".stripMargin)
-        .as("sig"))
-      .select(col("id"), posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(array_join(slice(sig, b * $r + 1, $r), ',')))")))
-      .toDF("id", "band", "sig")
-  }
+      numHashes: Int = 64, bands: Int = 32): DataFrame =
+    minHashArtifacts(df, idCol, textCol, n, numHashes, bands).bands
 
   /** MinHash signature + LSH banding candidate pairs, verified with exact
     * Jaccard. numHashes must be divisible by bands; rows per band r =
@@ -142,26 +158,18 @@ object TextDedup {
     * recalls every true pair (deterministic for fixed data + hashes). */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, numHashes: Int = 64, bands: Int = 32): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val r = numHashes / bands
-    val sets = shingleSets(df, idCol, textCol, n).cache()
-    // Signature as a pure map-side expression: hash each shingle string
-    // ONCE, then hash-function i = min over shingles of xxhash64(h0, i).
-    // No explode (the exploded form is |docs|·|shingles| rows), no
-    // aggregation, no shuffle — the whole signature computes inside one
-    // codegen'd projection. (MinHashSigAgg remains the merge path for
-    // streaming/incremental signature maintenance, where per-batch partial
-    // signatures genuinely need an elementwise-min combine.)
-    val sigs = sets
-      .withColumn("h0s", expr("transform(sh, s -> xxhash64(s))"))
-      .select(col("id"), expr(
-        s"""transform(sequence(0, ${numHashes - 1}),
-           |  i -> array_min(transform(h0s, h -> xxhash64(h, i))))""".stripMargin)
-        .as("sig"))
-    // band signature: hash of each r-wide slice of the signature
-    val bandSigs = sigs.select(col("id"), posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(array_join(slice(sig, b * $r + 1, $r), ',')))")))
-      .toDF("id", "band", "sig")
+    val art = minHashArtifacts(df, idCol, textCol, n, numHashes, bands)
+    art.sets.cache()
+    minHashPairsFrom(art, threshold, numHashes)
+  }
+
+  /** Pair mining over precomputed [[MinHashArtifacts]]: banded candidate
+    * generation → signature-agreement screen → exact Jaccard verify. */
+  def minHashPairsFrom(art: MinHashArtifacts, threshold: Double,
+      numHashes: Int): DataFrame = {
+    val sets = art.sets
+    val sigs = art.sigs
+    val bandSigs = art.bands
     val ca = bandSigs.select(col("band"), col("sig"), col("id").as("a_id"))
     val cb = bandSigs.select(col("band"), col("sig"), col("id").as("b_id"))
     val rawCandidates = ca.join(cb, Seq("band", "sig"))

@@ -377,4 +377,118 @@ object GraftExpressions {
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
   }
+
+  /** Static kernel: the whole k-wide MinHash signature of a shingle-string
+    * array in ONE pass, no intermediate arrays. Bit-identical to the SQL
+    * formulation it replaces —
+    * {{{ transform(sequence(0, k-1),
+    *       i -> array_min(transform(transform(sh, s -> xxhash64(s)),
+    *                                h -> xxhash64(h, i)))) }}}
+    * — which, being higher-order functions, evaluates interpreted with a
+    * boxed closure per element AND allocates k temporary arrays per row.
+    * The chain per (shingle, i): h0 = xxhash64(utf8) seed 42; multi-arg
+    * xxhash64(h0, i) = hash(int i, seed = hash(long h0, seed 42)). The
+    * i-independent inner seed is hoisted (computed once per shingle). */
+  def minHashSigEval(sh: ArrayData, k: Int): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = sh.numElements()
+    var j = 0
+    while (j < n) {
+      val s = sh.getUTF8String(j)
+      if (s != null) {
+        val h0 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(s, StringType, 42L)
+        val s1 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(h0, LongType, 42L)
+        var i = 0
+        while (i < k) {
+          val v = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(i, IntegerType, s1)
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** K-wide MinHash signature (array&lt;bigint&gt;) of a shingle-set
+    * column. Fully codegen'd — the HOF formulation it replaces is the
+    * single hottest projection of the dedup family (x3/x33 compute it
+    * over every document). An empty/all-null input yields a signature of
+    * Long.MaxValue sentinels; callers filter size(sh) > 0 first (same
+    * contract as the SQL chain, whose array_min would yield nulls). */
+  case class MinHashSig(child: Expression, k: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    require(k > 0, "k must be positive")
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig"
+
+    override def nullSafeEval(v: Any): Any =
+      minHashSigEval(v.asInstanceOf[ArrayData], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.minHashSigEval($a, $k);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+  }
+
+  /** Static kernel: LSH band hashes of a MinHash signature — band b is
+    * xxhash64 (seed 42) of the comma-joined decimal rendering of the
+    * signature's b-th r-wide slice, bit-identical to
+    * {{{ transform(sequence(0, bands-1),
+    *       b -> xxhash64(array_join(slice(sig, b*r+1, r), ','))) }}}
+    * (array_join implicitly casts long -> string, i.e. Long.toString). */
+  def minHashBandsEval(sig: ArrayData, bands: Int): ArrayData = {
+    val k = sig.numElements()
+    val r = k / bands
+    val out = new Array[Long](bands)
+    val sb = new java.lang.StringBuilder(r * 21)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var i = b * r
+      val end = i + r
+      while (i < end) {
+        if (i > b * r) sb.append(',')
+        sb.append(sig.getLong(i))
+        i += 1
+      }
+      out(b) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(UTF8String.fromString(sb.toString), StringType, 42L)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Banded LSH bucket keys (array&lt;bigint&gt;, one per band) of a
+    * MinHash signature column. Codegen'd companion of [[MinHashSig]]. */
+  case class MinHashBandSigs(child: Expression, bands: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    require(bands > 0, "bands must be positive")
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_band_sigs"
+
+    override def nullSafeEval(v: Any): Any =
+      minHashBandsEval(v.asInstanceOf[ArrayData], bands)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.minHashBandsEval($a, $bands);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashBandSigs =
+      copy(child = newChild)
+  }
 }

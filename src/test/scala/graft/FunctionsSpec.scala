@@ -24,6 +24,27 @@ class FunctionsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("minhash_sig + band sigs bit-identical to the HOF xxhash64 chain") {
+    val k = 64; val bands = 16; val r = k / bands
+    val docs = Tables.df(spark, sfDir, "documents").limit(200)
+      .select(col("doc_id"), graft.pipeline.TextDedup.shingles("text", 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val hofSig = expr(
+      s"""transform(sequence(0, ${k - 1}),
+         |  i -> array_min(transform(transform(sh, s -> xxhash64(s)),
+         |                           h -> xxhash64(h, i))))""".stripMargin)
+    val both = docs
+      .withColumn("native", GraftFunctions.minHashSig(col("sh"), k))
+      .withColumn("hof", hofSig)
+      .withColumn("nativeBands", GraftFunctions.minHashBandSigs(col("native"), bands))
+      .withColumn("hofBands", expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(array_join(slice(hof, b * $r + 1, $r), ',')))"))
+      .cache()
+    assert(both.filter(expr("native != hof")).count() == 0)
+    assert(both.filter(expr("nativeBands != hofBands")).count() == 0)
+    both.unpersist()
+  }
+
   test("regexp_full_match anchors like DuckDB") {
     GraftFunctions.register(spark)
     val d = Seq("2024-01-01", "x2024-01-01", "2024-01-01x").toDF("s")
