@@ -87,23 +87,39 @@ final class VectorIndex(store: TableStore, project: String, bucket: String,
       .select(col("subspace").cast(IntegerType), col("code").cast(IntegerType),
         col("dim").cast(IntegerType), col("c"))
     store.overwrite(project, bucket, booksTable, books)
+    modelCache = None
   }
 
-  /** The model, collected (tiny: nCells·D + m·ksub·subdim doubles). */
-  private def centroidVectors(): Seq[(Int, Seq[Double])] =
-    store.read(project, bucket, cellsTable)
-      .groupBy("cell").agg(array_sort(collect_list(struct(col("dim"),
-        col("c")))).as("v"))
-      .collect().map(r => (r.getInt(0),
-        r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toSeq)).toSeq
-      .sortBy(_._1)
+  /** The frozen model, collected once per instance and memoized (tiny:
+    * nCells·D + m·ksub·subdim doubles). The model is immutable by
+    * contract after [[train]] (which invalidates the memo), so the
+    * re-collect jobs that used to run on EVERY ingest and search — two
+    * table reads plus driver collects each — were pure fixed cost. A
+    * fresh instance (restart) re-reads from the tables. */
+  @volatile private var modelCache:
+      Option[(Seq[(Int, Seq[Double])], Seq[Seq[Seq[Double]]])] = None
 
-  private def codebooks(): Seq[Seq[Seq[Double]]] =
-    store.read(project, bucket, booksTable)
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map(_._2.groupBy(_._2).toSeq.sortBy(_._1)
-        .map(_._2.sortBy(_._3).map(_._4).toSeq).toSeq).toSeq
+  private def model(): (Seq[(Int, Seq[Double])], Seq[Seq[Seq[Double]]]) =
+    modelCache.getOrElse {
+      val cents = store.read(project, bucket, cellsTable)
+        .groupBy("cell").agg(array_sort(collect_list(struct(col("dim"),
+          col("c")))).as("v"))
+        .collect().map(r => (r.getInt(0),
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toSeq)).toSeq
+        .sortBy(_._1)
+      val books = store.read(project, bucket, booksTable)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.groupBy(_._2).toSeq.sortBy(_._1)
+          .map(_._2.sortBy(_._3).map(_._4).toSeq).toSeq).toSeq
+      val m = (cents, books)
+      modelCache = Some(m)
+      m
+    }
+
+  private def centroidVectors(): Seq[(Int, Seq[Double])] = model()._1
+
+  private def codebooks(): Seq[Seq[Seq[Double]]] = model()._2
 
   /** Cell of each vector: argmax cosine to the coarse centroids, round-6
     * with ties to the LOWER cell — one broadcast pass, each embedding
@@ -123,17 +139,21 @@ final class VectorIndex(store: TableStore, project: String, bucket: String,
   }
 
   /** PQ codes (positional) for each vector under the frozen codebooks —
-    * a pure map-side projection. */
+    * a pure map-side projection: the normalization (same chain as
+    * Similarity.pqNormalized) and the encode are appended as columns
+    * directly, so no self-join of the batch on vec_id. */
   private def withCodes(df: DataFrame): DataFrame = {
     val cbs = codebooks()
     val sub = cbs.head.head.size
-    val n = Similarity.pqNormalized(df, "vec_id", "vec_id", "cv")
-    df.join(n.withColumn("__cb", typedLit(cbs))
-        .withColumn("codes",
-          expr(Similarity.pqEncodeExpr("cv", m, sub))
-            .cast(ArrayType(IntegerType)))
-        .select(col("vec_id"), col("codes")),
-      "vec_id")
+    df.withColumn("__v0", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("__nrm", expr(
+        "sqrt(aggregate(transform(__v0, y -> y * y), CAST(0 AS DOUBLE), (a, x) -> a + x))"))
+      .withColumn("cv", expr(
+        "CASE WHEN __nrm > 0 THEN transform(__v0, x -> x / __nrm) ELSE __v0 END"))
+      .withColumn("__cb", typedLit(cbs))
+      .withColumn("codes",
+        expr(Similarity.pqEncodeExpr("cv", m, sub)).cast(ArrayType(IntegerType)))
+      .drop("__v0", "__nrm", "cv", "__cb")
   }
 
   /** Ingest one batch of (vec_id, embedding): assign cells, encode codes,
