@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Temporary phase profiler for x33's ingest (not part of the contract). */
+object ProfileX33 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/testdata-sf1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.core.{StorageCatalog, TableStore}
+    import graft.pipeline.TextDedup
+    val docs = core.Tables.df(spark, dir, "documents")
+      .select("doc_id", "text").cache()
+    docs.count()
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[x33prof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    (1 to 2).foreach { pass =>
+      println(s"[x33prof] === pass $pass ===")
+      val store = new TableStore(spark,
+        new StorageCatalog(java.nio.file.Files.createTempDirectory("x33prof")))
+      val inc = new graft.pipeline.IncrementalDedup(store, "p", "b",
+        "corpus", "corpus_idx", n = 3, threshold = 0.5,
+        numHashes = 64, bands = 16)
+      inc.init()
+      time("full ingest batch 1")(inc.ingest(docs.filter(col("doc_id") % 2 === 0)))
+
+      // batch 2 with ingest()'s body inlined and phase-timed
+      val staging = docs.filter(col("doc_id") % 2 === 1)
+      val n = 3; val numHashes = 64; val bands = 16; val threshold = 0.5
+      val project = "p"; val bucket = "b"
+      val corpusTable = "corpus"; val indexTable = "corpus_idx"
+      val art = TextDedup.minHashArtifacts(staging, "doc_id", "text", n,
+        numHashes, bands)
+      art.sets.persist()
+      val pairs = TextDedup.minHashPairsFrom(art, threshold, numHashes)
+      val reps = time("b2 pairs+components+reps") {
+        val r = staging.join(
+          TextDedup.connectedComponents(staging.select("doc_id"), "doc_id", pairs)
+            .filter(col("id") === col("cluster_id"))
+            .select(col("id").as("doc_id")),
+          "doc_id").persist()
+        r.count(); r
+      }
+      val bandRows = time("b2 bandRows materialize") {
+        val b = art.bands
+          .join(reps.select(col("doc_id").as("id")), "id")
+          .select(concat(col("band").cast(StringType), lit(":"),
+            col("sig").cast(StringType)).as("band_sig"),
+            col("id").as("doc_id"))
+          .persist()
+        b.count(); b
+      }
+      val idx = time("b2 readMatchingBuckets") {
+        val i = store.readMatchingBuckets(project, bucket, indexTable,
+          bandRows.select("band_sig")).persist()
+        i.count(); i
+      }
+      val candidates = time("b2 candidates") {
+        val c = bandRows
+          .join(idx.select(col("band_sig"), col("doc_id").as("old_id")), "band_sig")
+          .select(col("doc_id").as("new_id"), col("old_id")).distinct().persist()
+        c.count(); c
+      }
+      val corpus = store.read(project, bucket, corpusTable)
+      val dupNew = time("b2 exact verify") {
+        val d = candidates
+          .join(art.sets.select(col("id").as("new_id"), col("sh").as("sha"),
+            col("k").as("ka")), "new_id")
+          .join(corpus.select(col("doc_id").as("old_id"), col("text").as("old_text")),
+            "old_id")
+          .withColumn("shb", TextDedup.shingles("old_text", n))
+          .withColumn("common",
+            size(array_intersect(col("sha"), col("shb"))).cast(LongType))
+          .filter(col("common").cast(DoubleType) /
+            (col("ka") + size(col("shb")) - col("common")) >= threshold)
+          .select(col("new_id").as("doc_id")).distinct().persist()
+        d.count(); d
+      }
+      val kept = time("b2 kept count") {
+        val k = reps.join(dupNew, Seq("doc_id"), "left_anti").persist()
+        k.count(); k
+      }
+      time("b2 index append") {
+        store.appendBucketed(project, bucket, indexTable,
+          bandRows.join(kept.select("doc_id"), "doc_id")
+            .select("band_sig", "doc_id"),
+          Seq("band_sig"), 64)
+      }
+      time("b2 corpus append") {
+        store.append(project, bucket, corpusTable, kept)
+      }
+      Seq(art.sets, reps, bandRows, idx, candidates, dupNew, kept)
+        .foreach(_.unpersist())
+    }
+    spark.stop()
+  }
+}

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.graftshim.{GraftExpressions, Shim}
-import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, ExactPercentiles, HashedDistinctCount, HyperplaneSigPacked, MinHashBandSigs, MinHashSig, RegexpFullMatch}
+import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, ExactPercentiles, HashedDistinctCount, HyperplaneSigPacked, MinHashBandSigs, MinHashSig, RegexpFullMatch, WordShingles}
 
 /** Column/SQL-facing surface of the native expressions (implementations in
   * org.apache.spark.sql.graftshim.GraftExpressions — see SURVEY.md §2.9). */
@@ -31,6 +31,12 @@ object GraftFunctions {
   /** Banded LSH bucket keys of a MinHash signature column. */
   def minHashBandSigs(sig: Column, bands: Int): Column =
     Shim.column(MinHashBandSigs(Shim.expression(sig), bands))
+
+  /** Distinct word n-gram shingles of a text column, one codegen'd pass
+    * (bit-identical to the split/transform/concat_ws/array_distinct SQL
+    * chain — parity test in FunctionsSpec). */
+  def wordShingles(text: Column, n: Int): Column =
+    Shim.column(WordShingles(Shim.expression(text), n))
 
   /** Exact interpolated percentiles over a numeric column (QUANTILE_CONT
     * semantics, identical values to Spark's `percentile`), via the native

@@ -65,6 +65,7 @@ final class IncrementalDedup(store: TableStore, project: String,
     val art = TextDedup.minHashArtifacts(staging, "doc_id", "text", n,
       numHashes, bands)
     art.sets.persist()
+    art.sigs.persist()
 
     // 1. batch-normalize: components over exact-verified in-batch pairs,
     // min-id representative survives (singletons represent themselves)
@@ -119,7 +120,8 @@ final class IncrementalDedup(store: TableStore, project: String,
     store.append(project, bucket, corpusTable, kept,
       commitSettings = commitSettings)
 
-    art.sets.unpersist(); reps.unpersist(); bandRows.unpersist()
+    art.sets.unpersist(); art.sigs.unpersist()
+    reps.unpersist(); bandRows.unpersist()
     kept.unpersist()
     nKept
   }

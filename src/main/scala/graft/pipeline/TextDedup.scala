@@ -24,15 +24,12 @@ import org.apache.spark.sql.types._
   */
 object TextDedup {
 
-  /** Word n-gram shingle set of `textCol` (distinct, order-free). */
-  def shingles(textCol: String, n: Int): Column = {
-    val w = s"split(trim($textCol), ' +')"
-    expr(
-      s"""CASE WHEN size($w) >= $n THEN
-         |  array_distinct(transform(sequence(1, size($w) - ${n - 1}),
-         |    i -> concat_ws(' ', slice($w, i, $n))))
-         |ELSE array() END""".stripMargin)
-  }
+  /** Word n-gram shingle set of `textCol` (distinct, order-free) — the
+    * native single-pass expression (GraftExpressions.WordShingles),
+    * bit-identical to the HOF split/transform/concat_ws/array_distinct
+    * chain this was through round 6. */
+  def shingles(textCol: String, n: Int): Column =
+    graft.functions.GraftFunctions.wordShingles(col(textCol), n)
 
   /** Exact duplicate groups: one row per duplicated content value with the
     * surviving (minimum) id and the duplicate count. */
@@ -160,6 +157,9 @@ object TextDedup {
       threshold: Double, numHashes: Int = 64, bands: Int = 32): DataFrame = {
     val art = minHashArtifacts(df, idCol, textCol, n, numHashes, bands)
     art.sets.cache()
+    // the signature frame feeds the band rows AND both sides of the
+    // agreement screen — cache it too (|docs| × k longs, tiny next to sets)
+    art.sigs.cache()
     minHashPairsFrom(art, threshold, numHashes)
   }
 
@@ -357,11 +357,36 @@ object TextDedup {
     * (on a real cluster, reliable `checkpoint` to object storage instead).
     *
     * `pairs` needs columns `a_id`/`b_id`; `docs`/`idCol` supply the full
-    * vertex set so isolated documents appear in the output. */
+    * vertex set so isolated documents appear in the output.
+    *
+    * Small-graph fast path: a verified near-dup pair graph is usually
+    * MUCH smaller than the corpus (it holds only the dup clusters), and
+    * the iterative rounds cost 3-4 scheduled stages each even when the
+    * data is a few thousand rows. Below `driverEdgeLimit` edges the
+    * components run as union-find on the driver (2M edges ≈ 32 MB —
+    * bounded by the limit, not the corpus) and come back as ONE broadcast
+    * join; the pointer-jumping path remains the shape for graphs that
+    * outgrow it. Identical output by construction: both label every
+    * vertex with the minimum reachable id. */
   def connectedComponents(docs: DataFrame, idCol: String,
-      pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      pairs: DataFrame, maxIters: Int = 50,
+      driverEdgeLimit: Long = 1L << 21): DataFrame = {
+    val edges0 = pairs.select(col("a_id").cast(LongType).as("src"),
+      col("b_id").cast(LongType).as("dst")).persist()
+    if (edges0.count() <= driverEdgeLimit) {
+      val labels = driverComponents(edges0.collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+      edges0.unpersist()
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val labelDf = broadcast(labels.toSeq.toDF("id", "cluster_id"))
+      return docs.select(col(idCol).cast(LongType).as("id"))
+        .join(labelDf, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    }
+    val edges = edges0.select(col("src"), col("dst"))
+      .union(edges0.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
     // Iterate ONLY over vertices that have at least one edge: in a real
     // corpus the overwhelming majority of documents are singletons, and
@@ -398,11 +423,37 @@ object TextDedup {
       labels = next.select("id", "cid")
       iter += 1
     }
-    edges.unpersist()
+    edges.unpersist(); edges0.unpersist()
     // singletons (documents with no pair) cluster to themselves
     docs.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("cid"), col("id")).as("cluster_id"))
+  }
+
+  /** Union-find with path compression + union by min: every edge-touched
+    * vertex labeled with the minimum id of its component (the same labels
+    * the pointer-jumping rounds converge to). */
+  private def driverComponents(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root)
+        root = parent.getOrElse(root, root)
+      var cur = x
+      while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val out = Map.newBuilder[Long, Long]
+    edges.foreach { case (a, b) =>
+      out += a -> find(a); out += b -> find(b)
+    }
+    out.result()
   }
 
   /** Leakage-safe train/holdout split: near-duplicate documents must land

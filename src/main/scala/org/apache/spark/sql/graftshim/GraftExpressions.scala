@@ -441,6 +441,63 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Static kernel: the distinct word n-gram shingle set of a text in one
+    * pass. Bit-identical to the SQL chain it replaces —
+    * {{{ CASE WHEN size(split(trim(t), ' +')) >= n THEN
+    *       array_distinct(transform(sequence(1, size(w) - n + 1),
+    *         i -> concat_ws(' ', slice(w, i, n)))) ELSE array() END }}}
+    * — same tokenization (trim ASCII spaces, split on space runs with
+    * trailing empties kept), same first-occurrence distinct order. */
+  def wordShinglesEval(s: UTF8String, n: Int): ArrayData = {
+    val words = s.trim().toString.split(" +", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    val last = words.length - n
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct word n-gram shingles of a string column (array&lt;string&gt;) —
+    * the first projection of every text-dedup operator, previously a
+    * five-deep interpreted HOF chain (split/transform/slice/concat_ws/
+    * array_distinct allocate per element and evaluate outside codegen). */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    require(n > 0, "n must be positive")
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_shingles"
+
+    override def nullSafeEval(v: Any): Any =
+      wordShinglesEval(v.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.wordShinglesEval($a, $n);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): WordShingles =
+      copy(child = newChild)
+  }
+
   /** Static kernel: LSH band hashes of a MinHash signature — band b is
     * xxhash64 (seed 42) of the comma-joined decimal rendering of the
     * signature's b-th r-wide slice, bit-identical to

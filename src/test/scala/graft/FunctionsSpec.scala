@@ -24,6 +24,25 @@ class FunctionsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("word_shingles bit-identical to the HOF split/concat_ws chain") {
+    val n = 3
+    val docs = Tables.df(spark, sfDir, "documents").limit(300)
+      .select(col("text"))
+      .union(Seq("", "   ", "a b", "a b c", " a  b c  d ", "a a a a a")
+        .toDF("text"))
+    val w = "split(trim(text), ' +')"
+    val hof = expr(
+      s"""CASE WHEN size($w) >= $n THEN
+         |  array_distinct(transform(sequence(1, size($w) - ${n - 1}),
+         |    i -> concat_ws(' ', slice($w, i, $n))))
+         |ELSE array() END""".stripMargin)
+    val diff = docs
+      .withColumn("native", GraftFunctions.wordShingles(col("text"), n))
+      .withColumn("hof", hof)
+      .filter(expr("native != hof"))
+    assert(diff.count() == 0)
+  }
+
   test("minhash_sig + band sigs bit-identical to the HOF xxhash64 chain") {
     val k = 64; val bands = 16; val r = k / bands
     val docs = Tables.df(spark, sfDir, "documents").limit(200)

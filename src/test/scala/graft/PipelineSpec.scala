@@ -320,12 +320,31 @@ class PipelineSpec extends SparkSpec {
 
   test("connectedComponents: long chain converges via pointer jumping") {
     // a 40-vertex path has diameter 39; pointer jumping must label it
-    // with min id well inside the 50-iteration cap (O(log n) rounds)
+    // with min id well inside the 50-iteration cap (O(log n) rounds).
+    // driverEdgeLimit = 0 forces the distributed path.
     val n = 40L
     val docs = (1L to n).toDF("doc_id")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val out = TextDedup.connectedComponents(docs, "doc_id", pairs, maxIters = 12)
+    val out = TextDedup.connectedComponents(docs, "doc_id", pairs,
+      maxIters = 12, driverEdgeLimit = 0L)
     assert(out.filter(col("cluster_id") =!= 1L).count() == 0)
+  }
+
+  test("connectedComponents: driver fast path == pointer-jumping path") {
+    // random-ish multi-component graph incl. a chain, a star, self-dup
+    // edge and an isolated vertex; both paths must produce identical
+    // min-reachable-id labels
+    val docs = (1L to 30L).toDF("doc_id")
+    val pairs = (Seq((3L, 7L), (7L, 11L), (11L, 3L), (20L, 21L), (21L, 22L),
+      (22L, 23L), (23L, 24L), (5L, 15L), (15L, 25L), (2L, 2L)))
+      .toDF("a_id", "b_id")
+    val fast = TextDedup.connectedComponents(docs, "doc_id", pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val dist = TextDedup.connectedComponents(docs, "doc_id", pairs,
+        driverEdgeLimit = 0L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(fast == dist)
+    assert(fast.toMap.apply(24L) == 20L && fast.toMap.apply(25L) == 5L)
   }
 
   test("stratifiedSample: deterministic, rate-respecting, map-only") {
