@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.graftshim.{GraftExpressions, Shim}
-import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, ExactPercentiles, HashedDistinctCount, HyperplaneSigPacked, MinHashBandSigs, MinHashSig, RegexpFullMatch, WordShingles}
+import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, ExactPercentiles, HashedDistinctCount, HyperplaneSigPacked, MinHashBandSigs, MinHashSig, PqAdcSum, PqAdcTable, PqEncode, RegexpFullMatch, WordShingles}
 
 /** Column/SQL-facing surface of the native expressions (implementations in
   * org.apache.spark.sql.graftshim.GraftExpressions — see SURVEY.md §2.9). */
@@ -37,6 +37,24 @@ object GraftFunctions {
     * chain — parity test in FunctionsSpec). */
   def wordShingles(text: Column, n: Int): Column =
     Shim.column(WordShingles(Shim.expression(text), n))
+
+  private def booksArray(books: Seq[Seq[Seq[Double]]]): Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+
+  /** Positional PQ codes of a normalized double-vector column under
+    * frozen codebooks (argmin L2 at 6 decimals, ties to lower position —
+    * bit-identical to Similarity.pqEncodeExpr; parity test in
+    * FunctionsSpec). */
+  def pqEncode(cv: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    Shim.column(PqEncode(Shim.expression(cv), booksArray(books)))
+
+  /** Per-query ADC lookup table (array&lt;array&lt;double&gt;&gt;). */
+  def pqAdcTable(qv: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    Shim.column(PqAdcTable(Shim.expression(qv), booksArray(books)))
+
+  /** ADC distance of a coded row: Σ_s adc[s][codes[s]]. */
+  def pqAdcSum(codes: Column, adc: Column): Column =
+    Shim.column(PqAdcSum(Shim.expression(codes), Shim.expression(adc)))
 
   /** Exact interpolated percentiles over a numeric column (QUANTILE_CONT
     * semantics, identical values to Spark's `percentile`), via the native

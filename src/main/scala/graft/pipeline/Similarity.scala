@@ -251,7 +251,7 @@ object Similarity {
     * zero vector. For unit vectors ||a - b||^2 = 2 - 2*cos(a, b), so every
     * L2 comparison downstream (training, encode, ADC) is a cosine
     * comparison up to quantization error. */
-  private[pipeline] def pqNormalized(df: DataFrame, idCol: String, idAs: String,
+  private[graft] def pqNormalized(df: DataFrame, idCol: String, idAs: String,
       vAs: String): DataFrame =
     df.select(col(idCol).as(idAs),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("__v0"))
@@ -291,7 +291,7 @@ object Similarity {
 
   /** SQL lambda: squared L2 between a subvector slice of `vCol` and a
     * codebook centroid, accumulated left-to-right in double. */
-  private[pipeline] def pqL2(vCol: String, sub: Int, centRef: String): String =
+  private[graft] def pqL2(vCol: String, sub: Int, centRef: String): String =
     s"""aggregate(zip_with(slice($vCol, s * $sub + 1, $sub), $centRef,
        |  (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, d) -> acc + d)""".stripMargin
 
@@ -300,7 +300,7 @@ object Similarity {
     * with ties to the lower position — the same contract kmeansRefine's
     * assignment uses, and what an engine-neutral SQL twin replays. One
     * codegen'd projection; no join, no shuffle. */
-  private[pipeline] def pqEncodeExpr(vCol: String, m: Int, sub: Int): String =
+  private[graft] def pqEncodeExpr(vCol: String, m: Int, sub: Int): String =
     s"""transform(sequence(0, ${m - 1}), s ->
        |  aggregate(sequence(0, size(__cb[s]) - 1),
        |    named_struct('best', -1, 'bd', CAST('Infinity' AS DOUBLE)),
@@ -320,11 +320,11 @@ object Similarity {
   def pqEncode(corpus: DataFrame, m: Int = 2, ksub: Int = 8,
       iters: Int = 1, sampleSize: Int = 64): DataFrame = {
     val c = pqNormalized(corpus, "vec_id", "c_id", "cv")
-    val (cbs, sub) = pqTrain(c, m, ksub, iters, sampleSize)
-    val cb = typedLit(cbs.map(_.map(_._2)))
+    val (cbs, _) = pqTrain(c, m, ksub, iters, sampleSize)
     val ids = typedLit(cbs.map(_.map(_._1)))
-    c.withColumn("__cb", cb).withColumn("__ids", ids)
-      .withColumn("codes", expr(pqEncodeExpr("cv", m, sub)))
+    c.withColumn("__ids", ids)
+      .withColumn("codes",
+        graft.functions.GraftFunctions.pqEncode(col("cv"), cbs.map(_.map(_._2))))
       .select(col("c_id").as("vec_id"),
         posexplode(expr("zip_with(codes, __ids, (p, idlist) -> idlist[p])")))
       .select(col("vec_id"), col("pos").cast(LongType).as("subspace"),
@@ -361,22 +361,23 @@ object Similarity {
       sampleSize: Int = 256, rerank: Int = 256): DataFrame = {
     val c = pqNormalized(corpus, "vec_id", "c_id", "cv")
     val q = pqNormalized(queries, "vec_id", "q_id", "qv")
-    val (cbs, sub) = pqTrain(c, m, ksub, iters, sampleSize)
-    val cb = typedLit(cbs.map(_.map(_._2)))
+    val (cbs, _) = pqTrain(c, m, ksub, iters, sampleSize)
+    val books = cbs.map(_.map(_._2))
 
-    // encode once per corpus row (positions suffice internally)
-    val codes = c.withColumn("__cb", cb)
-      .withColumn("codes", expr(pqEncodeExpr("cv", m, sub)))
+    // encode once per corpus row (positions suffice internally) — native
+    // kernels; the HOF formulations (pqEncodeExpr/pqL2) remain as the
+    // engine-neutral reference, parity-pinned in FunctionsSpec
+    val codes = c
+      .withColumn("codes", graft.functions.GraftFunctions.pqEncode(col("cv"), books))
       .select(col("c_id"), col("codes"))
 
     // ADC: per-query M x ksub table, approx distance = M lookups/row
-    val qAdc = q.withColumn("__cb", cb).withColumn("adc", expr(
-      s"""transform(sequence(0, ${m - 1}), s ->
-         |  transform(__cb[s], cent -> ${pqL2("qv", sub, "cent")}))""".stripMargin))
+    val qAdc = q
+      .withColumn("adc", graft.functions.GraftFunctions.pqAdcTable(col("qv"), books))
       .select(col("q_id"), col("adc"))
     val approx = codes.crossJoin(broadcast(qAdc))
-      .withColumn("ad", expr(
-        "aggregate(zip_with(codes, adc, (ci, t) -> t[ci]), CAST(0 AS DOUBLE), (a, v) -> a + v)"))
+      .withColumn("ad",
+        graft.functions.GraftFunctions.pqAdcSum(col("codes"), col("adc")))
     val wA = Window.partitionBy(col("q_id"))
       .orderBy(col("ad").asc, col("c_id"))
     val cand = approx.withColumn("arank", row_number().over(wA))

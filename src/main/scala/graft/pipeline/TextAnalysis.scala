@@ -485,9 +485,13 @@ object TextAnalysis {
     val bucket = pmod(
       conv(substring(md5(concat(lit(salt), col("term"))), 1, 6), 16, 10)
         .cast(LongType), lit(buckets.toLong))
+    // cached: consumed twice (bucket profile + per-doc scoring), and its
+    // lineage holds the corpus-sized token explode + aggregation — without
+    // the cache that explode runs twice per evaluation
     val tf = toks.groupBy(col("doc_id"), col("is_target"),
         bucket.as("bucket"))
       .agg(count(lit(1)).cast(LongType).as("tf"))
+      .cache()
     val profile = tf.groupBy("bucket").agg(
       sum(when(col("is_target"), col("tf")).otherwise(0L)).as("ct"),
       sum(when(!col("is_target"), col("tf")).otherwise(0L)).as("cr"))

@@ -144,16 +144,13 @@ final class VectorIndex(store: TableStore, project: String, bucket: String,
     * directly, so no self-join of the batch on vec_id. */
   private def withCodes(df: DataFrame): DataFrame = {
     val cbs = codebooks()
-    val sub = cbs.head.head.size
     df.withColumn("__v0", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("__nrm", expr(
         "sqrt(aggregate(transform(__v0, y -> y * y), CAST(0 AS DOUBLE), (a, x) -> a + x))"))
       .withColumn("cv", expr(
         "CASE WHEN __nrm > 0 THEN transform(__v0, x -> x / __nrm) ELSE __v0 END"))
-      .withColumn("__cb", typedLit(cbs))
-      .withColumn("codes",
-        expr(Similarity.pqEncodeExpr("cv", m, sub)).cast(ArrayType(IntegerType)))
-      .drop("__v0", "__nrm", "cv", "__cb")
+      .withColumn("codes", graft.functions.GraftFunctions.pqEncode(col("cv"), cbs))
+      .drop("__v0", "__nrm", "cv")
   }
 
   /** Ingest one batch of (vec_id, embedding): assign cells, encode codes,
@@ -255,22 +252,17 @@ final class VectorIndex(store: TableStore, project: String, bucket: String,
       .join(broadcast(qCells), "cell")
 
     // ADC: per-query m×ksub L2 table over the NORMALIZED query, approx
-    // distance = m lookups per coded row
+    // distance = m lookups per coded row (native kernels, see pqTopK)
     val cbs = codebooks()
-    val sub = cbs.head.head.size
     val qAdc = Similarity.pqNormalized(
         queries.select(col("vec_id"), col("embedding")), "vec_id", "q_id", "qv")
-      .withColumn("__cb", typedLit(cbs))
-      .withColumn("adc", expr(
-        s"""transform(sequence(0, ${m - 1}), s ->
-           |  transform(__cb[s], cent -> ${Similarity.pqL2("qv", sub, "cent")}))"""
-          .stripMargin))
+      .withColumn("adc", graft.functions.GraftFunctions.pqAdcTable(col("qv"), cbs))
       .select(col("q_id"), col("adc"))
     val wA = Window.partitionBy(col("q_id"))
       .orderBy(col("ad").asc, col("vec_id"))
     val cand = probed.join(broadcast(qAdc), "q_id")
-      .withColumn("ad", expr(
-        "aggregate(zip_with(codes, adc, (ci, t) -> t[ci]), CAST(0 AS DOUBLE), (a, v) -> a + v)"))
+      .withColumn("ad",
+        graft.functions.GraftFunctions.pqAdcSum(col("codes"), col("adc")))
       .withColumn("arank", row_number().over(wA))
       .filter(col("arank") <= rerank)
       .select(col("q_id"), col("vec_id").as("c_id"))

@@ -498,6 +498,163 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Spark's round(x, 6) for doubles (HALF_UP through BigDecimal) — the
+    * tie-compare contract pqEncodeExpr pinned for engine-neutral twins. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Static kernel: positional PQ codes of a normalized vector — for each
+    * of the m subspaces, the argmin-L2 codebook entry (distances compared
+    * at 6 decimals, ties to the lower position; L2 accumulated
+    * left-to-right), bit-identical to Similarity.pqEncodeExpr's HOF
+    * formulation, which re-evaluated the whole L2 aggregate TWICE per
+    * candidate centroid and ran interpreted. */
+  def pqEncodeEval(cv: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
+    val m = books.length
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      val sub = if (book.length > 0) book(0).length else 0
+      val off = s * sub
+      var best = -1
+      var bd = Double.PositiveInfinity
+      var ci = 0
+      while (ci < book.length) {
+        val cent = book(ci)
+        var acc = 0.0
+        var d = 0
+        while (d < sub) {
+          val diff = cv.getDouble(off + d) - cent(d)
+          acc += diff * diff
+          d += 1
+        }
+        val r = round6(acc)
+        if (r < bd) { best = ci; bd = r }
+        ci += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Positional PQ codes (array&lt;int&gt;) of a normalized double-vector
+    * column under frozen codebooks (bound as a plan constant). */
+  case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "pq_encode"
+
+    override def nullSafeEval(v: Any): Any =
+      pqEncodeEval(v.asInstanceOf[ArrayData], books)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        val ref = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+        s"${ev.value} = $cls.pqEncodeEval($a, $ref);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): PqEncode =
+      copy(child = newChild)
+  }
+
+  /** Static kernel: the per-query ADC lookup table — adc[s][ci] =
+    * unrounded L2 between the query's s-th subvector and codebook entry
+    * ci (left-to-right accumulation, same as the zip_with+aggregate
+    * chain). */
+  def pqAdcTableEval(qv: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
+    val m = books.length
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      val sub = if (book.length > 0) book(0).length else 0
+      val off = s * sub
+      val row = new Array[Any](book.length)
+      var ci = 0
+      while (ci < book.length) {
+        val cent = book(ci)
+        var acc = 0.0
+        var d = 0
+        while (d < sub) {
+          val diff = qv.getDouble(off + d) - cent(d)
+          acc += diff * diff
+          d += 1
+        }
+        row(ci) = acc
+        ci += 1
+      }
+      out(s) = new GenericArrayData(row)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-query ADC table (array&lt;array&lt;double&gt;&gt;) under frozen
+    * codebooks. */
+  case class PqAdcTable(child: Expression, books: Array[Array[Array[Double]]])
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+    override def dataType: DataType =
+      ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+    override def prettyName: String = "pq_adc_table"
+
+    override def nullSafeEval(v: Any): Any =
+      pqAdcTableEval(v.asInstanceOf[ArrayData], books)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        val ref = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+        s"${ev.value} = $cls.pqAdcTableEval($a, $ref);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): PqAdcTable =
+      copy(child = newChild)
+  }
+
+  /** Static kernel: approximate distance = Σ_s adc[s][codes[s]],
+    * left-to-right — the per-coded-row inner loop of every ADC scan. */
+  def pqAdcSumEval(codes: ArrayData, adc: ArrayData): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += adc.getArray(s).getDouble(codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
+  /** ADC distance of a coded row against a query's lookup table —
+    * replaces the interpreted aggregate(zip_with(codes, adc, ...)). */
+  case class PqAdcSum(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(
+      ArrayType(IntegerType), ArrayType(ArrayType(DoubleType)))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "pq_adc_sum"
+
+    override def nullSafeEval(c: Any, a: Any): Any =
+      pqAdcSumEval(c.asInstanceOf[ArrayData], a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (c, a) => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.pqAdcSumEval($c, $a);"
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   /** Static kernel: LSH band hashes of a MinHash signature — band b is
     * xxhash64 (seed 42) of the comma-joined decimal rendering of the
     * signature's b-th r-wide slice, bit-identical to

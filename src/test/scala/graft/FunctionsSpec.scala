@@ -64,6 +64,38 @@ class FunctionsSpec extends SparkSpec {
     both.unpersist()
   }
 
+  test("pq_encode / pq_adc_table / pq_adc_sum match the HOF formulations") {
+    import graft.pipeline.Similarity
+    val m = 4; val ksub = 8
+    val e = Tables.df(spark, sfDir, "embeddings").limit(64)
+    val c = Similarity.pqNormalized(e, "vec_id", "c_id", "cv").cache()
+    val dims = c.select(size(col("cv"))).first().getInt(0)
+    val sub = dims / m
+    // deterministic fake codebooks: slices of the first ksub vectors
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      c.orderBy("c_id").limit(ksub).collect().toSeq.map(r =>
+        r.getSeq[Double](1).slice(s * sub, (s + 1) * sub))
+    }
+    val cb = typedLit(books)
+    val both = c.withColumn("__cb", cb)
+      .withColumn("nativeCodes", GraftFunctions.pqEncode(col("cv"), books))
+      .withColumn("hofCodes",
+        expr(Similarity.pqEncodeExpr("cv", m, sub)).cast("array<int>"))
+      .withColumn("nativeAdc", GraftFunctions.pqAdcTable(col("cv"), books))
+      .withColumn("hofAdc", expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+           |  transform(__cb[s], cent -> ${Similarity.pqL2("cv", sub, "cent")}))""".stripMargin))
+      .withColumn("nativeAd",
+        GraftFunctions.pqAdcSum(col("nativeCodes"), col("nativeAdc")))
+      .withColumn("hofAd", expr(
+        "aggregate(zip_with(hofCodes, hofAdc, (ci, t) -> t[ci]), CAST(0 AS DOUBLE), (a, v) -> a + v)"))
+      .cache()
+    assert(both.filter(expr("nativeCodes != hofCodes")).count() == 0)
+    assert(both.filter(expr("nativeAdc != hofAdc")).count() == 0)
+    assert(both.filter(expr("nativeAd != hofAd")).count() == 0)
+    both.unpersist(); c.unpersist()
+  }
+
   test("regexp_full_match anchors like DuckDB") {
     GraftFunctions.register(spark)
     val d = Seq("2024-01-01", "x2024-01-01", "2024-01-01x").toDF("s")
