@@ -90,6 +90,104 @@ object SegmentStats {
   def prune(entries: Seq[ManifestEntry], bounds: Seq[Bound]): Seq[ManifestEntry] =
     if (bounds.isEmpty) entries else entries.filter(keeps(_, bounds))
 
+  /** Equality probes hiding in a bound set: a column bounded Ge AND Le at
+    * the SAME canonical value is a point predicate (how FilterAlgebra
+    * encodes `=` over tracked columns). */
+  def eqProbes(bounds: Seq[Bound]): Map[String, String] =
+    bounds.groupBy(_.column).collect {
+      case (c, bs)
+          if bs.exists(_.side == Ge) && bs.exists(_.side == Le) &&
+            bs.map(_.canonical).distinct.size == 1 =>
+        c -> bs.head.canonical
+    }
+
+  /** Root-level bloom probe: false ONLY when every parquet file under
+    * `dir` carries a bloom filter for `column` in every row group and all
+    * of them reject the value — then no row in the root can equal it
+    * (parquet blooms have no false negatives). Anything unprobeable
+    * (missing bloom, unmapped type, unreadable file) keeps the root.
+    *
+    * This is the equality complement of the min/max zone maps: a
+    * high-cardinality unclustered column (uuid-ish PKs after compaction
+    * reshuffles, foreign keys) spans nearly the full value range in every
+    * root, so min/max never prunes it — the bloom does, at the cost of
+    * footer metadata IO per candidate root (cheap next to the scan tasks
+    * it removes; the probed blooms are the ones [[graft.core.TableStore]]
+    * writes with the segment). */
+  def bloomMightContain(dir: Path, column: String, canonical: String,
+      dt: DataType,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Boolean = {
+    if (!Files.exists(dir)) return true
+    val files = {
+      val s = Files.walk(dir)
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .toList
+      finally s.close()
+    }
+    if (files.isEmpty) return true
+    files.exists(f => fileMightContain(f, column, canonical, dt, hadoopConf))
+  }
+
+  /** One file's verdict: true unless every row group's bloom rejects. */
+  private def fileMightContain(f: Path, column: String, canonical: String,
+      dt: DataType,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Boolean =
+    Try {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toUri), hadoopConf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        (0 until blocks.size).exists { bi =>
+          val block = blocks.get(bi)
+          val cols = block.getColumns
+          val metaOpt = (0 until cols.size).map(cols.get)
+            .find(_.getPath.toDotString == column)
+          metaOpt match {
+            case None => true // column absent: can't prune on it
+            case Some(meta) =>
+              val bf = reader.getBloomFilterDataReader(block)
+                .readBloomFilter(meta)
+              if (bf == null) true // no bloom written: keep
+              else probeValue(canonical, dt, meta) match {
+                case None => true // unmapped physical type: keep
+                case Some(v) => bf.findHash(bf.hash(v))
+              }
+          }
+        }
+      } finally reader.close()
+    }.getOrElse(true)
+
+  /** The canonical stat encoding reconstructed as the parquet PHYSICAL
+    * value the bloom hashed at write time. None = not probeable. */
+  private def probeValue(canonical: String, dt: DataType,
+      meta: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Option[Any] = {
+    val prim = meta.getPrimitiveType.getPrimitiveTypeName
+    Try[Option[Any]] {
+      (dt, prim) match {
+        case (ByteType | ShortType | IntegerType, PrimitiveTypeName.INT32) =>
+          Some(java.lang.Integer.valueOf(canonical.toInt))
+        case (LongType, PrimitiveTypeName.INT64) =>
+          Some(java.lang.Long.valueOf(canonical.toLong))
+        case (DateType, PrimitiveTypeName.INT32) =>
+          Some(java.lang.Integer.valueOf(canonical.toInt))
+        case (TimestampType, PrimitiveTypeName.INT64) =>
+          // canonical is epoch micros; probeable only when the file's
+          // unit is micros too (the layout this store writes)
+          meta.getPrimitiveType.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+              Some(java.lang.Long.valueOf(canonical.toLong))
+            case _ => None
+          }
+        case (StringType, PrimitiveTypeName.BINARY) =>
+          Some(Binary.fromString(canonical))
+        case _ => None
+      }
+    }.toOption.flatten
+  }
+
   // ------------------------------------------------- footer collection
 
   /** Min/max per tracked column across every parquet file under `dir`,

@@ -217,8 +217,10 @@ final class TableStore(val spark: SparkSession, val catalog: StorageCatalog,
     val declared = StructType.fromDDL(meta.schemaDdl)
     Manifest.readFrom(vdir) match {
       case Some(m) if bounds.nonEmpty =>
-        val kept = SegmentStats.prune(
-          bucketPrunedEntries(m, declared, bounds), bounds)
+        val kept = bloomPrunedEntries(
+          SegmentStats.prune(
+            bucketPrunedEntries(m, declared, bounds), bounds),
+          declared, bounds)
         if (kept.isEmpty)
           session.createDataFrame(
             session.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
@@ -226,6 +228,28 @@ final class TableStore(val spark: SparkSession, val catalog: StorageCatalog,
           kept.map(e => catalog.root.resolve(e.path)), Some(declared))
       case _ => loadVersionDir(session, vdir, Some(declared))
     }
+  }
+
+  /** Entries surviving parquet-bloom probes for the point predicates in
+    * `bounds` — the equality complement of the zone maps (a root whose
+    * min/max straddles the probe value but whose blooms all reject it is
+    * skipped). Probes are footer-metadata IO only, parallelized across
+    * the candidate roots; anything unprobeable keeps its root. */
+  private def bloomPrunedEntries(entries: Seq[ManifestEntry],
+      declared: StructType, bounds: Seq[SegmentStats.Bound]): Seq[ManifestEntry] = {
+    val typed = SegmentStats.eqProbes(bounds).toSeq.flatMap { case (c, v) =>
+      declared.fields.find(_.name == c).map(f => (c, v, f.dataType))
+    }
+    if (typed.isEmpty || entries.isEmpty) return entries
+    val conf = spark.sparkContext.hadoopConfiguration
+    import scala.jdk.CollectionConverters._
+    entries.asJava.parallelStream()
+      .filter(e => typed.forall { case (c, v, dt) =>
+        SegmentStats.bloomMightContain(
+          catalog.root.resolve(e.path), c, v, dt, conf)
+      })
+      .collect(java.util.stream.Collectors.toList[ManifestEntry])
+      .asScala.toSeq
   }
 
   /** Entries surviving hash-bucket pruning: when `bounds` pin EVERY bucket
@@ -239,13 +263,7 @@ final class TableStore(val spark: SparkSession, val catalog: StorageCatalog,
   private def bucketPrunedEntries(m: Manifest, declared: StructType,
       bounds: Seq[SegmentStats.Bound]): Seq[ManifestEntry] = {
     if (!m.isBucketed) return m.entries
-    val eqOf: Map[String, String] = bounds.groupBy(_.column).collect {
-      case (c, bs)
-          if bs.exists(_.side == SegmentStats.Ge) &&
-            bs.exists(_.side == SegmentStats.Le) &&
-            bs.map(_.canonical).distinct.size == 1 =>
-        c -> bs.head.canonical
-    }
+    val eqOf: Map[String, String] = SegmentStats.eqProbes(bounds)
     val lits: Option[Seq[org.apache.spark.sql.catalyst.expressions.Literal]] =
       traverse(m.bucketKeys) { k =>
         for {
@@ -1036,7 +1054,8 @@ final class TableStore(val spark: SparkSession, val catalog: StorageCatalog,
     df.repartitionByRange(parts, cluster.map(col): _*)
       .sortWithinPartitions(cluster.map(col): _*)
       .drop(dropAfter: _*)
-      .write.mode("overwrite").parquet(seg.toString)
+      .write.mode("overwrite").options(bloomOptions(track))
+      .parquet(seg.toString)
     val children = Files.list(seg)
     try children.iterator().asScala
       .filter(f => f.getFileName.toString.startsWith("part-") &&
@@ -1047,11 +1066,29 @@ final class TableStore(val spark: SparkSession, val catalog: StorageCatalog,
     finally children.close()
   }
 
+  /** Parquet bloom-filter writer options for the equality-probeable
+    * tracked columns — the write-side half of [[SegmentStats.bloomMightContain]]
+    * root skipping. `_timestamp` is range-queried (zone maps cover it),
+    * so it carries no bloom; adaptive sizing keeps small segments small
+    * and the byte cap bounds footer bloat on huge ones. */
+  private def bloomOptions(
+      track: Map[String, org.apache.spark.sql.types.DataType]): Map[String, String] = {
+    import org.apache.spark.sql.types._
+    val cols = track.collect {
+      case (c, ByteType | ShortType | IntegerType | LongType | StringType |
+          DateType | TimestampType) if c != "_timestamp" => c
+    }
+    if (cols.isEmpty) Map.empty
+    else cols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap ++
+      Map("parquet.bloom.filter.adaptive.enabled" -> "true",
+        "parquet.bloom.filter.max.bytes" -> (128 * 1024).toString)
+  }
+
   private def writeSegment(df: DataFrame, tableDir: Path,
       partitionBy: Seq[String],
       track: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): ManifestEntry = {
     val seg = newSegmentDir(tableDir)
-    val w = df.write.mode("overwrite")
+    val w = df.write.mode("overwrite").options(bloomOptions(track))
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(seg.toString)
     // zone map from the written footers (hive-partitioned roots rely on
@@ -1095,6 +1132,7 @@ final class TableStore(val spark: SparkSession, val catalog: StorageCatalog,
       s"graft_seg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     df.repartition(numBuckets, keys.map(col): _*)
       .write.mode("overwrite")
+      .options(bloomOptions(track))
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .option("path", seg.toString)

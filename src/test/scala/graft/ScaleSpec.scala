@@ -161,6 +161,49 @@ class ScaleSpec extends SparkSpec {
     assert(store.read("p", "b", "t").count() == 700)
   }
 
+  test("bloom root skipping: equality prunes roots zone maps cannot") {
+    import graft.core.{Manifest, SegmentStats}
+    import org.apache.spark.sql.types.LongType
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-bloom")))
+    // two appends with fully INTERLEAVED id ranges: evens then odds —
+    // both roots span [≈0, ≈199], so min/max zone maps keep both for any
+    // in-range point probe; only the parquet blooms can tell them apart
+    def half(parity: Int) = spark.range(0L, 200L).toDF("id")
+      .filter(col("id") % 2 === parity)
+      .withColumn("v", concat(lit("r"), col("id")))
+    store.createTable("p", "b", "t", half(0).schema, primaryKey = Seq("id"))
+    store.append("p", "b", "t", half(0))
+    store.append("p", "b", "t", half(1))
+    val m = Manifest.readFrom(store.catalog.versionDir(
+      store.catalog.getTable("p", "b", "t").get)).get
+    assert(m.entries.size == 2)
+
+    def scannedRoots(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.size
+      }.sum
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    def eqBounds(v: String) = Seq(
+      SegmentStats.bound("id", SegmentStats.Ge, v, LongType, zone).get,
+      SegmentStats.bound("id", SegmentStats.Le, v, LongType, zone).get)
+
+    // zone maps alone keep both roots (overlapping ranges)...
+    assert(SegmentStats.prune(m.entries, eqBounds("42")).size == 2)
+    // ...the bloom probe prunes to the root that can hold the id
+    val even = store.readPruned("p", "b", "t", eqBounds("42"))
+    assert(scannedRoots(even) == 1, s"planned ${scannedRoots(even)} roots")
+    assert(even.filter(col("id") === 42L).count() == 1)
+    val odd = store.readPruned("p", "b", "t", eqBounds("57"))
+    assert(scannedRoots(odd) == 1)
+    assert(odd.filter(col("id") === 57L).count() == 1)
+    // a range probe is untouched by blooms (equality only)
+    val range = store.readPruned("p", "b", "t",
+      SegmentStats.bound("id", SegmentStats.Ge, "100", LongType, zone).toSeq)
+    assert(scannedRoots(range) == 2)
+  }
+
   test("PK-equality reads on a bucketed table plan one hash bucket") {
     import graft.core.{Manifest, SegmentStats}
     import org.apache.spark.sql.types.{LongType, StringType}
