@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.graftshim.{GraftExpressions, Shim}
-import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, ExactPercentiles, HashedDistinctCount, HyperplaneSigPacked, MinHashBandSigs, MinHashSig, PqAdcSum, PqAdcTable, PqEncode, RegexpFullMatch, WordShingles}
+import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, ExactPercentiles, HashedDistinctCount, HyperplaneSigPacked, Md5Positions, MinHashBandSigs, MinHashSig, PqAdcSum, PqAdcTable, PqEncode, RegexpFullMatch, WordShingles}
 
 /** Column/SQL-facing surface of the native expressions (implementations in
   * org.apache.spark.sql.graftshim.GraftExpressions — see SURVEY.md §2.9). */
@@ -55,6 +55,13 @@ object GraftFunctions {
   /** ADC distance of a coded row: Σ_s adc[s][codes[s]]. */
   def pqAdcSum(codes: Column, adc: Column): Column =
     Shim.column(PqAdcSum(Shim.expression(codes), Shim.expression(adc)))
+
+  /** Double-hashed md5 probe positions over the two 60-bit digest halves
+    * (pos_j = h1 + j·h2 mod m) — the CMS/Bloom per-row primitive,
+    * bit-identical to the conv(substring(md5(...))) SQL chain (parity
+    * test in FunctionsSpec). */
+  def md5Positions(v: Column, m: Long, depth: Int): Column =
+    Shim.column(Md5Positions(Shim.expression(v), m, depth))
 
   /** Exact interpolated percentiles over a numeric column (QUANTILE_CONT
     * semantics, identical values to Spark's `percentile`), via the native

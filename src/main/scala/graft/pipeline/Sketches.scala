@@ -218,7 +218,9 @@ object Sketches {
     * j·h2 cannot overflow a BIGINT. One md5 per value per probe site —
     * Catalyst's common-subexpression elimination collapses the repeated
     * md5/conv calls inside a projection. */
-  private def posSql(valueSql: String, width: Long, j: Int): String = {
+  // Engine-neutral SQL reference of md5Positions (parity-pinned in
+  // FunctionsSpec); the hot paths use the native kernel.
+  private[graft] def posSql(valueSql: String, width: Long, j: Int): String = {
     val hex = s"md5(CAST($valueSql AS STRING))"
     val h1 = s"pmod(CAST(conv(substring($hex, 1, 15), 16, 10) AS BIGINT), ${width}L)"
     val h2 = s"pmod(CAST(conv(substring($hex, 16, 15), 16, 10) AS BIGINT), ${width}L)"
@@ -242,29 +244,33 @@ object Sketches {
     val spark = df.sparkSession
     import spark.implicits._
     val keys = df.select(col(keyCol).cast(StringType).as("key"))
+    // all depth probe positions in ONE digest per key (native kernel —
+    // the SQL chain it replaces, posSql, paid an md5 + hex render + two
+    // 15-digit string parses per row per probe site; it remains the
+    // engine-neutral reference, parity-pinned in FunctionsSpec)
+    def positions(c: Column) =
+      graft.functions.GraftFunctions.md5Positions(c, width, depth)
     // pass 1: the sketch as a hash aggregate — ≤ depth·width cells cross
     // the wire regardless of input size (map-side partial combine)
-    val cells = keys.select(explode(array((0 until depth).map(j =>
-        struct(lit(j).as("r"),
-          expr(posSql("key", width, j)).cast(IntegerType).as("c"))): _*))
-        .as("rc"))
-      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+    val cells = keys.select(posexplode(positions(col("key"))))
+      .toDF("r", "c")
+      .groupBy("r", "c")
       .agg(count(lit(1)).as("n"))
       .collect()
-    val sk = Array.fill(depth, width)(0L)
+    val sk = Array.fill(depth, width.toInt)(0L)
     cells.foreach(row => sk(row.getInt(0))(row.getInt(1)) = row.getLong(2))
     // every key increments exactly one row-0 cell → row 0 sums to the total
     val total = sk(0).sum
     val skDf = broadcast(Seq(Tuple1(sk.map(_.toSeq).toSeq)).toDF("sk"))
     val estTerms = (0 until depth).map(j =>
-      s"element_at(element_at(sk, ${j + 1}), " +
-        s"CAST(${posSql("key", width, j)} AS INT) + 1)")
+      s"element_at(element_at(sk, ${j + 1}), element_at(pos, ${j + 1}) + 1)")
     val estSql =
       if (depth == 1) estTerms.head
       else estTerms.mkString("least(", ", ", ")")
     val screened = keys.crossJoin(skDf) // one-row broadcast: narrow
+      .withColumn("pos", positions(col("key")))
       .filter(expr(s"$estSql * CAST($denom AS BIGINT) >= ${total}L"))
-      .drop("sk")
+      .drop("sk", "pos")
     (screened, total)
   }
 
@@ -330,15 +336,22 @@ object Sketches {
   }
 
   /** SQL predicate: all k Bloom positions of `gramSql` are set in the
-    * one-row broadcast `bloom_bits` (array<bigint>). Pure built-in
-    * expressions — the probe stays inside whole-stage codegen. */
-  private def bloomHitSql(gramSql: String, mBits: Int, k: Int): String =
+    * one-row broadcast `bloom_bits` (array<bigint>). Positions come from
+    * ONE native md5_positions digest (bound as `__bpos` by
+    * [[withBloomPositions]]); the bit tests stay built-in expressions
+    * inside whole-stage codegen. */
+  private def bloomHitSql(k: Int): String =
     (0 until k).map { j =>
-      val idx = posSql(gramSql, mBits.toLong, j)
+      val idx = s"element_at(__bpos, ${j + 1})"
       s"((shiftright(element_at(bloom_bits, " +
         s"CAST(($idx DIV 64) AS INT) + 1), " +
         s"CAST(($idx % 64) AS INT)) & 1L) = 1L)"
     }.mkString("(", " AND ", ")")
+
+  private def withBloomPositions(df: DataFrame, gramCol: String, mBits: Int,
+      k: Int): DataFrame =
+    df.withColumn("__bpos",
+      graft.functions.GraftFunctions.md5Positions(col(gramCol), mBits.toLong, k))
 
   /** Benchmark decontamination with a Bloom prefilter — the shape for a
     * FIXED eval suite against a growing corpus: the filter is built once
@@ -370,12 +383,14 @@ object Sketches {
     val mBits = bloomSizeBits(distinctGrams.length)
     val bits = bloomBuild(distinctGrams, mBits, k)
     val bitsDf = broadcast(Seq(Tuple1(bits.toSeq)).toDF("bloom_bits"))
-    corpus
-      .select(col(idCol).as("doc_id"),
-        explode(TextDedup.shingles(textCol, n)).as("gram"))
-      .crossJoin(bitsDf) // one-row broadcast: narrow
-      .filter(expr(bloomHitSql("gram", mBits, k)))
-      .drop("bloom_bits")
+    withBloomPositions(
+        corpus
+          .select(col(idCol).as("doc_id"),
+            explode(TextDedup.shingles(textCol, n)).as("gram"))
+          .crossJoin(bitsDf), // one-row broadcast: narrow
+        "gram", mBits, k)
+      .filter(expr(bloomHitSql(k)))
+      .drop("bloom_bits", "__bpos")
       .join(broadcast(evalGrams), "gram") // exact verify: kills Bloom FPs
       .groupBy("doc_id")
       .agg(countDistinct("gram").cast(LongType).as("n_hit_grams"),
@@ -554,11 +569,13 @@ object Sketches {
     val mBits = bloomSizeBits(evalGrams.length)
     val bits = bloomBuild(evalGrams, mBits, k)
     val bitsDf = broadcast(Seq(Tuple1(bits.toSeq)).toDF("bloom_bits"))
-    corpus
-      .select(col(idCol).as("doc_id"),
-        explode(TextDedup.shingles(textCol, n)).as("gram"))
-      .crossJoin(bitsDf)
-      .filter(expr(bloomHitSql("gram", mBits, k)))
-      .drop("bloom_bits")
+    withBloomPositions(
+        corpus
+          .select(col(idCol).as("doc_id"),
+            explode(TextDedup.shingles(textCol, n)).as("gram"))
+          .crossJoin(bitsDf),
+        "gram", mBits, k)
+      .filter(expr(bloomHitSql(k)))
+      .drop("bloom_bits", "__bpos")
   }
 }

@@ -655,6 +655,66 @@ object GraftExpressions {
       copy(left = l, right = r)
   }
 
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Static kernel: the `depth` double-hashed positions of a value over
+    * md5's two 60-bit halves (Kirsch & Mitzenmacher: pos_j = h1 + j·h2
+    * mod m) — bit-identical to the SQL chain
+    * {{{ pmod(pmod(conv(substring(md5(v),1,15),16,10), m)
+    *      + j * pmod(conv(substring(md5(v),16,15),16,10), m), m) }}}
+    * but ONE digest over the raw bytes instead of per-j md5 + hex
+    * rendering + 15-digit string parses. Backs the Count-Min sketch and
+    * Bloom probes whose driver-side builders use the same md5-halves
+    * contract. */
+  def md5PositionsEval(s: UTF8String, m: Long, depth: Int): ArrayData = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    // nibbles 0..14 (60 bits): bytes 0-6 + high nibble of byte 7
+    var h1 = 0L
+    var i = 0
+    while (i < 7) { h1 = (h1 << 8) | (d(i) & 0xffL); i += 1 }
+    h1 = (h1 << 4) | ((d(7) & 0xf0L) >>> 4)
+    // nibbles 15..29: low nibble of byte 7 + bytes 8-14
+    var h2 = d(7) & 0x0fL
+    i = 8
+    while (i < 15) { h2 = (h2 << 8) | (d(i) & 0xffL); i += 1 }
+    val r1 = h1 % m
+    val r2 = h2 % m
+    val out = new Array[Any](depth)
+    var j = 0
+    while (j < depth) { out(j) = ((r1 + j * r2) % m).toInt; j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Double-hashed md5 probe positions (array&lt;int&gt;) of a string
+    * column — the per-row primitive of the CMS / Bloom sketch family. */
+  case class Md5Positions(child: Expression, m: Long, depth: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    require(m > 0 && depth > 0, "m and depth must be positive")
+    require(m <= (1L << 30), "m must stay well under Int.MaxValue")
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "md5_positions"
+
+    override def nullSafeEval(v: Any): Any =
+      md5PositionsEval(v.asInstanceOf[UTF8String], m, depth)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.md5PositionsEval($a, ${m}L, $depth);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Md5Positions =
+      copy(child = newChild)
+  }
+
   /** Static kernel: LSH band hashes of a MinHash signature — band b is
     * xxhash64 (seed 42) of the comma-joined decimal rendering of the
     * signature's b-th r-wide slice, bit-identical to

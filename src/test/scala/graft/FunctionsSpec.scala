@@ -64,6 +64,21 @@ class FunctionsSpec extends SparkSpec {
     both.unpersist()
   }
 
+  test("md5_positions bit-identical to the conv(substring(md5)) chain") {
+    val m = 2048L; val depth = 4
+    val keys = Tables.df(spark, sfDir, "documents").limit(500)
+      .select(explode(expr("filter(split(trim(text), ' +'), x -> x != '')"))
+        .as("key"))
+      .union(Seq("", "a", "ℤ-unicode", "x" * 300).toDF("key"))
+    val hof = array((0 until depth).map(j =>
+      expr(graft.pipeline.Sketches.posSql("key", m, j)).cast("int")): _*)
+    val diff = keys
+      .withColumn("native", GraftFunctions.md5Positions(col("key"), m, depth))
+      .withColumn("hof", hof)
+      .filter(expr("native != hof"))
+    assert(diff.count() == 0)
+  }
+
   test("pq_encode / pq_adc_table / pq_adc_sum match the HOF formulations") {
     import graft.pipeline.Similarity
     val m = 4; val ksub = 8
