@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.graftshim.{GraftExpressions, Shim}
-import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, ExactPercentiles, HashedDistinctCount, HyperplaneSigPacked, Md5Positions, MinHashBandSigs, MinHashSig, PqAdcSum, PqAdcTable, PqEncode, RegexpFullMatch, WordShingles}
+import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, ExactPercentiles, HashedDistinctCount, HyperplaneSigPacked, Md5Positions, MinHashBandSigs, MinHashSig, PqAdcSum, PqAdcTable, PqEncode, RegexpFullMatch, WordGramHashes, WordShingles}
 
 /** Column/SQL-facing surface of the native expressions (implementations in
   * org.apache.spark.sql.graftshim.GraftExpressions — see SURVEY.md §2.9). */
@@ -62,6 +62,13 @@ object GraftFunctions {
     * test in FunctionsSpec). */
   def md5Positions(v: Column, m: Long, depth: Int): Column =
     Shim.column(Md5Positions(Shim.expression(v), m, depth))
+
+  /** Positional word k-gram 128-bit hashes of a token-array column —
+    * entry p is struct(h1, h2) of the space-joined words [p, p+k), same
+    * two-seed xxhash64 convention as spanOverlap (parity test in
+    * FunctionsSpec). */
+  def wordGramHashes(toks: Column, k: Int): Column =
+    Shim.column(WordGramHashes(Shim.expression(toks), k))
 
   /** Exact interpolated percentiles over a numeric column (QUANTILE_CONT
     * semantics, identical values to Spark's `percentile`), via the native

@@ -217,15 +217,9 @@ object TextDedup {
     // structs instead of ~50-char strings keeps the span text out of the
     // row pipeline entirely (profiled 2.5x on the explode at 18M rows),
     // and array_distinct compares 16-byte values, not strings.
-    val w = s"split(trim($textCol), ' +')"
-    val spans = df.select(col(idCol).as("id"), expr(
-      s"""array_distinct(transform(
-         |  CASE WHEN size($w) >= $n THEN
-         |    transform(sequence(1, size($w) - ${n - 1}),
-         |      i -> concat_ws(' ', slice($w, i, $n)))
-         |  ELSE array() END,
-         |  s -> struct(xxhash64(s) AS h1, xxhash64(s, CAST(1 AS BIGINT)) AS h2)))"""
-        .stripMargin).as("sp"))
+    val spans = df.select(col(idCol).as("id"),
+      array_distinct(graft.functions.GraftFunctions.wordGramHashes(
+        expr(s"split(trim($textCol), ' +')"), n)).as("sp"))
     // persisted: both aggregations below consume posts, and rebuilding the
     // span arrays is the single most expensive map stage (same pattern as
     // minHashPairs' cached shingle sets)
@@ -582,18 +576,22 @@ object TextDedup {
       .select(col(idCol).as("doc_id"),
         expr(s"filter(split(lower(trim($textCol)), ' +'), x -> x != '')")
           .as("toks"))
+    // positional grams as 128-bit hash structs (native single pass):
+    // the shuffle and the winners join carry 16 bytes per gram, never
+    // the ~50-char gram strings, and the gram string is built once —
+    // the spanOverlap trick applied to the positional formulation
     val grams = base.filter(size(col("toks")) >= k)
-      .select(col("doc_id"),
-        explode(expr(s"sequence(0, size(toks) - $k)")).as("pos"),
-        col("toks"))
-      .withColumn("gram", expr(s"array_join(slice(toks, pos + 1, $k), ' ')"))
-      .select("doc_id", "pos", "gram")
-    val winners = grams.groupBy("gram")
+      .select(col("doc_id"), posexplode(
+        graft.functions.GraftFunctions.wordGramHashes(col("toks"), k)))
+      .select(col("doc_id"), col("pos"),
+        col("col.h1").as("h1"), col("col.h2").as("h2"))
+      .cache()
+    val winners = grams.groupBy("h1", "h2")
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"),
         count(lit(1)).as("occ"))
       .filter(col("occ") > 1)
-      .select(col("gram"), col("w"))
-    val flags = grams.join(winners, "gram")
+      .select(col("h1"), col("h2"), col("w"))
+    val flags = grams.join(winners, Seq("h1", "h2"))
       .filter(!(col("doc_id") === col("w.doc_id") &&
         col("pos") === col("w.pos")))
       .select(col("doc_id"),

@@ -655,6 +655,66 @@ object GraftExpressions {
       copy(left = l, right = r)
   }
 
+  private val gramStruct = StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false)))
+
+  /** Static kernel: positional word k-gram 128-bit hashes — entry p is
+    * (h1, h2) of the space-joined words [p, p+k). h1 = xxhash64(gram)
+    * (seed 42); h2 = multi-arg xxhash64(gram, 1L) = one more long-hash
+    * seeded by h1 — the same two-seed convention spanOverlap pinned
+    * (collision needs both halves to agree). Each gram string is built
+    * ONCE; the HOF chain it replaces built and hashed it per seed,
+    * interpreted. Fewer than k words → empty array. */
+  def wordGramHashesEval(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    val sb = new java.lang.StringBuilder(k * 12)
+    var p = 0
+    while (p <= n - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        val w = toks.getUTF8String(p + j)
+        if (w != null) sb.append(w.toString)
+        j += 1
+      }
+      val h1 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(UTF8String.fromString(sb.toString), StringType, 42L)
+      val h2 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(1L, LongType, h1)
+      out(p) = InternalRow(h1, h2)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Positional word k-gram hashes (array&lt;struct&lt;h1,h2&gt;&gt;) of a
+    * token-array column — the first projection of the span/substring
+    * dedup family. */
+  case class WordGramHashes(child: Expression, k: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    require(k > 0, "k must be positive")
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(gramStruct, containsNull = false)
+    override def prettyName: String = "word_gram_hashes"
+
+    override def nullSafeEval(v: Any): Any =
+      wordGramHashesEval(v.asInstanceOf[ArrayData], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.wordGramHashesEval($a, $k);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): WordGramHashes =
+      copy(child = newChild)
+  }
+
   private val md5Local =
     new ThreadLocal[java.security.MessageDigest] {
       override def initialValue(): java.security.MessageDigest =

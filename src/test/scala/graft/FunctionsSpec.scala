@@ -64,6 +64,27 @@ class FunctionsSpec extends SparkSpec {
     both.unpersist()
   }
 
+  test("word_gram_hashes bit-identical to the two-seed xxhash64 HOF chain") {
+    val n = 8
+    val docs = Tables.df(spark, sfDir, "documents").limit(300).select(col("text"))
+      .union(Seq("", "a b c", ("w " * 7).trim, ("w " * 8).trim).toDF("text"))
+    val w = "split(trim(text), ' +')"
+    val hof = expr(
+      s"""transform(
+         |  CASE WHEN size($w) >= $n THEN
+         |    transform(sequence(1, size($w) - ${n - 1}),
+         |      i -> concat_ws(' ', slice($w, i, $n)))
+         |  ELSE array() END,
+         |  s -> struct(xxhash64(s) AS h1, xxhash64(s, CAST(1 AS BIGINT)) AS h2))"""
+        .stripMargin)
+    val diff = docs
+      .withColumn("native",
+        GraftFunctions.wordGramHashes(expr(w), n))
+      .withColumn("hof", hof)
+      .filter(expr("native != hof"))
+    assert(diff.count() == 0)
+  }
+
   test("md5_positions bit-identical to the conv(substring(md5)) chain") {
     val m = 2048L; val depth = 4
     val keys = Tables.df(spark, sfDir, "documents").limit(500)
