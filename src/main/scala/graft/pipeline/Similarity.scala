@@ -410,6 +410,33 @@ object Similarity {
     * refined, or cells mismatch and candidate quality degrades as ksub
     * grows. Default (cosine) is unchanged — it is what x27's oracle
     * replays. */
+  /** Elementwise-sum aggregator over fixed-length double vectors: the
+    * centroid recompute shuffles k·D partial sums with map-side combine
+    * instead of posexploding |corpus|·D (vec, dim) rows — the shape that
+    * survives 10⁹ vectors × 768 dims. Summation order differs from the
+    * exploded avg() only in fp association; the round(·, 6) the centroid
+    * contract already applies absorbs it (x27's oracle replays the same
+    * rounded values). */
+  final class VecSumAgg(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+    def zero: Array[Double] = new Array[Double](dim)
+    def reduce(buf: Array[Double], in: Seq[Double]): Array[Double] = {
+      var i = 0
+      while (i < dim) { buf(i) += in(i); i += 1 }
+      buf
+    }
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < dim) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Double]): Seq[Double] = buf.toSeq
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
   def kmeansRefine(corpus: DataFrame, k: Int, iters: Int,
       byL2: Boolean): DataFrame = {
     require(iters >= 1, "kmeansRefine needs at least one iteration")
@@ -425,6 +452,9 @@ object Similarity {
     val l2 = expr(
       """aggregate(zip_with(v, centv, (x, y) -> (x - y) * (x - y)),
         |  CAST(0 AS DOUBLE), (acc, d) -> acc + d)""".stripMargin)
+    val dim = corpus.select(size(col("embedding"))).first().getInt(0)
+    val vecSum = org.apache.spark.sql.functions.udaf(new VecSumAgg(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       val scored = e.crossJoin(broadcast(cent))
@@ -443,13 +473,10 @@ object Similarity {
               struct(round(col("csim"), 6), -col("cent_id"))).as("cent_id"),
             first(col("v")).as("v")))
       cent = assigned
-        .select(col("cent_id"), posexplode(col("v")))
-        .groupBy(col("cent_id"), col("pos"))
-        .agg(round(avg(col("col")), 6).as("c"))
         .groupBy("cent_id")
-        .agg(expr(
-          "transform(sort_array(collect_list(struct(pos, c))), x -> x.c)")
-          .as("centv"))
+        .agg(vecSum(col("v")).as("vsum"), count(lit(1)).as("n"))
+        .select(col("cent_id"),
+          expr("transform(vsum, x -> round(x / n, 6))").as("centv"))
     }
     val sizes = assigned.groupBy("cent_id")
       .agg(count(lit(1)).cast(LongType).as("n_members"))
