@@ -36,14 +36,16 @@ def main():
     # graft.Bench sections: top-level "queries" is the SPARK_GRAFT_SF_DIR
     # run (sf0.1 for the driver); "sf1"/"sf3" are nested sections.
     sections = {bench.get("sf", "sf0.1"): bench["queries"]}
-    for k in ("sf1", "sf3"):
+    for k in ("sf1", "sf3", "sf10"):
         if isinstance(bench.get(k), dict) and "queries" in bench[k]:
             sections[bench[k].get("dir", k)] = bench[k]["queries"]
 
-    # pair each bench section with the duck dir whose suffix matches
+    # pair each bench section with the duck dir by exact basename
+    # (substring matching confused testdata-sf1 with testdata-sf10)
     def duck_for(tag):
+        base = tag.rstrip("/").split("/")[-1]
         for d in duck:
-            if tag.split("/")[-1] in d or d.split("/")[-1] in tag:
+            if d.rstrip("/").split("/")[-1] == base:
                 return duck[d]
         return None
 
