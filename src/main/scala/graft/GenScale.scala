@@ -25,13 +25,24 @@ import graft.core.Tables
   */
 object GenScale {
 
-  /** key' = key + i * (max(key)+1). */
+  /** key' = key + i * (max(key)+1); time cols shift by i * span so copy
+    * i occupies its own slice of the time axis. Without the shift every
+    * copy shares identical timestamps, which makes event DENSITY per
+    * window grow with copies — a pure-time-range operator (rj1) then
+    * goes quadratic in copies, where a real N× event history spans more
+    * time at constant density (the thing the scale datapoint is supposed
+    * to measure). */
   private def offsetKeys(df: DataFrame, copies: Int, keyCols: Seq[String],
-      stride: Map[String, Long]): DataFrame = {
+      stride: Map[String, Long],
+      timeShift: Map[String, Long] = Map.empty): DataFrame = {
     val replicated = df.withColumn("_i",
       explode(lit((0 until copies).toArray)))
-    keyCols.foldLeft(replicated) { (d, k) =>
+    val keyed = keyCols.foldLeft(replicated) { (d, k) =>
       d.withColumn(k, col(k) + col("_i").cast("long") * lit(stride(k)))
+    }
+    timeShift.foldLeft(keyed) { case (d, (c, spanMicros)) =>
+      d.withColumn(c, timestamp_micros(
+        unix_micros(col(c)) + col("_i").cast("long") * lit(spanMicros)))
     }.drop("_i")
   }
 
@@ -81,8 +92,14 @@ object GenScale {
       "lineitem" -> offsetKeys(lineitem, copies,
         Seq("l_orderkey", "l_partkey", "l_suppkey"),
         Map("l_orderkey" -> ko, "l_partkey" -> kp, "l_suppkey" -> ks)),
-      "events" -> offsetKeys(events, copies, Seq("event_id", "user_id"),
-        Map("event_id" -> ke, "user_id" -> ku)),
+      "events" -> {
+        val span = events.agg(
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))) +
+            lit(3600L * 1000000L)).as("s")).head().getLong(0)
+        offsetKeys(events, copies, Seq("event_id", "user_id"),
+          Map("event_id" -> ke, "user_id" -> ku),
+          timeShift = Map("ts" -> span))
+      },
       "documents" -> offsetKeys(documents, copies, Seq("doc_id"),
         Map("doc_id" -> kd))
         .withColumn("text",
