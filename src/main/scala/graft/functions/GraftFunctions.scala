@@ -111,5 +111,28 @@ object GraftFunctions {
       es => CosineSimilarity(es(0), es(1)))
     spark.udf.register("histogram_map",
       org.apache.spark.sql.functions.udaf(new HistogramAgg))
+    // the text/sketch kernels, SQL-callable from workspace passthrough
+    // SQL and PG-wire (size/seed arguments must be integer literals —
+    // they parameterize the generated code, not the row values)
+    Shim.registerFunction(spark, "word_shingles",
+      es => WordShingles(es(0), intArg(es(1), "word_shingles")))
+    Shim.registerFunction(spark, "minhash_sig",
+      es => MinHashSig(es(0), intArg(es(1), "minhash_sig")))
+    Shim.registerFunction(spark, "minhash_band_sigs",
+      es => MinHashBandSigs(es(0), intArg(es(1), "minhash_band_sigs")))
+    Shim.registerFunction(spark, "word_gram_hashes",
+      es => WordGramHashes(es(0), intArg(es(1), "word_gram_hashes")))
+    Shim.registerFunction(spark, "md5_positions",
+      es => Md5Positions(es(0), intArg(es(1), "md5_positions").toLong,
+        intArg(es(2), "md5_positions")))
+  }
+
+  private def intArg(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer parameter, got: $other")
   }
 }

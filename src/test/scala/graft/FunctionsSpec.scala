@@ -64,6 +64,28 @@ class FunctionsSpec extends SparkSpec {
     both.unpersist()
   }
 
+  test("text/sketch kernels callable from passthrough SQL") {
+    GraftFunctions.register(spark)
+    Seq("a b c d", "x y").toDF("t").createOrReplaceTempView("ws_sql_test")
+    val r = spark.sql(
+      """SELECT t, word_shingles(t, 3) AS sh,
+        |  minhash_band_sigs(minhash_sig(word_shingles(t, 3), 8), 4) AS bands,
+        |  md5_positions(t, 1024, 4) AS pos,
+        |  size(word_gram_hashes(word_shingles(t, 1), 2)) AS n_grams
+        |FROM ws_sql_test ORDER BY t""".stripMargin).collect()
+    assert(r.length == 2)
+    assert(r(0).getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(r(0).getSeq[Long](2).length == 4)
+    assert(r(0).getSeq[Int](3).forall(p => p >= 0 && p < 1024))
+    assert(r(1).getSeq[String](1).isEmpty) // "x y" has no 3-shingle
+    // non-literal size parameter is rejected, not silently miscompiled
+    val err = intercept[Exception] {
+      spark.sql("SELECT word_shingles(t, CAST(length(t) AS INT)) FROM ws_sql_test")
+        .collect()
+    }
+    assert(err.getMessage.contains("literal integer"))
+  }
+
   test("word_gram_hashes bit-identical to the two-seed xxhash64 HOF chain") {
     val n = 8
     val docs = Tables.df(spark, sfDir, "documents").limit(300).select(col("text"))

@@ -204,6 +204,31 @@ class ScaleSpec extends SparkSpec {
     assert(scannedRoots(range) == 2)
   }
 
+  test("bucketed segment writes carry parquet blooms (saveAsTable path)") {
+    import graft.core.{Manifest, SegmentStats}
+    import org.apache.spark.sql.types.LongType
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-bloom-bkt")))
+    val df = spark.range(0L, 500L).toDF("id")
+      .withColumn("v", concat(lit("n"), col("id")))
+    store.createTable("p", "b", "t", df.schema, primaryKey = Seq("id"))
+    store.upsert("p", "b", "t", df, Seq("id"), numBuckets = 4)
+    val m = Manifest.readFrom(store.catalog.versionDir(
+      store.catalog.getTable("p", "b", "t").get)).get
+    assert(m.isBucketed)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // a present id passes its own bucket leaf's bloom; an absent id in
+    // range is rejected by EVERY leaf (bucketBy writes went through
+    // newHadoopConfWithOptions, so the writer options reached parquet)
+    val present = m.entries.count(e => SegmentStats.bloomMightContain(
+      store.catalog.root.resolve(e.path), "id", "123", LongType, conf))
+    assert(present >= 1)
+    val absent = m.entries.count(e => SegmentStats.bloomMightContain(
+      store.catalog.root.resolve(e.path), "id", "10123", LongType, conf))
+    assert(absent == 0,
+      s"$absent bucket leaves claim an id the table never held")
+  }
+
   test("PK-equality reads on a bucketed table plan one hash bucket") {
     import graft.core.{Manifest, SegmentStats}
     import org.apache.spark.sql.types.{LongType, StringType}
