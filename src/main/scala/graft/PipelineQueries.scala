@@ -295,6 +295,45 @@ object PipelineQueries {
     // fold the projection left-to-right in double (Spark aggregate() ==
     // DuckDB list_reduce), so signatures — and therefore buckets and the
     // bucketed result — reproduce bit-exactly in the twin.
+    // x45 — hard-negative mining: top-k similar-but-not-duplicate corpus
+    // vectors per query, the contrastive-training companion of x6 (same
+    // engine-neutral md5 LSH buckets; near-dup band excluded BEFORE
+    // ranking — the test corpus plants pairs at sim ≈ 0.4, so the 0.4
+    // threshold demonstrably cuts them)
+    Q("x45_hard_negatives",
+      (s, dir) => {
+        val e = Tables.df(s, dir, "embeddings")
+        Similarity.hardNegatives(
+            e.filter(col("vec_id") < 50), e.filter(col("vec_id") >= 50), 5,
+            planes = 4, dupThreshold = 0.4)
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |sig AS (
+             |  SELECT vec_id, v, list_aggregate(
+             |    list_transform(range(0, 4), p ->
+             |      CASE WHEN list_reduce(
+             |        list_prepend(0.0, list_transform(range(0, 64), d ->
+             |          v[d + 1] * (CASE WHEN (strpos('0123456789abcdef',
+             |            substring(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1)) - 1)
+             |            % 2 = 1 THEN 1.0 ELSE -1.0 END))),
+             |        (acc, x) -> acc + x) >= 0
+             |      THEN '1' ELSE '0' END),
+             |    'string_agg', '') AS sig
+             |  FROM e),
+             |q AS (SELECT vec_id AS q_id, v AS qv, sig FROM sig WHERE vec_id < 50),
+             |c AS (SELECT vec_id AS c_id, v AS cv, sig FROM sig WHERE vec_id >= 50),
+             |s AS (SELECT q_id, c_id,
+             |        list_inner_product(qv, cv) /
+             |        (sqrt(list_inner_product(qv, qv)) *
+             |         sqrt(list_inner_product(cv, cv))) AS sim
+             |      FROM q JOIN c USING (sig)
+             |      WHERE round(sim, 6) < 0.4),
+             |r AS (SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id
+             |        ORDER BY round(sim, 6) DESC, c_id) AS rank FROM s)
+             |SELECT q_id, c_id, rank, ROUND(sim + 1e-9, 4) AS cosine_sim
+             |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
     Q("x6_ann_lsh",
       (s, dir) => {
         val e = Tables.df(s, dir, "embeddings")

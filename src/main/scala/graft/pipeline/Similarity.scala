@@ -82,6 +82,33 @@ object Similarity {
         round(col("sim") + lit(1e-9), 4).as("cosine_sim"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * k MOST similar same-bucket corpus vectors that are NOT
+    * near-duplicates (round(sim, 6) < dupThreshold) — they rank directly
+    * below the duplicate band, which is what makes them "hard". The
+    * exclusion applies BEFORE ranking, so a query whose nearest
+    * neighbors are all duplicates still yields k negatives instead of
+    * an empty set. Candidate generation is [[annTopK]]'s LSH bucket
+    * equi-join (md5 hyperplane signature — engine-neutral, so a DuckDB
+    * twin replays the buckets bit-exactly); at 100 TB the corpus is
+    * written bucket-partitioned and each probe is partition-pruned IO,
+    * exactly as annTopK documents. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+      planes: Int = 8, dupThreshold: Double = 0.95): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+      hyperplaneSig("embedding", planes).as("sig"))
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      hyperplaneSig("embedding", planes).as("sig"))
+    val scored = q.join(c, "sig").withColumn("sim", cosine("qv", "cv"))
+      .filter(round(col("sim"), 6) < dupThreshold)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("sim"), 6).desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank").cast(LongType).as("rank"),
+        round(col("sim") + lit(1e-9), 4).as("cosine_sim"))
+  }
+
   /** IVF-style ANN: corpus vectors are assigned to their nearest centroid
     * (the "inverted file" partitioning); a query probes only its nprobe
     * nearest centroids' buckets. Centroids are any deterministic sample of

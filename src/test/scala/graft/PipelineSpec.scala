@@ -309,6 +309,29 @@ class PipelineSpec extends SparkSpec {
         floor(col("start_offset") / 512) > 1).count() == 0)
   }
 
+  test("hardNegatives: dup band excluded before ranking; == annTopK above it") {
+    val e = Tables.df(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 50)
+    val c = e.filter(col("vec_id") >= 50)
+    val hard = pipeline.Similarity.hardNegatives(q, c, 5,
+      planes = 4, dupThreshold = 0.4).cache()
+    // nothing at/above the dup threshold survives (1e-9 display margin)
+    assert(hard.filter(col("cosine_sim") >= 0.4 + 1e-6).count() == 0)
+    // ranks are contiguous from 1 per query
+    val badRanks = hard.groupBy("q_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1L)
+    assert(badRanks.count() == 0)
+    // with the threshold above any possible sim it IS annTopK
+    val all = pipeline.Similarity.hardNegatives(q, c, 5,
+        planes = 4, dupThreshold = 2.0)
+      .orderBy("q_id", "rank").collect().toSeq
+    val ann = pipeline.Similarity.annTopK(q, c, 5, planes = 4)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(all == ann)
+    hard.unpersist()
+  }
+
   test("connectedComponents: transitivity through chains, singletons kept") {
     // chain 1-2, 2-3, 3-4 (1 and 4 never directly paired) + isolated 9
     val docs = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
