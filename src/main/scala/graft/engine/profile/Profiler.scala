@@ -143,13 +143,20 @@ object Profiler {
   }
 
   /** Count of values fully matching each pattern, one output row per
-    * pattern (single scan; all counts in one agg). */
+    * pattern (single scan; all counts in one agg). Classification is the
+    * fused PatternBits byte-scan kernel — one codegen'd pass per value
+    * yields all 7 verdicts as a bitmask; the previous guard + rlike
+    * fan-out ran up to 7 java.util.regex automata per value (the guards
+    * above remain documentation of the structural facts the kernel
+    * exploits). Bit i of the mask = Patterns(i) matches. */
   def patternCounts(df: DataFrame, c: String): DataFrame = {
-    val aggs = Patterns.map { case (name, re) =>
-      sum(when(patternGuard(name, col(c)) && col(c).rlike(re), 1L)
+    val pb = df.select(
+      graft.functions.GraftFunctions.patternBits(col(c)).as("pb"))
+    val aggs = Patterns.zipWithIndex.map { case ((name, _), i) =>
+      sum(when(col("pb").bitwiseAND(lit(1 << i)) =!= 0, 1L)
         .otherwise(0L)).cast(LongType).as(s"m_$name")
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val wide = pb.agg(aggs.head, aggs.tail: _*)
     Patterns.map { case (name, _) =>
       wide.select(lit(name).as("pattern_name"), col(s"m_$name").as("match_count"))
     }.reduce(_ unionByName _)

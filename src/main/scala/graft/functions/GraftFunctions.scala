@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.graftshim.{GraftExpressions, Shim}
-import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, ExactPercentiles, HashedDistinctCount, HyperplaneSigPacked, Md5Positions, MinHashBandSigs, MinHashSig, PqAdcSum, PqAdcTable, PqEncode, RegexpFullMatch, WordGramHashes, WordShingles}
+import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, ExactPercentiles, HashedDistinctCount, HyperplaneSigPacked, Md5Positions, MinHashBandSigs, MinHashSig, PqAdcSum, PqAdcTable, PqEncode, RegexpFullMatch, RollingHash, WordGramHashes, WordShingles}
 
 /** Column/SQL-facing surface of the native expressions (implementations in
   * org.apache.spark.sql.graftshim.GraftExpressions — see SURVEY.md §2.9). */
@@ -20,6 +20,19 @@ object GraftFunctions {
 
   def regexpFullMatch(s: Column, re: Column): Column =
     Shim.column(RegexpFullMatch(Shim.expression(s), Shim.expression(re)))
+
+  /** Bitmask of the 7 profiler structural patterns a string value matches
+    * (bit order = Profiler.Patterns order) — one codegen'd byte-scan per
+    * value instead of up to 7 regex automata (parity test in
+    * FunctionsSpec). */
+  def patternBits(s: Column): Column =
+    Shim.column(GraftExpressions.PatternBits(Shim.expression(s)))
+
+  /** Rabin-Karp rolling polynomial hash of a text column (one codegen'd
+    * UTF-8 pass; bit-identical to the aggregate/transform/split HOF chain
+    * it replaces — parity test in FunctionsSpec). */
+  def rollingHash(text: Column): Column =
+    Shim.column(RollingHash(Shim.expression(text)))
 
   /** K-wide MinHash signature of a shingle-string-array column, one
     * codegen'd pass (bit-identical to the HOF xxhash64 chain it
@@ -38,19 +51,17 @@ object GraftFunctions {
   def wordShingles(text: Column, n: Int): Column =
     Shim.column(WordShingles(Shim.expression(text), n))
 
-  private def booksArray(books: Seq[Seq[Seq[Double]]]): Array[Array[Array[Double]]] =
-    books.map(_.map(_.toArray).toArray).toArray
-
   /** Positional PQ codes of a normalized double-vector column under
     * frozen codebooks (argmin L2 at 6 decimals, ties to lower position —
     * bit-identical to Similarity.pqEncodeExpr; parity test in
-    * FunctionsSpec). */
+    * FunctionsSpec). Codebooks stay Seq-typed into the expression so two
+    * identical pq_encode calls are semantically equal (CSE-able). */
   def pqEncode(cv: Column, books: Seq[Seq[Seq[Double]]]): Column =
-    Shim.column(PqEncode(Shim.expression(cv), booksArray(books)))
+    Shim.column(PqEncode(Shim.expression(cv), books))
 
   /** Per-query ADC lookup table (array&lt;array&lt;double&gt;&gt;). */
   def pqAdcTable(qv: Column, books: Seq[Seq[Seq[Double]]]): Column =
-    Shim.column(PqAdcTable(Shim.expression(qv), booksArray(books)))
+    Shim.column(PqAdcTable(Shim.expression(qv), books))
 
   /** ADC distance of a coded row: Σ_s adc[s][codes[s]]. */
   def pqAdcSum(codes: Column, adc: Column): Column =
@@ -114,6 +125,8 @@ object GraftFunctions {
     // the text/sketch kernels, SQL-callable from workspace passthrough
     // SQL and PG-wire (size/seed arguments must be integer literals —
     // they parameterize the generated code, not the row values)
+    Shim.registerFunction(spark, "rolling_hash",
+      es => RollingHash(es(0)))
     Shim.registerFunction(spark, "word_shingles",
       es => WordShingles(es(0), intArg(es(1), "word_shingles")))
     Shim.registerFunction(spark, "minhash_sig",

@@ -1,0 +1,32 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+
+/** Deferred cache release for query-shaped lazy pipeline APIs.
+  *
+  * A function that returns a lazy DataFrame has no hook to unpersist its
+  * intermediate caches after the CALLER executes the plan: unpersisting
+  * before returning would defeat the cache, and eagerly materializing the
+  * output instead would block-manager-pin a possibly corpus-sized result —
+  * worse at scale. So each pipeline call REGISTERS its caches here and
+  * releases the previous call's: a long-lived session (HTTP/PG-wire
+  * workspace, notebook) holds at most one call's caches instead of
+  * accumulating executor storage forever.
+  *
+  * If a caller interleaves (executes call N's plan after constructing
+  * call N+1), the released cache recomputes — slower, never wrong.
+  */
+private[pipeline] object CacheRelease {
+
+  private val pending =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Release every cache registered by PRIOR calls, register `inputs`
+    * as this call's caches, and pass `out` through unchanged. */
+  def finalized(out: DataFrame, inputs: DataFrame*): DataFrame = {
+    var prior = pending.poll()
+    while (prior != null) { prior.unpersist(); prior = pending.poll() }
+    inputs.foreach(pending.add)
+    out
+  }
+}

@@ -126,18 +126,15 @@ object TextAnalysis {
   def redactionCount(redacted: Column): Column =
     (length(redacted) - length(regexp_replace(redacted, "<", ""))).cast(LongType)
 
-  /** Rolling polynomial hash (base-31 mod 2^31-1 over characters) — the
-    * classic Rabin-Karp document fingerprint, as a codegen-friendly
-    * higher-order-function expression (no UDF). Mod chosen so
-    * h*31+b < 2^36 never overflows a long. Takes a column name. */
-  def rollingHash(colName: String): Column = {
-    val mod = 2147483647L // 2^31-1
-    expr(
-      s"""aggregate(
-         |  transform(split($colName, ''), ch -> ascii(ch)),
-         |  CAST(0 AS BIGINT),
-         |  (h, b) -> pmod(h * 31 + b, ${mod}L))""".stripMargin)
-  }
+  /** Rolling polynomial hash (base-31 mod 2^31-1 over code points) — the
+    * classic Rabin-Karp document fingerprint, as the native codegen'd
+    * RollingHash kernel: one in-place pass over the UTF8String's bytes.
+    * The HOF formulation this replaces
+    * (aggregate(transform(split(text,''), ascii), ...)) evaluated
+    * interpreted with a per-character boxed closure AND materialized a
+    * char array per row — parity pin in FunctionsSpec. */
+  def rollingHash(colName: String): Column =
+    graft.functions.GraftFunctions.rollingHash(col(colName))
 
   /** Gopher-style repetition-rule thresholds (Rae et al. 2021 §A1.1
     * shape: word-count window, duplicate-content caps, word-length
@@ -504,11 +501,12 @@ object TextAnalysis {
         round(log((col("ct") + lit(1d)) / (col("t_tot") + lit(buckets.toDouble))) -
               log((col("cr") + lit(1d)) / (col("r_tot") + lit(buckets.toDouble))), 6)
           .cast(DecimalType(18, 6)).as("lr"))
-    tf.filter(!col("is_target"))
+    val out = tf.filter(!col("is_target"))
       .join(broadcast(logRatio), "bucket")
       .groupBy("doc_id")
       .agg(sum(col("tf")).cast(LongType).as("n_tokens"),
         sum(col("tf") * col("lr")).cast(DoubleType).as("score"))
+    CacheRelease.finalized(out, tf)
   }
 
   /** Importance RESAMPLING over [[dsirScores]]: Gumbel-top-k — adding

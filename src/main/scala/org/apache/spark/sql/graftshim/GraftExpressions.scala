@@ -378,6 +378,273 @@ object GraftExpressions {
       copy(left = l, right = r)
   }
 
+  // ---- profiler pattern classifier (A9) ----------------------------------
+
+  /** The profiler's 7 structural patterns, bit positions fixed:
+    * 0 email, 1 uuid, 2 url, 3 phone, 4 ipv4, 5 date_iso, 6 datetime_iso.
+    * Compiled fallbacks replicate rlike (Java find()) semantics for the
+    * rare string containing a line terminator, where hand-scan and
+    * anchored-regex semantics could diverge. */
+  private val patternFallback: Array[java.util.regex.Pattern] = Array(
+    "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$",
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+    "^https?://[A-Za-z0-9.-]+(/[^ ]*)?$",
+    "^[+]?[0-9][0-9 ()-]{6,}$",
+    "^([0-9]{1,3}[.]){3}[0-9]{1,3}$",
+    "^[0-9]{4}-[0-9]{2}-[0-9]{2}$",
+    "^[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}(:[0-9]{2})?$"
+  ).map(java.util.regex.Pattern.compile)
+
+  @inline private def isDigit(b: Int): Boolean = b >= '0' && b <= '9'
+  @inline private def isAlpha(b: Int): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+  @inline private def isHex(b: Int): Boolean =
+    isDigit(b) || (b >= 'a' && b <= 'f') || (b >= 'A' && b <= 'F')
+  @inline private def isAlnum(b: Int): Boolean = isDigit(b) || isAlpha(b)
+
+  private def emailMatch(s: UTF8String, n: Int): Boolean = {
+    // one '@' (no pattern class admits it); local [A-Za-z0-9._%+-]+;
+    // domain [A-Za-z0-9.-]+ '.' [A-Za-z]{2,} — the regex's backtracking
+    // split can only succeed at the LAST dot (anything after the chosen
+    // dot must be pure alpha, which excludes later dots)
+    var at = -1
+    var i = 0
+    while (i < n) {
+      if (s.getByte(i) == '@') { if (at >= 0) return false; at = i }
+      i += 1
+    }
+    if (at <= 0 || at >= n - 1) return false
+    i = 0
+    while (i < at) {
+      val b = s.getByte(i) & 0xFF
+      if (!(isAlnum(b) || b == '.' || b == '_' || b == '%' || b == '+' || b == '-'))
+        return false
+      i += 1
+    }
+    var lastDot = -1
+    i = at + 1
+    while (i < n) {
+      val b = s.getByte(i) & 0xFF
+      if (!(isAlnum(b) || b == '.' || b == '-')) return false
+      if (b == '.') lastDot = i
+      i += 1
+    }
+    if (lastDot <= at + 1 || n - lastDot - 1 < 2) return false
+    i = lastDot + 1
+    while (i < n) { if (!isAlpha(s.getByte(i) & 0xFF)) return false; i += 1 }
+    true
+  }
+
+  private def uuidMatch(s: UTF8String, n: Int): Boolean = {
+    if (n != 36) return false
+    var i = 0
+    while (i < 36) {
+      val b = s.getByte(i) & 0xFF
+      val dash = i == 8 || i == 13 || i == 18 || i == 23
+      if (dash) { if (b != '-') return false }
+      else if (!isHex(b)) return false
+      i += 1
+    }
+    true
+  }
+
+  private def urlMatch(s: UTF8String, n: Int): Boolean = {
+    // https?:// host[A-Za-z0-9.-]+ (('/' [^ ]*)?)
+    if (n < 8 || s.getByte(0) != 'h' || s.getByte(1) != 't' ||
+      s.getByte(2) != 't' || s.getByte(3) != 'p') return false
+    var p = 4
+    if (s.getByte(4) == 's') p = 5
+    if (p + 3 > n || s.getByte(p) != ':' || s.getByte(p + 1) != '/' ||
+      s.getByte(p + 2) != '/') return false
+    var i = p + 3
+    val h0 = i
+    while (i < n && {
+      val b = s.getByte(i) & 0xFF; isAlnum(b) || b == '.' || b == '-'
+    }) i += 1
+    if (i == h0) return false
+    if (i == n) return true
+    if (s.getByte(i) != '/') return false
+    i += 1
+    while (i < n) { if (s.getByte(i) == ' ') return false; i += 1 }
+    true
+  }
+
+  private def phoneMatch(s: UTF8String, n: Int): Boolean = {
+    var i = 0
+    if (n > 0 && s.getByte(0) == '+') i = 1
+    if (i >= n || !isDigit(s.getByte(i) & 0xFF)) return false
+    if (n - i - 1 < 6) return false
+    i += 1
+    while (i < n) {
+      val b = s.getByte(i) & 0xFF
+      if (!(isDigit(b) || b == ' ' || b == '(' || b == ')' || b == '-'))
+        return false
+      i += 1
+    }
+    true
+  }
+
+  private def ipv4Match(s: UTF8String, n: Int): Boolean = {
+    var i = 0
+    var g = 0
+    while (g < 4) {
+      var d = 0
+      while (i < n && isDigit(s.getByte(i) & 0xFF) && d < 3) { d += 1; i += 1 }
+      if (d == 0) return false
+      if (g < 3) {
+        if (i >= n || s.getByte(i) != '.') return false
+        i += 1
+      }
+      g += 1
+    }
+    i == n
+  }
+
+  private def dateIsoMatch(s: UTF8String, n: Int): Boolean = {
+    if (n != 10) return false
+    var i = 0
+    while (i < 10) {
+      val b = s.getByte(i) & 0xFF
+      if (i == 4 || i == 7) { if (b != '-') return false }
+      else if (!isDigit(b)) return false
+      i += 1
+    }
+    true
+  }
+
+  private def datetimeIsoMatch(s: UTF8String, n: Int): Boolean = {
+    if (n != 16 && n != 19) return false
+    if (!dateIsoMatch(s, 10)) return false // scans exactly the first 10 bytes
+    val sep = s.getByte(10)
+    if (sep != 'T' && sep != ' ') return false
+    if (!isDigit(s.getByte(11) & 0xFF) || !isDigit(s.getByte(12) & 0xFF) ||
+      s.getByte(13) != ':' ||
+      !isDigit(s.getByte(14) & 0xFF) || !isDigit(s.getByte(15) & 0xFF))
+      return false
+    if (n == 16) return true
+    s.getByte(16) == ':' &&
+      isDigit(s.getByte(17) & 0xFF) && isDigit(s.getByte(18) & 0xFF)
+  }
+
+  /** Static kernel: which of the 7 profiler patterns a value matches, as
+    * a bitmask — ONE pass of cheap byte-scans instead of up to 7
+    * java.util.regex automata per value. Each validator is a hand
+    * derivation of its anchored regex (byte-wise is exact: every pattern
+    * class is ASCII-only, and multi-byte UTF-8 units are all >= 0x80, so
+    * they fail the class tests just as the regex would; the URL tail's
+    * [^ ]* excludes only 0x20, which never occurs inside a multi-byte
+    * char). Strings containing a line terminator fall back to the
+    * compiled regexes, where Java's find()/'$' before-final-newline
+    * semantics could diverge from the scan. */
+  def patternBits(s: UTF8String): Int = {
+    val n = s.numBytes()
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b == '\n' || b == '\r') {
+        val str = s.toString
+        var bits = 0
+        var p = 0
+        while (p < 7) {
+          if (patternFallback(p).matcher(str).find()) bits |= 1 << p
+          p += 1
+        }
+        return bits
+      }
+      i += 1
+    }
+    var bits = 0
+    if (emailMatch(s, n)) bits |= 1
+    if (uuidMatch(s, n)) bits |= 2
+    if (urlMatch(s, n)) bits |= 4
+    if (phoneMatch(s, n)) bits |= 8
+    if (ipv4Match(s, n)) bits |= 16
+    if (dateIsoMatch(s, n)) bits |= 32
+    if (datetimeIsoMatch(s, n)) bits |= 64
+    bits
+  }
+
+  /** Fused profiler pattern classifier (A9): bitmask of the 7 structural
+    * patterns (bit order = Profiler.Patterns order). Replaces the
+    * guard + rlike fan-out, whose worst case ran 7 regex automata per
+    * value (reference anchors via regexp_full_match,
+    * src/database.py:5439-5472). Parity pin vs the rlike formulation in
+    * FunctionsSpec. */
+  case class PatternBits(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "pattern_bits"
+
+    override def nullSafeEval(s: Any): Any =
+      java.lang.Integer.valueOf(patternBits(s.asInstanceOf[UTF8String]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.patternBits($s);"
+      })
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Static kernel: Rabin-Karp rolling polynomial hash over a string's
+    * Unicode code points — h = (h*31 + cp) mod (2^31-1), folded
+    * left-to-right from 0. Decodes UTF-8 in place off the UTF8String's
+    * bytes: no split() array, no per-character boxed closure. 31*(2^31-1)
+    * + 0x10FFFF < 2^36, so the accumulator never overflows a long. */
+  def rollingHashCp(s: UTF8String): Long = {
+    val n = s.numBytes()
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      val b0 = s.getByte(i) & 0xFF
+      var cp = b0
+      var len = 1
+      if (b0 >= 0x80) {
+        if ((b0 & 0xE0) == 0xC0) {
+          cp = ((b0 & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F); len = 2
+        } else if ((b0 & 0xF0) == 0xE0) {
+          cp = ((b0 & 0x0F) << 12) | ((s.getByte(i + 1) & 0x3F) << 6) |
+            (s.getByte(i + 2) & 0x3F); len = 3
+        } else {
+          cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3F) << 12) |
+            ((s.getByte(i + 2) & 0x3F) << 6) | (s.getByte(i + 3) & 0x3F); len = 4
+        }
+      }
+      h = (h * 31L + cp) % 2147483647L
+      i += len
+    }
+    h
+  }
+
+  /** Rolling polynomial document fingerprint (§2 x11). Bit-identical for
+    * BMP text to the interpreted HOF chain it replaces —
+    * {{{ aggregate(transform(split(text, ''), ch -> ascii(ch)), 0L,
+    *     (h, b) -> pmod(h * 31 + b, 2147483647L)) }}}
+    * — and to the DuckDB list_reduce/ord oracle twin (both fold true code
+    * points; the HOF chain folds UTF-16 units for astral chars, where the
+    * kernel matches the oracle, not the HOF). Parity pin in FunctionsSpec. */
+  case class RollingHash(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "rolling_hash"
+
+    override def nullSafeEval(s: Any): Any =
+      java.lang.Long.valueOf(rollingHashCp(s.asInstanceOf[UTF8String]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.rollingHashCp($s);"
+      })
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** Static kernel: the whole k-wide MinHash signature of a shingle-string
     * array in ONE pass, no intermediate arrays. Bit-identical to the SQL
     * formulation it replaces —
@@ -393,10 +660,12 @@ object GraftExpressions {
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val n = sh.numElements()
+    var found = false
     var j = 0
     while (j < n) {
       val s = sh.getUTF8String(j)
       if (s != null) {
+        found = true
         val h0 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
           .hash(s, StringType, 42L)
         val s1 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
@@ -411,15 +680,18 @@ object GraftExpressions {
       }
       j += 1
     }
-    new GenericArrayData(mins)
+    if (!found) null else new GenericArrayData(mins)
   }
 
   /** K-wide MinHash signature (array&lt;bigint&gt;) of a shingle-set
     * column. Fully codegen'd — the HOF formulation it replaces is the
     * single hottest projection of the dedup family (x3/x33 compute it
-    * over every document). An empty/all-null input yields a signature of
-    * Long.MaxValue sentinels; callers filter size(sh) > 0 first (same
-    * contract as the SQL chain, whose array_min would yield nulls). */
+    * over every document). An empty/all-null shingle set has NO
+    * signature and yields SQL NULL (the HOF chain yields an array of k
+    * nulls there — also "no signature", but an untyped shape that would
+    * poison downstream banding; the graft pipelines filter
+    * size(sh) > 0 before signing either way, so only direct SQL callers
+    * observe this case). */
   case class MinHashSig(child: Expression, k: Int)
       extends UnaryExpression with ExpectsInputTypes {
 
@@ -434,7 +706,9 @@ object GraftExpressions {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, a => {
         val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
-        s"${ev.value} = $cls.minHashSigEval($a, $k);"
+        // the kernel returns null for an empty/all-null shingle set
+        s"""${ev.value} = $cls.minHashSigEval($a, $k);
+           |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin
       })
 
     override protected def withNewChildInternal(newChild: Expression): MinHashSig =
@@ -541,21 +815,28 @@ object GraftExpressions {
   }
 
   /** Positional PQ codes (array&lt;int&gt;) of a normalized double-vector
-    * column under frozen codebooks (bound as a plan constant). */
-  case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
+    * column under frozen codebooks (bound as a plan constant). Codebooks
+    * are held as Seq so case-class equality is STRUCTURAL — nested
+    * arrays compare by reference, which broke semanticEquals/common-
+    * subexpression elimination between two identical pq_encode calls;
+    * the eval-side array view is derived once, lazily. */
+  case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
       extends UnaryExpression with ExpectsInputTypes {
+
+    @transient private lazy val booksArr: Array[Array[Array[Double]]] =
+      books.map(_.map(_.toArray).toArray).toArray
 
     override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "pq_encode"
 
     override def nullSafeEval(v: Any): Any =
-      pqEncodeEval(v.asInstanceOf[ArrayData], books)
+      pqEncodeEval(v.asInstanceOf[ArrayData], booksArr)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, a => {
         val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
-        val ref = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+        val ref = ctx.addReferenceObj("pqBooks", booksArr, "double[][][]")
         s"${ev.value} = $cls.pqEncodeEval($a, $ref);"
       })
 
@@ -596,9 +877,12 @@ object GraftExpressions {
   }
 
   /** Per-query ADC table (array&lt;array&lt;double&gt;&gt;) under frozen
-    * codebooks. */
-  case class PqAdcTable(child: Expression, books: Array[Array[Array[Double]]])
+    * codebooks (Seq-held for structural equality — see [[PqEncode]]). */
+  case class PqAdcTable(child: Expression, books: Seq[Seq[Seq[Double]]])
       extends UnaryExpression with ExpectsInputTypes {
+
+    @transient private lazy val booksArr: Array[Array[Array[Double]]] =
+      books.map(_.map(_.toArray).toArray).toArray
 
     override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
     override def dataType: DataType =
@@ -606,12 +890,12 @@ object GraftExpressions {
     override def prettyName: String = "pq_adc_table"
 
     override def nullSafeEval(v: Any): Any =
-      pqAdcTableEval(v.asInstanceOf[ArrayData], books)
+      pqAdcTableEval(v.asInstanceOf[ArrayData], booksArr)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, a => {
         val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
-        val ref = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+        val ref = ctx.addReferenceObj("pqBooks", booksArr, "double[][][]")
         s"${ev.value} = $cls.pqAdcTableEval($a, $ref);"
       })
 

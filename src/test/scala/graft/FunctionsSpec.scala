@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.engine.profile.Profiler
 import graft.functions.GraftFunctions
 
 class FunctionsSpec extends SparkSpec {
@@ -43,6 +44,64 @@ class FunctionsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("pattern_bits matches the anchored-rlike formulation per pattern") {
+    // adversarial edge-cases for each hand-scan validator, then bulk data
+    val edges = Seq(
+      "user@example.com", "u.ser+x%y@sub.domain-x.co", "a@b.c", "a@b.cc",
+      "@x.com", "a@", "a@@b.com", "a@b.", "a@.com", "a@b.c0m", "a@b-.cc",
+      "123e4567-e89b-12d3-a456-426614174000",
+      "123E4567-E89B-12D3-A456-426614174000",
+      "123e4567-e89b-12d3-a456-42661417400g",
+      "123e4567e89b-12d3-a456-4266141740000",
+      "http://x.com", "https://x.com/", "https://a-b.c/d/e?q=1",
+      "http://", "https:/x.com", "http://x.com/a b", "ftp://x.com",
+      "httpss://x.com", "http://host/tail\twith\ttabs",
+      "+1 (555) 123-4567", "5551234", "555123", "+5551234", "++5551234",
+      "555123a", "+", "1------", "1 2 3 4",
+      "10.0.0.1", "255.255.255.255", "1.2.3", "1.2.3.4.5", "1234.1.1.1",
+      "1.2.3.4567", "01.02.003.004", ".1.2.3", "1..2.3",
+      "2024-01-31", "2024-1-31", "20240131", "2024-01-3a",
+      "2024-01-31T12:34", "2024-01-31 12:34:56", "2024-01-31T12:34:5",
+      "2024-01-31x12:34", "2024-01-31T12-34", "2024-01-31T12:34:567",
+      "", " ", "a", "line\nbreak", "2024-01-31\n", "http://x.com/\npath")
+    val docs = Tables.df(spark, sfDir, "documents").limit(200)
+      .select(col("text")).union(edges.toDF("text"))
+    val rlikeBits = Profiler.Patterns.zipWithIndex
+      .map { case ((_, re), i) =>
+        when(col("text").rlike(re), 1 << i).otherwise(0)
+      }.reduce(_ + _)
+    val diff = docs
+      .withColumn("native", GraftFunctions.patternBits(col("text")))
+      .withColumn("viaRlike", rlikeBits)
+      .filter(expr("native != viaRlike"))
+    assert(diff.count() == 0)
+  }
+
+  test("rolling_hash bit-identical to the HOF aggregate/split chain") {
+    val docs = Tables.df(spark, sfDir, "documents").limit(300)
+      .select(col("text"))
+      .union(Seq("", "a", "abc", "  spaced  out  ", "punct!?;:",
+        "0123456789" * 40).toDF("text"))
+    val hof = expr(
+      """aggregate(
+        |  transform(split(text, ''), ch -> ascii(ch)),
+        |  CAST(0 AS BIGINT),
+        |  (h, b) -> pmod(h * 31 + b, 2147483647L))""".stripMargin)
+    val diff = docs
+      .withColumn("native", GraftFunctions.rollingHash(col("text")))
+      .withColumn("hof", hof)
+      .filter(expr("native != hof"))
+    assert(diff.count() == 0)
+    // null in, null out; SQL-registered name resolves
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT rolling_hash('abc') AS h, rolling_hash(CAST(NULL AS STRING)) AS n")
+      .collect()(0)
+    // ((0*31+97)*31+98)*31+99 mod (2^31-1)
+    assert(r.getLong(0) == ((97L * 31 + 98) * 31 + 99) % 2147483647L)
+    assert(r.isNullAt(1))
+  }
+
   test("minhash_sig + band sigs bit-identical to the HOF xxhash64 chain") {
     val k = 64; val bands = 16; val r = k / bands
     val docs = Tables.df(spark, sfDir, "documents").limit(200)
@@ -62,6 +121,11 @@ class FunctionsSpec extends SparkSpec {
     assert(both.filter(expr("native != hof")).count() == 0)
     assert(both.filter(expr("nativeBands != hofBands")).count() == 0)
     both.unpersist()
+    // an empty/all-null shingle set has no signature: SQL NULL
+    val empty = Seq(Seq.empty[String]).toDF("sh")
+      .select(GraftFunctions.minHashSig(col("sh"), k).as("sig"))
+      .collect()(0)
+    assert(empty.isNullAt(0))
   }
 
   test("text/sketch kernels callable from passthrough SQL") {
