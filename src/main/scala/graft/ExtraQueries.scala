@@ -322,14 +322,22 @@ object ExtraQueries {
       },
       Some("SELECT * FROM customer ORDER BY c_custkey")),
 
-    // §2.6 — GROUPING SETS through the shared-dialect passthrough surface
+    // §2.6 — GROUPING SETS through the shared-dialect passthrough surface.
+    // COUNT/SUM are re-aggregable, so the scan first hash-aggregates by
+    // the full (l_returnflag, l_linestatus) key (a handful of rows) and
+    // GROUPING SETS' Expand runs over THAT, not over the whole lineitem
+    // scan — Expand multiplies its input by the number of sets, so
+    // feeding it the 6M-row (sf1) scan tripled the shuffled bytes.
+    // Decimal sums are associative: the two-level sum is bit-identical.
     Q("q7_grouping_sets", {
       val sql =
         """SELECT COALESCE(l_returnflag, '(all)') AS rf,
           |  COALESCE(l_linestatus, '(all)') AS ls,
-          |  COUNT(*) AS n,
-          |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
-          |FROM lineitem
+          |  SUM(cnt) AS n,
+          |  CAST(SUM(qty) AS DOUBLE) AS sum_qty
+          |FROM (SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+          |        SUM(CAST(l_quantity AS DECIMAL(38,4))) AS qty
+          |      FROM lineitem GROUP BY l_returnflag, l_linestatus)
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
           |ORDER BY rf, ls""".stripMargin
       (s: org.apache.spark.sql.SparkSession, dir: String) => {
