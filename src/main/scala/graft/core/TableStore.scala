@@ -487,8 +487,13 @@ final class TableStore(val spark: SparkSession, val catalog: StorageCatalog,
       branch: Option[String] = None): Long =
     dataPaths(project, bucket, table, branch).map(walkSize).sum
 
-  def schemaOf(project: String, bucket: String, table: String): StructType =
-    StructType.fromDDL(catalog.getTable(project, bucket, table).get.schemaDdl)
+  /** Declared schema, following bucket links (schema introspection is a
+    * read — an L5 alias answers with its source's schema; writes never
+    * follow links because every write path addresses via getTable). */
+  def schemaOf(project: String, bucket: String, table: String): StructType = {
+    val (rp, rb) = catalog.resolveBucket(project, bucket)
+    StructType.fromDDL(catalog.getTable(rp, rb, table).get.schemaDdl)
+  }
 
   // ------------------------------------------------------------- writes
 
@@ -875,9 +880,12 @@ final class TableStore(val spark: SparkSession, val catalog: StorageCatalog,
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), (Int, Long)]()
 
   def cachedRowCount(project: String, bucket: String, table: String): Long = {
-    val meta = catalog.getTable(project, bucket, table)
+    // follow bucket links (reads through an L5 alias), and cache under
+    // the PHYSICAL key so a source-side write invalidates alias readers
+    val (rp, rb) = catalog.resolveBucket(project, bucket)
+    val meta = catalog.getTable(rp, rb, table)
       .getOrElse(throw new NoSuchElementException(s"$project/$bucket/$table"))
-    val k = (project, bucket, table)
+    val k = (rp, rb, table)
     val cached = rowCountCache.get(k)
     if (cached != null && cached._1 == meta.version) cached._2
     else {
@@ -888,7 +896,8 @@ final class TableStore(val spark: SparkSession, val catalog: StorageCatalog,
   }
 
   def tableInfo(project: String, bucket: String, table: String): TableInfo = {
-    val meta = catalog.getTable(project, bucket, table)
+    val (rp, rb) = catalog.resolveBucket(project, bucket)
+    val meta = catalog.getTable(rp, rb, table)
       .getOrElse(throw new NoSuchElementException(s"$project/$bucket/$table"))
     TableInfo(table, meta.schemaDdl, meta.primaryKey,
       cachedRowCount(project, bucket, table),

@@ -489,6 +489,81 @@ final class SqlHttpServer(
         storageApi.execute(DropTable(p, b, t))
         respondJson(ex, 200, """{"dropped":true}""")
 
+      // L5 over REST: bucket sharing + zero-copy linking (the reference's
+      // bucket_sharing router, src/routers/bucket_sharing.py:48-306 —
+      // share records intent on the source side, the TARGET project then
+      // links to materialize read-only access; grant-readonly is the
+      // reference's documented metadata no-op, kept for API parity).
+      // Shares live in catalog settings (share/{p}/{b}/to/{target}),
+      // alongside — not colliding with — the gRPC role-name flag.
+      case ("GET", "projects" :: p :: "buckets" :: b :: "share" :: Nil) =>
+        respondJson(ex, 200, shareInfoJson(p, b))
+
+      case ("POST", "projects" :: p :: "buckets" :: b :: "share" :: Nil) =>
+        val target = reqField(body, "targetProjectId")
+        if (!store.catalog.listProjects.contains(target))
+          respondJson(ex, 404, errNode("project_not_found",
+            s"target project $target not found"))
+        else if (!store.catalog.listBuckets(p).exists(_._1 == b))
+          respondJson(ex, 404, errNode("bucket_not_found",
+            s"bucket $b not found in project $p"))
+        else if (store.catalog.getSetting(s"share/$p/$b/to/$target").isDefined)
+          respondJson(ex, 409, errNode("already_shared",
+            s"bucket $b is already shared with project $target"))
+        else {
+          store.catalog.putSetting(s"share/$p/$b/to/$target", "shared")
+          respondJson(ex, 200, shareInfoJson(p, b))
+        }
+
+      case ("DELETE", "projects" :: p :: "buckets" :: b :: "share" :: Nil) =>
+        // reference semantics: removes the share record; the target side
+        // unlinks separately (bucket_sharing.py:202-300)
+        val target = query.getOrElse("targetProjectId",
+          throw new IllegalArgumentException(
+            "missing query parameter: targetProjectId"))
+        store.catalog.removeSetting(s"share/$p/$b/to/$target")
+        respondJson(ex, 200, """{"unshared":true}""")
+
+      case ("POST", "projects" :: p :: "buckets" :: alias :: "link" :: Nil) =>
+        val b = body
+        val sp = reqField(b, "sourceProjectId")
+        val sb = reqField(b, "sourceBucketName")
+        if (!store.catalog.listProjects.contains(sp))
+          respondJson(ex, 404, errNode("project_not_found",
+            s"source project $sp not found"))
+        else if (!store.catalog.listBuckets(sp).exists(_._1 == sb))
+          respondJson(ex, 404, errNode("bucket_not_found",
+            s"source bucket $sb not found in project $sp"))
+        else if (store.catalog.listBuckets(p).exists(_._1 == alias))
+          respondJson(ex, 409, errNode("bucket_exists",
+            s"bucket $alias already exists in project $p"))
+        else {
+          store.catalog.linkBucket(p, alias, sp, sb)
+          val o = om.createObjectNode()
+          o.put("name", alias); o.put("isLinked", true)
+          o.put("sourceProject", sp); o.put("sourceBucket", sb)
+          respondJson(ex, 201, om.writeValueAsString(o))
+        }
+
+      case ("DELETE", "projects" :: p :: "buckets" :: alias :: "link" :: Nil) =>
+        if (store.catalog.unlinkBucket(p, alias))
+          respondJson(ex, 200, """{"unlinked":true}""")
+        else
+          respondJson(ex, 404, errNode("link_not_found",
+            s"no link found for bucket $alias in project $p"))
+
+      case ("POST" | "DELETE", "projects" :: p :: "buckets" :: b ::
+          "grant-readonly" :: Nil) =>
+        // read-only is inherent here (reads never mutate manifests) —
+        // audit-shaped no-op, the reference's own DuckDB stance
+        // (bucket_sharing.py:648-760)
+        if (!store.catalog.listBuckets(p).exists(_._1 == b))
+          respondJson(ex, 404, errNode("bucket_not_found",
+            s"bucket $b not found in project $p"))
+        else
+          respondJson(ex, 200,
+            """{"status":"success","note":"reads are inherently immutable"}""")
+
       // hierarchical snapshot settings (system -> project -> bucket ->
       // table), the reference's snapshot_settings router
       // (src/routers/snapshot_settings.py:111-330): GET returns the
@@ -1013,6 +1088,25 @@ final class SqlHttpServer(
     n.put("sha256", f.sha256); n.put("contentType", f.contentType)
     val t = n.putArray("tags"); f.tags.foreach(t.add)
     n.put("createdAt", f.createdAt)
+    om.writeValueAsString(n)
+  }
+
+  /** BucketShareInfo shape (reference models/responses.py): who the
+    * bucket is shared with, plus whether this name is itself a link. */
+  private def shareInfoJson(p: String, b: String): String = {
+    val n = om.createObjectNode()
+    val prefix = s"share/$p/$b/to/"
+    val arr = n.putArray("sharedWith")
+    store.catalog.settingsWithPrefix(prefix).keys.toSeq.sorted
+      .foreach(k => arr.add(k.stripPrefix(prefix)))
+    n.put("isLinked", store.catalog.resolveBucket(p, b) != ((p, b)))
+    om.writeValueAsString(n)
+  }
+
+  /** Mapper-built error body (ids may hold quotes). */
+  private def errNode(error: String, message: String): String = {
+    val n = om.createObjectNode()
+    n.put("error", error); n.put("message", message)
     om.writeValueAsString(n)
   }
 

@@ -158,6 +158,66 @@ class SqlHttpServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("bucket sharing over REST: share, link from second project, query, unlink") {
+    val store = fixture()
+    // a second project must exist to be a share target / link source host
+    store.createTable("p2", "stage", "probe",
+      Tables.df(spark, sfDir, "region").schema)
+    store.overwrite("p2", "stage", "probe", Tables.df(spark, sfDir, "region"))
+    val server = new SqlHttpServer(spark, store).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    try {
+      // share p/geo with p2
+      val shareUrl = s"$base/storage/projects/p/buckets/geo/share"
+      val sh = post(shareUrl, """{"targetProjectId":"p2"}""")
+      assert(sh.statusCode() == 200)
+      assert(om.readTree(sh.body()).get("sharedWith").get(0).asText == "p2")
+      // double-share conflicts; unknown target 404s
+      assert(post(shareUrl, """{"targetProjectId":"p2"}""").statusCode() == 409)
+      assert(post(shareUrl, """{"targetProjectId":"ghost"}""").statusCode() == 404)
+      // p2 links the shared bucket under a local alias — zero-copy
+      val linkUrl = s"$base/storage/projects/p2/buckets/partner_geo/link"
+      val ln = post(linkUrl, """{"sourceProjectId":"p","sourceBucketName":"geo"}""")
+      assert(ln.statusCode() == 201)
+      assert(om.readTree(ln.body()).get("isLinked").asBoolean)
+      // alias conflicts with an existing bucket; unknown source 404s
+      assert(post(s"$base/storage/projects/p2/buckets/stage/link",
+        """{"sourceProjectId":"p","sourceBucketName":"geo"}""").statusCode() == 409)
+      assert(post(s"$base/storage/projects/p2/buckets/x/link",
+        """{"sourceProjectId":"p","sourceBucketName":"nope"}""").statusCode() == 404)
+      // the linked bucket lists and reads through p2's namespace
+      val buckets = om.readTree(
+        get(s"$base/storage/projects/p2/buckets").body())
+      val linked = (0 until buckets.get("buckets").size())
+        .map(buckets.get("buckets").get(_))
+        .find(_.get("name").asText == "partner_geo").get
+      assert(linked.get("isLinked").asBoolean)
+      assert(linked.get("sourceProject").asText == "p")
+      val prev = get(s"$base/storage/projects/p2/buckets/partner_geo/tables/nation/preview?limit=3")
+      assert(prev.statusCode() == 200)
+      assert(om.readTree(prev.body()).get("rows").size() == 3)
+      // grant-readonly is the documented metadata no-op
+      assert(post(s"$base/storage/projects/p/buckets/geo/grant-readonly", "")
+        .statusCode() == 200)
+      // unlink: alias gone, source untouched; second unlink 404s
+      val unlink = client.send(HttpRequest.newBuilder(URI.create(linkUrl))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+      assert(unlink.statusCode() == 200)
+      assert(get(s"$base/storage/projects/p2/buckets/partner_geo/tables/nation/preview?limit=1")
+        .statusCode() == 404)
+      assert(store.read("p", "geo", "nation").count() == 25)
+      assert(client.send(HttpRequest.newBuilder(URI.create(linkUrl))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+        .statusCode() == 404)
+      // unshare drops the record
+      val unshare = client.send(HttpRequest.newBuilder(
+        URI.create(s"$shareUrl?targetProjectId=p2")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(unshare.statusCode() == 200)
+      assert(om.readTree(get(shareUrl).body()).get("sharedWith").size() == 0)
+    } finally server.stop()
+  }
+
   test("branch lifecycle over HTTP: create, CoW write, live view, pull, delete") {
     val store = fixture()
     val server = new SqlHttpServer(spark, store).start()
