@@ -441,9 +441,14 @@ object Similarity {
     * centroid recompute shuffles k·D partial sums with map-side combine
     * instead of posexploding |corpus|·D (vec, dim) rows — the shape that
     * survives 10⁹ vectors × 768 dims. Summation order differs from the
-    * exploded avg() only in fp association; the round(·, 6) the centroid
-    * contract already applies absorbs it (x27's oracle replays the same
-    * rounded values). */
+    * exploded avg() only in fp association. The round(·, 6) the centroid
+    * contract applies absorbs nearly all of that, but NOT provably all:
+    * a mean sitting within the association error (~1 ulp per element) of
+    * a 6th-decimal rounding boundary can still round differently under a
+    * different partitioning. x27's oracle sidesteps this by replaying
+    * THIS engine's rounded centroids rather than recomputing its own, so
+    * the check is deterministic for a fixed plan; treat cross-run
+    * centroid equality as overwhelmingly likely, not guaranteed. */
   final class VecSumAgg(dim: Int)
       extends org.apache.spark.sql.expressions.Aggregator[Seq[Double], Array[Double], Seq[Double]] {
     def zero: Array[Double] = new Array[Double](dim)

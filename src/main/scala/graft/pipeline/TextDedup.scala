@@ -160,8 +160,14 @@ object TextDedup {
     // the signature frame feeds the band rows AND both sides of the
     // agreement screen — cache it too (|docs| × k longs, tiny next to sets)
     art.sigs.cache()
-    minHashPairsFrom(art, threshold, numHashes)
+    finalized(minHashPairsFrom(art, threshold, numHashes),
+      art.sets, art.sigs)
   }
+
+  /** See [[CacheRelease]]: registers this call's caches, releases the
+    * previous call's — bounded executor storage in long-lived sessions. */
+  private def finalized(out: DataFrame, inputs: DataFrame*): DataFrame =
+    CacheRelease.finalized(out, inputs: _*)
 
   /** Pair mining over precomputed [[MinHashArtifacts]]: banded candidate
     * generation → signature-agreement screen → exact Jaccard verify. */
@@ -242,7 +248,8 @@ object TextDedup {
       .agg(count(lit(1)).cast(LongType).as("n_unique"))
     // n_spans per doc from the cached posts too (map-side combine makes
     // this shuffle ~one row per doc per partition)
-    posts.groupBy("id").agg(count(lit(1)).cast(LongType).as("n_spans"))
+    val out = posts.groupBy("id")
+      .agg(count(lit(1)).cast(LongType).as("n_spans"))
       .join(uniqPerDoc, Seq("id"), "left")
       .withColumn("n_shared",
         col("n_spans") - coalesce(col("n_unique"), lit(0L)))
@@ -250,6 +257,7 @@ object TextDedup {
         round(col("n_shared").cast(DoubleType) / col("n_spans") + lit(1e-9), 4))
       .select(col("id").as("doc_id"), col("n_spans"), col("n_shared"),
         col("share_ratio"))
+    finalized(out, posts)
   }
 
   /** 64-bit SimHash per document from word tokens (weight = token count),
@@ -325,12 +333,14 @@ object TextDedup {
       col("lo").as("loa"), col("hi").as("hia"))
     val bb = banded.select(col("band"), col("slice"), col("id").as("b_id"),
       col("lo").as("lob"), col("hi").as("hib"))
-    ba.join(bb, Seq("band", "slice")).filter(col("a_id") < col("b_id"))
+    val out = ba.join(bb, Seq("band", "slice"))
+      .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id", "loa", "hia", "lob", "hib").distinct()
       .withColumn("hamming",
         expr("bit_count(loa ^ lob) + bit_count(hia ^ hib)").cast(LongType))
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
+    finalized(out, sigs)
   }
 
   /** Connected components over a near-dup pair set: every document gets
@@ -357,19 +367,27 @@ object TextDedup {
     * MUCH smaller than the corpus (it holds only the dup clusters), and
     * the iterative rounds cost 3-4 scheduled stages each even when the
     * data is a few thousand rows. Below `driverEdgeLimit` edges the
-    * components run as union-find on the driver (2M edges ≈ 32 MB —
-    * bounded by the limit, not the corpus) and come back as ONE broadcast
-    * join; the pointer-jumping path remains the shape for graphs that
-    * outgrow it. Identical output by construction: both label every
-    * vertex with the minimum reachable id. */
+    * components run as union-find on the driver and come back as ONE
+    * broadcast join; the pointer-jumping path remains the shape for
+    * graphs that outgrow it. Driver heap honesty: the collect lands as
+    * specialized (Long, Long) tuples — roughly 48 B/edge on-heap
+    * (Tuple2$mcJJ$sp object + array slot), so the 2M-edge default caps
+    * the transient footprint near ~100 MB, bounded by the limit, not the
+    * corpus. Identical output by construction: both label every vertex
+    * with the minimum reachable id. */
   def connectedComponents(docs: DataFrame, idCol: String,
       pairs: DataFrame, maxIters: Int = 50,
       driverEdgeLimit: Long = 1L << 21): DataFrame = {
     val edges0 = pairs.select(col("a_id").cast(LongType).as("src"),
       col("b_id").cast(LongType).as("dst")).persist()
     if (edges0.count() <= driverEdgeLimit) {
-      val labels = driverComponents(edges0.collect()
-        .map(r => (r.getLong(0), r.getLong(1))))
+      val sess = edges0.sparkSession
+      val collected = {
+        import sess.implicits._
+        // typed collect: specialized primitive tuples, not boxed Rows
+        edges0.as[(Long, Long)].collect()
+      }
+      val labels = driverComponents(collected)
       edges0.unpersist()
       val spark = docs.sparkSession
       import spark.implicits._
@@ -604,11 +622,12 @@ object TextDedup {
       .agg(count(lit(1)).cast(LongType).as("n_kept"),
         expr("array_join(transform(sort_array(collect_list(" +
           "struct(tokpos, term))), x -> x.term), ' ')").as("clean_text"))
-    base.join(keptAgg, Seq("doc_id"), "left")
+    val out = base.join(keptAgg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("toks")).cast(LongType).as("n_tokens"),
         (size(col("toks")) - coalesce(col("n_kept"), lit(0L)))
           .cast(LongType).as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+    finalized(out, grams)
   }
 }
