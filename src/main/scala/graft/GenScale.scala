@@ -21,7 +21,22 @@ import graft.core.Tables
   * cross-copy near-dup pairs and distort the pair-mining queries — which
   * the sf1 bench subset excludes anyway); `n_chars` is recomputed.
   *
-  * Usage: runMain graft.GenScale <srcDir> <dstDir> <copies>
+  * DEDUP MODE (`runMain graft.GenScale <src> <dst> <copies> dedup`):
+  * emits only documents + embeddings, transformed so the PAIR-MINING
+  * family scales honestly — the suffix token above leaves every
+  * non-suffix shingle shared across copies, so replicas are still
+  * planted near-dups and those queries go quadratic in copies. Here
+  * instead: (a) every WORD of a copy-i>0 document is salted with the
+  * copy index, so copies share zero shingles while within-copy dup
+  * structure (exact and near) replicates exactly; (b) every copy-i>0
+  * embedding is passed through a copy-specific signed permutation
+  * (rotate dimensions by 17·i, flip signs by xxhash64(i, d) parity) —
+  * an orthogonal transform, so within-copy cosines are EXACTLY
+  * preserved while cross-copy cosines collapse to ~N(0, 1/64) noise.
+  * Result: dup clusters, near-dup pairs, and ANN neighborhoods all
+  * scale linearly in copies, like a real larger corpus.
+  *
+  * Usage: runMain graft.GenScale <srcDir> <dstDir> <copies> [dedup]
   */
 object GenScale {
 
@@ -46,8 +61,53 @@ object GenScale {
     }.drop("_i")
   }
 
+  /** Dedup-mode writer (see object scaladoc): documents + embeddings
+    * only — the pair-mining family reads nothing else. */
+  private def writeDedup(spark: SparkSession, src: String, dst: String,
+      copies: Int): Unit = {
+    def read(name: String) = Tables.df(spark, src, name)
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1L
+    val documents = read("documents")
+    val embeddings = read("embeddings")
+    val kd = maxOf(documents, "doc_id")
+    val kv = maxOf(embeddings, "vec_id")
+    val docs = documents
+      .withColumn("_i", explode(lit((0 until copies).toArray)))
+      .withColumn("doc_id", col("doc_id") + col("_i").cast("long") * lit(kd))
+      .withColumn("text", when(col("_i") === 0, col("text")).otherwise(
+        // per-word copy salt: copies share ZERO word shingles (the
+        // source text is single-spaced, verified, so split(' ') is the
+        // same tokenization the dedup family applies)
+        expr("array_join(transform(split(text, ' '), " +
+          "w -> concat(w, '~', CAST(_i AS STRING))), ' ')")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("_i")
+    val embs = embeddings
+      .withColumn("_i", explode(lit((0 until copies).toArray)))
+      .withColumn("vec_id", col("vec_id") + col("_i").cast("long") * lit(kv))
+      .withColumn("embedding", when(col("_i") === 0, col("embedding"))
+        .otherwise(expr(
+          // signed permutation per copy: orthogonal, so within-copy
+          // cosines are bit-preserved (floats are only moved/negated)
+          // while cross-copy cosines are sign-noise around 0
+          """transform(sequence(0, size(embedding) - 1), d ->
+            |  CAST(CASE WHEN pmod(xxhash64(_i, d), 2) = 0 THEN 1.0
+            |       ELSE -1.0 END AS FLOAT)
+            |  * embedding[CAST(pmod(d + _i * 17, size(embedding)) AS INT)])"""
+            .stripMargin)))
+      .drop("_i")
+    Seq("documents" -> docs, "embeddings" -> embs).foreach { case (n, df) =>
+      df.write.mode("overwrite").parquet(s"$dst/$n.parquet")
+      println(s"[genscale] $n -> $dst/$n.parquet (dedup mode)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val Array(src, dst, copiesStr) = args
+    val (src, dst, copiesStr, mode) = args match {
+      case Array(s, d, c)    => (s, d, c, "std")
+      case Array(s, d, c, m) => (s, d, c, m)
+    }
     val copies = copiesStr.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -59,6 +119,12 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (mode == "dedup") {
+      writeDedup(spark, src, dst, copies)
+      spark.stop()
+      return
+    }
 
     def read(name: String) = Tables.df(spark, src, name)
     def maxOf(df: DataFrame, c: String): Long =
