@@ -21,6 +21,19 @@ object GraftFunctions {
   def regexpFullMatch(s: Column, re: Column): Column =
     Shim.column(RegexpFullMatch(Shim.expression(s), Shim.expression(re)))
 
+  /** Packed 64-bit weighted SimHash [lo, hi] of a text column in one
+    * codegen'd pass (parity test in FunctionsSpec; replaces a
+    * corpus x tokens x 64 explode). */
+  def simHash64(text: Column): Column =
+    Shim.column(GraftExpressions.SimHash64(Shim.expression(text)))
+
+  /** Hamming distance between two packed bit-signature columns
+    * (array&lt;bigint&gt;) in one codegen'd loop — the near-dup screen's
+    * hot expression (parity test in FunctionsSpec). */
+  def packedHamming(a: Column, b: Column): Column =
+    Shim.column(GraftExpressions.PackedHamming(
+      Shim.expression(a), Shim.expression(b)))
+
   /** Bitmask of the 7 profiler structural patterns a string value matches
     * (bit order = Profiler.Patterns order) — one codegen'd byte-scan per
     * value instead of up to 7 regex automata (parity test in
@@ -127,6 +140,10 @@ object GraftFunctions {
     // they parameterize the generated code, not the row values)
     Shim.registerFunction(spark, "rolling_hash",
       es => RollingHash(es(0)))
+    Shim.registerFunction(spark, "packed_hamming",
+      es => GraftExpressions.PackedHamming(es(0), es(1)))
+    Shim.registerFunction(spark, "simhash64",
+      es => GraftExpressions.SimHash64(es(0)))
     Shim.registerFunction(spark, "word_shingles",
       es => WordShingles(es(0), intArg(es(1), "word_shingles")))
     Shim.registerFunction(spark, "minhash_sig",

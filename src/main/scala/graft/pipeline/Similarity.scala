@@ -186,10 +186,11 @@ object Similarity {
       screenedCandidates(sigs, threshold, planes, bandBits, bands, screenSigmas)
     val va = sigs.select(col("id").as("a_id"), col("v").as("av"))
     val vb = sigs.select(col("id").as("b_id"), col("v").as("bv"))
-    screened.join(va, "a_id").join(vb, "b_id")
+    val out = screened.join(va, "a_id").join(vb, "b_id")
       .withColumn("sim", cosine("av", "bv"))
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("sim") + lit(1e-9), 4).as("cosine_sim"))
+    CacheRelease.finalized(out, sigs)
   }
 
   private def packedSigs(df: DataFrame, planes: Int): DataFrame =
@@ -198,9 +199,27 @@ object Similarity {
         .hyperplaneSigPacked(col("embedding"), planes).as("sig"))
       .cache()
 
-  /** Stages 1-2 of the near-dup pipeline: banded candidates, then the
-    * packed-bits hamming screen. Exposed (package-visible via the
-    * pair-count helper below) so tests can quantify pruning. */
+  /** Stages 1-2 of the near-dup pipeline: candidates, then the
+    * packed-bits hamming screen (native codegen'd kernel — the HOF
+    * formulation evaluated a boxed closure per signature word PER
+    * candidate, which at a 20k-vector 10x bench was ~1.5B interpreted
+    * evals through the band join). Exposed (package-visible via the
+    * pair-count helper below) so tests can quantify pruning.
+    *
+    * ADAPTIVE candidate generation: banding only helps when a random
+    * pair rarely collides in any band. At a LOW cosine threshold (this
+    * corpus's planted pairs live at 0.4-0.6) the per-band match
+    * probability for even a random pair is (1/2)^bandBits, so with the
+    * default 60 bands x 4 bits ~98% of ALL pairs surface as candidates —
+    * the band join then moves ~all-pairs x bands rows to produce the
+    * same candidate set a direct all-pairs screen sees. When the
+    * expected random-pair candidate fraction exceeds ~25% AND the
+    * signature table is small enough to broadcast, skip banding: one
+    * broadcast nested-loop with the native hamming cutoff IN the join
+    * condition (a_id < b_id halves it). The banded path remains the
+    * shape for selective thresholds and for corpora too large to
+    * broadcast — at 10^9 vectors a 0.4-threshold exact screen is
+    * intrinsically quadratic and the IVF/PQ paths are the answer. */
   private def screenedCandidates(sigs: DataFrame, threshold: Double,
       planes: Int, bandBits: Int, bands: Int, screenSigmas: Double): DataFrame = {
     require(bands * bandBits <= planes, "bands*bandBits must fit in planes")
@@ -208,27 +227,41 @@ object Similarity {
     val f0 = math.acos(threshold) / math.Pi
     val cutoff = math.ceil(
       planes * f0 + screenSigmas * math.sqrt(planes * f0 * (1 - f0))).toLong
-    val perWord = 64 / bandBits
-    val bandKeys =
-      s"""transform(sequence(0, ${bands - 1}), i ->
-         |  shiftright(element_at(sig, CAST(i / $perWord AS INT) + 1),
-         |             CAST((i % $perWord) * $bandBits AS INT))
-         |  & CAST(${(1L << bandBits) - 1} AS BIGINT))""".stripMargin
-    // the signature (K/8 bytes) rides along through the band join — the
-    // screen then needs NO extra joins; hamming-filter BEFORE distinct so
-    // dedup runs on the screened survivors, not every band collision
-    val banded = sigs.select(col("id"), col("sig"), posexplode(expr(bandKeys)))
-      .toDF("id", "sig", "band", "key")
-    val ca = banded.select(col("band"), col("key"), col("id").as("a_id"),
-      col("sig").as("siga"))
-    val cb = banded.select(col("band"), col("key"), col("id").as("b_id"),
-      col("sig").as("sigb"))
-    ca.join(cb, Seq("band", "key"))
-      .filter(col("a_id") < col("b_id"))
-      .filter(expr(
-        s"""aggregate(zip_with(siga, sigb, (x, y) -> bit_count(x ^ y)),
-           |  0, (acc, h) -> acc + h) <= $cutoff""".stripMargin))
-      .select("a_id", "b_id").distinct()
+    // P(random pair collides in >=1 band); f = 1/2 for uncorrelated vectors
+    val randomPairFraction =
+      1.0 - math.pow(1.0 - math.pow(0.5, bandBits), bands)
+    // ~72 B per (id, 8-word sig) row; broadcastable well past 200k rows
+    val bnlLimit = 200000L
+    if (randomPairFraction > 0.25 && sigs.count() <= bnlLimit) {
+      val sa = sigs.select(col("id").as("a_id"), col("sig").as("siga"))
+      val sb = sigs.select(col("id").as("b_id"), col("sig").as("sigb"))
+      sa.join(broadcast(sb),
+          col("a_id") < col("b_id") &&
+            graft.functions.GraftFunctions
+              .packedHamming(col("siga"), col("sigb")) <= lit(cutoff.toInt))
+        .select("a_id", "b_id")
+    } else {
+      val perWord = 64 / bandBits
+      val bandKeys =
+        s"""transform(sequence(0, ${bands - 1}), i ->
+           |  shiftright(element_at(sig, CAST(i / $perWord AS INT) + 1),
+           |             CAST((i % $perWord) * $bandBits AS INT))
+           |  & CAST(${(1L << bandBits) - 1} AS BIGINT))""".stripMargin
+      // the signature (K/8 bytes) rides along through the band join — the
+      // screen then needs NO extra joins; hamming-filter BEFORE distinct so
+      // dedup runs on the screened survivors, not every band collision
+      val banded = sigs.select(col("id"), col("sig"), posexplode(expr(bandKeys)))
+        .toDF("id", "sig", "band", "key")
+      val ca = banded.select(col("band"), col("key"), col("id").as("a_id"),
+        col("sig").as("siga"))
+      val cb = banded.select(col("band"), col("key"), col("id").as("b_id"),
+        col("sig").as("sigb"))
+      ca.join(cb, Seq("band", "key"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(graft.functions.GraftFunctions
+          .packedHamming(col("siga"), col("sigb")) <= lit(cutoff.toInt))
+        .select("a_id", "b_id").distinct()
+    }
   }
 
   /** Number of pairs that survive candidate generation + screen (the FP

@@ -269,26 +269,15 @@ object TextDedup {
     * hex digit b/4): md5 is bit-identical across engines, which makes the
     * whole simhash — and therefore the verified pair set — differentially
     * testable against another SQL engine, unlike engine-private hashes. */
-  def simHashPacked(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = df
-      .select(col(idCol).as("id"),
-        explode(expr(s"split(trim($textCol), ' +')")).as("w"))
-      .groupBy("id", "w").agg(count(lit(1)).as("wt"))
-      .withColumn("hx", md5(col("w")))
-    // contribution of each token to each of the 64 bit positions
-    val contrib = tokens.select(col("id"), posexplode(expr(
-      """transform(sequence(0, 63), b -> CASE WHEN
-        |  (shiftright(instr('0123456789abcdef',
-        |     substring(hx, CAST(floor(b / 4) AS INT) + 1, 1)) - 1,
-        |   b % 4) & 1) = 1
-        |  THEN wt ELSE -wt END)""".stripMargin)))
-      .toDF("id", "bit", "c")
-    contrib.groupBy("id", "bit").agg(sum("c").as("v"))
-      .groupBy("id")
-      .agg(
-        sum(expr("CASE WHEN v > 0 AND bit < 32 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")).as("lo"),
-        sum(expr("CASE WHEN v > 0 AND bit >= 32 THEN shiftleft(CAST(1 AS BIGINT), bit - 32) ELSE CAST(0 AS BIGINT) END")).as("hi"))
-  }
+  def simHashPacked(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // the native SimHash64 kernel: whole signature inside the projection
+    // (the explode/groupBy formulation it replaces — corpus x tokens x 64
+    // contribution rows through two hash aggs — survives as the parity
+    // reference in FunctionsSpec)
+    df.select(col(idCol).as("id"),
+        graft.functions.GraftFunctions.simHash64(col(textCol)).as("sig"))
+      .select(col("id"), col("sig").getItem(0).as("lo"),
+        col("sig").getItem(1).as("hi"))
 
   /** String form of the simhash (bit b = char b+1), derived from the
     * packed representation — kept for inspection/tests; the pairs path
@@ -318,28 +307,49 @@ object TextDedup {
     require(64 % bands == 0, s"bands must divide 64 ($bands)")
     val width = 64 / bands
     val sigs = simHashPacked(df, idCol, textCol).cache()
-    // band key b = bits [b*width, (b+1)*width) as a small integer; bands
-    // never straddle the lo/hi boundary while width divides 32
-    val slice =
-      s"""transform(sequence(0, ${bands - 1}), b ->
-         |  shiftright(CASE WHEN b * $width < 32 THEN lo ELSE hi END,
-         |             CASE WHEN b * $width < 32 THEN b * $width
-         |                  ELSE b * $width - 32 END)
-         |  & CAST(${(1L << width) - 1} AS BIGINT))""".stripMargin
-    val banded = sigs.select(col("id"), col("lo"), col("hi"),
-        posexplode(expr(slice)))
-      .toDF("id", "lo", "hi", "band", "slice")
-    val ba = banded.select(col("band"), col("slice"), col("id").as("a_id"),
+    // Pigeonhole CERTIFICATE join: with at most `maxHamming` differing
+    // bits spread over `bands` bands, at least (bands - maxHamming)
+    // bands match VERBATIM. Joining on a single band therefore has
+    // exact recall — but an 8-bit band admits a RANDOM pair with
+    // probability 1/256, so single-band candidates are ~all-pairs/32
+    // (measured superlinear on the dedup-safe scale bench: 10x->30x
+    // data took 10->82 s; a broadcast nested-loop alternative was
+    // ~N^2/constant too, 53 s). When at least TWO clean bands are
+    // guaranteed, join on ORDERED BAND PAIRS instead: the key carries
+    // 2x the bits (random collision (1/2^width)^2 per combo, C(bands,2)
+    // combos — ~75x fewer random candidates for the default 6-of-8),
+    // and recall stays exactly 1.0 because some pair of clean bands
+    // always exists. The explode factor rises 8 -> 28 rows/doc; the
+    // collision set falls quadratically — the right trade at every
+    // corpus size where the single-band join was superlinear.
+    val slicer = (b: Int) => {
+      val (word, sh) = if (b * width < 32) ("lo", b * width)
+                       else ("hi", b * width - 32)
+      s"(shiftright($word, $sh) & CAST(${(1L << width) - 1} AS BIGINT))"
+    }
+    val certBands = bands - maxHamming // >= 1 by the require above
+    val keyed =
+      if (certBands >= 2) {
+        val combos = for { i <- 0 until bands; j <- (i + 1) until bands }
+          yield s"struct($i AS bi, $j AS bj, ${slicer(i)} AS si, ${slicer(j)} AS sj)"
+        sigs.select(col("id"), col("lo"), col("hi"),
+          explode(expr(combos.mkString("array(", ", ", ")"))).as("k"))
+      } else {
+        val singles = (0 until bands)
+          .map(b => s"struct($b AS bi, $b AS bj, ${slicer(b)} AS si, ${slicer(b)} AS sj)")
+        sigs.select(col("id"), col("lo"), col("hi"),
+          explode(expr(singles.mkString("array(", ", ", ")"))).as("k"))
+      }
+    val ba = keyed.select(col("k"), col("id").as("a_id"),
       col("lo").as("loa"), col("hi").as("hia"))
-    val bb = banded.select(col("band"), col("slice"), col("id").as("b_id"),
+    val bb = keyed.select(col("k"), col("id").as("b_id"),
       col("lo").as("lob"), col("hi").as("hib"))
-    val out = ba.join(bb, Seq("band", "slice"))
+    val out = ba.join(bb, Seq("k"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "loa", "hia", "lob", "hib").distinct()
       .withColumn("hamming",
         expr("bit_count(loa ^ lob) + bit_count(hia ^ hib)").cast(LongType))
       .filter(col("hamming") <= maxHamming)
-      .select("a_id", "b_id", "hamming")
+      .select("a_id", "b_id", "hamming").distinct()
     finalized(out, sigs)
   }
 

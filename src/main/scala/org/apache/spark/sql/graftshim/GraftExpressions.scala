@@ -378,6 +378,110 @@ object GraftExpressions {
       copy(left = l, right = r)
   }
 
+  /** Static kernel: hamming distance between two packed bit signatures
+    * (array&lt;bigint&gt;, same length by construction) — Σ
+    * bit_count(a_i ^ b_i). One primitive loop; the HOF formulation it
+    * replaces (aggregate(zip_with(a, b, (x,y) -> bit_count(x^y)), ...))
+    * allocated a zipped array and evaluated a boxed closure per word,
+    * PER CANDIDATE PAIR — the single hottest expression of the
+    * embedding near-dup screen. */
+  def packedHammingEval(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  /** Hamming distance of two packed signature columns (§2.9) — parity
+    * pin vs the zip_with/bit_count HOF chain in FunctionsSpec. */
+  case class PackedHamming(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "packed_hamming"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Integer.valueOf(packedHammingEval(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.packedHammingEval($a, $b);"
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** Static kernel: 64-bit weighted SimHash of a text, packed as
+    * [lo (bits 0-31), hi (bits 32-63)] — ONE pass per document. The SQL
+    * formulation it replaces exploded every (doc, distinct-token) pair
+    * into 64 bit-contribution rows (a corpus x ~70 tokens x 64 explode —
+    * 672M rows at a 150k-doc bench) through two hash aggregations; here
+    * the whole signature folds inside the projection. Token model is
+    * identical: split(trim(text), ' +') occurrences as weights, token
+    * bit b = bit (b%4) of hex digit (b/4) of md5(token), signature bit
+    * set iff the weighted sum is > 0. md5 keeps the signature — and the
+    * verified pair set — engine-neutral for differential oracles. */
+  def simHash64Eval(s: UTF8String): ArrayData = {
+    val words = s.trim().toString.split(" +", -1)
+    val counts = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i < words.length) {
+      counts.merge(words(i), Integer.valueOf(1),
+        (a, b) => Integer.valueOf(a.intValue + b.intValue))
+      i += 1
+    }
+    val acc = new Array[Long](64)
+    val md = md5Local.get()
+    counts.forEach { (w, wt) =>
+      md.reset()
+      val dig = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var b = 0
+      while (b < 64) {
+        val hexIdx = b >> 2 // hex digit index in the md5 hex string
+        val byte0 = dig(hexIdx >> 1) & 0xFF
+        val hv = if ((hexIdx & 1) == 0) byte0 >> 4 else byte0 & 0xF
+        if (((hv >> (b & 3)) & 1) == 1) acc(b) += wt.intValue
+        else acc(b) -= wt.intValue
+        b += 1
+      }
+    }
+    var lo = 0L; var hi = 0L
+    var b = 0
+    while (b < 32) { if (acc(b) > 0) lo |= 1L << b; b += 1 }
+    while (b < 64) { if (acc(b) > 0) hi |= 1L << (b - 32); b += 1 }
+    new GenericArrayData(Array[Any](lo, hi))
+  }
+
+  /** Packed 64-bit SimHash [lo, hi] of a text column (§2.9) — parity pin
+    * vs the explode/groupBy SQL formulation in FunctionsSpec. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "simhash64"
+
+    override def nullSafeEval(s: Any): Any =
+      simHash64Eval(s.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.simHash64Eval($s);"
+      })
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   // ---- profiler pattern classifier (A9) ----------------------------------
 
   /** The profiler's 7 structural patterns, bit positions fixed:

@@ -44,6 +44,52 @@ class FunctionsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("simhash64 bit-identical to the explode/groupBy SQL formulation") {
+    val docs = Tables.df(spark, sfDir, "documents").limit(300)
+      .select(col("doc_id").as("id"), col("text"))
+      .union(Seq((900001L, ""), (900002L, "   "), (900003L, "a"),
+        (900004L, "a a b"), (900005L, " x  y éü z "))
+        .toDF("id", "text"))
+    // the SQL chain simHashPacked used through round 8
+    val tokens = docs
+      .select(col("id"), explode(expr("split(trim(text), ' +')")).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("wt"))
+      .withColumn("hx", md5(col("w")))
+    val contrib = tokens.select(col("id"), posexplode(expr(
+      """transform(sequence(0, 63), b -> CASE WHEN
+        |  (shiftright(instr('0123456789abcdef',
+        |     substring(hx, CAST(floor(b / 4) AS INT) + 1, 1)) - 1,
+        |   b % 4) & 1) = 1
+        |  THEN wt ELSE -wt END)""".stripMargin)))
+      .toDF("id", "bit", "c")
+    val sqlSig = contrib.groupBy("id", "bit").agg(sum("c").as("v"))
+      .groupBy("id")
+      .agg(
+        sum(expr("CASE WHEN v > 0 AND bit < 32 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")).as("lo"),
+        sum(expr("CASE WHEN v > 0 AND bit >= 32 THEN shiftleft(CAST(1 AS BIGINT), bit - 32) ELSE CAST(0 AS BIGINT) END")).as("hi"))
+    val native = docs.select(col("id"),
+      GraftFunctions.simHash64(col("text")).as("sig"))
+      .select(col("id"), col("sig").getItem(0).as("nlo"),
+        col("sig").getItem(1).as("nhi"))
+    val diff = native.join(sqlSig, "id")
+      .filter(col("nlo") =!= col("lo") || col("nhi") =!= col("hi"))
+    assert(diff.count() == 0)
+  }
+
+  test("packed_hamming bit-identical to the zip_with/bit_count HOF chain") {
+    val e = Tables.df(spark, sfDir, "embeddings").limit(100)
+      .select(col("vec_id"),
+        GraftFunctions.hyperplaneSigPacked(col("embedding"), 512).as("sig"))
+    val a = e.select(col("vec_id").as("ai"), col("sig").as("siga"))
+    val b = e.select(col("vec_id").as("bi"), col("sig").as("sigb"))
+    val pairs = a.crossJoin(b).filter(col("ai") < col("bi"))
+      .withColumn("native",
+        GraftFunctions.packedHamming(col("siga"), col("sigb")))
+      .withColumn("hof", expr(
+        "aggregate(zip_with(siga, sigb, (x, y) -> bit_count(x ^ y)), 0, (acc, h) -> acc + h)"))
+    assert(pairs.filter(expr("native != hof")).count() == 0)
+  }
+
   test("pattern_bits matches the anchored-rlike formulation per pattern") {
     // adversarial edge-cases for each hand-scan validator, then bulk data
     val edges = Seq(

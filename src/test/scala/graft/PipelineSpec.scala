@@ -138,12 +138,16 @@ class PipelineSpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(brute.nonEmpty)
     assert(lsh == brute)
-    // the scale property: the primary path plans equi-joins only — no
-    // cartesian product / nested-loop join anywhere
+    // adaptive screen contract: at this LOW threshold banding cannot
+    // prune (random pairs collide in some band ~98% of the time), so a
+    // broadcastable corpus plans ONE broadcast nested-loop with the
+    // native packed_hamming cutoff inside the join condition — and
+    // never an unconditioned cartesian product
     val plan = Similarity.cosineNearDupPairs(e, 0.4)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains("packed_hamming"))
   }
 
   test("LSH near-dup candidate pruning: high thresholds prune hard") {
