@@ -75,7 +75,8 @@ object StorageApi {
       changeUntil: Option[String] = None) extends Command
   final case class ProfileTable(project: String, bucket: String, table: String,
       numericColumns: Seq[String], stringColumns: Seq[String] = Nil,
-      mode: String = "basic") extends Command
+      mode: String = "basic",
+      exact: Boolean = false) extends Command
   final case class AlterTable(project: String, bucket: String, table: String,
       ops: Seq[SchemaOp]) extends Command
   final case class AddPrimaryKey(project: String, bucket: String,
@@ -110,7 +111,10 @@ object StorageApi {
   val PreviewDefaultLimit = 100
   val PreviewMaxLimit = 10000
 
-  final class Handler(spark: SparkSession, store: TableStore) {
+  final class Handler(spark: SparkSession, store: TableStore,
+      exactProfileMaxRows: Long =
+        sys.env.get("SPARK_GRAFT_EXACT_PROFILE_MAX_ROWS")
+          .map(_.toLong).getOrElse(50000000L)) {
 
     /** Hierarchical snapshot config (L4) — gates the auto-snapshot
       * triggers on the destructive handlers below. */
@@ -266,12 +270,21 @@ object StorageApi {
 
       // mode=basic keeps the wide per-column base stats; the other
       // reference modes (distribution/quality/full, src/database.py:5132+)
-      // return the assembled long-format profile
-      case ProfileTable(p, b, t, numericCols, stringCols, mode) =>
+      // return the assembled long-format profile. Tables past the
+      // exact-profile row threshold auto-route percentiles/distinct to
+      // mergeable sketches (the exact percentile kernel buffers every
+      // value per partition — a memory wall at billions of rows); the
+      // payload then carries a profile_meta approx=true row. `exact`
+      // opts back into exact stats at any size.
+      case ProfileTable(p, b, t, numericCols, stringCols, mode, exact) =>
         if (mode == "basic")
           Rows(Profiler.numericBaseStats(store.read(p, b, t), numericCols))
-        else
-          Rows(Profiler.profile(store.read(p, b, t), numericCols, stringCols, mode))
+        else {
+          val approx = !exact &&
+            store.cachedRowCount(p, b, t) > exactProfileMaxRows
+          Rows(Profiler.profile(store.read(p, b, t), numericCols, stringCols,
+            mode, approx))
+        }
 
       case AlterTable(p, b, t, ops) =>
         if (ops.exists(_.isInstanceOf[DropColumn]))

@@ -68,12 +68,22 @@ object Profiler {
   /** The reference's quantile vector (src/database.py:5351). */
   val Quantiles: Seq[Double] = Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
 
-  /** A5: exact interpolated percentiles, one column per quantile. All
+  /** Quantile vector aggregate: the exact primitive-buffer kernel, or —
+    * `approx = true`, the 100-TB auto-route — approx_percentile's
+    * mergeable sketch (constant memory per column; the exact kernel
+    * buffers every value per partition, the one remaining memory wall at
+    * billions of rows). Both yield array&lt;double&gt;. */
+  private def pctVec(c: String, qs: Seq[Double], approx: Boolean): Column =
+    if (approx)
+      expr(s"approx_percentile(`$c`, array(${qs.mkString(", ")}), 10000)")
+        .cast("array<double>")
+    else graft.functions.GraftFunctions.exactPercentiles(col(c), qs)
+
+  /** A5: interpolated percentiles, one column per quantile. All
     * quantiles come from ONE percentile(col, array(...)) aggregate — one
     * value buffer and one sort, instead of one full buffer per quantile. */
-  def percentiles(df: DataFrame, c: String): DataFrame = {
-    val vec = graft.functions.GraftFunctions.exactPercentiles(col(c), Quantiles)
-    val wide = df.agg(vec.as("qv"))
+  def percentiles(df: DataFrame, c: String, approx: Boolean = false): DataFrame = {
+    val wide = df.agg(pctVec(c, Quantiles, approx).as("qv"))
     val outs = Quantiles.zipWithIndex.map { case (q, i) =>
       r4(col("qv").getItem(i)).as(f"p${(q * 100).toInt}%02d")
     }
@@ -86,9 +96,8 @@ object Profiler {
     * CartesianProduct that re-executes the percentile subplan once per
     * left-side partition (32x the quantile work); broadcasting computes
     * it exactly once. Both quantiles come from one array-percentile. */
-  def iqrOutliers(df: DataFrame, c: String): DataFrame = {
-    val q = df.agg(graft.functions.GraftFunctions
-      .exactPercentiles(col(c), Seq(0.25, 0.75)).as("qv"))
+  def iqrOutliers(df: DataFrame, c: String, approx: Boolean = false): DataFrame = {
+    val q = df.agg(pctVec(c, Seq(0.25, 0.75), approx).as("qv"))
     val bounds = q.select(
       col("qv").getItem(0).as("q25"), col("qv").getItem(1).as("q75"))
       .select(
@@ -192,12 +201,12 @@ object Profiler {
     * (src/database.py:5186-5257): 100 − 5·(cols >50% null) − 2·(numeric
     * cols with >5% IQR outliers); plus issue counts. All inputs computed
     * distributed; only the tiny per-column stat rows are combined. */
-  def qualitySummary(df: DataFrame, numericCols: Seq[String]): DataFrame = {
+  def qualitySummary(df: DataFrame, numericCols: Seq[String],
+      approx: Boolean = false): DataFrame = {
     // two passes total: quantiles, then counts (row count folded into the
     // second agg — no separate count() job)
     val qAggs = numericCols.map { c =>
-      graft.functions.GraftFunctions
-        .exactPercentiles(col(c), Seq(0.25, 0.75)).as(s"q_$c")
+      pctVec(c, Seq(0.25, 0.75), approx).as(s"q_$c")
     }
     val q = df.agg(qAggs.head, qAggs.tail: _*).collect()(0)
     val outAggs = numericCols.zipWithIndex.map { case (c, i) =>
@@ -281,12 +290,15 @@ object Profiler {
     * column; per-column single-row frames (moments, percentiles) union
     * into the same shape. */
   def profile(df: DataFrame, numericCols: Seq[String],
-      stringCols: Seq[String] = Nil, mode: String = "basic"): DataFrame = {
+      stringCols: Seq[String] = Nil, mode: String = "basic",
+      approx: Boolean = false): DataFrame = {
     def base = longRows("base_stats", numericBaseStats(df, numericCols), "column_name")
     def dist = numericCols.map { c =>
         longRows("moments", withName(moments(df, c), c), "column_name")
-          .unionByName(longRows("percentiles", withName(percentiles(df, c), c), "column_name"))
-          .unionByName(longRows("outliers", withName(iqrOutliers(df, c), c), "column_name"))
+          .unionByName(longRows("percentiles",
+            withName(percentiles(df, c, approx), c), "column_name"))
+          .unionByName(longRows("outliers",
+            withName(iqrOutliers(df, c, approx), c), "column_name"))
       }.reduce(_ unionByName _)
     def strings = stringCols.map { c =>
         longRows("string_stats", withName(stringStats(df, c), c), "column_name")
@@ -297,11 +309,21 @@ object Profiler {
               "column_name"))
       }.reduceOption(_ unionByName _)
     def quality =
-      longRows("cardinality", cardinalityProfile(df, df.columns.toSeq), "column_name")
+      longRows("cardinality",
+        cardinalityProfile(df, df.columns.toSeq, approx), "column_name")
         .unionByName(longRows("quality",
-          qualitySummary(df, numericCols).withColumn("column_name", lit("_table")),
+          qualitySummary(df, numericCols, approx)
+            .withColumn("column_name", lit("_table")),
           "column_name"))
-    mode.toLowerCase match {
+    // payload self-describes when sketches answered (the auto-route for
+    // tables past the exact-profile row threshold)
+    def metaRow = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      Seq(("profile_meta", "_table", "approx", "true"))
+        .toDF("section", "column_name", "stat_name", "stat_value")
+    }
+    val assembled = mode.toLowerCase match {
       case "basic" => base
       case "distribution" => base.unionByName(dist)
       case "quality" => quality
@@ -309,15 +331,20 @@ object Profiler {
         (Seq(base, dist) ++ strings.toSeq :+ quality).reduce(_ unionByName _)
       case other => throw new IllegalArgumentException(s"profile mode: $other")
     }
+    if (approx && mode.toLowerCase != "basic") assembled.unionByName(metaRow)
+    else assembled
   }
 
   /** A3: null % and cardinality ratio/class per column. Thresholds mirror
     * the reference (src/database.py:5314-5329): unique / constant /
     * high>0.9 / medium>0.5 / low>0.01 / very_low. One agg pass. */
-  def cardinalityProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def cardinalityProfile(df: DataFrame, cols: Seq[String],
+      approx: Boolean = false): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"nn_$c"),
-        graft.functions.GraftFunctions.exactDistinctCount(col(c)).as(s"nd_$c"))
+        (if (approx) approx_count_distinct(col(c), rsd = 0.05)
+         else graft.functions.GraftFunctions.exactDistinctCount(col(c)))
+          .as(s"nd_$c"))
     }
     val wide = df.agg(count(lit(1)).as("n"), aggs: _*)
     cols.map { c =>

@@ -774,8 +774,9 @@ final class SqlHttpServer(
           .map(_.name).toSeq
         val strings = df.schema.fields.filter(
           _.dataType == org.apache.spark.sql.types.StringType).map(_.name).toSeq
+        val exact = query.get("exact").exists(_.equalsIgnoreCase("true"))
         val Rows(prof) = storageApi.execute(
-          ProfileTable(p, b, t, numeric, strings, mode)): @unchecked
+          ProfileTable(p, b, t, numeric, strings, mode, exact)): @unchecked
         val payload = dfJson(prof.collect(), prof.schema)
         payload.put("rowCount", store.cachedRowCount(p, b, t))
         respondJson(ex, 200, om.writeValueAsString(payload))

@@ -143,5 +143,29 @@ class StorageApiSpec extends SparkSpec {
     val Rows(q) = api.execute(StorageApi.ExecuteQuery("p", Seq("sales"),
       "SELECT COUNT(*) AS n FROM sales_customer WHERE tier = 'GOLD'"))
     assert(q.collect()(0).getLong(0) == nStaged)
+
+    // huge-table auto-route: above the exact-profile row threshold the
+    // distribution stats come from sketches and the payload says so;
+    // exact=true opts back into exact mode at any size
+    val tinyThreshold = new StorageApi.Handler(spark, store,
+      exactProfileMaxRows = 10L)
+    val Rows(approxProf) = tinyThreshold.execute(ProfileTable("p", "sales",
+      "customer", numericColumns = Seq("c_acctbal"), mode = "distribution"))
+    val approxFlag = approxProf.filter(col("section") === "profile_meta" &&
+      col("stat_name") === "approx").collect()
+    assert(approxFlag.length == 1 && approxFlag(0).getString(3) == "true")
+    assert(approxProf.filter(col("section") === "percentiles").count() ==
+      graft.engine.profile.Profiler.Quantiles.size)
+    val Rows(exactProf) = tinyThreshold.execute(ProfileTable("p", "sales",
+      "customer", numericColumns = Seq("c_acctbal"), mode = "distribution",
+      exact = true))
+    assert(exactProf.filter(col("section") === "profile_meta").count() == 0)
+    // exact percentile values match the directly-computed exact kernel
+    val p50Exact = exactProf.filter(col("section") === "percentiles" &&
+      col("stat_name") === "p50").collect()(0).getString(3)
+    val direct = graft.engine.profile.Profiler
+      .percentiles(store.read("p", "sales", "customer"), "c_acctbal")
+      .select(col("p50").cast("string")).collect()(0).getString(0)
+    assert(p50Exact == direct)
   }
 }
