@@ -45,27 +45,42 @@ SKIP_REPLICATED = SKIP | {
     # recursive reach CTE as x19, which DNFs on the replica pair graph
     "x28_decontaminate", "x30_leakage_safe_split", "x31_semantic_dedup"}
 
+# GenScale DEDUP-MODE dirs (documents+embeddings only, no planted
+# cross-copy near-dups): the family graft.Bench's dedup sections time.
+# Only the twins that aren't intentionally-quadratic brute or
+# recursive-closure shapes participate — the rest DNF by design and the
+# honest evidence for them is the wall-time slope in BENCH_NOTES.
+DEDUP_RUN = {"x1_exact_dedup", "x5_knn_cosine", "x6_ann_lsh",
+             "x14_ann_ivf", "x15_quantized_knn", "x26_boilerplate_prune",
+             "x28_decontaminate"}
+
 PASSES = 3
 TIMEOUT_S = 300  # per query, enforced via con.interrupt() — a recursive
                  # twin that exceeds this is recorded as -1, not waited out
 
 
 def bench_dir(oracle, sf_dir):
+    import os
     con = duckdb.connect()
     for t in TABLES:
         # GenScale output is a directory of part files; driver data one file
-        import os
         p = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(p):
+            continue  # dedup-mode dirs hold documents+embeddings only
         src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
     # a directory-shaped lineitem.parquet marks a GenScale-derived replica
-    # dir — same signal graft.Bench keys its sf1 subset on
-    import os
+    # dir — same signal graft.Bench keys its sf1 subset on; a dir with no
+    # lineitem at all is a dedup-mode dir (positive-list its subset)
+    dedup_mode = not os.path.exists(f"{sf_dir}/lineitem.parquet")
     skip = SKIP_REPLICATED if os.path.isdir(f"{sf_dir}/lineitem.parquet") \
         else SKIP
     out = {}
     for name, sql in sorted(oracle.items()):
-        if name in skip:
+        if dedup_mode:
+            if name not in DEDUP_RUN:
+                continue
+        elif name in skip:
             continue
         def timed_run():
             import threading
