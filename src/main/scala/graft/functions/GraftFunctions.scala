@@ -144,6 +144,8 @@ object GraftFunctions {
       es => GraftExpressions.PackedHamming(es(0), es(1)))
     Shim.registerFunction(spark, "simhash64",
       es => GraftExpressions.SimHash64(es(0)))
+    Shim.registerFunction(spark, "pattern_bits",
+      es => GraftExpressions.PatternBits(es(0)))
     Shim.registerFunction(spark, "word_shingles",
       es => WordShingles(es(0), intArg(es(1), "word_shingles")))
     Shim.registerFunction(spark, "minhash_sig",

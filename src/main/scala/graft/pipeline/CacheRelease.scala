@@ -29,4 +29,10 @@ private[pipeline] object CacheRelease {
     inputs.foreach(pending.add)
     out
   }
+
+  /** Register a cache for release at the NEXT pipeline call without
+    * draining now — for caches created mid-pipeline, before the
+    * function's own finalized() runs (which would otherwise release
+    * them immediately as "prior"). */
+  def register(inputs: DataFrame*): Unit = inputs.foreach(pending.add)
 }

@@ -62,21 +62,42 @@ object TextDedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Option[Int] = None,
       autoCapAbove: Long = 100000L): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n)
+    // Shingles live as 128-bit hash structs from the first projection on
+    // (the spanOverlap/x39 trick): the explode, the doc-frequency agg and
+    // the inverted-index self-join all carry 16-byte values instead of
+    // ~30-char shingle strings, and the gram string is built exactly once
+    // inside the wordGramHashes kernel. Distinct (h1, h2) == distinct
+    // shingle strings beyond-birthday-safely, so `common`, `k` and the
+    // verified Jaccard equal the string-keyed answer (same collision
+    // argument the x18/x39 oracles already accept).
+    val sets = df.select(col(idCol).as("id"), array_distinct(
+        graft.functions.GraftFunctions.wordGramHashes(
+          expr(s"split(trim($textCol), ' +')"), n)).as("sh"))
+      .withColumn("k", size(col("sh")))
+      .filter(col("k") > 0)
     val cap = maxDocFreq.orElse {
       // metadata-cheap corpus size (parquet row counts), not a shingle scan
       val docs = df.count()
       if (docs > autoCapAbove) Some(math.max(64L, docs / 100L).toInt) else None
     }
-    val posts0 = sets.select(col("id"), col("k"), explode(col("sh")).as("s"))
+    val posts0 = sets
+      .select(col("id"), col("k"), explode(col("sh")).as("s"))
+      .select(col("id"), col("k"), col("s.h1").as("h1"), col("s.h2").as("h2"))
     val posts = cap.fold(posts0) { c =>
-      val freq = posts0.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= c).select("s")
-      posts0.join(freq, "s")
+      // cached: the capped path consumes the exploded posts twice (the
+      // doc-frequency profile AND the index join) — without the cache
+      // the explode, the hottest map stage, runs twice
+      val cached = posts0.persist()
+      val freq = cached.groupBy("h1", "h2").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= c).select("h1", "h2")
+      CacheRelease.register(cached)
+      cached.join(freq, Seq("h1", "h2"))
     }
-    val a = posts.select(col("id").as("a_id"), col("k").as("ka"), col("s"))
-    val b = posts.select(col("id").as("b_id"), col("k").as("kb"), col("s"))
-    a.join(b, "s").filter(col("a_id") < col("b_id"))
+    val a = posts.select(col("id").as("a_id"), col("k").as("ka"),
+      col("h1"), col("h2"))
+    val b = posts.select(col("id").as("b_id"), col("k").as("kb"),
+      col("h1"), col("h2"))
+    a.join(b, Seq("h1", "h2")).filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id", "ka", "kb")
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
