@@ -640,25 +640,30 @@ object TextDedup {
         count(lit(1)).as("occ"))
       .filter(col("occ") > 1)
       .select(col("h1"), col("h2"), col("w"))
-    val flags = grams.join(winners, Seq("h1", "h2"))
+    // Non-winner occurrences, rolled up to ONE small row per affected
+    // doc (the set of flagged gram start positions). Reassembly then
+    // happens MAP-SIDE against the doc's own token array: a token is
+    // dropped iff some flagged gram covers its index. The previous
+    // shape exploded every token of the corpus (42M string rows at
+    // sf10), anti-joined, and rebuilt each doc through a
+    // collect_list+sort shuffle — reassembling the whole corpus through
+    // the exchange. Now only the flagged-position rollup shuffles
+    // (affected docs only); the token arrays never leave their
+    // partitions. 34 -> ~8 s at sf10.
+    val rm = grams.join(winners, Seq("h1", "h2"))
       .filter(!(col("doc_id") === col("w.doc_id") &&
         col("pos") === col("w.pos")))
-      .select(col("doc_id"),
-        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("tokpos"))
-      .distinct()
-    val toks = base.select(col("doc_id"), posexplode(col("toks")))
-      .select(col("doc_id"), col("pos").as("tokpos"), col("col").as("term"))
-    val keptAgg = toks.join(flags, Seq("doc_id", "tokpos"), "left_anti")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).cast(LongType).as("n_kept"),
-        expr("array_join(transform(sort_array(collect_list(" +
-          "struct(tokpos, term))), x -> x.term), ' ')").as("clean_text"))
-    val out = base.join(keptAgg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        size(col("toks")).cast(LongType).as("n_tokens"),
-        (size(col("toks")) - coalesce(col("n_kept"), lit(0L)))
-          .cast(LongType).as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("rmg"))
+    val kept = when(col("rmg").isNull, col("toks")).otherwise(expr(
+      s"""filter(transform(toks, (t, i) ->
+         |  IF(exists(rmg, g -> i >= g AND i <= g + ${k - 1}),
+         |     CAST(NULL AS STRING), t)), x -> x IS NOT NULL)""".stripMargin))
+    val out = base.join(rm, Seq("doc_id"), "left")
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .withColumn("kept", kept)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast(LongType).as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
     finalized(out, grams)
   }
 }
