@@ -207,18 +207,19 @@ object ExtraQueries {
         val r = Tables.df(s, dir, "region")
         // same shape as q2: pre-aggregate lineitem per order so the join
         // chain moves one row per order and COUNT(DISTINCT o_orderkey)
-        // becomes a plain count (o_orderkey is unique in orders; decimal
-        // sums are associative, so two-level summing is bit-identical)
+        // becomes a plain count (o_orderkey is unique in orders). The
+        // per-order partial is the exact unscaled BIGINT (bounded group
+        // — see Queries.revUnscaled) and the outer agg widens back to
+        // decimal, bit-identical to the direct decimal sum.
         val perOrder = li.groupBy("l_orderkey")
-          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(DecimalType(38, 4))).as("rev"))
+          .agg(sum(Queries.revUnscaled).as("rev_u"))
         perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
           .join(c, o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy("r_name", "n_name")
           .agg(
-            sum(col("rev")).cast(DoubleType).as("revenue"),
+            Queries.sumRevUnscaled(col("rev_u")).as("revenue"),
             count(lit(1)).cast(LongType).as("n_orders"))
           .orderBy("r_name", "n_name")
       },
@@ -360,18 +361,18 @@ object ExtraQueries {
         val o = Tables.df(s, dir, "orders")
         // pre-aggregate per order BEFORE the join (q2's pattern): the join
         // moves one row per order, not one per lineitem, and the month
-        // rollup re-aggregates order-sized input. Decimal sums are
-        // associative -> two-level sum is bit-identical for the oracle.
+        // rollup re-aggregates order-sized input. Per-order partial is
+        // the exact unscaled BIGINT (bounded group — Queries.revUnscaled)
+        // and the outer agg widens back to decimal, bit-identical.
         val perOrder = li.groupBy("l_orderkey")
           .agg(
-            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-              .cast(DecimalType(38, 4))).as("rev"),
+            sum(Queries.revUnscaled).as("rev_u"),
             count(lit(1)).cast(LongType).as("ni"))
         perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
           .groupBy(unix_millis(date_trunc("month", col("o_orderdate")))
             .as("month_ms"))
           .agg(
-            sum(col("rev")).cast(DoubleType).as("revenue"),
+            Queries.sumRevUnscaled(col("rev_u")).as("revenue"),
             sum(col("ni")).cast(LongType).as("n_items"))
           .orderBy("month_ms")
       },
