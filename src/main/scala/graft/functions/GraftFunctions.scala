@@ -21,6 +21,18 @@ object GraftFunctions {
   def regexpFullMatch(s: Column, re: Column): Column =
     Shim.column(RegexpFullMatch(Shim.expression(s), Shim.expression(re)))
 
+  /** Fixed-size token chunks of a text column as (n_tokens, chunk_text)
+    * structs, one codegen'd pass (parity test in FunctionsSpec). */
+  def chunkTokens(text: Column, chunkTokens: Int, overlap: Int): Column =
+    Shim.column(GraftExpressions.ChunkTokens(
+      Shim.expression(text), chunkTokens, overlap))
+
+  /** Gopher repetition signals [n_words, n_distinct_words,
+    * n_distinct_bigrams, n_chars_in_words] of a text column in one
+    * codegen'd pass (parity test in FunctionsSpec). */
+  def gopherSignals(text: Column): Column =
+    Shim.column(GraftExpressions.GopherSignals(Shim.expression(text)))
+
   /** Packed 64-bit weighted SimHash [lo, hi] of a text column in one
     * codegen'd pass (parity test in FunctionsSpec; replaces a
     * corpus x tokens x 64 explode). */
@@ -146,6 +158,11 @@ object GraftFunctions {
       es => GraftExpressions.SimHash64(es(0)))
     Shim.registerFunction(spark, "pattern_bits",
       es => GraftExpressions.PatternBits(es(0)))
+    Shim.registerFunction(spark, "gopher_signals",
+      es => GraftExpressions.GopherSignals(es(0)))
+    Shim.registerFunction(spark, "chunk_tokens",
+      es => GraftExpressions.ChunkTokens(es(0),
+        intArg(es(1), "chunk_tokens"), intArg(es(2), "chunk_tokens")))
     Shim.registerFunction(spark, "word_shingles",
       es => WordShingles(es(0), intArg(es(1), "word_shingles")))
     Shim.registerFunction(spark, "minhash_sig",

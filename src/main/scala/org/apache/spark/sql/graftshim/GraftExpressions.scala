@@ -482,6 +482,128 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Static kernel: the Gopher repetition signals of a text in ONE pass —
+    * [n_words, n_distinct_words, n_distinct_bigrams, n_chars_in_words].
+    * Token model identical to the HOF chain it replaces
+    * (split(trim(text), ' +'); bigram identity = the space-joined string,
+    * injective because tokens contain no spaces). The HOF formulation
+    * ran array_distinct + a zip_with allocation + a boxed aggregate
+    * closure per document, all interpreted. */
+  def gopherSignalsEval(s: UTF8String): ArrayData = {
+    val words = s.trim().toString.split(" +", -1)
+    val distinct = new java.util.HashSet[String]()
+    var chars = 0L
+    var i = 0
+    while (i < words.length) {
+      distinct.add(words(i))
+      chars += words(i).length
+      i += 1
+    }
+    val bigrams = new java.util.HashSet[String]()
+    i = 0
+    while (i < words.length - 1) {
+      bigrams.add(words(i) + " " + words(i + 1))
+      i += 1
+    }
+    new GenericArrayData(Array[Any](
+      words.length.toLong, distinct.size.toLong,
+      bigrams.size.toLong, chars))
+  }
+
+  /** Gopher-rule repetition signals (§2.9) — parity pin vs the HOF
+    * formulation in FunctionsSpec; x21's per-document hot path. */
+  case class GopherSignals(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "gopher_signals"
+
+    override def nullSafeEval(s: Any): Any =
+      gopherSignalsEval(s.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.gopherSignalsEval($s);"
+      })
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Static kernel: fixed-size token chunks of a text in ONE pass —
+    * entry i = (n_tokens, chunk_text) for tokens
+    * [i*stride, i*stride + chunkTokens). Token model identical to the
+    * HOF chain it replaces (filter(split(trim(t), ' +'), x -> x != '');
+    * chunk count = max(ceil((len - overlap) / stride), 1) for non-empty
+    * token lists, zero chunks for empty). The HOF formulation ran an
+    * interpreted transform + slice allocation per chunk and rebuilt each
+    * chunk string through array_join. */
+  def chunkTokensEval(s: UTF8String, chunkTokens: Int,
+      overlap: Int): ArrayData = {
+    val stride = chunkTokens - overlap
+    val words0 = s.trim().toString.split(" +", -1)
+    var n = 0
+    var i = 0
+    while (i < words0.length) { if (!words0(i).isEmpty) n += 1; i += 1 }
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val words = if (n == words0.length) words0 else {
+      val w = new Array[String](n)
+      var j = 0; i = 0
+      while (i < words0.length) {
+        if (!words0(i).isEmpty) { w(j) = words0(i); j += 1 }
+        i += 1
+      }
+      w
+    }
+    val nChunks = math.max(
+      math.ceil((n - overlap).toDouble / stride).toInt, 1)
+    val out = new Array[Any](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      val start = c * stride
+      val end = math.min(start + chunkTokens, n)
+      val sb = new java.lang.StringBuilder(64)
+      var k = start
+      while (k < end) {
+        if (k > start) sb.append(' ')
+        sb.append(words(k))
+        k += 1
+      }
+      out(c) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any]((end - start).toLong, UTF8String.fromString(sb.toString)))
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Token chunking (§2.9): array of (n_tokens, chunk_text) structs —
+    * parity pin vs the HOF formulation in FunctionsSpec; x32's
+    * per-document hot path. */
+  case class ChunkTokens(child: Expression, chunkTokens: Int, overlap: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens)
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("chunk_text", StringType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "chunk_tokens"
+
+    override def nullSafeEval(s: Any): Any =
+      chunkTokensEval(s.asInstanceOf[UTF8String], chunkTokens, overlap)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.chunkTokensEval($s, $chunkTokens, $overlap);"
+      })
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   // ---- profiler pattern classifier (A9) ----------------------------------
 
   /** The profiler's 7 structural patterns, bit positions fixed:

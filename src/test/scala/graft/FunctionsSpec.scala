@@ -44,6 +44,57 @@ class FunctionsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("chunk_tokens bit-identical to the HOF transform/slice chain") {
+    val (ct, ov) = (16, 4)
+    val stride = ct - ov
+    val docs = Tables.df(spark, sfDir, "documents").limit(300)
+      .select(col("text"))
+      .union(Seq("", " ", "a", ("w " * 16).trim, ("w " * 17).trim,
+        ("x " * 100).trim).toDF("text"))
+    val hof = expr(
+      s"""CASE WHEN size(toks) = 0 THEN array()
+         |ELSE transform(
+         |  sequence(0, int(greatest(
+         |    ceil((size(toks) - $ov) / CAST($stride AS DOUBLE)), 1)) - 1),
+         |  i -> slice(toks, i * $stride + 1, $ct))
+         |END""".stripMargin)
+    val viaHof = docs
+      .withColumn("toks", expr("filter(split(trim(text), ' +'), x -> x != '')"))
+      .withColumn("chunks", hof)
+      .select(col("text"), posexplode(col("chunks")))
+      .select(col("text"), col("pos"),
+        size(col("col")).cast("long").as("n"), array_join(col("col"), " ").as("t"))
+    val viaNative = docs
+      .select(col("text"), posexplode(
+        GraftFunctions.chunkTokens(col("text"), ct, ov)))
+      .select(col("text"), col("pos"),
+        col("col.n_tokens").as("n"), col("col.chunk_text").as("t"))
+    assert(viaHof.exceptAll(viaNative).count() == 0)
+    assert(viaNative.exceptAll(viaHof).count() == 0)
+  }
+
+  test("gopher_signals bit-identical to the HOF formulation") {
+    val docs = Tables.df(spark, sfDir, "documents").limit(300)
+      .select(col("text"))
+      .union(Seq("", " ", "a", "a a", "a b a b", "one two one two three")
+        .toDF("text"))
+    val w = "split(trim(text), ' +')"
+    val hof = struct(
+      expr(s"size($w)").cast("long"),
+      expr(s"size(array_distinct($w))").cast("long"),
+      expr(s"""size(array_distinct(CASE WHEN size($w) >= 2 THEN
+           |  zip_with(slice($w, 1, size($w) - 1), slice($w, 2, size($w) - 1),
+           |    (a, b) -> concat(a, ' ', b))
+           |ELSE array() END))""".stripMargin).cast("long"),
+      expr(s"aggregate($w, 0L, (a, x) -> a + length(x))").cast("long"))
+    val diff = docs
+      .withColumn("native", GraftFunctions.gopherSignals(col("text")))
+      .withColumn("hof", hof)
+      .filter(expr("native[0] != hof.col1 OR native[1] != hof.col2 OR " +
+        "native[2] != hof.col3 OR native[3] != hof.col4"))
+    assert(diff.count() == 0)
+  }
+
   test("simhash64 bit-identical to the explode/groupBy SQL formulation") {
     val docs = Tables.df(spark, sfDir, "documents").limit(300)
       .select(col("doc_id").as("id"), col("text"))
