@@ -95,12 +95,17 @@ object ExtraQueries {
         // both membership partitions from ONE scan of the fact side
         // (refTableMembership), instead of a semi-join pass + anti-join
         // pass; same rollup semantics as the two refTableFilter calls
+        // per-row path sums bounded per-partition longs, not decimals
+        // (Queries.unscaled4; bit-identical, see its doc)
         FilterAlgebra
           .refTableMembership(li, "l_orderkey", refKeys, "o_orderkey")
+          .groupBy(col("mode"), col("l_returnflag"),
+            spark_partition_id().as("_pid"))
+          .agg(sum(Queries.unscaled4(col("l_quantity"))).as("qty_u"),
+            count(lit(1)).as("cnt"))
           .groupBy("mode", "l_returnflag")
-          .agg(count(lit(1)).cast(LongType).as("n"),
-            sum(col("l_quantity").cast(DecimalType(38, 4))).cast(DoubleType)
-              .as("total_qty"))
+          .agg(sum(col("cnt")).cast(LongType).as("n"),
+            Queries.sumUnscaled4(col("qty_u")).as("total_qty"))
           .select("l_returnflag", "n", "total_qty", "mode")
           .orderBy("mode", "l_returnflag")
       },
@@ -219,7 +224,7 @@ object ExtraQueries {
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy("r_name", "n_name")
           .agg(
-            Queries.sumRevUnscaled(col("rev_u")).as("revenue"),
+            Queries.sumUnscaled4(col("rev_u")).as("revenue"),
             count(lit(1)).cast(LongType).as("n_orders"))
           .orderBy("r_name", "n_name")
       },
@@ -266,16 +271,25 @@ object ExtraQueries {
     // §2.6 — ROLLUP hierarchy totals (null group keys coalesced to a
     // sentinel so engine NULL-ordering differences can't bite)
     Q("q5_rollup",
-      (s, dir) => Tables.df(s, dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).cast(LongType).as("n"),
-          sum(col("l_quantity").cast(DecimalType(38, 4))).cast(DoubleType)
-            .as("sum_qty"))
-        .select(
-          coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
-          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
-          col("n"), col("sum_qty"))
-        .orderBy("returnflag", "linestatus"),
+      (s, dir) => {
+        // COUNT/SUM are re-aggregable, so the rollup's Expand runs over
+        // per-(group, partition) partials — tiny — not the full scan
+        // (q7's fix), and the per-row path sums bounded longs, not
+        // decimals (Queries.unscaled4; bit-identical, see its doc).
+        val partial = Tables.df(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"),
+            spark_partition_id().as("_pid"))
+          .agg(sum(Queries.unscaled4(col("l_quantity"))).as("qty_u"),
+            count(lit(1)).as("cnt"))
+        partial.rollup("l_returnflag", "l_linestatus")
+          .agg(sum(col("cnt")).cast(LongType).as("n"),
+            Queries.sumUnscaled4(col("qty_u")).as("sum_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+            col("n"), col("sum_qty"))
+          .orderBy("returnflag", "linestatus")
+      },
       Some("""SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
              |  COALESCE(l_linestatus, '(all)') AS linestatus,
              |  COUNT(*) AS n,
@@ -331,14 +345,18 @@ object ExtraQueries {
     // feeding it the 6M-row (sf1) scan tripled the shuffled bytes.
     // Decimal sums are associative: the two-level sum is bit-identical.
     Q("q7_grouping_sets", {
+      // inner partials additionally key on spark_partition_id() so the
+      // per-row path sums bounded longs (Queries.unscaled4's argument);
+      // the outer SUM widens them to DECIMAL(38,0) — bit-identical
       val sql =
         """SELECT COALESCE(l_returnflag, '(all)') AS rf,
           |  COALESCE(l_linestatus, '(all)') AS ls,
           |  SUM(cnt) AS n,
-          |  CAST(SUM(qty) AS DOUBLE) AS sum_qty
+          |  CAST(SUM(CAST(qty_u AS DECIMAL(38,0))) / 10000 AS DOUBLE) AS sum_qty
           |FROM (SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-          |        SUM(CAST(l_quantity AS DECIMAL(38,4))) AS qty
-          |      FROM lineitem GROUP BY l_returnflag, l_linestatus)
+          |        SUM(CAST(CAST(l_quantity AS DECIMAL(12,4)) * 10000 AS BIGINT)) AS qty_u
+          |      FROM lineitem
+          |      GROUP BY l_returnflag, l_linestatus, spark_partition_id())
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
           |ORDER BY rf, ls""".stripMargin
       (s: org.apache.spark.sql.SparkSession, dir: String) => {
@@ -372,7 +390,7 @@ object ExtraQueries {
           .groupBy(unix_millis(date_trunc("month", col("o_orderdate")))
             .as("month_ms"))
           .agg(
-            Queries.sumRevUnscaled(col("rev_u")).as("revenue"),
+            Queries.sumUnscaled4(col("rev_u")).as("revenue"),
             sum(col("ni")).cast(LongType).as("n_items"))
           .orderBy("month_ms")
       },

@@ -34,31 +34,30 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.df(s, dir, name)
 
-  /** Exact order-independent SUM: through DECIMAL(38,4), back to DOUBLE. */
-  private def dsum(c: Column): Column =
-    sum(c.cast(DecimalType(38, 4))).cast(DoubleType)
+  /** Per-row exact UNSCALED BIGINT (value x 10^4) of `CAST(e AS
+    * DECIMAL(12,4))` — the same 4-dp rounding the DECIMAL(38,4) sum
+    * applies (identical for any |value| &lt; 10^8, which every monetary /
+    * quantity column here is bounded by). The point is the AGGREGATION
+    * representation: a decimal sum buffer boxes past 18 digits (60M-row
+    * sf10 agg measured 6.5 s decimal vs 3.0 s long), a long partial
+    * doesn't. Longs may only accumulate over a BOUNDED set of rows —
+    * a per-key bounded group (an order's ~7 lineitems) or one physical
+    * partition (capped by files.maxPartitionBytes: even 10^8 rows of
+    * 10^9-unit values stay two decades under Long.Max). Unbounded outer
+    * aggregations must widen back to decimal: [[sumUnscaled4]]. */
+  private[graft] def unscaled4(e: Column): Column =
+    (e.cast(DecimalType(12, 4)) * lit(10000)).cast(LongType)
 
-  /** Per-order revenue as an exact UNSCALED BIGINT (value x 10^4). The
-    * per-row DECIMAL(12,4) cast is the same rounding the DECIMAL(38,4)
-    * sum applied — the only change is the AGGREGATION representation:
-    * a decimal sum buffer boxes past 18 digits (60M-row sf10 agg
-    * measured 6.5 s decimal vs 3.0 s long), while an order's revenue
-    * (<= ~7 lineitems) never exceeds ~10^12 units — a bounded group, so
-    * the long can't overflow at ANY corpus scale. Unbounded outer
-    * aggregations must widen back to decimal: [[sumRevUnscaled]]. */
-  private[graft] val revUnscaled: Column = expr(
-    "CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(12,4))" +
-      " * 10000 AS BIGINT)")
+  /** Per-order revenue as an exact unscaled BIGINT (see [[unscaled4]]). */
+  private[graft] val revUnscaled: Column =
+    unscaled4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
 
-  /** Outer aggregation of [[revUnscaled]] partials: widen each bounded
+  /** Outer aggregation of [[unscaled4]] partials: widen each bounded
     * long to DECIMAL(38,0) BEFORE summing (exact at any scale), then
     * rescale — bit-identical to the direct DECIMAL(38,4) sum (same
     * per-row rounding, exact integer arithmetic both ways). */
-  private[graft] def sumRevUnscaled(c: Column): Column =
+  private[graft] def sumUnscaled4(c: Column): Column =
     (sum(c.cast(DecimalType(38, 0))) / lit(10000)).cast(DoubleType)
-  /** Exact order-independent AVG: decimal sum / count, in double. */
-  private def davg(c: Column): Column =
-    dsum(c) / count(c)
   private val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(38,4))) AS DOUBLE)"
   private def dsumSql(e: String) = DSUM.format(e)
   private def davgSql(e: String) = s"(${DSUM.format(e)} / COUNT(${e}))"
@@ -187,19 +186,35 @@ object Queries {
              |WHERE NOT (l_returnflag = 'A')
              |ORDER BY l_orderkey, l_linenumber, l_partkey, l_returnflag""".stripMargin)),
 
-    // A12/Q1-style flagship aggregation (TPC-H Q1 shape) — exact sums via
-    // decimal, exact avg via sum/count
+    // A12/Q1-style flagship aggregation (TPC-H Q1 shape) — exact sums,
+    // exact avg via sum/count. The groups here are UNBOUNDED (they grow
+    // with the corpus), so q2's bounded-group long trick is re-based on
+    // the one thing that IS bounded at any corpus scale: the physical
+    // partition (files.maxPartitionBytes). Partial long sums per
+    // (group, partition) complete map-side — the exchange carries
+    // #groups x #partitions tiny rows — and the re-aggregation widens
+    // to DECIMAL(38,0): bit-identical to the direct DECIMAL(38,4) sums
+    // (same per-row 4-dp rounding, exact integer arithmetic both ways).
     Q("q1_agg_pricing",
-      (s, dir) => t(s, dir, "lineitem")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .as("sum_disc_price"),
-          davg(col("l_quantity")).as("avg_qty"),
-          count(lit(1)).cast(LongType).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus"),
+      (s, dir) => {
+        val partial = t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"),
+            spark_partition_id().as("_pid"))
+          .agg(
+            sum(unscaled4(col("l_quantity"))).as("qty_u"),
+            count(col("l_quantity")).as("qty_n"),
+            sum(unscaled4(col("l_extendedprice"))).as("base_u"),
+            sum(revUnscaled).as("disc_u"),
+            count(lit(1)).as("cnt"))
+        partial.groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sumUnscaled4(col("qty_u")).as("sum_qty"),
+            sumUnscaled4(col("base_u")).as("sum_base_price"),
+            sumUnscaled4(col("disc_u")).as("sum_disc_price"),
+            (sumUnscaled4(col("qty_u")) / sum(col("qty_n"))).as("avg_qty"),
+            sum(col("cnt")).cast(LongType).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
       Some(s"""SELECT l_returnflag, l_linestatus,
              |  ${dsumSql("l_quantity")} AS sum_qty,
              |  ${dsumSql("l_extendedprice")} AS sum_base_price,
@@ -229,7 +244,7 @@ object Queries {
           .join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(
-            sumRevUnscaled(col("rev_u")).as("revenue"),
+            sumUnscaled4(col("rev_u")).as("revenue"),
             count(lit(1)).cast(LongType).as("n_orders"))
           .orderBy("c_mktsegment")
       },
