@@ -300,17 +300,26 @@ object ExtraQueries {
     // §2.6 — set operations: INTERSECT / EXCEPT / UNION over key sets
     Q("q6_set_ops",
       (s, dir) => {
+        // All three set cardinalities from ONE scan + ONE shuffle:
+        // per-custkey presence flags (map-side partial agg collapses to
+        // each partition's distinct keys before the exchange), then
+        // INTERSECT = both flags, EXCEPT = F only, UNION DISTINCT =
+        // every flagged key. The intersect/except/union-distinct form
+        // paid three scans and three dedup shuffles of the same keys.
         val o = Tables.df(s, dir, "orders")
-        val fKeys = o.filter(col("o_orderstatus") === "F").select("o_custkey")
-        val oKeys = o.filter(col("o_orderstatus") === "O").select("o_custkey")
-        def tag(df: org.apache.spark.sql.DataFrame, t: String) =
-          df.agg(count(lit(1)).cast(LongType).as("n"))
-            .withColumn("op", lit(t))
-        // intersect/except already emit distinct rows — only the bag
-        // union needs the dedup shuffle
-        tag(fKeys.intersect(oKeys), "1_intersect")
-          .unionByName(tag(fKeys.except(oKeys), "2_except"))
-          .unionByName(tag(fKeys.union(oKeys).distinct(), "3_union_distinct"))
+        val flags = o.filter(col("o_orderstatus").isin("F", "O"))
+          .groupBy("o_custkey")
+          .agg(
+            max(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("in_f"),
+            max(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("in_o"))
+        flags.agg(
+          sum(when(col("in_f") === 1 && col("in_o") === 1, 1L).otherwise(0L))
+            .cast(LongType).as("n_i"),
+          sum(when(col("in_f") === 1 && col("in_o") === 0, 1L).otherwise(0L))
+            .cast(LongType).as("n_e"),
+          count(lit(1)).cast(LongType).as("n_u"))
+          .selectExpr("stack(3, n_i, '1_intersect', n_e, '2_except'," +
+            " n_u, '3_union_distinct') AS (n, op)")
           .orderBy("op")
       },
       Some("""SELECT COUNT(*) AS n, '1_intersect' AS op FROM (

@@ -1298,9 +1298,13 @@ object PipelineQueries {
     // oracle is plain GROUP BY/HAVING with a pure-BIGINT threshold.
     Q("x41_hot_tokens",
       (s, dir) => {
-        val toks = Tables.df(s, dir, "documents").select(
-          explode(expr("filter(split(trim(text), ' +'), x -> x != '')"))
-            .as("token"))
+        // explode the raw split and drop empties AFTER — the generate +
+        // filter stay in whole-stage codegen, where the filter(...)
+        // lambda ran interpreted per document (split(trim, ' +') only
+        // yields empties for blank text, so the two are row-identical)
+        val toks = Tables.df(s, dir, "documents")
+          .select(explode(split(trim(col("text")), " +")).as("token"))
+          .filter(col("token") =!= "")
         Sketches.cmsHeavyHitters(toks, "token", denom = 200).orderBy("key")
       },
       Some("""WITH toks AS (

@@ -33,6 +33,12 @@ object GraftFunctions {
   def gopherSignals(text: Column): Column =
     Shim.column(GraftExpressions.GopherSignals(Shim.expression(text)))
 
+  /** Quality-score signals [n_tokens, n_chars, n_non_space,
+    * stopword_hits] of a text column in one codegen'd byte pass (parity
+    * test in FunctionsSpec). */
+  def qualitySignals(text: Column): Column =
+    Shim.column(GraftExpressions.QualitySignals(Shim.expression(text)))
+
   /** Packed 64-bit weighted SimHash [lo, hi] of a text column in one
     * codegen'd pass (parity test in FunctionsSpec; replaces a
     * corpus x tokens x 64 explode). */
@@ -138,6 +144,46 @@ object GraftFunctions {
     def outputEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
 
+  /** Bottom-k DISTINCT strings (ascending) — the KMV/theta-sketch
+    * primitive: a capped TreeSet buffer dedups AND bounds every partial
+    * at k values, so the only bytes that leave a task are one ≤k-element
+    * sketch per aggregate (no distinct shuffle at any input size).
+    * Hex-digest inputs are ASCII, so TreeSet's lexicographic order ==
+    * Spark's UTF8String binary order == the oracle's ORDER BY. */
+  class BottomKAgg(k: Int) extends Aggregator[
+      String, scala.collection.mutable.ArrayBuffer[String], Seq[String]] {
+    type Buf = scala.collection.mutable.ArrayBuffer[String]
+    def zero: Buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    // first index whose value is >= v (the buffer is kept sorted)
+    private def lowerBound(b: Buf, v: String): Int = {
+      var lo = 0; var hi = b.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (b(mid) < v) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    private def insert(b: Buf, v: String): Buf = {
+      // once full, anything >= the current kth value can't enter —
+      // the O(1) reject that makes the per-row cost ~constant
+      if (v != null && (b.length < k || v < b.last)) {
+        val i = lowerBound(b, v)
+        if (i == b.length || b(i) != v) {
+          b.insert(i, v)
+          if (b.length > k) b.remove(b.length - 1)
+        }
+      }
+      b
+    }
+    def reduce(b: Buf, v: String): Buf = insert(b, v)
+    def merge(a: Buf, b: Buf): Buf = { b.foreach(insert(a, _)); a }
+    def finish(b: Buf): Seq[String] = b.toSeq
+    def bufferEncoder =
+      Encoders.kryo[scala.collection.mutable.ArrayBuffer[String]]
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
   /** Register SQL-callable names (idempotent, session-scoped) so workspace
     * passthrough SQL gains regexp_full_match / cosine_sim / histogram_map. */
   def register(spark: SparkSession): Unit = {
@@ -160,6 +206,8 @@ object GraftFunctions {
       es => GraftExpressions.PatternBits(es(0)))
     Shim.registerFunction(spark, "gopher_signals",
       es => GraftExpressions.GopherSignals(es(0)))
+    Shim.registerFunction(spark, "quality_signals",
+      es => GraftExpressions.QualitySignals(es(0)))
     Shim.registerFunction(spark, "chunk_tokens",
       es => GraftExpressions.ChunkTokens(es(0),
         intArg(es(1), "chunk_tokens"), intArg(es(2), "chunk_tokens")))

@@ -492,20 +492,21 @@ object Sketches {
       typeA: String, typeB: String, k: Int = 512,
       salt: String = "theta|"): DataFrame = {
     require(k >= 2)
-    val hashes = df.filter(col(typeCol).isin(typeA, typeB))
-      .select(col(typeCol).as("t"),
-        md5(concat(lit(salt), col(valueCol).cast(StringType))).as("h"))
-      .distinct()
-    def kset(t: String) =
-      hashes.filter(col("t") === t).select("h").orderBy("h").limit(k)
-    val uK = hashes.select("h").distinct().orderBy("h").limit(k)
-    val aAgg = kset(typeA).agg(max("h").as("a_max"),
-      count(lit(1)).as("a_n"))
-    val bAgg = kset(typeB).agg(max("h").as("b_max"),
-      count(lit(1)).as("b_n"))
-    val uAgg = uK.agg(max("h").as("u_max"), count(lit(1)).as("u_n"))
-    val rho = uK.join(kset(typeA), "h").join(kset(typeB), "h")
-      .agg(count(lit(1)).as("rho"))
+    // All three k-sets from ONE scan and ONE ≤k-element-per-partial
+    // exchange: the bottom-k aggregator's TreeSet buffer dedups by
+    // construction, so no distinct shuffle and no recomputation of the
+    // hash subplan (the orderBy/limit formulation re-ran the scan +
+    // distinct six times — once per k-set reference). Groups smaller
+    // than k keep exact distinct counts (the buffer saw every value).
+    val bk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.GraftFunctions.BottomKAgg(k))
+    val h = md5(concat(lit(salt), col(valueCol).cast(StringType)))
+    val sk = df.filter(col(typeCol).isin(typeA, typeB))
+      .select(col(typeCol).as("t"), h.as("h"))
+      .agg(
+        bk(when(col("t") === typeA, col("h"))).as("ak"),
+        bk(when(col("t") === typeB, col("h"))).as("bk"),
+        bk(col("h")).as("uk"))
     def dec(c: String): Column =
       conv(substring(col(c), 1, 15), 16, 10).cast(LongType).cast(DoubleType)
     // (k-1) * 2^60 as one precomputed double — the twin writes the same
@@ -516,13 +517,27 @@ object Sketches {
         .otherwise(round(num / dec(maxCol)).cast(LongType))
     val uRaw = when(col("u_n") < k, col("u_n").cast(DoubleType))
       .otherwise(num / dec("u_max"))
-    aAgg.crossJoin(bAgg).crossJoin(uAgg).crossJoin(rho).select(
-      est("a_max", "a_n").as("a_distinct"),
-      est("b_max", "b_n").as("b_distinct"),
-      est("u_max", "u_n").as("union_distinct"),
-      round(col("rho").cast(DoubleType) * uRaw / lit(k.toDouble))
-        .cast(LongType).as("intersection_est"),
-      col("rho").as("jaccard_numerator"))
+    // kth-hash read-out guarded for the empty-set edge (ANSI element_at
+    // throws on out-of-bounds; est only reads the max in the n >= k
+    // branch anyway, where the array is provably non-empty)
+    def last(c: String): Column =
+      when(size(col(c)) > 0, element_at(col(c), -1))
+    sk.select(
+        last("ak").as("a_max"),
+        size(col("ak")).cast(LongType).as("a_n"),
+        last("bk").as("b_max"),
+        size(col("bk")).cast(LongType).as("b_n"),
+        last("uk").as("u_max"),
+        size(col("uk")).cast(LongType).as("u_n"),
+        size(array_intersect(array_intersect(col("uk"), col("ak")),
+          col("bk"))).cast(LongType).as("rho"))
+      .select(
+        est("a_max", "a_n").as("a_distinct"),
+        est("b_max", "b_n").as("b_distinct"),
+        est("u_max", "u_n").as("union_distinct"),
+        round(col("rho").cast(DoubleType) * uRaw / lit(k.toDouble))
+          .cast(LongType).as("intersection_est"),
+        col("rho").as("jaccard_numerator"))
   }
 
   /** DuckDB twin of [[thetaOverlap]]. */

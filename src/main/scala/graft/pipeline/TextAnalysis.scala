@@ -80,13 +80,18 @@ object TextAnalysis {
   /** Per-document quality features + composite score in [0,100].
     * All-double arithmetic on exact integer inputs — oracle bit-parity. */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
-    val c = col(textCol)
-    val tokens = tokenCount(c)
-    val chars = length(c).cast(LongType)
-    val nonSpace = length(regexp_replace(trim(c), " ", "")).cast(LongType)
-    val stop = wordOccurrences(c, "the") + wordOccurrences(c, "a")
-    df.withColumn("n_tokens", tokens)
-      .withColumn("n_chars", chars)
+    // all four integer signals from ONE codegen'd byte pass (the native
+    // QualitySignals kernel, bit-parity-pinned in FunctionsSpec against
+    // the tokenCount/regexp_replace/wordOccurrences Column chain it
+    // replaced — 5 string scans + a split-array materialization per doc);
+    // the derived doubles are the same arithmetic on the same integers
+    val q = graft.functions.GraftFunctions.qualitySignals(col(textCol))
+    val tokens = col("_q").getItem(0)
+    val nonSpace = col("_q").getItem(2)
+    val stop = col("_q").getItem(3)
+    df.withColumn("_q", q)
+      .withColumn("n_tokens", tokens)
+      .withColumn("n_chars", col("_q").getItem(1))
       .withColumn("avg_token_len",
         when(tokens > 0, nonSpace.cast(DoubleType) / tokens).otherwise(lit(0.0)))
       .withColumn("stopword_ratio",
@@ -96,6 +101,7 @@ object TextAnalysis {
           lit(0.3) * least(lit(1.0), col("n_tokens") / 200.0) +
           lit(0.4) * (lit(1.0) - col("stopword_ratio")) +
           lit(0.3) * least(lit(1.0), col("avg_token_len") / 8.0)) + lit(1e-9), 4))
+      .drop("_q")
   }
 
   /** Canonical-text fingerprint: md5 of lower/trim/space-collapsed text.

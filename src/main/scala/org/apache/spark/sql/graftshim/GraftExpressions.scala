@@ -510,6 +510,79 @@ object GraftExpressions {
       bigrams.size.toLong, chars))
   }
 
+  private val TheNeedle: Array[Byte] =
+    " the ".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  private val ANeedle: Array[Byte] =
+    " a ".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Static kernel: the quality-score signals of a text in ONE byte pass —
+    * [n_tokens, n_chars, n_non_space_chars, stopword_hits]. Semantics
+    * identical to the Column chain it replaces:
+    *  - n_tokens = size(split(trim(text), ' +')) for non-blank text, 0
+    *    for blank = the count of maximal runs of non-space bytes (0x20 is
+    *    never part of a UTF-8 multibyte sequence, so byte runs = char runs);
+    *  - n_chars / n_non_space = code points (spaces are single code
+    *    points, so non_space = numChars - space bytes);
+    *  - stopword_hits = non-overlapping left-to-right occurrences of
+    *    " the " + " a " in the space-padded text — exactly what the
+    *    (length - length(replace(...)))/len(needle) trick counts, since
+    *    both engines' replace() scans the SOURCE string once and resumes
+    *    after each match. ASCII needles can't false-match inside
+    *    multibyte sequences. */
+  def qualitySignalsEval(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    var spaces = 0L
+    var tokens = 0L
+    var prevSpace = true
+    var i = 0
+    while (i < n) {
+      if (b(i) == 0x20) { spaces += 1; prevSpace = true }
+      else { if (prevSpace) tokens += 1; prevSpace = false }
+      i += 1
+    }
+    // the padded view " text " the word-boundary occurrence count scans
+    val p = new Array[Byte](n + 2)
+    p(0) = 0x20
+    System.arraycopy(b, 0, p, 1, n)
+    p(n + 1) = 0x20
+    def occ(needle: Array[Byte]): Long = {
+      val m = needle.length
+      var c = 0L
+      var i = 0
+      while (i + m <= p.length) {
+        var j = 0
+        while (j < m && p(i + j) == needle(j)) j += 1
+        if (j == m) { c += 1; i += m } else i += 1
+      }
+      c
+    }
+    val chars = s.numChars().toLong
+    new GenericArrayData(Array[Any](
+      tokens, chars, chars - spaces, occ(TheNeedle) + occ(ANeedle)))
+  }
+
+  /** Quality-score signals (§2.9) — parity pin vs the Column-chain
+    * formulation in FunctionsSpec; x8's per-document hot path. */
+  case class QualitySignals(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "quality_signals"
+
+    override def nullSafeEval(s: Any): Any =
+      qualitySignalsEval(s.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.qualitySignalsEval($s);"
+      })
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** Gopher-rule repetition signals (§2.9) — parity pin vs the HOF
     * formulation in FunctionsSpec; x21's per-document hot path. */
   case class GopherSignals(child: Expression)

@@ -95,6 +95,32 @@ class FunctionsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("quality_signals bit-identical to the Column-chain formulation") {
+    val docs = Tables.df(spark, sfDir, "documents").limit(300)
+      .select(col("text"))
+      .union(Seq("", " ", "a", "the", " the ", "the the", "a a a",
+        "x the a y", "éü the a 😀", "  two   spaced   the  a ", "a-the")
+        .toDF("text"))
+    // the pre-kernel formulation (TextAnalysis through round 8)
+    val tokens = when(trim(col("text")) === "", lit(0L))
+      .otherwise(size(split(trim(col("text")), " +")).cast("long"))
+    def occ(needle: String) = {
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      ((length(padded) - length(replace(padded, lit(s" $needle "), lit(""))))
+        / (needle.length + 2)).cast("long")
+    }
+    val diff = docs
+      .withColumn("native", GraftFunctions.qualitySignals(col("text")))
+      .withColumn("t", tokens)
+      .withColumn("c", length(col("text")).cast("long"))
+      .withColumn("ns",
+        length(regexp_replace(trim(col("text")), " ", "")).cast("long"))
+      .withColumn("st", occ("the") + occ("a"))
+      .filter(expr("native[0] != t OR native[1] != c OR " +
+        "native[2] != ns OR native[3] != st"))
+    assert(diff.count() == 0)
+  }
+
   test("simhash64 bit-identical to the explode/groupBy SQL formulation") {
     val docs = Tables.df(spark, sfDir, "documents").limit(300)
       .select(col("doc_id").as("id"), col("text"))
