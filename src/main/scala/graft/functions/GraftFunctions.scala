@@ -39,6 +39,11 @@ object GraftFunctions {
   def qualitySignals(text: Column): Column =
     Shim.column(GraftExpressions.QualitySignals(Shim.expression(text)))
 
+  /** Gated sequential PII redaction of a text column in one eval
+    * (parity test in FunctionsSpec vs the regexp_replace chain). */
+  def piiRedact(text: Column): Column =
+    Shim.column(GraftExpressions.PiiRedact(Shim.expression(text)))
+
   /** Packed 64-bit weighted SimHash [lo, hi] of a text column in one
     * codegen'd pass (parity test in FunctionsSpec; replaces a
     * corpus x tokens x 64 explode). */
@@ -208,6 +213,8 @@ object GraftFunctions {
       es => GraftExpressions.GopherSignals(es(0)))
     Shim.registerFunction(spark, "quality_signals",
       es => GraftExpressions.QualitySignals(es(0)))
+    Shim.registerFunction(spark, "pii_redact",
+      es => GraftExpressions.PiiRedact(es(0)))
     Shim.registerFunction(spark, "chunk_tokens",
       es => GraftExpressions.ChunkTokens(es(0),
         intArg(es(1), "chunk_tokens"), intArg(es(2), "chunk_tokens")))

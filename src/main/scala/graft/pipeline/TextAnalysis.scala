@@ -109,23 +109,20 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), " +", " ").cast(BinaryType))
 
-  /** PII marker patterns, in application order. RE2-compatible (no
-    * backrefs/lookarounds) so a DuckDB oracle applies the literal same
-    * regexes; SSN runs before PHONE because both are dashed digit runs
-    * and order must be deterministic cross-engine. */
-  val PiiPatterns: Seq[(String, String)] = Seq(
-    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
-    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
-    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>",
-    "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>")
+  /** PII marker patterns, in application order (defined next to the
+    * native kernel that applies them; RE2-compatible, so a DuckDB oracle
+    * folds the literal same regexes in the same order). */
+  val PiiPatterns: Seq[(String, String)] =
+    org.apache.spark.sql.graftshim.GraftExpressions.PiiPatterns
 
   /** PII redaction — the scrub pass every training-data pipeline runs
-    * before a corpus ships. Pure sequential regexp_replace (map-side,
-    * codegen, no shuffle); each pattern replaces ALL its matches. */
+    * before a corpus ships (map-side, codegen, no shuffle). The native
+    * PiiRedact kernel runs the same sequential regex chain but gates
+    * each pattern on a one-byte-scan necessary-character check, so a
+    * clean document pays one scan and zero regex work — parity pin vs
+    * the regexp_replace chain in FunctionsSpec. */
   def redactPii(c: Column): Column =
-    PiiPatterns.foldLeft(c) { case (acc, (re, marker)) =>
-      regexp_replace(acc, re, marker)
-    }
+    graft.functions.GraftFunctions.piiRedact(c)
 
   /** Number of redaction markers in an already-redacted text: every
     * marker contributes exactly one '<'. */

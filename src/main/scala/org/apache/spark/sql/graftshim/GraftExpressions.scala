@@ -888,6 +888,79 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** PII marker patterns in application order (mirrored by
+    * TextAnalysis.PiiPatterns, which the oracle SQL builder folds in the
+    * same order — RE2-compatible so both engines run the literal same
+    * regexes; SSN before PHONE because both are dashed digit runs and
+    * order must be deterministic cross-engine). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>",
+    "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>")
+
+  private lazy val piiCompiled: Array[(java.util.regex.Pattern, String)] =
+    PiiPatterns.map { case (re, m) =>
+      (java.util.regex.Pattern.compile(re), m)
+    }.toArray
+
+  /** Static kernel: the sequential PII redaction chain in one eval.
+    * Semantics are EXACTLY the four regexp_replace passes it replaces —
+    * same java.util.regex engine, same patterns, same order, literal
+    * markers — minus the work that provably can't happen: one byte scan
+    * gates each pass on characters its pattern REQUIRES ('@' for EMAIL;
+    * digits plus '-'/'.' for SSN/PHONE/IP). Gates read the ORIGINAL
+    * bytes, which stays sound across passes because markers introduce
+    * none of the gate characters. A clean document (the overwhelming
+    * case in a real corpus) costs one scan and zero regex work or
+    * string copies. */
+  def piiRedactEval(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    var at = false; var digit = false; var dash = false; var dot = false
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b == '@') at = true
+      else if (b >= '0' && b <= '9') digit = true
+      else if (b == '-') dash = true
+      else if (b == '.') dot = true
+      i += 1
+    }
+    val gates = Array(at, digit && dash, digit && (dash || dot), digit && dot)
+    if (!gates.exists(identity)) return s
+    var cur = s.toString
+    i = 0
+    while (i < gates.length) {
+      if (gates(i)) {
+        val (p, marker) = piiCompiled(i)
+        cur = p.matcher(cur).replaceAll(marker)
+      }
+      i += 1
+    }
+    UTF8String.fromString(cur)
+  }
+
+  /** One-pass gated PII redaction (§2 x17) — parity pin vs the
+    * sequential regexp_replace chain in FunctionsSpec. */
+  case class PiiRedact(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "pii_redact"
+
+    override def nullSafeEval(s: Any): Any =
+      piiRedactEval(s.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.piiRedactEval($s);"
+      })
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** Static kernel: Rabin-Karp rolling polynomial hash over a string's
     * Unicode code points — h = (h*31 + cp) mod (2^31-1), folded
     * left-to-right from 0. Decodes UTF-8 in place off the UTF8String's

@@ -121,6 +121,27 @@ class FunctionsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("pii_redact bit-identical to the sequential regexp_replace chain") {
+    import graft.pipeline.TextAnalysis
+    val docs = Tables.df(spark, sfDir, "documents").limit(300)
+      .select(concat(col("text"),
+        lit(" u"), col("doc_id").cast("string"),
+        lit("@x.co 555-123-4567 123-45-6789 10.0.0.1")).as("text"))
+      .union(Seq("", "clean text only", "a@b.co", "a@b", "1.2.3.4",
+        "1.2.3.4.5", "123-45-6789", "555.123.4567", "x123-45-6789y",
+        "123-45-6789@mail.example.com", "10.0.0.1a@b.co",
+        "$pecial <chars> 1.2.3.4", "émail@exämple.com 123-45-6789")
+        .toDF("text"))
+    val chain = TextAnalysis.PiiPatterns.foldLeft(col("text")) {
+      case (acc, (re, marker)) => regexp_replace(acc, re, marker)
+    }
+    val diff = docs
+      .withColumn("native", GraftFunctions.piiRedact(col("text")))
+      .withColumn("hof", chain)
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+  }
+
   test("simhash64 bit-identical to the explode/groupBy SQL formulation") {
     val docs = Tables.df(spark, sfDir, "documents").limit(300)
       .select(col("doc_id").as("id"), col("text"))
