@@ -17,15 +17,23 @@ import org.apache.spark.sql.types._
 object EventsStream {
 
   /** Tumbling-window aggregate per event_type — batch twin. Window start
-    * is emitted as epoch millis so a SQL oracle can replay it exactly. */
+    * is emitted as epoch millis so a SQL oracle can replay it exactly.
+    * The per-row path sums bounded per-partition longs, not decimals
+    * (Queries.unscaled4 — bit-identical to the decimal sum the streaming
+    * variant uses, so stream == batch still holds to the bit). */
   def windowedCountsBatch(events: DataFrame, widthMs: Long): DataFrame =
     events
       .withColumn("window_start",
         (floor(unix_millis(col("ts")) / widthMs) * widthMs).cast(LongType))
+      .groupBy(col("window_start"), col("event_type"),
+        spark_partition_id().as("_pid"))
+      .agg(
+        sum(graft.Queries.unscaled4(col("value"))).as("val_u"),
+        count(lit(1)).as("cnt"))
       .groupBy("window_start", "event_type")
       .agg(
-        count(lit(1)).cast(LongType).as("n_events"),
-        sum(col("value").cast(DecimalType(38, 4))).cast(DoubleType).as("total_value"))
+        sum(col("cnt")).cast(LongType).as("n_events"),
+        graft.Queries.sumUnscaled4(col("val_u")).as("total_value"))
 
   /** Sliding-window aggregate — batch twin. Each event lands in
     * width/slide windows; starts are the slide-grid points covering the
@@ -35,13 +43,19 @@ object EventsStream {
       slideMs: Long): DataFrame = {
     require(widthMs % slideMs == 0)
     val k = (widthMs / slideMs).toInt
+    // window membership depends only on the event's slide bucket, so
+    // count per (bucket, type) FIRST and explode the k window starts
+    // over the bucket rows (thousands), not over every event — the
+    // explode-then-count form shuffled k x the event count
     events
-      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("bucket",
+        (expr(s"unix_millis(ts) div $slideMs") * slideMs).cast(LongType))
+      .groupBy("bucket", "event_type")
+      .agg(count(lit(1)).as("cnt"))
       .withColumn("window_start", explode(expr(
-        s"transform(sequence(0, ${k - 1}), i -> " +
-          s"(ts_ms div $slideMs) * $slideMs - i * $slideMs)")))
+        s"transform(sequence(0, ${k - 1}), i -> bucket - i * ${slideMs}L)")))
       .groupBy("window_start", "event_type")
-      .agg(count(lit(1)).cast(LongType).as("n_events"))
+      .agg(sum(col("cnt")).cast(LongType).as("n_events"))
   }
 
   /** Sliding-window aggregate as a stream (same semantics as the twin). */
