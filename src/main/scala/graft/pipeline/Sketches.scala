@@ -440,12 +440,17 @@ object Sketches {
       count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(lit(1))).as("n"))
-    qs.map { case (label, q) =>
-      ranked
-        .filter(col("rn") ===
-          greatest(lit(1L), ceil(lit(q) * col("n")).cast(LongType)))
-        .select(lit(label).as("pct"), col("value"))
-    }.reduce(_.unionByName(_))
+    // all quantiles read out of ONE pass over the ranked sample — the
+    // per-quantile filter-and-union form re-executed the bottom-k scan
+    // (a full input pass) once per requested quantile
+    val labels = qs.map { case (label, q) =>
+      when(col("rn") ===
+        greatest(lit(1L), ceil(lit(q) * col("n")).cast(LongType)),
+        lit(label))
+    }
+    ranked
+      .select(explode(array(labels: _*)).as("pct"), col("value"))
+      .filter(col("pct").isNotNull)
   }
 
   /** DuckDB twin of [[sampledPercentiles]]. */
