@@ -39,6 +39,12 @@ object GraftFunctions {
   def qualitySignals(text: Column): Column =
     Shim.column(GraftExpressions.QualitySignals(Shim.expression(text)))
 
+  /** Whitespace tokens of a text column in one codegen'd pass —
+    * exactly filter(split(trim(text), ' +'), x -> x != ''), optionally
+    * lowercased first (parity test in FunctionsSpec). */
+  def tokens(text: Column, lower: Boolean = false): Column =
+    Shim.column(GraftExpressions.Tokens(Shim.expression(text), lower))
+
   /** Gated sequential PII redaction of a text column in one eval
     * (parity test in FunctionsSpec vs the regexp_replace chain). */
   def piiRedact(text: Column): Column =
@@ -215,6 +221,8 @@ object GraftFunctions {
       es => GraftExpressions.QualitySignals(es(0)))
     Shim.registerFunction(spark, "pii_redact",
       es => GraftExpressions.PiiRedact(es(0)))
+    Shim.registerFunction(spark, "tokens",
+      es => GraftExpressions.Tokens(es(0), lower = false))
     Shim.registerFunction(spark, "chunk_tokens",
       es => GraftExpressions.ChunkTokens(es(0),
         intArg(es(1), "chunk_tokens"), intArg(es(2), "chunk_tokens")))

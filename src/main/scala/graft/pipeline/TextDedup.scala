@@ -568,7 +568,7 @@ object TextDedup {
   def boilerplatePrune(df: DataFrame, idCol: String, textCol: String,
       win: Int = 10, minDf: Int = 2): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
-        expr(s"filter(split(trim($textCol), ' +'), x -> x != '')").as("toks"))
+        graft.functions.GraftFunctions.tokens(col(textCol)).as("toks"))
       .withColumn("n_full", expr(s"int(size(toks) / $win)"))
     // guard: sequence(0, -1) would produce a DESCENDING range, not empty
     val segs = toks.withColumn("segs",
@@ -623,7 +623,7 @@ object TextDedup {
       k: Int = 8): DataFrame = {
     val base = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
-        expr(s"filter(split(lower(trim($textCol)), ' +'), x -> x != '')")
+        graft.functions.GraftFunctions.tokens(col(textCol), lower = true)
           .as("toks"))
     // positional grams as 128-bit hash structs (native single pass):
     // the shuffle and the winners join carry 16 bytes per gram, never

@@ -888,6 +888,54 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Static kernel: whitespace tokens of a text in ONE pass — exactly
+    * `filter(split(trim(text), ' +'), x -> x != '')`, optionally after
+    * `lower()` (UTF8String.toLowerCase, the same routine the Lower
+    * expression calls). Tokens are maximal runs of non-space bytes
+    * (0x20 never occurs inside a UTF-8 multibyte sequence). Replaces a
+    * regex split + an interpreted filter lambda + array churn per
+    * document. */
+  def tokensEval(s: UTF8String, lower: Boolean): ArrayData = {
+    val t = if (lower) s.toLowerCase else s
+    val str = t.toString
+    val n = str.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](16)
+    var i = 0
+    var start = -1
+    while (i <= n) {
+      val isSpace = i == n || str.charAt(i) == ' '
+      if (!isSpace) { if (start < 0) start = i }
+      else if (start >= 0) {
+        out += UTF8String.fromString(str.substring(start, i))
+        start = -1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** One-pass whitespace tokenizer (§2.9) — parity pin vs the
+    * filter(split(trim)) HOF chain in FunctionsSpec; the first
+    * projection of the substring-dedup / boilerplate paths. */
+  case class Tokens(child: Expression, lower: Boolean)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "tokens"
+
+    override def nullSafeEval(s: Any): Any =
+      tokensEval(s.asInstanceOf[UTF8String], lower)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.tokensEval($s, $lower);"
+      })
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** PII marker patterns in application order (mirrored by
     * TextAnalysis.PiiPatterns, which the oracle SQL builder folds in the
     * same order — RE2-compatible so both engines run the literal same

@@ -121,6 +121,21 @@ class FunctionsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("tokens bit-identical to the filter(split(trim)) HOF chain") {
+    val docs = Tables.df(spark, sfDir, "documents").limit(300)
+      .select(col("text"))
+      .union(Seq("", " ", "a", " a  b ", "A B  C", "éÜ ß İ", "😀 x")
+        .toDF("text"))
+    val diff = docs
+      .withColumn("n1", GraftFunctions.tokens(col("text")))
+      .withColumn("h1", expr("filter(split(trim(text), ' +'), x -> x != '')"))
+      .withColumn("n2", GraftFunctions.tokens(col("text"), lower = true))
+      .withColumn("h2",
+        expr("filter(split(lower(trim(text)), ' +'), x -> x != '')"))
+      .filter(expr("n1 != h1 OR n2 != h2"))
+    assert(diff.count() == 0)
+  }
+
   test("pii_redact bit-identical to the sequential regexp_replace chain") {
     import graft.pipeline.TextAnalysis
     val docs = Tables.df(spark, sfDir, "documents").limit(300)
