@@ -541,4 +541,32 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(approxMedian - exactMedian) / exactMedian < 0.05)
     assert(fast.getAs[Long]("non_null") == li.count())
   }
+
+  test("two-level unscaled sums are partitioning-invariant and " +
+      "bit-equal to the direct decimal sums") {
+    // the correctness claim behind q1/q5/q7/p7/st1's aggregation shape:
+    // partial long sums per (group, spark_partition_id) widened through
+    // DECIMAL(38,0) equal the per-row DECIMAL(38,4) sum to the BIT,
+    // whatever the physical partitioning (1 partition = no parallelism;
+    // 13 = keys split across uneven partitions)
+    val li = Tables.df(spark, sfDir, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+    def direct(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast(org.apache.spark.sql.types
+        .DecimalType(38, 4))).cast("double").as("s"))
+    def twoLevel(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        spark_partition_id().as("_pid"))
+      .agg(sum(Queries.unscaled4(col("l_quantity"))).as("u"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(Queries.sumUnscaled4(col("u")).as("s"))
+    val want = direct(li).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    for (p <- Seq(1, 13)) {
+      val got = twoLevel(li.repartition(p)).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      assert(got == want, s"partitioning p=$p diverged")
+    }
+  }
 }
