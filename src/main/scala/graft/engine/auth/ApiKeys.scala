@@ -1,24 +1,52 @@
 package graft.engine.auth
 
 import java.security.{MessageDigest, SecureRandom}
+import java.time.Instant
 
 import graft.core.StorageCatalog
 
-/** L8: API-key auth — admin + per-project/branch keys with scopes
-  * (reference: src/auth.py:25-168; keys are stored as SHA-256 hashes,
-  * src/database.py:334-355).
+/** L8: API-key auth — admin + per-project/branch keys with scopes and a
+  * full id-addressed lifecycle: create / list / get / revoke / rotate,
+  * optional expiry, soft revocation and a last-admin-key lockout guard
+  * (reference: src/auth.py:25-168 for formats and hashing,
+  * src/routers/api_keys.py for the lifecycle semantics; keys are stored
+  * as SHA-256 hashes, src/database.py:334-355).
   *
   * Key formats (auth.py:63-107):
-  *   project key:  `proj_{project}_{hex16}`                  (admin scope)
+  *   project key:  `proj_{project}_{hex16}`                  (project_admin)
   *   branch key:   `proj_{project}_branch_{branch}_{scope}_{hex16}`
   *                 with scope `admin` | `read`
   *
   * Only the SHA-256 of a key persists (catalog settings) — a leaked
-  * catalog never reveals live credentials, same as the reference. */
+  * catalog never reveals live credentials, same as the reference. Each
+  * key carries two records: `apikey/{sha256}` holds the metadata (for
+  * O(1) verification) and `apikeyid/{id}` points id -> hash (for O(1)
+  * management lookups); revocation is soft (a `revokedAt` stamp), so a
+  * revoked key stays listable with `includeRevoked` like the reference's
+  * soft delete. */
 final class ApiKeys(catalog: StorageCatalog) {
 
+  /** Legacy verification view (what the servers authorize against):
+    * scope collapses to `admin` | `read`. */
   final case class KeyInfo(project: String, branch: Option[String],
       scope: String, createdAt: String)
+
+  /** Full management record (api_keys.py `_key_to_response`). `scope` is
+    * the reference's name: `project_admin` | `branch_admin` | `branch_read`. */
+  final case class KeyRecord(id: String, project: String,
+      branch: Option[String], scope: String, keyPrefix: String,
+      description: Option[String], createdAt: String,
+      expiresAt: Option[String], lastUsedAt: Option[String],
+      revokedAt: Option[String]) {
+    def isRevoked: Boolean = revokedAt.isDefined
+    def isExpired(now: Instant): Boolean =
+      expiresAt.exists(e => !now.isBefore(Instant.parse(e)))
+    def isActive(now: Instant): Boolean = !isRevoked && !isExpired(now)
+    /** The `admin`/`read` scope the wire servers enforce. */
+    def legacyScope: String = if (scope == "branch_read") "read" else "admin"
+  }
+
+  val Scopes = Set("project_admin", "branch_admin", "branch_read")
 
   private val rng = new SecureRandom()
 
@@ -32,39 +60,112 @@ final class ApiKeys(catalog: StorageCatalog) {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   private def recordKey(hash: String) = s"apikey/$hash"
+  private def idKey(id: String) = s"apikeyid/$id"
 
-  private def store(key: String, info: KeyInfo): String = {
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+  /** Display prefix: everything before the random component
+    * (auth.py:196-230 `get_key_prefix`). */
+  private def keyPrefix(key: String): String =
+    key.substring(0, key.lastIndexOf('_') + 1) + "..."
+
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def writeRecord(hash: String, r: KeyRecord): Unit = {
     val n = om.createObjectNode()
-    n.put("project", info.project)
-    info.branch.foreach(n.put("branch", _))
-    n.put("scope", info.scope); n.put("createdAt", info.createdAt)
-    catalog.putSetting(recordKey(sha256(key)), om.writeValueAsString(n))
-    key
+    n.put("id", r.id); n.put("project", r.project)
+    r.branch.foreach(n.put("branch", _))
+    n.put("scope", r.scope); n.put("keyPrefix", r.keyPrefix)
+    r.description.foreach(n.put("description", _))
+    n.put("createdAt", r.createdAt)
+    r.expiresAt.foreach(n.put("expiresAt", _))
+    r.lastUsedAt.foreach(n.put("lastUsedAt", _))
+    r.revokedAt.foreach(n.put("revokedAt", _))
+    catalog.putSetting(recordKey(hash), om.writeValueAsString(n))
+    catalog.putSetting(idKey(r.id), hash)
+  }
+
+  private def readRecord(json: String): KeyRecord = {
+    val n = om.readTree(json)
+    def opt(f: String) = Option(n.get(f)).map(_.asText)
+    KeyRecord(
+      // records written before the lifecycle fields existed carry no id;
+      // surface them under a stable pseudo-id derived from creation time
+      opt("id").getOrElse("key_legacy"),
+      n.get("project").asText, opt("branch"),
+      // legacy records stored `admin`/`read`; map to the reference names
+      opt("scope").get match {
+        case "admin" if opt("branch").isEmpty => "project_admin"
+        case "admin"                          => "branch_admin"
+        case "read"                           => "branch_read"
+        case s                                => s
+      },
+      opt("keyPrefix").getOrElse(""), opt("description"),
+      opt("createdAt").getOrElse(""), opt("expiresAt"), opt("lastUsedAt"),
+      opt("revokedAt"))
+  }
+
+  private def recordByHash(hash: String): Option[KeyRecord] =
+    catalog.getSetting(recordKey(hash)).map(readRecord)
+
+  /** Create a key (api_keys.py:96-216): validates the scope/branch
+    * combination, mints the key, persists hash + metadata. Returns the
+    * record AND the raw key — the only time the key is visible. */
+  def create(project: String, scope: String = "project_admin",
+      branch: Option[String] = None, description: Option[String] = None,
+      expiresInDays: Option[Int] = None): (KeyRecord, String) = {
+    require(Scopes.contains(scope),
+      s"Invalid scope: $scope. Must be one of ${Scopes.mkString(", ")}")
+    if (scope == "project_admin")
+      require(branch.isEmpty, "branch_id must be empty for scope 'project_admin'")
+    else
+      require(branch.nonEmpty, s"branch_id is required for scope '$scope'")
+    val key = scope match {
+      case "project_admin" => s"proj_${project}_${randomHex16()}"
+      case "branch_admin" =>
+        s"proj_${project}_branch_${branch.get}_admin_${randomHex16()}"
+      case "branch_read" =>
+        s"proj_${project}_branch_${branch.get}_read_${randomHex16()}"
+    }
+    val now = Instant.now
+    val rec = KeyRecord(
+      id = s"key_${randomHex16().take(8)}",
+      project = project, branch = branch, scope = scope,
+      keyPrefix = keyPrefix(key), description = description,
+      createdAt = now.toString,
+      expiresAt = expiresInDays.map(d => now.plusSeconds(d.toLong * 86400).toString),
+      lastUsedAt = None, revokedAt = None)
+    writeRecord(sha256(key), rec)
+    (rec, key)
   }
 
   /** Mint a project admin key (auth.py:25-60). Returns the KEY — shown
     * once; only its hash persists. */
   def generateProjectKey(project: String): String =
-    store(s"proj_${project}_${randomHex16()}",
-      KeyInfo(project, None, "admin", java.time.Instant.now.toString))
+    create(project, "project_admin")._2
 
   /** Mint a branch-scoped key, scope `admin` or `read` (auth.py:63-107). */
   def generateBranchKey(project: String, branch: String, scope: String): String = {
     require(scope == "admin" || scope == "read",
       s"Invalid scope: $scope. Must be 'admin' or 'read'")
-    store(s"proj_${project}_branch_${branch}_${scope}_${randomHex16()}",
-      KeyInfo(project, Some(branch), scope, java.time.Instant.now.toString))
+    create(project,
+      if (scope == "admin") "branch_admin" else "branch_read",
+      Some(branch))._2
   }
 
-  /** Verify a presented key against the stored hashes. */
-  def verify(key: String): Option[KeyInfo] =
-    catalog.getSetting(recordKey(sha256(key))).map { json =>
-      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-      KeyInfo(n.get("project").asText,
-        Option(n.get("branch")).map(_.asText),
-        n.get("scope").asText, n.get("createdAt").asText)
+  /** Verify a presented key against the stored hashes: unknown, revoked
+    * and expired keys all fail identically. A successful verification
+    * stamps `lastUsedAt` (throttled to once a minute — the stamp is
+    * display granularity, not an audit log; an unthrottled write would
+    * rewrite the catalog on every authenticated request). */
+  def verify(key: String): Option[KeyInfo] = {
+    val hash = sha256(key)
+    recordByHash(hash).filter(_.isActive(Instant.now)).map { r =>
+      val now = Instant.now
+      val stale = r.lastUsedAt.forall(t =>
+        Instant.parse(t).isBefore(now.minusSeconds(60)))
+      if (stale) writeRecord(hash, r.copy(lastUsedAt = Some(now.toString)))
+      KeyInfo(r.project, r.branch, r.legacyScope, r.createdAt)
     }
+  }
 
   /** Authorize `key` for `project`, requiring admin scope iff `write`.
     * Read keys authorize reads only; any valid key is project-scoped. */
@@ -72,10 +173,78 @@ final class ApiKeys(catalog: StorageCatalog) {
     verify(key).exists(info =>
       info.project == project && (!write || info.scope == "admin"))
 
+  /** Soft-revoke by raw key. True only on the active -> revoked
+    * transition (idempotent retries return false, like the reference's
+    * 404 on a second delete). */
   def revoke(key: String): Boolean = {
-    val k = recordKey(sha256(key))
-    val existed = catalog.getSetting(k).isDefined
-    if (existed) catalog.removeSetting(k)
-    existed
+    val hash = sha256(key)
+    recordByHash(hash) match {
+      case Some(r) if !r.isRevoked =>
+        writeRecord(hash, r.copy(revokedAt = Some(Instant.now.toString))); true
+      case _ => false
+    }
   }
+
+  /** All keys of a project, revoked ones only on request
+    * (api_keys.py:218-249; newest first like the reference's listing). */
+  def list(project: String, includeRevoked: Boolean = false): Seq[KeyRecord] =
+    catalog.settingsWithPrefix("apikey/").values.toSeq
+      .map(readRecord)
+      .filter(r => r.project == project && (includeRevoked || !r.isRevoked))
+      .sortBy(_.createdAt)(Ordering[String].reverse)
+
+  /** Management lookup by id, project-scoped (api_keys.py:251-268). */
+  def get(project: String, id: String): Option[KeyRecord] =
+    catalog.getSetting(idKey(id)).flatMap(recordByHash)
+      .filter(_.project == project)
+
+  /** Active project_admin keys — the lockout guard's input
+    * (database.py count_active_project_admin_keys). */
+  def countActiveProjectAdmins(project: String): Int = {
+    val now = Instant.now
+    list(project).count(r => r.scope == "project_admin" && r.isActive(now))
+  }
+
+  /** Soft-revoke by id (api_keys.py:270-351). Left: error code; the
+    * last active project_admin key cannot be revoked (lockout guard). */
+  def revokeById(project: String, id: String): Either[String, KeyRecord] =
+    catalog.getSetting(idKey(id)) match {
+      case None => Left("api_key_not_found")
+      case Some(hash) => recordByHash(hash) match {
+        case Some(r) if r.project != project => Left("api_key_not_found")
+        case Some(r) if r.isRevoked => Left("api_key_not_found")
+        case Some(r) if r.scope == "project_admin" &&
+            countActiveProjectAdmins(project) <= 1 =>
+          Left("cannot_revoke_last_admin_key")
+        case Some(r) =>
+          val out = r.copy(revokedAt = Some(Instant.now.toString))
+          writeRecord(hash, out); Right(out)
+        case None => Left("api_key_not_found")
+      }
+    }
+
+  /** Rotate: mint a new key with the old key's scope/branch, the
+    * description suffixed " (rotated)" and the same TTL measured from
+    * now, then revoke the old key — revoked keys cannot rotate
+    * (api_keys.py:353-470). Rotating the last admin key is legal (the
+    * new key exists before the old one is revoked), so the old record
+    * is stamped directly rather than routed through the lockout guard. */
+  def rotate(project: String, id: String): Either[String, (KeyRecord, String)] =
+    catalog.getSetting(idKey(id)) match {
+      case None => Left("api_key_not_found")
+      case Some(hash) => recordByHash(hash) match {
+        case Some(r) if r.project != project => Left("api_key_not_found")
+        case Some(r) if r.isRevoked => Left("cannot_rotate_revoked_key")
+        case Some(r) =>
+          val ttlDays = for {
+            e <- r.expiresAt; c <- Option(r.createdAt).filter(_.nonEmpty)
+          } yield ((Instant.parse(e).getEpochSecond -
+            Instant.parse(c).getEpochSecond) / 86400).toInt
+          val minted = create(project, r.scope, r.branch,
+            Some(r.description.getOrElse("") + " (rotated)"), ttlDays)
+          writeRecord(hash, r.copy(revokedAt = Some(Instant.now.toString)))
+          Right(minted)
+        case None => Left("api_key_not_found")
+      }
+    }
 }

@@ -564,6 +564,64 @@ final class SqlHttpServer(
           respondJson(ex, 200,
             """{"status":"success","note":"reads are inherently immutable"}""")
 
+      // L8 over REST: API-key lifecycle — create/list/get/revoke/rotate
+      // with scopes, optional expiry, soft revocation and the
+      // last-admin-key lockout guard (the reference's api_keys router,
+      // src/routers/api_keys.py:96-470). The raw key appears ONLY in the
+      // create/rotate response.
+      case ("POST", "projects" :: p :: "api-keys" :: Nil) =>
+        if (!store.catalog.listProjects.contains(p))
+          respondJson(ex, 404, errNode("project_not_found",
+            s"project $p not found"))
+        else {
+          val b = body
+          val scope = Option(b.get("scope")).map(_.asText)
+            .getOrElse("project_admin")
+          val branch = Option(b.get("branchId")).map(_.asText)
+          val desc = Option(b.get("description")).map(_.asText)
+          val expires = Option(b.get("expiresInDays")).map(_.asInt)
+          try {
+            val (rec, raw) = apiKeys.create(p, scope, branch, desc, expires)
+            respondJson(ex, 201, apiKeyJson(rec, Some(raw)))
+          } catch { case e: IllegalArgumentException =>
+            respondJson(ex, 400, errNode("invalid_request", e.getMessage))
+          }
+        }
+
+      case ("GET", "projects" :: p :: "api-keys" :: Nil) =>
+        val includeRevoked = query.get("includeRevoked").contains("true")
+        val ks = apiKeys.list(p, includeRevoked)
+        respondJson(ex, 200, ks.map(apiKeyJson(_, None))
+          .mkString("""{"apiKeys":[""", ",", s"""],"count":${ks.size}}"""))
+
+      case ("GET", "projects" :: p :: "api-keys" :: id :: Nil) =>
+        apiKeys.get(p, id) match {
+          case Some(r) => respondJson(ex, 200, apiKeyJson(r, None))
+          case None => respondJson(ex, 404, errNode("api_key_not_found",
+            s"API key $id not found in project $p"))
+        }
+
+      case ("DELETE", "projects" :: p :: "api-keys" :: id :: Nil) =>
+        apiKeys.revokeById(p, id) match {
+          case Right(_) => respondJson(ex, 200, """{"revoked":true}""")
+          case Left("cannot_revoke_last_admin_key") =>
+            respondJson(ex, 400, errNode("cannot_revoke_last_admin_key",
+              "Cannot revoke the last active project_admin key. Create a new one first."))
+          case Left(err) => respondJson(ex, 404,
+            errNode(err, s"API key $id not found in project $p"))
+        }
+
+      case ("POST", "projects" :: p :: "api-keys" :: id :: "rotate" :: Nil) =>
+        apiKeys.rotate(p, id) match {
+          case Right((rec, raw)) =>
+            respondJson(ex, 201, apiKeyJson(rec, Some(raw)))
+          case Left("cannot_rotate_revoked_key") =>
+            respondJson(ex, 400, errNode("cannot_rotate_revoked_key",
+              "Cannot rotate a revoked key. Create a new key instead."))
+          case Left(err) => respondJson(ex, 404,
+            errNode(err, s"API key $id not found in project $p"))
+        }
+
       // hierarchical snapshot settings (system -> project -> bucket ->
       // table), the reference's snapshot_settings router
       // (src/routers/snapshot_settings.py:111-330): GET returns the
@@ -1101,6 +1159,23 @@ final class SqlHttpServer(
     store.catalog.settingsWithPrefix(prefix).keys.toSeq.sorted
       .foreach(k => arr.add(k.stripPrefix(prefix)))
     n.put("isLinked", store.catalog.resolveBucket(p, b) != ((p, b)))
+    om.writeValueAsString(n)
+  }
+
+  /** API-key record -> response JSON (api_keys.py `_key_to_response`);
+    * `raw` rides along only on create/rotate — the single time the full
+    * key is ever serialized. */
+  private def apiKeyJson(r: apiKeys.KeyRecord, raw: Option[String]): String = {
+    val n = om.createObjectNode()
+    n.put("id", r.id); n.put("projectId", r.project)
+    r.branch.foreach(n.put("branchId", _))
+    n.put("keyPrefix", r.keyPrefix); n.put("scope", r.scope)
+    r.description.foreach(n.put("description", _))
+    n.put("createdAt", r.createdAt)
+    r.lastUsedAt.foreach(n.put("lastUsedAt", _))
+    r.expiresAt.foreach(n.put("expiresAt", _))
+    n.put("isRevoked", r.isRevoked)
+    raw.foreach(n.put("apiKey", _))
     om.writeValueAsString(n)
   }
 

@@ -40,6 +40,51 @@ class ApiKeysSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!keys.revoke(read)) // already gone
   }
 
+  test("lifecycle: create validation, list, get, soft revoke, lockout guard") {
+    val (_, keys) = newKeys()
+    val (admin1, _) = keys.create("p1")
+    val (admin2, _) = keys.create("p1", description = Some("ci"))
+    val (read, _) = keys.create("p1", "branch_read", Some("dev"))
+    // scope/branch combination validation (api_keys.py:126-148)
+    assertThrows[IllegalArgumentException](keys.create("p1", "branch_read"))
+    assertThrows[IllegalArgumentException](
+      keys.create("p1", "project_admin", Some("dev")))
+    assertThrows[IllegalArgumentException](keys.create("p1", "superuser"))
+    assert(keys.list("p1").size == 3)
+    assert(keys.get("p1", read.id).exists(_.scope == "branch_read"))
+    assert(keys.get("p2", read.id).isEmpty) // project isolation
+    // revoke by id is SOFT: out of the default list, in with includeRevoked
+    assert(keys.revokeById("p1", read.id).isRight)
+    assert(keys.list("p1").size == 2)
+    assert(keys.list("p1", includeRevoked = true).size == 3)
+    assert(keys.revokeById("p1", read.id) == Left("api_key_not_found"))
+    // lockout guard: the last active project_admin key cannot be revoked
+    assert(keys.revokeById("p1", admin1.id).isRight)
+    assert(keys.revokeById("p1", admin2.id) ==
+      Left("cannot_revoke_last_admin_key"))
+  }
+
+  test("expiry and rotation") {
+    val (_, keys) = newKeys()
+    val (rec, raw) = keys.create("p1", "branch_admin", Some("dev"),
+      Some("deploy"), expiresInDays = Some(30))
+    assert(keys.verify(raw).isDefined)
+    // an already-expired key fails verification but stays listable
+    val (gone, goneRaw) = keys.create("p1", expiresInDays = Some(0))
+    assert(keys.verify(goneRaw).isEmpty)
+    assert(keys.list("p1").exists(_.id == gone.id))
+    // rotate: new key, same scope/branch/TTL, description suffixed,
+    // old key revoked in the same step
+    val (rotated, newRaw) = keys.rotate("p1", rec.id).toOption.get
+    assert(rotated.scope == "branch_admin" && rotated.branch.contains("dev"))
+    assert(rotated.description.contains("deploy (rotated)"))
+    assert(rotated.expiresAt.isDefined)
+    assert(keys.verify(newRaw).isDefined)
+    assert(keys.verify(raw).isEmpty)
+    assert(keys.rotate("p1", rec.id) == Left("cannot_rotate_revoked_key"))
+    assert(keys.rotate("p1", "key_ghost") == Left("api_key_not_found"))
+  }
+
   test("only SHA-256 hashes persist; registry survives reload") {
     val (cat, keys) = newKeys()
     val key = keys.generateProjectKey("p1")

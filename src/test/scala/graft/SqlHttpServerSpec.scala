@@ -158,6 +158,70 @@ class SqlHttpServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("API-key lifecycle over REST: create, list, get, rotate, revoke, lockout") {
+    val server = new SqlHttpServer(spark, fixture()).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    try {
+      val keysUrl = s"$base/storage/projects/p/api-keys"
+      // create: default scope is project_admin; raw key appears ONLY here
+      val c1 = post(keysUrl, """{"description":"primary"}""")
+      assert(c1.statusCode() == 201)
+      val k1 = om.readTree(c1.body())
+      assert(k1.get("scope").asText == "project_admin")
+      assert(k1.get("apiKey").asText.startsWith("proj_p_"))
+      assert(k1.get("keyPrefix").asText.endsWith("..."))
+      val c2 = post(keysUrl,
+        """{"scope":"branch_read","branchId":"dev","expiresInDays":30}""")
+      assert(c2.statusCode() == 201)
+      val k2 = om.readTree(c2.body())
+      assert(k2.get("expiresAt") != null)
+      // scope/branch combination validation
+      assert(post(keysUrl, """{"scope":"branch_read"}""").statusCode() == 400)
+      assert(post(keysUrl,
+        """{"scope":"project_admin","branchId":"dev"}""").statusCode() == 400)
+      // unknown project 404s
+      assert(post(s"$base/storage/projects/ghost/api-keys",
+        "{}").statusCode() == 404)
+      // list: both keys, no raw key material
+      val lsBody = new String(get(keysUrl).body())
+      assert(om.readTree(lsBody).get("count").asInt == 2)
+      assert(!lsBody.contains(k1.get("apiKey").asText))
+      // get by id; unknown id 404s
+      val id2 = k2.get("id").asText
+      assert(om.readTree(get(s"$keysUrl/$id2").body())
+        .get("scope").asText == "branch_read")
+      assert(get(s"$keysUrl/key_ghost").statusCode() == 404)
+      // rotate: 201 with a NEW raw key; the old id is revoked and
+      // cannot rotate again
+      val rot = post(s"$keysUrl/$id2/rotate", "{}")
+      assert(rot.statusCode() == 201)
+      val k2b = om.readTree(rot.body())
+      assert(k2b.get("scope").asText == "branch_read")
+      assert(k2b.get("apiKey").asText != k2.get("apiKey").asText)
+      assert(post(s"$keysUrl/$id2/rotate", "{}").statusCode() == 400)
+      // the rotated key authenticates as a Bearer principal
+      val bearer = k2b.get("apiKey").asText
+      assert(get(s"$base/storage/projects/p/buckets",
+        "Authorization" -> s"Bearer $bearer").statusCode() == 200)
+      // revoke the branch key; then the last admin key is protected
+      val del2 = client.send(HttpRequest.newBuilder(
+        URI.create(s"$keysUrl/${k2b.get("id").asText}")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(del2.statusCode() == 200)
+      val del1 = client.send(HttpRequest.newBuilder(
+        URI.create(s"$keysUrl/${k1.get("id").asText}")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(del1.statusCode() == 400)
+      assert(om.readTree(del1.body())
+        .get("error").asText == "cannot_revoke_last_admin_key")
+      // the revoked branch key no longer lists by default but does
+      // with includeRevoked
+      assert(om.readTree(get(keysUrl).body()).get("count").asInt == 1)
+      assert(om.readTree(get(s"$keysUrl?includeRevoked=true").body())
+        .get("count").asInt > 1)
+    } finally server.stop()
+  }
+
   test("bucket sharing over REST: share, link from second project, query, unlink") {
     val store = fixture()
     // a second project must exist to be a share target / link source host
