@@ -93,10 +93,12 @@ final class StorageCatalog(val root: Path) {
     tables.values.filter(_.project == project)
       .toSeq.sortBy(m => (m.bucket, m.table))
 
-  /** All projects known to the catalog: any with a table, a declared
-    * (possibly empty) bucket, or a bucket link. */
+  /** All projects known to the catalog: any explicitly registered
+    * (`project/{id}` setting — the REST create-project route), any with
+    * a table, a declared (possibly empty) bucket, or a bucket link. */
   def listProjects: Seq[String] =
     (tables.values.map(_.project) ++
+      settingsWithPrefix("project/").keys.map(_.split("/")(1)) ++
       settingsWithPrefix("bucket/").keys.map(_.split("/")(1)) ++
       bucketLinks.keys.map(_._1)).toSeq.distinct.sorted
 

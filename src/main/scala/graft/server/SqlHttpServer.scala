@@ -193,6 +193,39 @@ final class SqlHttpServer(
           root.put("plan", Workspace.explainQuery(ws.session, sql, mode))
           respondJson(ex, 200, om.writeValueAsString(root))
         }
+      // workspace object management parity (src/routers/workspaces.py):
+      // clear drops every object, objects/{name} drops one, and
+      // credentials/reset rotates the workspace secret
+      case ("POST", id :: "clear" :: Nil) =>
+        withSession(ex, id) { ws =>
+          requireAccess(ex, ws.project, write = false)
+          val names = Workspace.listObjects(ws.session)
+          names.foreach(Workspace.dropObject(ws.session, _))
+          respondJson(ex, 200, s"""{"cleared":true,"dropped":${names.size}}""")
+        }
+      case ("DELETE", id :: "objects" :: name :: Nil) =>
+        withSession(ex, id) { ws =>
+          requireAccess(ex, ws.project, write = false)
+          if (Workspace.dropObject(ws.session, name))
+            respondJson(ex, 200, """{"dropped":true}""")
+          else respondJson(ex, 404, s"""{"error":"object not found"}""")
+        }
+      case ("POST", id :: "credentials" :: "reset" :: Nil) =>
+        withSession(ex, id) { ws =>
+          requireAccess(ex, ws.project, write = false)
+          // rotate the workspace's existing user, or mint the first pair
+          // (reference reset_credentials: new password, user unchanged)
+          wsCredentials.listForWorkspace(ws.workspace).headOption match {
+            case Some(user) =>
+              val secret = wsCredentials.rotate(user).get
+              respondJson(ex, 200,
+                s"""{"user":"$user","secret":"$secret"}""")
+            case None =>
+              val (user, secret) = wsCredentials.create(ws.project, ws.workspace)
+              respondJson(ex, 201,
+                s"""{"user":"$user","secret":"$secret"}""")
+          }
+        }
       case ("POST", id :: "load" :: Nil) =>
         withSession(ex, id) { ws =>
           requireAccess(ex, ws.project, write = false)
@@ -397,9 +430,9 @@ final class SqlHttpServer(
     val query = parseQuery(ex.getRequestURI.getRawQuery)
     val method = ex.getRequestMethod
     segs match {
-      case "projects" :: p :: _ :: _ =>
+      case "projects" :: p :: _ =>
         requireAccess(ex, p, write = method != "GET")
-      case _ => () // /storage/projects list: admin-gated below
+      case _ => () // /storage/projects list + create: admin-gated below
     }
     def body = om.readTree(ex.getRequestBody.readAllBytes())
     (method, segs) match {
@@ -418,6 +451,98 @@ final class SqlHttpServer(
         }
         root.put("total", root.get("projects").size())
         respondJson(ex, 200, om.writeValueAsString(root))
+
+      // projects router parity (src/routers/projects.py): create with a
+      // minted admin key (shown once), get, live stats, update, delete.
+      // Registration is a `project/{id}` catalog setting, so an empty
+      // project exists before its first bucket — same as the reference's
+      // metadata row.
+      case ("POST", "projects" :: Nil) =>
+        ex.getAttribute("principal") match {
+          case Admin => ()
+          case _ => throw new SecurityException("project creation is admin-only")
+        }
+        val b = body
+        val id = reqField(b, "id")
+        if (store.catalog.getSetting(s"project/$id").isDefined)
+          respondJson(ex, 409, errNode("project_exists",
+            s"project $id already exists"))
+        else {
+          val meta = om.createObjectNode()
+          Option(b.get("name")).foreach(n => meta.put("name", n.asText))
+          meta.put("createdAt", java.time.Instant.now.toString)
+          store.catalog.putSetting(s"project/$id", om.writeValueAsString(meta))
+          val (_, raw) = apiKeys.create(id)
+          val o = om.createObjectNode()
+          o.put("id", id)
+          Option(b.get("name")).foreach(n => o.put("name", n.asText))
+          o.put("apiKey", raw)
+          respondJson(ex, 201, om.writeValueAsString(o))
+        }
+
+      case ("GET", "projects" :: p :: Nil) =>
+        if (!store.catalog.listProjects.contains(p))
+          respondJson(ex, 404, errNode("project_not_found",
+            s"project $p not found"))
+        else {
+          val s = store.statsForProject(p)
+          val o = om.createObjectNode()
+          o.put("id", p)
+          store.catalog.getSetting(s"project/$p").foreach { json =>
+            val m = om.readTree(json)
+            Option(m.get("name")).foreach(n => o.put("name", n.asText))
+            Option(m.get("createdAt")).foreach(c => o.put("createdAt", c.asText))
+          }
+          o.put("bucketCount", s.bucketCount)
+          o.put("tableCount", s.tableCount)
+          o.put("sizeBytes", s.sizeBytes)
+          respondJson(ex, 200, om.writeValueAsString(o))
+        }
+
+      case ("GET", "projects" :: p :: "stats" :: Nil) =>
+        if (!store.catalog.listProjects.contains(p))
+          respondJson(ex, 404, errNode("project_not_found",
+            s"project $p not found"))
+        else {
+          val s = store.statsForProject(p)
+          val o = om.createObjectNode()
+          o.put("projectId", p); o.put("bucketCount", s.bucketCount)
+          o.put("tableCount", s.tableCount); o.put("sizeBytes", s.sizeBytes)
+          respondJson(ex, 200, om.writeValueAsString(o))
+        }
+
+      case ("PUT", "projects" :: p :: Nil) =>
+        store.catalog.getSetting(s"project/$p") match {
+          case None => respondJson(ex, 404, errNode("project_not_found",
+            s"project $p not found"))
+          case Some(json) =>
+            val meta = om.readTree(json).asInstanceOf[
+              com.fasterxml.jackson.databind.node.ObjectNode]
+            Option(body.get("name")).foreach(n => meta.put("name", n.asText))
+            store.catalog.putSetting(s"project/$p", om.writeValueAsString(meta))
+            val o = om.createObjectNode()
+            o.put("id", p)
+            Option(meta.get("name")).foreach(n => o.put("name", n.asText))
+            respondJson(ex, 200, om.writeValueAsString(o))
+        }
+
+      case ("DELETE", "projects" :: p :: Nil) =>
+        if (!store.catalog.listProjects.contains(p))
+          respondJson(ex, 404, errNode("project_not_found",
+            s"project $p not found"))
+        else {
+          // drop every table, then the bucket declarations/links, then
+          // the registration row — the reference's cascade
+          // (projects.py delete_project)
+          store.catalog.listBuckets(p).foreach { case (bname, _) =>
+            store.catalog.listTables(p, bname)
+              .foreach(m => store.dropTable(p, bname, m.table))
+            if (!store.catalog.unlinkBucket(p, bname))
+              store.catalog.removeSetting(s"bucket/$p/$bname")
+          }
+          store.catalog.removeSetting(s"project/$p")
+          respondJson(ex, 200, """{"deleted":true}""")
+        }
 
       case ("GET", "projects" :: p :: "buckets" :: Nil) =>
         val root = om.createObjectNode()
@@ -443,6 +568,45 @@ final class SqlHttpServer(
         val bo = om.createObjectNode() // mapper-built: names may hold quotes
         bo.put("name", name)
         respondJson(ex, 201, om.writeValueAsString(bo))
+
+      // single-bucket detail + delete (src/routers/buckets.py get_bucket /
+      // delete_bucket; cascade defaults true like the reference's Query
+      // param — cascade=false on a non-empty bucket conflicts)
+      case ("GET", "projects" :: p :: "buckets" :: b :: Nil) =>
+        store.catalog.listBuckets(p).find(_._1 == b) match {
+          case None => respondJson(ex, 404, errNode("bucket_not_found",
+            s"bucket $b not found in project $p"))
+          case Some((name, desc)) =>
+            val (sp, sb) = store.catalog.resolveBucket(p, name)
+            val o = om.createObjectNode()
+            o.put("name", name); o.put("description", desc)
+            o.put("tableCount", store.catalog.listTables(p, name).size)
+            o.put("isLinked", (sp, sb) != ((p, name)))
+            if ((sp, sb) != ((p, name))) {
+              o.put("sourceProject", sp); o.put("sourceBucket", sb)
+            }
+            respondJson(ex, 200, om.writeValueAsString(o))
+        }
+
+      case ("DELETE", "projects" :: p :: "buckets" :: b :: Nil) =>
+        val cascade = !query.get("cascade").contains("false")
+        if (!store.catalog.listBuckets(p).exists(_._1 == b))
+          respondJson(ex, 404, errNode("bucket_not_found",
+            s"bucket $b not found in project $p"))
+        else if (store.catalog.unlinkBucket(p, b))
+          // a linked alias only drops the link, never the source tables
+          respondJson(ex, 200, """{"deleted":true,"unlinked":true}""")
+        else {
+          val tables = store.catalog.listTables(p, b)
+          if (tables.nonEmpty && !cascade)
+            respondJson(ex, 409, errNode("bucket_not_empty",
+              s"bucket $b holds ${tables.size} tables; pass cascade=true"))
+          else {
+            tables.foreach(m => store.dropTable(p, b, m.table))
+            store.catalog.removeSetting(s"bucket/$p/$b")
+            respondJson(ex, 200, """{"deleted":true}""")
+          }
+        }
 
       case ("GET", "projects" :: p :: "buckets" :: b :: "tables" :: Nil) =>
         val root = om.createObjectNode()
@@ -488,6 +652,68 @@ final class SqlHttpServer(
       case ("DELETE", "projects" :: p :: "buckets" :: b :: "tables" :: t :: Nil) =>
         storageApi.execute(DropTable(p, b, t))
         respondJson(ex, 200, """{"dropped":true}""")
+
+      // table_schema router parity (src/routers/table_schema.py): column
+      // add/alter/drop, primary-key add/drop with the uniqueness check,
+      // filtered row deletion by free-form WHERE (deny-listed like every
+      // other passthrough predicate).
+      case ("POST", "projects" :: p :: "buckets" :: b :: "tables" :: t ::
+          "columns" :: Nil) =>
+        val n = body
+        val default = Option(n.get("default")).map(_.asText)
+        storageApi.execute(AlterTable(p, b, t, Seq(AddColumn(
+          reqField(n, "name"), sqlTypeToSpark(reqField(n, "type")).sql,
+          default))))
+        respondJson(ex, 200, tableInfoJson(p, b, t))
+
+      case ("PUT", "projects" :: p :: "buckets" :: b :: "tables" :: t ::
+          "columns" :: c :: Nil) =>
+        // multiple changes ride one request (AlterColumnRequest): a type
+        // change applies under the old name, then the rename
+        val n = body
+        val ops = Option(n.get("newType")).map(x =>
+            CastColumn(c, sqlTypeToSpark(x.asText).sql)).toSeq ++
+          Option(n.get("newName")).map(x => RenameColumn(c, x.asText))
+        if (ops.isEmpty)
+          respondJson(ex, 400, errNode("invalid_request",
+            "nothing to alter: pass newName and/or newType"))
+        else {
+          storageApi.execute(AlterTable(p, b, t, ops))
+          respondJson(ex, 200, tableInfoJson(p, b, t))
+        }
+
+      case ("DELETE", "projects" :: p :: "buckets" :: b :: "tables" :: t ::
+          "columns" :: c :: Nil) =>
+        storageApi.execute(AlterTable(p, b, t, Seq(DropColumn(c))))
+        respondJson(ex, 200, tableInfoJson(p, b, t))
+
+      case ("POST", "projects" :: p :: "buckets" :: b :: "tables" :: t ::
+          "primary-key" :: Nil) =>
+        val cols = Option(body.get("columns")).filter(_.isArray)
+          .map(a => (0 until a.size()).map(a.get(_).asText).toSeq)
+          .getOrElse(throw new IllegalArgumentException(
+            "missing field: columns"))
+        try {
+          storageApi.execute(AddPrimaryKey(p, b, t, cols))
+          respondJson(ex, 200, tableInfoJson(p, b, t))
+        } catch { case e: IllegalStateException =>
+          // NULLs or duplicates in the key columns
+          respondJson(ex, 400, errNode("invalid_primary_key", e.getMessage))
+        }
+
+      case ("DELETE", "projects" :: p :: "buckets" :: b :: "tables" :: t ::
+          "primary-key" :: Nil) =>
+        graft.engine.ddl.Ddl.dropPrimaryKey(store, p, b, t)
+        respondJson(ex, 200, tableInfoJson(p, b, t))
+
+      case ("DELETE", "projects" :: p :: "buckets" :: b :: "tables" :: t ::
+          "rows" :: Nil) =>
+        val where = reqField(body, "whereClause")
+        val pred = graft.engine.query.FilterAlgebra.freeFormWhere(where)
+        val before = store.read(p, b, t).count()
+        store.deleteWhere(p, b, t, pred)
+        val deleted = before - store.read(p, b, t).count()
+        respondJson(ex, 200, s"""{"deletedRows":$deleted}""")
 
       // L5 over REST: bucket sharing + zero-copy linking (the reference's
       // bucket_sharing router, src/routers/bucket_sharing.py:48-306 —
@@ -1160,6 +1386,18 @@ final class SqlHttpServer(
       .foreach(k => arr.add(k.stripPrefix(prefix)))
     n.put("isLinked", store.catalog.resolveBucket(p, b) != ((p, b)))
     om.writeValueAsString(n)
+  }
+
+  /** Table detail envelope — the table_schema routes return the updated
+    * table like the reference's TableResponse. */
+  private def tableInfoJson(p: String, b: String, t: String): String = {
+    val info = store.tableInfo(p, b, t)
+    val o = om.createObjectNode()
+    o.put("name", t); o.put("schemaDdl", info.schemaDdl)
+    o.put("rowCount", info.rowCount); o.put("sizeBytes", info.sizeBytes)
+    o.put("version", info.version)
+    val pk = o.putArray("primaryKey"); info.primaryKey.foreach(pk.add)
+    om.writeValueAsString(o)
   }
 
   /** API-key record -> response JSON (api_keys.py `_key_to_response`);

@@ -158,6 +158,148 @@ class SqlHttpServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("projects and buckets CRUD over REST") {
+    val server = new SqlHttpServer(spark, fixture()).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    try {
+      // create: 201 with a minted admin key; duplicate conflicts
+      val c = post(s"$base/storage/projects", """{"id":"px","name":"Px"}""")
+      assert(c.statusCode() == 201)
+      assert(om.readTree(c.body()).get("apiKey").asText.startsWith("proj_px_"))
+      assert(post(s"$base/storage/projects",
+        """{"id":"px"}""").statusCode() == 409)
+      // get: metadata + rollup; unknown 404s
+      val g = om.readTree(get(s"$base/storage/projects/px").body())
+      assert(g.get("name").asText == "Px" && g.get("tableCount").asInt == 0)
+      assert(get(s"$base/storage/projects/ghost").statusCode() == 404)
+      // update the display name
+      val put = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/storage/projects/px"))
+        .PUT(HttpRequest.BodyPublishers.ofString("""{"name":"PX2"}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(put.statusCode() == 200)
+      assert(om.readTree(get(s"$base/storage/projects/px").body())
+        .get("name").asText == "PX2")
+      // live stats endpoint
+      assert(om.readTree(get(s"$base/storage/projects/p/stats").body())
+        .get("tableCount").asInt == 1)
+      // single-bucket detail (implied bucket from the fixture table)
+      val bd = om.readTree(get(s"$base/storage/projects/p/buckets/geo").body())
+      assert(bd.get("tableCount").asInt == 1 && !bd.get("isLinked").asBoolean)
+      assert(get(s"$base/storage/projects/p/buckets/ghost").statusCode() == 404)
+      // delete bucket: cascade=false refuses while tables exist
+      val noCascade = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/storage/projects/p/buckets/geo?cascade=false"))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+      assert(noCascade.statusCode() == 409)
+      val cascade = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/storage/projects/p/buckets/geo"))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+      assert(cascade.statusCode() == 200)
+      assert(get(s"$base/storage/projects/p/buckets/geo").statusCode() == 404)
+      // delete project removes the registration
+      val dp = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/storage/projects/px")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(dp.statusCode() == 200)
+      assert(get(s"$base/storage/projects/px").statusCode() == 404)
+    } finally server.stop()
+  }
+
+  test("table schema over REST: columns, primary key, filtered row delete") {
+    val server = new SqlHttpServer(spark, fixture()).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    val tbl = s"$base/storage/projects/p/buckets/geo/tables/nation"
+    try {
+      // add a column with a backfilled default
+      val add = post(s"$tbl/columns",
+        """{"name":"flag","type":"VARCHAR","default":"x"}""")
+      assert(add.statusCode() == 200)
+      assert(om.readTree(add.body()).get("schemaDdl").asText.contains("flag"))
+      // alter: cast + rename in one request
+      val alt = client.send(HttpRequest.newBuilder(
+        URI.create(s"$tbl/columns/flag"))
+        .PUT(HttpRequest.BodyPublishers.ofString("""{"newName":"tag"}"""))
+        .build(), HttpResponse.BodyHandlers.ofByteArray())
+      assert(alt.statusCode() == 200)
+      val ddl = om.readTree(alt.body()).get("schemaDdl").asText
+      assert(ddl.contains("tag") && !ddl.contains("flag"))
+      // empty alter is a 400
+      val noop = client.send(HttpRequest.newBuilder(
+        URI.create(s"$tbl/columns/tag"))
+        .PUT(HttpRequest.BodyPublishers.ofString("{}"))
+        .build(), HttpResponse.BodyHandlers.ofByteArray())
+      assert(noop.statusCode() == 400)
+      // drop the column
+      val drop = client.send(HttpRequest.newBuilder(
+        URI.create(s"$tbl/columns/tag")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(drop.statusCode() == 200)
+      assert(!om.readTree(drop.body()).get("schemaDdl").asText.contains("tag"))
+      // primary key: duplicates refuse with 400, a unique column passes
+      val dup = post(s"$tbl/primary-key", """{"columns":["n_regionkey"]}""")
+      assert(dup.statusCode() == 400)
+      assert(om.readTree(dup.body()).get("error").asText == "invalid_primary_key")
+      val pk = post(s"$tbl/primary-key", """{"columns":["n_nationkey"]}""")
+      assert(pk.statusCode() == 200)
+      assert(om.readTree(pk.body()).get("primaryKey").get(0)
+        .asText == "n_nationkey")
+      val dpk = client.send(HttpRequest.newBuilder(
+        URI.create(s"$tbl/primary-key")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(dpk.statusCode() == 200)
+      assert(om.readTree(dpk.body()).get("primaryKey").size() == 0)
+      // filtered row delete by free-form WHERE
+      val del = client.send(HttpRequest.newBuilder(
+        URI.create(s"$tbl/rows"))
+        .method("DELETE", HttpRequest.BodyPublishers.ofString(
+          """{"whereClause":"n_regionkey = 1"}"""))
+        .build(), HttpResponse.BodyHandlers.ofByteArray())
+      assert(del.statusCode() == 200)
+      assert(om.readTree(del.body()).get("deletedRows").asLong == 5L)
+      assert(om.readTree(get(tbl).body()).get("rowCount").asLong == 20L)
+    } finally server.stop()
+  }
+
+  test("workspace clear, object delete and credentials reset over HTTP") {
+    val store = fixture()
+    val server = new SqlHttpServer(spark, store).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    try {
+      val sid = om.readTree(post(s"$base/sessions",
+        """{"project":"p","buckets":["geo"],"workspace":"wx"}""").body())
+        .get("sessionId").asText
+      post(s"$base/sessions/$sid/load",
+        """{"project":"p","bucket":"geo","table":"nation","dest":"d1"}""")
+      post(s"$base/sessions/$sid/load",
+        """{"project":"p","bucket":"geo","table":"nation","dest":"d2"}""")
+      // drop one object by name; unknown 404s
+      val delObj = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/sessions/$sid/objects/d1")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(delObj.statusCode() == 200)
+      assert(client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/sessions/$sid/objects/ghost")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 404)
+      // clear drops everything that remains
+      val cleared = post(s"$base/sessions/$sid/clear", "{}")
+      assert(cleared.statusCode() == 200)
+      assert(om.readTree(get(s"$base/sessions/$sid/objects").body())
+        .get("objects").size() == 0)
+      // credentials reset: first call mints (201), second rotates the
+      // same user with a fresh secret (200)
+      val c1 = post(s"$base/sessions/$sid/credentials/reset", "{}")
+      assert(c1.statusCode() == 201)
+      val u1 = om.readTree(c1.body()).get("user").asText
+      val s1 = om.readTree(c1.body()).get("secret").asText
+      val c2 = post(s"$base/sessions/$sid/credentials/reset", "{}")
+      assert(c2.statusCode() == 200)
+      val n2 = om.readTree(c2.body())
+      assert(n2.get("user").asText == u1)
+      assert(n2.get("secret").asText != s1)
+    } finally server.stop()
+  }
+
   test("API-key lifecycle over REST: create, list, get, rotate, revoke, lockout") {
     val server = new SqlHttpServer(spark, fixture()).start()
     val base = s"http://127.0.0.1:${server.boundPort}"
