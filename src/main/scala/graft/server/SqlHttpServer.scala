@@ -1125,6 +1125,42 @@ final class SqlHttpServer(
     respondJson(ex, 200, om.writeValueAsString(root))
   })
 
+  // backend lifecycle (src/routers/backend.py): init validates the
+  // storage root exists and is writable (creating it if missing) and
+  // returns the configured paths; remove is the reference's documented
+  // no-op ack (cleanup is service-lifecycle, not API)
+  server.createContext("/backend", (ex: HttpExchange) => handle(ex) {
+    ex.getAttribute("principal") match {
+      case Admin => ()
+      case _ => throw new SecurityException("backend management is admin-only")
+    }
+    val seg = ex.getRequestURI.getPath.stripSuffix("/").split("/").drop(2).toList
+    (ex.getRequestMethod, seg) match {
+      case ("POST", "init" :: Nil) =>
+        val root = store.catalog.root
+        val created = if (!Files.exists(root)) {
+          Files.createDirectories(root); Seq(root.toString)
+        } else Nil
+        // writability probe, same as the reference's touch-and-delete
+        val errors =
+          try {
+            val probe = Files.createTempFile(root, ".write-probe", "")
+            Files.delete(probe); Nil
+          } catch { case e: Exception => Seq(e.getMessage) }
+        val o = om.createObjectNode()
+        o.put("success", errors.isEmpty)
+        val ps = o.putArray("storagePaths"); ps.add(root.toString)
+        val cs = o.putArray("createdPaths"); created.foreach(cs.add)
+        val es = o.putArray("errors"); errors.foreach(es.add)
+        respondJson(ex, if (errors.isEmpty) 200 else 500,
+          om.writeValueAsString(o))
+      case ("POST", "remove" :: Nil) =>
+        respondJson(ex, 200,
+          """{"success":true,"message":"Backend removal acknowledged (no-op)"}""")
+      case _ => respondJson(ex, 404, """{"error":"not found"}""")
+    }
+  })
+
   // L8: key management — mint/revoke project + branch keys (admin only)
   //   POST /keys {project, branch?, scope?} -> {key}   DELETE /keys {key}
   server.createContext("/keys", (ex: HttpExchange) => handle(ex) {

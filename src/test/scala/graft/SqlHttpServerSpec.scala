@@ -158,6 +158,19 @@ class SqlHttpServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("backend init validates the storage root; remove is an ack") {
+    val server = new SqlHttpServer(spark, fixture()).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    try {
+      val init = om.readTree(post(s"$base/backend/init", "{}").body())
+      assert(init.get("success").asBoolean)
+      assert(init.get("storagePaths").size() == 1)
+      assert(init.get("errors").size() == 0)
+      val rm = om.readTree(post(s"$base/backend/remove", "{}").body())
+      assert(rm.get("success").asBoolean)
+    } finally server.stop()
+  }
+
   test("projects and buckets CRUD over REST") {
     val server = new SqlHttpServer(spark, fixture()).start()
     val base = s"http://127.0.0.1:${server.boundPort}"
