@@ -53,6 +53,33 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
+  test("grouping-set/rollup Expand runs over pre-aggregated partials, not the scan") {
+    // Expand multiplies its input by the number of grouping sets; the
+    // two-level rewrite feeds it the (returnflag, linestatus, partition)
+    // partials — dozens of rows — instead of the full lineitem scan. The
+    // pin: every Expand node sits ABOVE a HashAggregate, i.e. somewhere
+    // below the Expand line there is an aggregate before the parquet scan.
+    for (q <- Seq("q7_grouping_sets", "q5_rollup")) {
+      val plan = planOf(q)
+      val fromExpand = plan.substring(plan.indexOf("Expand"))
+      val agg = fromExpand.indexOf("HashAggregate")
+      val scan = fromExpand.indexOf("Scan parquet")
+      assert(agg >= 0 && scan >= 0 && agg < scan,
+        s"$q: Expand must consume aggregated partials, got:\n$plan")
+    }
+  }
+
+  test("join-tree revenue queries pre-aggregate lineitem per order below the join") {
+    // q2/q4/q8 move one row per ORDER through the join instead of one per
+    // lineitem: the plan must hold a HashAggregate keyed on l_orderkey
+    // on the build side of the first join.
+    for (q <- Seq("q2_join_revenue", "q4_deep_join", "q8_monthly_revenue")) {
+      val plan = planOf(q)
+      assert(plan.contains("HashAggregate(keys=[l_orderkey"),
+        s"$q: missing per-order pre-aggregation, got:\n$plan")
+    }
+  }
+
   test("manifest read of a bucketed table is ONE parquet scan node") {
     import org.apache.spark.sql.functions.col
     val store = new graft.core.TableStore(spark,
