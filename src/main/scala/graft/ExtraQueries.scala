@@ -363,13 +363,14 @@ object ExtraQueries {
           |  SUM(cnt) AS n,
           |  CAST(SUM(CAST(qty_u AS DECIMAL(38,0))) / 10000 AS DOUBLE) AS sum_qty
           |FROM (SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-          |        SUM(CAST(CAST(l_quantity AS DECIMAL(12,4)) * 10000 AS BIGINT)) AS qty_u
+          |        SUM(unscaled4(l_quantity)) AS qty_u
           |      FROM lineitem
           |      GROUP BY l_returnflag, l_linestatus, spark_partition_id())
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
           |ORDER BY rf, ls""".stripMargin
       (s: org.apache.spark.sql.SparkSession, dir: String) => {
         Tables.mountAll(s, dir)
+        graft.functions.GraftFunctions.register(s) // unscaled4 in the SQL
         s.sql(sql)
       }
     },

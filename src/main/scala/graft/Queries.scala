@@ -46,7 +46,14 @@ object Queries {
     * 10^9-unit values stay two decades under Long.Max). Unbounded outer
     * aggregations must widen back to decimal: [[sumUnscaled4]]. */
   private[graft] def unscaled4(e: Column): Column =
-    (e.cast(DecimalType(12, 4)) * lit(10000)).cast(LongType)
+    // native kernel: identical value to
+    // (e.cast(DecimalType(12, 4)) * lit(10000)).cast(LongType)
+    // without the per-row BigDecimal allocation inside the double->decimal
+    // cast — that conversion alone dominated the 60M-row aggregates
+    // (q1 3.5 s -> ~1 s class win at sf10). Inputs here are double
+    // columns/expressions; parity with the cast chain is pinned in
+    // FunctionsSpec including the half-way rounding band.
+    graft.functions.GraftFunctions.unscaled4(e.cast(DoubleType))
 
   /** Per-order revenue as an exact unscaled BIGINT (see [[unscaled4]]). */
   private[graft] val revUnscaled: Column =

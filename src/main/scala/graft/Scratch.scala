@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+// temporary probe — not committed
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/testdata-sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = Queries.byName("p7_ref_table_filter").fn(spark, dir)
+    var t0 = System.nanoTime()
+    df.collect()
+    println(f"PROBE run1 ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val df2 = Queries.byName("p7_ref_table_filter").fn(spark, dir)
+    t0 = System.nanoTime()
+    df2.collect()
+    println(f"PROBE run2 ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    println(df2.queryExecution.executedPlan.toString.take(6000))
+    spark.stop()
+  }
+}

@@ -184,14 +184,36 @@ object FilterAlgebra {
   }
   def freeFormWhere(raw: String): Column = expr(validateWhere(raw))
 
+  /** Broadcast gate for ref-key joins: Catalyst only auto-broadcasts on
+    * ESTIMATED size, and a filtered/distinct'd subquery's estimate is the
+    * parent scan's — far above threshold — so the membership joins below
+    * were shuffling the (possibly 100 TB) fact side against a key set
+    * that actually fits in memory. Counting the distinct keys costs one
+    * scan of the (small) ref side and buys the fact side a map-side
+    * broadcast join whenever the keys fit; past the gate it stays a
+    * shuffle join, because a ref side can itself be table-sized. 16M
+    * BIGINT keys ≈ 128 MB hashed — well inside executor memory at the
+    * configured partition sizes. */
+  private val RefBroadcastMaxKeys: Long =
+    sys.env.get("SPARK_GRAFT_REF_BROADCAST_MAX_KEYS")
+      .map(_.toLong).getOrElse(16L * 1000 * 1000)
+
+  private def maybeBroadcastKeys(
+      keys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (keys.count() <= RefBroadcastMaxKeys)
+      org.apache.spark.sql.functions.broadcast(keys)
+    else keys
+
   /** P7 (parity-plus — declared in proto/table.proto:469-484, never
     * implemented by the reference): IN / NOT_IN filters against another
     * table's column, as semi/anti joins (never a collected value list —
-    * the ref table may be huge; Spark broadcasts it only if small). */
+    * the ref table may be huge; the key set is counted and broadcast
+    * only while it fits, see [[maybeBroadcastKeys]]). */
   def refTableFilter(df: org.apache.spark.sql.DataFrame,
       column: String, refDf: org.apache.spark.sql.DataFrame,
       refColumn: String, negate: Boolean = false): org.apache.spark.sql.DataFrame = {
-    val keys = refDf.select(col(refColumn).as(column)).distinct()
+    val keys = maybeBroadcastKeys(
+      refDf.select(col(refColumn).as(column)).distinct())
     df.join(keys, Seq(column), if (negate) "left_anti" else "left_semi")
   }
 
@@ -199,12 +221,15 @@ object FilterAlgebra {
     * membership mode ("in"/"not_in") via a single left join against the
     * distinct ref keys, instead of a semi-join scan plus an anti-join
     * scan. Downstream rollups that want both partitions group on `mode`
-    * and pay one scan of the (possibly 100 TB) fact side, not two. */
+    * and pay one scan of the (possibly 100 TB) fact side, not two — and
+    * with the key set broadcast (size-gated), that scan never shuffles:
+    * membership is tagged map-side and only agg partials move. */
   def refTableMembership(df: org.apache.spark.sql.DataFrame,
       column: String, refDf: org.apache.spark.sql.DataFrame,
       refColumn: String, modeCol: String = "mode"): org.apache.spark.sql.DataFrame = {
-    val keys = refDf.select(col(refColumn).as(column)).distinct()
-      .withColumn("__ref_hit", lit(1))
+    val keys = maybeBroadcastKeys(
+      refDf.select(col(refColumn).as(column)).distinct()
+        .withColumn("__ref_hit", lit(1)))
     df.join(keys, Seq(column), "left")
       .withColumn(modeCol,
         when(col("__ref_hit").isNotNull, "in").otherwise("not_in"))

@@ -76,6 +76,13 @@ object GraftFunctions {
   def rollingHash(text: Column): Column =
     Shim.column(RollingHash(Shim.expression(text)))
 
+  /** Exact 4-dp unscaled quantization of a double column — the value of
+    * `CAST(CAST(v AS DECIMAL(12,4)) * 10000 AS BIGINT)` without that
+    * chain's per-row BigDecimal allocation (bit-parity pinned in
+    * FunctionsSpec, half-way band included). */
+  def unscaled4(v: Column): Column =
+    Shim.column(GraftExpressions.Unscaled4(Shim.expression(v)))
+
   /** K-wide MinHash signature of a shingle-string-array column, one
     * codegen'd pass (bit-identical to the HOF xxhash64 chain it
     * replaces — see MinHashSig's scaladoc and FunctionsSpec's parity
@@ -209,6 +216,8 @@ object GraftFunctions {
     // they parameterize the generated code, not the row values)
     Shim.registerFunction(spark, "rolling_hash",
       es => RollingHash(es(0)))
+    Shim.registerFunction(spark, "unscaled4",
+      es => GraftExpressions.Unscaled4(es(0)))
     Shim.registerFunction(spark, "packed_hamming",
       es => GraftExpressions.PackedHamming(es(0), es(1)))
     Shim.registerFunction(spark, "simhash64",

@@ -1046,6 +1046,73 @@ object GraftExpressions {
     * — and to the DuckDB list_reduce/ord oracle twin (both fold true code
     * points; the HOF chain folds UTF-16 units for astral chars, where the
     * kernel matches the oracle, not the HOF). Parity pin in FunctionsSpec. */
+  /** True iff `unscaled4` must yield null — NaN/infinite input or a value
+    * whose 4-dp quantization overflows DECIMAL(12,4) (8 integer digits;
+    * the non-ANSI Cast the kernel replaces nulls on overflow too). The
+    * threshold compare happens in double, so a value within ~1 ulp of
+    * 99999999.99995 could classify differently from the exact decimal
+    * chain — physically unreachable for the price/quantity domains this
+    * serves (max ~1e5) and irrelevant below 1e8. */
+  def unscaled4Overflows(v: Double): Boolean =
+    java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v) ||
+      Math.abs(v) >= 99999999.99995
+
+  /** round_half_up(v, 4 decimal digits) * 10^4 as a long — the value of
+    * `CAST(CAST(v AS DECIMAL(12,4)) * 10000 AS BIGINT)` — without the
+    * per-row BigDecimal allocation that chain pays (Spark's
+    * double->decimal cast stringifies through Double.toString and
+    * allocates; at 60M rows that conversion alone dominated the q1-class
+    * aggregates). Fast path: one multiply + floor, exact whenever the
+    * scaled product is farther from a .5 boundary than the accumulated
+    * double error can reach (|p|*1e-12 + 1e-6 is ~1e5x wider than the
+    * true bound). Inside that band — decimal inputs ending in ...5 at
+    * the 5th place, which double data produced from <=4-dp decimals
+    * never hits — it falls back to the exact BigDecimal chain, so the
+    * result is bit-identical to the Cast chain everywhere. Sign is
+    * handled on the magnitude: HALF_UP rounds away from zero. */
+  def unscaled4Raw(v: Double): Long = {
+    val p = v * 10000.0
+    val ap = Math.abs(p)
+    val fl = Math.floor(ap)
+    val frac = ap - fl
+    if (Math.abs(frac - 0.5) < 1e-6 + ap * 1e-12) {
+      new java.math.BigDecimal(java.lang.Double.toString(v))
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValue()
+    } else {
+      val r = (fl + (if (frac > 0.5) 1d else 0d)).toLong
+      if (v >= 0) r else -r
+    }
+  }
+
+  /** `unscaled4(double) -> long`: the exact unscaled-integer quantization
+    * the two-level decimal-sum rewrite feeds (see Queries.unscaled4).
+    * Null on null/NaN/infinite/overflow, like the Cast chain. */
+  case class Unscaled4(child: Expression)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "unscaled4"
+
+    override def nullSafeEval(v: Any): Any = {
+      val d = v.asInstanceOf[Double]
+      if (unscaled4Overflows(d)) null
+      else java.lang.Long.valueOf(unscaled4Raw(d))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"""if ($cls.unscaled4Overflows($v)) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $cls.unscaled4Raw($v); }""".stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   case class RollingHash(child: Expression)
       extends UnaryExpression with ExpectsInputTypes {
 

@@ -261,6 +261,34 @@ class FunctionsSpec extends SparkSpec {
     assert(r.isNullAt(1))
   }
 
+  test("unscaled4 bit-identical to the decimal cast chain, half-way band included") {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    // lineitem's real domains + adversarial values: exact half-way cases
+    // at the 5th decimal (slow path), negatives (HALF_UP away from zero),
+    // sub-ulp neighbourhoods, zero, and an overflow row that must null
+    val li = Tables.df(spark, sfDir, "lineitem").limit(50000)
+      .select(col("l_quantity").as("v"))
+      .union(Tables.df(spark, sfDir, "lineitem").limit(50000)
+        .select((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("v")))
+      .union(Seq(0.00005, 0.00015, 0.00025, -0.00005, -0.00035, 2.5e-4,
+        0.0, -0.0, 1.00004999, 1.00005001, -99999999.9999, 123456.78905,
+        1e-13, -1e-13).toDF("v"))
+    val chain = (col("v").cast(DecimalType(12, 4)) * lit(10000)).cast(LongType)
+    val diff = li
+      .withColumn("native", GraftFunctions.unscaled4(col("v")))
+      .withColumn("chain", chain)
+      .filter(expr("NOT (native <=> chain)"))
+    assert(diff.count() == 0)
+    // overflow/NaN/null -> null, like the non-ANSI cast; SQL name resolves
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT unscaled4(1.5) AS a, unscaled4(CAST(1e12 AS DOUBLE)) AS o,
+        |  unscaled4(CAST('NaN' AS DOUBLE)) AS nan,
+        |  unscaled4(CAST(NULL AS DOUBLE)) AS n""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 15000L)
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
   test("minhash_sig + band sigs bit-identical to the HOF xxhash64 chain") {
     val k = 64; val bands = 16; val r = k / bands
     val docs = Tables.df(spark, sfDir, "documents").limit(200)
