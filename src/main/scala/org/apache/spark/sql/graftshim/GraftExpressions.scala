@@ -1046,16 +1046,21 @@ object GraftExpressions {
     * — and to the DuckDB list_reduce/ord oracle twin (both fold true code
     * points; the HOF chain folds UTF-16 units for astral chars, where the
     * kernel matches the oracle, not the HOF). Parity pin in FunctionsSpec. */
-  /** True iff `unscaled4` must yield null — NaN/infinite input or a value
-    * whose 4-dp quantization overflows DECIMAL(12,4) (8 integer digits;
-    * the non-ANSI Cast the kernel replaces nulls on overflow too). The
-    * threshold compare happens in double, so a value within ~1 ulp of
-    * 99999999.99995 could classify differently from the exact decimal
-    * chain — physically unreachable for the price/quantity domains this
-    * serves (max ~1e5) and irrelevant below 1e8. */
-  def unscaled4Overflows(v: Double): Boolean =
-    java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v) ||
-      Math.abs(v) >= 99999999.99995
+  /** The full null-or-value decision of the cast chain: NaN/infinite and
+    * DECIMAL(12,4) overflow (the non-ANSI Cast nulls on both) map to
+    * Long.MinValue — a value the quantization can never produce, since
+    * the coarse pre-guard bounds |result| near 1e12. The overflow
+    * decision is made on the EXACT rounded result (|unscaled| >= 10^12),
+    * not on a double threshold, so the boundary classifies identically
+    * to the decimal chain — including doubles within one ulp of
+    * 99999999.99995, where the rounding itself runs through the exact
+    * BigDecimal fallback (ambiguity band). */
+  def unscaled4OrNull(v: Double): Long = {
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v) ||
+        Math.abs(v) > 1.0000001e8) return Long.MinValue
+    val r = unscaled4Raw(v)
+    if (r > 999999999999L || r < -999999999999L) Long.MinValue else r
+  }
 
   /** round_half_up(v, 4 decimal digits) * 10^4 as a long — the value of
     * `CAST(CAST(v AS DECIMAL(12,4)) * 10000 AS BIGINT)` — without the
@@ -1098,16 +1103,15 @@ object GraftExpressions {
     override def prettyName: String = "unscaled4"
 
     override def nullSafeEval(v: Any): Any = {
-      val d = v.asInstanceOf[Double]
-      if (unscaled4Overflows(d)) null
-      else java.lang.Long.valueOf(unscaled4Raw(d))
+      val r = unscaled4OrNull(v.asInstanceOf[Double])
+      if (r == Long.MinValue) null else java.lang.Long.valueOf(r)
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, v => {
         val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
-        s"""if ($cls.unscaled4Overflows($v)) { ${ev.isNull} = true; }
-           |else { ${ev.value} = $cls.unscaled4Raw($v); }""".stripMargin
+        s"""${ev.value} = $cls.unscaled4OrNull($v);
+           |if (${ev.value} == java.lang.Long.MIN_VALUE) { ${ev.isNull} = true; }""".stripMargin
       })
 
     override protected def withNewChildInternal(c: Expression) = copy(child = c)

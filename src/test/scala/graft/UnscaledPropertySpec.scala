@@ -1,0 +1,74 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+import org.apache.spark.sql.graftshim.GraftExpressions
+
+/** ScalaCheck properties for the native `unscaled4` kernel: on ANY finite
+  * double it must agree exactly with the decimal cast chain it replaces —
+  * `CAST(CAST(v AS DECIMAL(12,4)) * 10000 AS BIGINT)` — including the
+  * half-way ambiguity band, negatives, and the DECIMAL(12,4) overflow
+  * boundary. The reference model below IS that chain: Spark's
+  * double->decimal cast goes through BigDecimal.valueOf (Double.toString)
+  * then setScale(4, HALF_UP), and nulls when the unscaled value needs
+  * more than 12 digits. No SparkSession needed — this is pure JVM. */
+object UnscaledPropertySpec extends Properties("Unscaled4") {
+
+  private val Overflow = java.math.BigInteger.valueOf(1000000000000L)
+
+  /** The cast chain's exact semantics (None = the cast nulls). */
+  private def chain(v: Double): Option[Long] =
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) None
+    else {
+      val bd = new java.math.BigDecimal(java.lang.Double.toString(v))
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+      if (bd.unscaledValue.abs.compareTo(Overflow) >= 0) None
+      else Some(bd.unscaledValue.longValue)
+    }
+
+  private def kernel(v: Double): Option[Long] = {
+    val r = GraftExpressions.unscaled4OrNull(v)
+    if (r == Long.MinValue) None else Some(r)
+  }
+
+  private def agree(v: Double): Prop =
+    Prop(kernel(v) == chain(v)) :| s"v=$v kernel=${kernel(v)} chain=${chain(v)}"
+
+  // uniform magnitudes across the whole representable domain, signs mixed
+  private val anyFinite: Gen[Double] = for {
+    m <- Gen.chooseNum(-1e9, 1e9)
+    scale <- Gen.oneOf(1e-6, 1e-3, 1.0, 1e3)
+  } yield m * scale
+
+  // the half-way band: exact multiples of 0.00005, where the fast path
+  // must defer to the BigDecimal fallback
+  private val halfWay: Gen[Double] = for {
+    n <- Gen.chooseNum(-2000000000L, 2000000000L)
+  } yield n / 20000.0
+
+  // the overflow boundary: doubles within a few ulps of ±99999999.99995
+  private val boundary: Gen[Double] = for {
+    steps <- Gen.chooseNum(-8, 8)
+    sign <- Gen.oneOf(1.0, -1.0)
+  } yield {
+    var x = 99999999.99995
+    var i = 0
+    while (i < math.abs(steps)) {
+      x = if (steps > 0) Math.nextUp(x) else Math.nextDown(x); i += 1
+    }
+    sign * x
+  }
+
+  property("matches the cast chain on arbitrary finite doubles") =
+    Prop.forAll(anyFinite)(agree)
+
+  property("matches the cast chain on exact half-way multiples") =
+    Prop.forAll(halfWay)(agree)
+
+  property("matches the cast chain at the overflow boundary") =
+    Prop.forAll(boundary)(agree)
+
+  property("nulls exactly like the chain on NaN and infinities") = Prop(
+    Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+      .forall(v => kernel(v).isEmpty && chain(v).isEmpty))
+}
