@@ -1,0 +1,601 @@
+package graft.server
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import graft.server.ProtoWire._
+
+/** The reference's `/driver` HTTP bridge: the JSON-protobuf mirror of
+  * gRPC `StorageDriverService/Execute` for clients without a gRPC stack
+  * (reference `src/routers/driver.py:1-788` — PHP drivers POST the
+  * command as JSON with a `type` field; the router packs it into a
+  * protobuf `DriverRequest`, runs the SAME servicer as gRPC, and renders
+  * the `DriverResponse` back to JSON with an `@type` marker).
+  *
+  * This object is the codec half: schema-driven JSON <-> protobuf-wire
+  * conversion for every command/response message of the driver protocol,
+  * following the reference's own .proto field numbers (proto/table.proto,
+  * bucket.proto, project.proto, workspace.proto, info.proto, backend.proto,
+  * executeQuery.proto, common.proto, credentials.proto). The transport
+  * half is the `/driver` route in [[SqlHttpServer]], which dispatches the
+  * packed envelope into [[GrpcDriverServer]] — one executor, two wires,
+  * exactly the reference's layering (driver.py builds a DriverRequest and
+  * calls `StorageDriverServicer.Execute`).
+  *
+  * JSON conventions match protobuf's json_format as the reference uses
+  * it: snake_case request keys are accepted and camelized
+  * (driver.py:146-170 — the PHP driver sends snake_case), enums accept
+  * name or number, int64 response fields render as JSON strings, proto3
+  * default values are omitted from responses, and unknown request fields
+  * are a 400 (json_format.ParseDict raises).
+  */
+object DriverHttpBridge {
+
+  val TypeUrlPrefix = "type.googleapis.com/keboola.storageDriver.command"
+  val CredentialsTypeUrl =
+    "type.googleapis.com/keboola.storageDriver.credentials.GenericBackendCredentials"
+
+  // ------------------------------------------------------------ schema model
+
+  sealed trait FT
+  case object TStr extends FT
+  /** int32/uint32 — JSON number both ways. */
+  case object TI32 extends FT
+  /** int64 — accepts number or string, renders as string (proto3 JSON). */
+  case object TI64 extends FT
+  case object TBool extends FT
+  final case class TEnum(byName: Map[String, Int]) extends FT {
+    lazy val byNum: Map[Int, String] = byName.map(_.swap)
+  }
+  final case class TMsg(m: () => Schema) extends FT
+  /** google.protobuf.Any — packs known payload types, skips the rest
+    * (backend-specific `meta` blobs the engine ignores, as the reference
+    * servicer does). */
+  case object TAny extends FT
+  /** google.protobuf.Value — decode-only (PreviewTableResponse cells). */
+  case object TValue extends FT
+  /** map<string,string> — decode-only (ExecuteQueryResponse row fields). */
+  case object TMapSS extends FT
+
+  final case class Fld(name: String, num: Int, t: FT, rep: Boolean = false)
+  final case class Schema(fields: Fld*) {
+    lazy val byName: Map[String, Fld] = fields.map(f => f.name -> f).toMap
+  }
+
+  // ------------------------------------------- shared messages (table.proto)
+
+  private val dataType = TEnum(Map("STRING" -> 0, "INTEGER" -> 1,
+    "DOUBLE" -> 2, "BIGINT" -> 3, "REAL" -> 4, "DECIMAL" -> 5,
+    "TIMESTAMP" -> 6))
+
+  private val whereFilter = Schema(
+    Fld("columnsName", 1, TStr),
+    Fld("operator", 2, TEnum(Map("eq" -> 0, "ne" -> 1, "gt" -> 2, "ge" -> 3,
+      "lt" -> 4, "le" -> 5))),
+    Fld("values", 3, TStr, rep = true),
+    Fld("dataType", 4, dataType))
+
+  private val orderBy = Schema(
+    Fld("columnName", 1, TStr),
+    Fld("order", 2, TEnum(Map("ASC" -> 0, "DESC" -> 1))),
+    Fld("dataType", 3, dataType))
+
+  private val exportFilters = Schema(
+    Fld("limit", 3, TI32),
+    Fld("changeSince", 4, TStr),
+    Fld("changeUntil", 5, TStr),
+    Fld("fulltextSearch", 6, TStr),
+    Fld("whereFilters", 7, TMsg(() => whereFilter), rep = true))
+
+  private val tableRef = Schema(
+    Fld("path", 1, TStr, rep = true),
+    Fld("tableName", 2, TStr))
+
+  private val importOptions = Schema(
+    Fld("timestampColumn", 1, TStr),
+    Fld("convertEmptyValuesToNullOnColumns", 2, TStr, rep = true),
+    Fld("importType", 3, TEnum(Map("FULL" -> 0, "INCREMENTAL" -> 1,
+      "VIEW" -> 2, "CLONE" -> 3))),
+    Fld("numberOfIgnoredLines", 4, TI32),
+    Fld("dedupType", 5, TEnum(Map("UPDATE_DUPLICATES" -> 0,
+      "INSERT_DUPLICATES" -> 1, "FAIL_ON_DUPLICATES" -> 2))),
+    Fld("dedupColumnsNames", 6, TStr, rep = true),
+    Fld("importStrategy", 7, TEnum(Map("STRING_TABLE" -> 0,
+      "USER_DEFINED_TABLE" -> 1))),
+    Fld("createMode", 8, TEnum(Map("CREATE" -> 0, "REPLACE" -> 1))),
+    Fld("importAsNull", 9, TStr, rep = true))
+
+  private val exportOptions = Schema(
+    Fld("isCompressed", 1, TBool),
+    Fld("columnsToExport", 2, TStr, rep = true),
+    Fld("orderBy", 3, TMsg(() => orderBy), rep = true),
+    Fld("filters", 4, TMsg(() => exportFilters)))
+
+  private val filePath = Schema(
+    Fld("root", 1, TStr), Fld("path", 2, TStr), Fld("fileName", 3, TStr))
+
+  private val fileProvider = TEnum(Map("S3" -> 0, "ABS" -> 1, "GCS" -> 2,
+    "HTTP" -> 3))
+  private val fileFormat = TEnum(Map("CSV" -> 0))
+
+  private val tableColumn = Schema(
+    Fld("name", 1, TStr), Fld("type", 2, TStr), Fld("length", 3, TStr),
+    Fld("nullable", 4, TBool), Fld("default", 5, TStr), Fld("meta", 6, TAny))
+
+  private val columnMapping = Schema(
+    Fld("sourceColumnName", 1, TStr), Fld("destinationColumnName", 2, TStr))
+
+  // Any payloads the bridge knows how to pack (the ones the engine
+  // consumes: file credentials + CSV options; driver.py relies on
+  // protobuf's descriptor pool for the same set).
+  private val anyPayloads: Map[String, (String, Schema)] = Map(
+    "S3Credentials" ->
+      (s"$TypeUrlPrefix.table.ImportExportShared.S3Credentials",
+        Schema(Fld("key", 1, TStr), Fld("secret", 2, TStr),
+          Fld("token", 4, TStr), Fld("region", 5, TStr))),
+    "ABSCredentials" ->
+      (s"$TypeUrlPrefix.table.ImportExportShared.ABSCredentials",
+        Schema(Fld("accountName", 1, TStr), Fld("sasToken", 2, TStr),
+          Fld("accountKey", 3, TStr))),
+    "GCSCredentials" ->
+      (s"$TypeUrlPrefix.table.ImportExportShared.GCSCredentials",
+        Schema(Fld("key", 1, TStr), Fld("secret", 2, TStr))),
+    "CsvTypeOptions" ->
+      (s"$TypeUrlPrefix.table.TableImportFromFileCommand.CsvTypeOptions",
+        Schema(Fld("columnsNames", 1, TStr, rep = true),
+          Fld("delimiter", 2, TStr), Fld("enclosure", 3, TStr),
+          Fld("escapedBy", 4, TStr),
+          Fld("sourceType", 5, TEnum(Map("SINGLE_FILE" -> 0,
+            "SLICED_FILE" -> 1, "DIRECTORY" -> 2))),
+          Fld("compression", 6, TEnum(Map("NONE" -> 0, "GZIP" -> 1))))))
+
+  // --------------------------------------------------------------- commands
+
+  /** Command type name -> (type-url suffix under the command package,
+    * field schema). The registry is driver.py:186-232's message_classes
+    * plus TableImportFromTableCommand, which our gRPC dispatch registers
+    * (servicer parity) though the reference HTTP bridge omits it. */
+  val commands: Map[String, (String, Schema)] = Map(
+    "InitBackendCommand" -> ("backend.InitBackendCommand",
+      Schema(Fld("meta", 1, TAny))),
+    "RemoveBackendCommand" -> ("backend.RemoveBackendCommand",
+      Schema(Fld("meta", 1, TAny))),
+    "CreateProjectCommand" -> ("project.CreateProjectCommand", Schema(
+      Fld("stackPrefix", 1, TStr), Fld("projectId", 2, TStr),
+      Fld("meta", 5, TAny), Fld("dataRetentionTime", 6, TI32),
+      Fld("fileStorage", 7, TEnum(Map("S3" -> 0, "ABS" -> 1, "GCS" -> 2))))),
+    "DropProjectCommand" -> ("project.DropProjectCommand", Schema(
+      Fld("projectUserName", 1, TStr), Fld("projectRoleName", 2, TStr),
+      Fld("readOnlyRoleName", 3, TStr), Fld("meta", 4, TAny),
+      Fld("projectDatabaseName", 5, TStr))),
+    "CreateBucketCommand" -> ("bucket.CreateBucketCommand", Schema(
+      Fld("stackPrefix", 1, TStr), Fld("projectId", 2, TStr),
+      Fld("bucketId", 3, TStr), Fld("projectRoleName", 4, TStr),
+      Fld("projectReadOnlyRoleName", 5, TStr), Fld("meta", 6, TAny),
+      Fld("branchId", 7, TStr), Fld("devBranchReadOnlyRoleName", 8, TStr),
+      Fld("isBranchDefault", 9, TBool))),
+    "DropBucketCommand" -> ("bucket.DropBucketCommand", Schema(
+      Fld("bucketObjectName", 1, TStr), Fld("ignoreErrors", 2, TBool),
+      Fld("projectReadOnlyRoleName", 3, TStr), Fld("meta", 4, TAny),
+      Fld("isCascade", 5, TBool))),
+    "CreateTableCommand" -> ("table.CreateTableCommand", Schema(
+      Fld("path", 1, TStr, rep = true), Fld("tableName", 2, TStr),
+      Fld("columns", 3, TMsg(() => tableColumn), rep = true),
+      Fld("primaryKeysNames", 4, TStr, rep = true), Fld("meta", 5, TAny))),
+    "DropTableCommand" -> ("table.DropTableCommand", Schema(
+      Fld("path", 1, TStr, rep = true), Fld("tableName", 2, TStr),
+      Fld("ignoreErrors", 3, TBool))),
+    "PreviewTableCommand" -> ("table.PreviewTableCommand", Schema(
+      Fld("path", 1, TStr, rep = true), Fld("tableName", 2, TStr),
+      Fld("columns", 3, TStr, rep = true),
+      Fld("orderBy", 4, TMsg(() => orderBy), rep = true),
+      Fld("filters", 5, TMsg(() => exportFilters)))),
+    "ObjectInfoCommand" -> ("info.ObjectInfoCommand", Schema(
+      Fld("path", 1, TStr, rep = true),
+      Fld("expectedObjectType", 2, TEnum(Map("DATABASE" -> 0, "SCHEMA" -> 1,
+        "TABLE" -> 2, "VIEW" -> 3))))),
+    "TableImportFromFileCommand" -> ("table.TableImportFromFileCommand",
+      Schema(
+        Fld("fileProvider", 1, fileProvider), Fld("fileFormat", 2, fileFormat),
+        Fld("formatTypeOptions", 3, TAny),
+        Fld("filePath", 4, TMsg(() => filePath)),
+        Fld("fileCredentials", 5, TAny),
+        Fld("destination", 6, TMsg(() => tableRef)),
+        Fld("importOptions", 7, TMsg(() => importOptions)),
+        Fld("meta", 8, TAny))),
+    "TableImportFromTableCommand" -> ("table.TableImportFromTableCommand",
+      Schema(
+        Fld("source", 1, TMsg(() => Schema(
+          Fld("path", 1, TStr, rep = true), Fld("tableName", 2, TStr),
+          Fld("seconds", 3, TI64),
+          Fld("whereFilters", 4, TMsg(() => whereFilter), rep = true),
+          Fld("limit", 5, TI64),
+          Fld("columnMappings", 6, TMsg(() => columnMapping), rep = true)))),
+        Fld("destination", 2, TMsg(() => tableRef)),
+        Fld("importOptions", 3, TMsg(() => importOptions)))),
+    "TableExportToFileCommand" -> ("table.TableExportToFileCommand", Schema(
+      Fld("source", 1, TMsg(() => tableRef)),
+      Fld("fileProvider", 2, fileProvider), Fld("fileFormat", 3, fileFormat),
+      Fld("filePath", 4, TMsg(() => filePath)),
+      Fld("fileCredentials", 5, TAny),
+      Fld("exportOptions", 6, TMsg(() => exportOptions)),
+      Fld("meta", 7, TAny))),
+    "AddColumnCommand" -> ("table.AddColumnCommand", Schema(
+      Fld("path", 1, TStr, rep = true), Fld("tableName", 2, TStr),
+      Fld("columnDefinition", 3, TMsg(() => tableColumn)))),
+    "DropColumnCommand" -> ("table.DropColumnCommand", Schema(
+      Fld("path", 1, TStr, rep = true), Fld("tableName", 2, TStr),
+      Fld("columnName", 3, TStr))),
+    "AlterColumnCommand" -> ("table.AlterColumnCommand", Schema(
+      Fld("path", 1, TStr, rep = true), Fld("tableName", 2, TStr),
+      Fld("desiredDefiniton", 3, TMsg(() => tableColumn)),
+      Fld("attributesToUpdate", 4, TStr, rep = true))),
+    "AddPrimaryKeyCommand" -> ("table.AddPrimaryKeyCommand", Schema(
+      Fld("path", 1, TStr, rep = true), Fld("tableName", 2, TStr),
+      Fld("primaryKeysNames", 4, TStr, rep = true))),
+    "DropPrimaryKeyCommand" -> ("table.DropPrimaryKeyCommand", Schema(
+      Fld("path", 1, TStr, rep = true), Fld("tableName", 2, TStr))),
+    "DeleteTableRowsCommand" -> ("table.DeleteTableRowsCommand", Schema(
+      Fld("path", 1, TStr, rep = true), Fld("tableName", 2, TStr),
+      Fld("changeSince", 3, TStr), Fld("changeUntil", 4, TStr),
+      Fld("whereFilters", 5, TMsg(() => whereFilter), rep = true),
+      Fld("whereRefTableFilters", 6, TMsg(() => Schema(
+        Fld("column", 1, TStr),
+        Fld("operator", 3, TEnum(Map("IN" -> 0, "NOT_IN" -> 1))),
+        Fld("refPath", 4, TStr, rep = true), Fld("refTable", 5, TStr),
+        Fld("refColumn", 6, TStr))), rep = true))),
+    "CreateWorkspaceCommand" -> ("workspace.CreateWorkspaceCommand", Schema(
+      Fld("stackPrefix", 1, TStr), Fld("projectId", 2, TStr),
+      Fld("workspaceId", 3, TStr), Fld("projectUserName", 4, TStr),
+      Fld("projectRoleName", 5, TStr),
+      Fld("projectReadOnlyRoleName", 6, TStr), Fld("meta", 7, TAny),
+      Fld("branchId", 8, TStr), Fld("isBranchDefault", 9, TBool),
+      Fld("devBranchReadOnlyRoleName", 10, TStr))),
+    "DropWorkspaceCommand" -> ("workspace.DropWorkspaceCommand", Schema(
+      Fld("workspaceUserName", 1, TStr), Fld("workspaceRoleName", 2, TStr),
+      Fld("workspaceObjectName", 3, TStr), Fld("isCascade", 4, TBool))),
+    "ClearWorkspaceCommand" -> ("workspace.ClearWorkspaceCommand", Schema(
+      Fld("workspaceObjectName", 1, TStr), Fld("ignoreErrors", 2, TBool),
+      Fld("objectsToPreserve", 3, TStr, rep = true))),
+    "ResetWorkspacePasswordCommand" ->
+      ("workspace.ResetWorkspacePasswordCommand",
+        Schema(Fld("workspaceUserName", 1, TStr))),
+    "DropWorkspaceObjectCommand" -> ("workspace.DropWorkspaceObjectCommand",
+      Schema(Fld("workspaceObjectName", 1, TStr),
+        Fld("objectNameToDrop", 2, TStr),
+        Fld("ignoreIfNotExists", 3, TBool))),
+    "GrantWorkspaceAccessToProjectCommand" ->
+      ("workspace.GrantWorkspaceAccessToProjectCommand", workspaceGrantSchema),
+    "RevokeWorkspaceAccessToProjectCommand" ->
+      ("workspace.RevokeWorkspaceAccessToProjectCommand", workspaceGrantSchema),
+    "LoadTableToWorkspaceCommand" -> ("workspace.LoadTableToWorkspaceCommand",
+      Schema(
+        Fld("source", 1, TMsg(() => Schema(
+          Fld("path", 1, TStr, rep = true), Fld("tableName", 2, TStr),
+          Fld("whereFilters", 3, TMsg(() => whereFilter), rep = true),
+          Fld("limit", 4, TI64),
+          Fld("columnMappings", 5, TMsg(() => columnMapping), rep = true)))),
+        Fld("destination", 2, TMsg(() => tableRef)),
+        Fld("importOptions", 3, TMsg(() => importOptions)))),
+    "ShareBucketCommand" -> ("bucket.ShareBucketCommand", Schema(
+      Fld("stackPrefix", 1, TStr), Fld("sourceBucketObjectName", 2, TStr),
+      Fld("sourceProjectReadOnlyRoleName", 3, TStr),
+      Fld("sourceProjectId", 4, TStr), Fld("sourceBucketId", 5, TStr),
+      Fld("meta", 6, TAny))),
+    "UnshareBucketCommand" -> ("bucket.UnshareBucketCommand", Schema(
+      Fld("bucketObjectName", 1, TStr), Fld("bucketShareRoleName", 2, TStr),
+      Fld("projectReadOnlyRoleName", 3, TStr), Fld("meta", 4, TAny))),
+    "LinkBucketCommand" -> ("bucket.LinkBucketCommand", Schema(
+      Fld("stackPrefix", 1, TStr), Fld("targetProjectId", 2, TStr),
+      Fld("targetBucketId", 3, TStr), Fld("sourceShareRoleName", 4, TStr),
+      Fld("targetProjectReadOnlyRoleName", 5, TStr), Fld("meta", 6, TAny))),
+    "UnlinkBucketCommand" -> ("bucket.UnlinkBucketCommand", Schema(
+      Fld("bucketObjectName", 1, TStr), Fld("sourceShareRoleName", 2, TStr),
+      Fld("projectReadOnlyRoleName", 3, TStr), Fld("meta", 4, TAny))),
+    "GrantBucketAccessToReadOnlyRoleCommand" ->
+      ("bucket.GrantBucketAccessToReadOnlyRoleCommand", Schema(
+        Fld("projectReadOnlyRoleName", 2, TStr), Fld("meta", 3, TAny),
+        Fld("branchId", 4, TStr), Fld("stackPrefix", 5, TStr),
+        Fld("destinationObjectName", 6, TStr),
+        Fld("path", 7, TStr, rep = true))),
+    "RevokeBucketAccessFromReadOnlyRoleCommand" ->
+      ("bucket.RevokeBucketAccessFromReadOnlyRoleCommand", Schema(
+        Fld("bucketObjectName", 1, TStr),
+        Fld("projectReadOnlyRoleName", 2, TStr),
+        Fld("ignoreErrors", 3, TBool), Fld("meta", 4, TAny))),
+    "CreateDevBranchCommand" -> ("project.CreateDevBranchCommand", Schema(
+      Fld("stackPrefix", 1, TStr), Fld("projectId", 2, TStr),
+      Fld("branchId", 3, TStr), Fld("projectRoleName", 4, TStr),
+      Fld("projectReadOnlyRoleName", 5, TStr), Fld("meta", 6, TAny))),
+    "DropDevBranchCommand" -> ("project.DropDevBranchCommand",
+      Schema(Fld("devBranchReadOnlyRoleName", 1, TStr))),
+    "ExecuteQueryCommand" -> ("executeQuery.ExecuteQueryCommand", Schema(
+      Fld("pathRestriction", 1, TStr, rep = true), Fld("timeout", 2, TI32),
+      Fld("query", 3, TStr))))
+
+  private lazy val workspaceGrantSchema = Schema(
+    Fld("workspaceUserName", 1, TStr), Fld("workspaceRoleName", 2, TStr),
+    Fld("workspaceObjectName", 3, TStr), Fld("projectUserName", 4, TStr),
+    Fld("projectRoleName", 5, TStr))
+
+  /** Commands the reference gates on the deployment admin key
+    * (driver.py:384-391). */
+  val adminOnlyCommands: Set[String] = Set("InitBackendCommand",
+    "RemoveBackendCommand", "CreateProjectCommand", "DropProjectCommand")
+
+  /** Commands a read-scoped key may run; everything else needs admin
+    * scope on the project (stricter than the reference, whose driver keys
+    * are whole-project credentials — our L8 keys carry a scope and the
+    * bridge honors it). */
+  val readOnlyCommands: Set[String] = Set("PreviewTableCommand",
+    "ObjectInfoCommand", "ExecuteQueryCommand")
+
+  // -------------------------------------------------------------- responses
+
+  private val tableInfoSchema: Schema = Schema(
+    Fld("path", 1, TStr, rep = true), Fld("tableName", 2, TStr),
+    Fld("columns", 3, TMsg(() => tableColumn), rep = true),
+    Fld("primaryKeysNames", 4, TStr, rep = true),
+    Fld("rowsCount", 5, TI64), Fld("sizeBytes", 6, TI64),
+    Fld("tableType", 7, TEnum(Map("NORMAL" -> 0, "EXTERNAL" -> 1))))
+
+  private val objectTypeEnum = TEnum(Map("DATABASE" -> 0, "SCHEMA" -> 1,
+    "TABLE" -> 2, "VIEW" -> 3))
+  private val objectList = Schema(
+    Fld("objects", 1, TMsg(() => Schema(
+      Fld("objectName", 1, TStr), Fld("objectType", 2, objectTypeEnum))),
+      rep = true))
+
+  /** Response message name -> decode schema — driver.py:292-335's
+    * _unpack_response set (void commands leave commandResponse unset). */
+  val responses: Map[String, Schema] = Map(
+    "InitBackendResponse" -> Schema(),
+    "CreateProjectResponse" -> Schema(
+      Fld("projectUserName", 1, TStr), Fld("projectRoleName", 2, TStr),
+      Fld("projectPassword", 3, TStr),
+      Fld("projectReadOnlyRoleName", 4, TStr),
+      Fld("projectDatabaseName", 8, TStr)),
+    "CreateBucketResponse" -> Schema(
+      Fld("path", 1, TStr, rep = true),
+      Fld("createBucketObjectName", 2, TStr)),
+    "PreviewTableResponse" -> Schema(
+      Fld("columns", 1, TStr, rep = true),
+      Fld("rows", 2, TMsg(() => Schema(
+        Fld("columns", 1, TMsg(() => Schema(
+          Fld("columnName", 1, TStr), Fld("value", 2, TValue),
+          Fld("isTruncated", 3, TBool))), rep = true))), rep = true)),
+    "ObjectInfoResponse" -> Schema(
+      Fld("path", 1, TStr, rep = true), Fld("objectType", 2, objectTypeEnum),
+      Fld("databaseInfo", 3, TMsg(() => objectList)),
+      Fld("schemaInfo", 4, TMsg(() => objectList)),
+      Fld("viewInfo", 5, TMsg(() => Schema(
+        Fld("path", 1, TStr, rep = true), Fld("viewName", 2, TStr),
+        Fld("columns", 3, TMsg(() => tableColumn), rep = true),
+        Fld("primaryKeysNames", 4, TStr, rep = true),
+        Fld("rowsCount", 5, TI64)))),
+      Fld("tableInfo", 6, TMsg(() => tableInfoSchema))),
+    "TableImportResponse" -> Schema(
+      Fld("importedRowsCount", 1, TI64), Fld("tableRowsCount", 2, TI64),
+      Fld("tableSizeBytes", 3, TI64),
+      Fld("timers", 4, TMsg(() => Schema(
+        Fld("name", 1, TStr), Fld("duration", 2, TStr))), rep = true),
+      Fld("importedColumns", 5, TStr, rep = true)),
+    "TableExportToFileResponse" -> Schema(
+      Fld("tableInfo", 1, TMsg(() => tableInfoSchema))),
+    "DeleteTableRowsResponse" -> Schema(
+      Fld("deletedRowsCount", 1, TI64), Fld("tableRowsCount", 2, TI64),
+      Fld("tableSizeBytes", 3, TI64)),
+    "CreateWorkspaceResponse" -> Schema(
+      Fld("workspaceUserName", 1, TStr), Fld("workspaceRoleName", 2, TStr),
+      Fld("workspacePassword", 3, TStr),
+      Fld("workspaceObjectName", 4, TStr)),
+    "ResetWorkspacePasswordResponse" -> Schema(
+      Fld("workspaceUserName", 1, TStr), Fld("workspacePassword", 2, TStr)),
+    "ShareBucketResponse" -> Schema(Fld("bucketShareRoleName", 1, TStr)),
+    "LinkedBucketResponse" -> Schema(Fld("linkedBucketObjectName", 1, TStr)),
+    "GrantBucketAccessToReadOnlyRoleResponse" -> Schema(
+      Fld("createBucketObjectName", 1, TStr)),
+    "CreateDevBranchResponse" -> Schema(
+      Fld("devBranchReadOnlyRoleName", 1, TStr)),
+    "ExecuteQueryResponse" -> Schema(
+      Fld("status", 1, TEnum(Map("Success" -> 0, "Error" -> 1))),
+      Fld("data", 2, TMsg(() => Schema(
+        Fld("columns", 1, TStr, rep = true),
+        Fld("rows", 2, TMsg(() => Schema(Fld("fields", 1, TMapSS))),
+          rep = true)))),
+      Fld("message", 3, TStr)))
+
+  // --------------------------------------------------------- JSON -> wire
+
+  /** snake_case -> camelCase, as driver.py:146-150 applies to PHP-driver
+    * request bodies (camelCase keys pass through unchanged). */
+  private def camel(name: String): String = {
+    val parts = name.split("_")
+    if (parts.length <= 1) name
+    else parts.head + parts.tail.map(p =>
+      if (p.isEmpty) "" else p.head.toUpper.toString + p.tail).mkString
+  }
+
+  /** `dropTypeKeys` strips the `type`/`@type` discriminator — ONLY at a
+    * packed-message top level (command body, Any payload), where it names
+    * the message rather than a field (driver.py:178-181); nested messages
+    * like TableColumnShared have a real `type` field. */
+  private def encodeMsg(s: Schema, json: JsonNode,
+      dropTypeKeys: Boolean = false): Writer = {
+    if (!json.isObject)
+      throw new IllegalArgumentException("message field must be a JSON object")
+    val w = new Writer()
+    val it = json.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!(dropTypeKeys && (e.getKey == "type" || e.getKey == "@type")) &&
+          !e.getValue.isNull) {
+        val key = camel(e.getKey)
+        val f = s.byName.getOrElse(key,
+          throw new IllegalArgumentException(s"unknown field: $key"))
+        if (f.rep) {
+          if (!e.getValue.isArray)
+            throw new IllegalArgumentException(s"field $key must be an array")
+          e.getValue.forEach(v => encodeOne(w, f, v))
+        } else encodeOne(w, f, e.getValue)
+      }
+    }
+    w
+  }
+
+  private def encodeOne(w: Writer, f: Fld, v: JsonNode): Unit = f.t match {
+    case TStr => w.str(f.num, v.asText()); ()
+    case TI32 | TI64 => w.int(f.num, v.asLong()); ()
+    case TBool => w.bool(f.num, v.asBoolean()); ()
+    case e: TEnum =>
+      val n =
+        if (v.isNumber) v.asInt()
+        else e.byName.getOrElse(v.asText(), throw new IllegalArgumentException(
+          s"unknown enum value ${v.asText()} for ${f.name}"))
+      w.int(f.num, n.toLong); ()
+    case TMsg(m) => w.msg(f.num, encodeMsg(m(), v)); ()
+    case TAny =>
+      val typeName = Option(v.get("type")).orElse(Option(v.get("@type")))
+        .map(_.asText.split('.').last.split('/').last).getOrElse("")
+      anyPayloads.get(typeName) match {
+        case Some((url, schema)) =>
+          w.msg(f.num,
+            ProtoWire.any(url, encodeMsg(schema, v, dropTypeKeys = true))); ()
+        case None => () // backend-specific meta the engine ignores
+      }
+    case TValue | TMapSS =>
+      throw new IllegalArgumentException(s"field ${f.name} is response-only")
+  }
+
+  /** Pack the JSON command into its protobuf Any. Returns (bare command
+    * name, packed Any writer). */
+  def encodeCommand(commandJson: JsonNode): (String, Writer) = {
+    val typeField = Option(commandJson.get("type"))
+      .orElse(Option(commandJson.get("@type"))).map(_.asText()).getOrElse(
+        throw new IllegalArgumentException(
+          "Command must contain 'type' field (e.g., 'InitBackendCommand')"))
+    val typeName = typeField.split('.').last
+    val (suffix, schema) = commands.getOrElse(typeName,
+      throw new IllegalArgumentException(
+        s"Unsupported command type: $typeName"))
+    (typeName, ProtoWire.any(s"$TypeUrlPrefix.$suffix",
+      encodeMsg(schema, commandJson, dropTypeKeys = true)))
+  }
+
+  /** Build the full DriverRequest envelope (common.proto:10-15) from the
+    * bridge request body — command (required), credentials, features,
+    * runtimeOptions.runId — exactly driver.py:96-144's packing. */
+  def buildDriverRequest(body: JsonNode): (String, Array[Byte]) = {
+    val commandJson = Option(body.get("command")).getOrElse(
+      throw new IllegalArgumentException("command is required"))
+    val (typeName, commandAny) = encodeCommand(commandJson)
+    val req = new Writer()
+    Option(body.get("credentials")).filter(_.isObject).foreach { c =>
+      // GenericBackendCredentials {host=1, principal=2, secret=3}
+      // (credentials.proto:11-15); PHP sends project_id for host
+      val creds = new Writer()
+      Option(c.get("host")).orElse(Option(c.get("project_id")))
+        .foreach(h => creds.str(1, h.asText()))
+      Option(c.get("principal")).foreach(p => creds.str(2, p.asText()))
+      Option(c.get("secret")).foreach(s => creds.str(3, s.asText()))
+      req.msg(1, ProtoWire.any(CredentialsTypeUrl, creds))
+    }
+    req.msg(2, commandAny)
+    Option(body.get("features")).filter(_.isArray).foreach(_.forEach(f =>
+      req.str(3, f.asText())))
+    Option(body.get("runtimeOptions")).flatMap(r => Option(r.get("runId")))
+      .foreach(id => req.msg(4, new Writer().str(1, id.asText())))
+    (typeName, req.bytes)
+  }
+
+  // --------------------------------------------------------- wire -> JSON
+
+  private def decodeMsg(om: ObjectMapper, s: Schema,
+      fs: Seq[Field]): ObjectNode = {
+    val o = om.createObjectNode()
+    s.fields.foreach { f =>
+      val occ = fs.filter(_.number == f.num)
+      if (occ.nonEmpty) f.t match {
+        case TMapSS =>
+          val m = om.createObjectNode()
+          occ.foreach { x =>
+            val e = parse(x.payload)
+            m.put(ProtoWire.str(e, 1), ProtoWire.str(e, 2)); ()
+          }
+          o.set[JsonNode](f.name, m); ()
+        case _ if f.rep =>
+          val a = o.putArray(f.name)
+          occ.foreach(x => a.add(decodeOne(om, f, x)))
+        case _ =>
+          o.set[JsonNode](f.name, decodeOne(om, f, occ.last)); ()
+      }
+    }
+    o
+  }
+
+  private def decodeOne(om: ObjectMapper, f: Fld, x: Field): JsonNode =
+    f.t match {
+      case TStr => om.getNodeFactory.textNode(
+        new String(x.payload, java.nio.charset.StandardCharsets.UTF_8))
+      case TI32 => om.getNodeFactory.numberNode(x.varintVal.toInt)
+      // proto3 JSON renders 64-bit integers as strings
+      case TI64 => om.getNodeFactory.textNode(x.varintVal.toString)
+      case TBool => om.getNodeFactory.booleanNode(x.varintVal != 0)
+      case e: TEnum => e.byNum.get(x.varintVal.toInt)
+        .map(om.getNodeFactory.textNode)
+        .getOrElse(om.getNodeFactory.numberNode(x.varintVal.toInt))
+      case TMsg(m) => decodeMsg(om, m(), parse(x.payload))
+      case TValue =>
+        // google.protobuf.Value oneof: nullValue=1, numberValue=2(fixed64),
+        // stringValue=3, boolValue=4 — the arms the engine emits
+        val vf = parse(x.payload)
+        vf.lastOption match {
+          case Some(Field(1, 0, _, _)) => om.getNodeFactory.nullNode()
+          case Some(Field(2, 1, _, p)) => om.getNodeFactory.numberNode(
+            java.lang.Double.longBitsToDouble(
+              java.nio.ByteBuffer.wrap(p)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong))
+          case Some(Field(3, 2, _, p)) => om.getNodeFactory.textNode(
+            new String(p, java.nio.charset.StandardCharsets.UTF_8))
+          case Some(Field(4, 0, v, _)) => om.getNodeFactory.booleanNode(v != 0)
+          case _ => om.getNodeFactory.nullNode()
+        }
+      case TMapSS | TAny => om.getNodeFactory.nullNode() // handled above / elided
+    }
+
+  /** Render the DriverResponse wire bytes to the bridge's JSON shape:
+    * {commandResponse: {...,"@type": url} | null, messages: [{level,
+    * message}]} — driver.py:248-289. */
+  def renderDriverResponse(om: ObjectMapper,
+      respBytes: Array[Byte]): ObjectNode = {
+    val out = om.createObjectNode()
+    val fs = parse(respBytes)
+    val cmdResp = fs.collectFirst { case Field(1, 2, _, p) => p }
+    cmdResp match {
+      case Some(p) if p.nonEmpty =>
+        val anyFs = parse(p)
+        val typeUrl = ProtoWire.str(anyFs, 1)
+        val (bareName, valueBytes) = parseAny(anyFs)
+        responses.get(bareName) match {
+          case Some(schema) =>
+            val node = decodeMsg(om, schema, parse(valueBytes))
+            node.put("@type", typeUrl)
+            out.set[JsonNode]("commandResponse", node); ()
+          case None => out.putNull("commandResponse"); ()
+        }
+      case _ => out.putNull("commandResponse"); ()
+    }
+    val msgs = out.putArray("messages")
+    subs(fs, 2).foreach { m =>
+      val lvl = ProtoWire.long(m, 1)
+      // RFC-5424 levels -> the bridge's 3 buckets (driver.py:269-278)
+      val name =
+        if (lvl <= 3) "Error" else if (lvl == 4) "Warning" else "Info"
+      val mo = msgs.addObject()
+      mo.put("level", name)
+      mo.put("message", ProtoWire.str(m, 2))
+      ()
+    }
+    out
+  }
+}

@@ -57,12 +57,14 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
     override def initialValue() = scala.collection.mutable.ListBuffer.empty[String]
   }
   private def logInfo(msg: String): Unit = { logBuf.get() += msg; () }
-  private val group = new NioEventLoopGroup(2)
+  // lazy: the /driver HTTP bridge instantiates this class for its command
+  // executor without ever start()ing the gRPC transport
+  private lazy val group = new NioEventLoopGroup(2)
   // Spark work runs OFF the event loop: a long ExecuteQuery must not
   // stall the accept/framing path of every other stream on the loop.
   // Netty write calls from worker threads are scheduled onto the loop,
   // so responding from here is safe.
-  private val workers = java.util.concurrent.Executors.newCachedThreadPool(
+  private lazy val workers = java.util.concurrent.Executors.newCachedThreadPool(
     r => { val t = new Thread(r, "grpc-driver-worker"); t.setDaemon(true); t })
   @volatile private var channel: Channel = _
 
@@ -88,8 +90,8 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
     channel.localAddress().asInstanceOf[java.net.InetSocketAddress].getPort
   }
 
-  def stop(): Unit = {
-    if (channel != null) channel.close().sync()
+  def stop(): Unit = if (channel != null) {
+    channel.close().sync()
     group.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS).sync()
     workers.shutdown()
   }
@@ -133,16 +135,10 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
         decoded: Either[(Long, String), Array[Byte]]): Unit = {
       val (status, message, payload) = decoded match {
         case Left((s, m)) => (s, m, None)
-        case Right(req) =>
-          try (0L, "", Some(execute(req)))
-          catch {
-            case e: Unauthenticated => (16L, e.getMessage, None)
-            case e: PermissionDenied => (7L, e.getMessage, None)
-            case e: Unimplemented => (12L, e.getMessage, None)
-            case e: IllegalArgumentException => (3L, s"${e.getMessage}", None)
-            case e: NoSuchElementException => (5L, s"not found: ${e.getMessage}", None)
-            case e: Throwable => (2L, s"${e.getClass.getSimpleName}: ${e.getMessage}", None)
-          }
+        case Right(req) => executeClassified(req) match {
+          case Right(bytes)  => (0L, "", Some(bytes))
+          case Left((s, m)) => (s, m, None)
+        }
       }
       val headers = new DefaultHttp2Headers()
       headers.status("200")
@@ -167,6 +163,23 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
       ()
     }
   }
+
+  /** Execute a DriverRequest envelope with the outcome classified by
+    * gRPC status code — shared by the gRPC transport above and the
+    * `/driver` HTTP bridge in [[SqlHttpServer]] (the reference routes
+    * both surfaces through one servicer, driver.py:71-76, and maps the
+    * captured status onto HTTP, driver.py:426-436). */
+  private[server] def executeClassified(
+      reqBytes: Array[Byte]): Either[(Long, String), Array[Byte]] =
+    try Right(execute(reqBytes))
+    catch {
+      case e: Unauthenticated => Left((16L, e.getMessage))
+      case e: PermissionDenied => Left((7L, e.getMessage))
+      case e: Unimplemented => Left((12L, e.getMessage))
+      case e: IllegalArgumentException => Left((3L, s"${e.getMessage}"))
+      case e: NoSuchElementException => Left((5L, s"not found: ${e.getMessage}"))
+      case e: Throwable => Left((2L, s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+    }
 
   private final class Unauthenticated(msg: String) extends RuntimeException(msg)
   private final class PermissionDenied(msg: String) extends RuntimeException(msg)

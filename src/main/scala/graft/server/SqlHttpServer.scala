@@ -1161,6 +1161,77 @@ final class SqlHttpServer(
     }
   })
 
+  /** The `/driver` HTTP bridge (reference src/routers/driver.py:1-788):
+    * the JSON-protobuf mirror of gRPC `StorageDriverService/Execute` for
+    * clients without a gRPC stack. POST /driver/execute takes {command:
+    * {type, ...}, credentials?, features?, runtimeOptions?}; the command
+    * is packed into a protobuf DriverRequest by [[DriverHttpBridge]] and
+    * runs through the SAME executor as the gRPC transport — one command
+    * registry, two wires. GET /driver/commands lists the registry. */
+  private lazy val driverExec = new GrpcDriverServer(spark, store)
+  server.createContext("/driver", (ex: HttpExchange) => handle(ex) {
+    val seg = ex.getRequestURI.getPath.stripSuffix("/").split("/")
+      .drop(2).toList
+    (ex.getRequestMethod, seg) match {
+      case ("POST", "execute" :: Nil) =>
+        val body = om.readTree(ex.getRequestBody.readAllBytes())
+        val commandJson = Option(body.get("command")).getOrElse(
+          throw new IllegalArgumentException("command is required"))
+        val typeName = Option(commandJson.get("type"))
+          .orElse(Option(commandJson.get("@type")))
+          .map(_.asText().split('.').last).getOrElse("")
+        // authorization mirrors driver.py:380-417: backend/project
+        // lifecycle needs the deployment admin key; project commands
+        // under a scoped key must target the key's own project (and,
+        // stricter than the reference, mutations need admin scope — our
+        // L8 keys carry one)
+        ex.getAttribute("principal") match {
+          case Admin => ()
+          case _ if DriverHttpBridge.adminOnlyCommands(typeName) =>
+            throw new SecurityException(
+              s"Command $typeName requires admin API key")
+          case Scoped(info) =>
+            val reqProject = Option(body.get("credentials"))
+              .flatMap(c => Option(c.get("project_id"))
+                .orElse(Option(c.get("host")))).map(_.asText())
+            if (!reqProject.contains(info.project))
+              throw new SecurityException(s"API key is for project " +
+                s"${info.project}, but request is for project " +
+                s"${reqProject.getOrElse("<none>")}")
+            if (info.scope != "admin" &&
+                !DriverHttpBridge.readOnlyCommands(typeName))
+              throw new SecurityException(
+                s"Command $typeName requires admin scope")
+          case _ => throw new SecurityException("forbidden")
+        }
+        val (_, reqBytes) = DriverHttpBridge.buildDriverRequest(body)
+        driverExec.executeClassified(reqBytes) match {
+          case Right(respBytes) =>
+            respondJson(ex, 200, om.writeValueAsString(
+              DriverHttpBridge.renderDriverResponse(om, respBytes)))
+          case Left((status, message)) =>
+            // gRPC status -> HTTP, as driver.py:426-436 maps it
+            val http = status match {
+              case 3 => 400 case 5 => 404 case 7 => 403 case 12 => 501
+              case 16 => 401 case _ => 500
+            }
+            val o = om.createObjectNode()
+            o.put("error", message)
+            respondJson(ex, http, om.writeValueAsString(o))
+        }
+      case ("GET", "commands" :: Nil) =>
+        val o = om.createObjectNode()
+        val arr = o.putArray("supported_commands")
+        DriverHttpBridge.commands.keys.toSeq.sorted.foreach { name =>
+          val c = arr.addObject()
+          c.put("type", name)
+          ()
+        }
+        respondJson(ex, 200, om.writeValueAsString(o))
+      case _ => respondJson(ex, 404, """{"error":"not found"}""")
+    }
+  })
+
   // L8: key management — mint/revoke project + branch keys (admin only)
   //   POST /keys {project, branch?, scope?} -> {key}   DELETE /keys {key}
   server.createContext("/keys", (ex: HttpExchange) => handle(ex) {

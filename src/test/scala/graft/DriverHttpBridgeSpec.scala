@@ -1,0 +1,389 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.core.{StorageCatalog, Tables, TableStore}
+import graft.server.SqlHttpServer
+
+/** The `/driver` HTTP bridge (reference src/routers/driver.py): the full
+  * driver command registry reachable over pure HTTP JSON — no gRPC stack
+  * on the client — mirroring GrpcDriverSpec's coverage through the other
+  * wire. Asserts the reference's JSON conventions: snake_case request
+  * keys accepted, `@type` markers on responses, int64 fields rendered as
+  * strings, proto3 defaults omitted, job-log messages surfaced. */
+class DriverHttpBridgeSpec extends SparkSpec {
+
+  private val om = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+
+  private def post(url: String, body: String, headers: (String, String)*) = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+      .header("Content-Type", "application/json")
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def withServer(apiKey: Option[String] = None)(
+      f: (String, TableStore, SqlHttpServer) => Unit): Unit = {
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-driver-http")))
+    val server = new SqlHttpServer(spark, store, apiKey = apiKey).start()
+    try f(s"http://127.0.0.1:${server.boundPort}", store, server)
+    finally server.stop()
+  }
+
+  /** POST /driver/execute with a command body; returns (status, json). */
+  private def exec(base: String, commandJson: String,
+      extra: String = "", headers: Seq[(String, String)] = Nil)
+      : (Int, JsonNode) = {
+    val body = s"""{"command":$commandJson$extra}"""
+    val r = post(s"$base/driver/execute", body, headers: _*)
+    (r.statusCode(), om.readTree(r.body()))
+  }
+
+  test("create table, import from table, preview, info, delete, export — all over HTTP JSON") {
+    withServer() { (base, store, _) =>
+      import spark.implicits._
+
+      // CreateBucketCommand -> CreateBucketResponse with @type
+      val (s0, r0) = exec(base,
+        """{"type":"CreateBucketCommand","projectId":"p","bucketId":"src"}""")
+      assert(s0 == 200, r0.toString)
+      val br = r0.get("commandResponse")
+      assert(br.get("@type").asText.endsWith("bucket.CreateBucketResponse"))
+      assert(br.get("createBucketObjectName").asText == "src")
+
+      // CreateTableCommand (snake_case keys, as the PHP driver sends)
+      val (s1, r1) = exec(base,
+        """{"type":"CreateTableCommand","path":["p","src"],
+           "table_name":"nums",
+           "columns":[{"name":"id","type":"BIGINT"},
+                      {"name":"s","type":"VARCHAR","nullable":true}],
+           "primary_keys_names":["id"]}""")
+      assert(s1 == 200, r1.toString)
+      assert(r1.get("commandResponse").isNull) // void command
+
+      store.overwrite("p", "src", "nums",
+        (1L to 10L).map(i => (i, s"row$i")).toDF("id", "s"))
+
+      // destination table + import from table with a where filter
+      val (s2, _) = exec(base,
+        """{"type":"CreateTableCommand","path":["p","dst"],
+           "tableName":"picked",
+           "columns":[{"name":"id","type":"BIGINT"},
+                      {"name":"s","type":"VARCHAR"}],
+           "primaryKeysNames":["id"]}""")
+      assert(s2 == 200)
+      val (s3, r3) = exec(base,
+        """{"type":"TableImportFromTableCommand",
+           "source":{"path":["p","src"],"tableName":"nums",
+             "whereFilters":[{"columnsName":"id","operator":"le",
+               "values":["4"],"dataType":"BIGINT"}]},
+           "destination":{"path":["p","dst"],"tableName":"picked"},
+           "importOptions":{"importType":"INCREMENTAL"}}""")
+      assert(s3 == 200, r3.toString)
+      val imp = r3.get("commandResponse")
+      assert(imp.get("@type").asText.endsWith("table.TableImportResponse"))
+      // proto3 JSON: int64 renders as string
+      assert(imp.get("importedRowsCount").asText == "4")
+      assert(imp.get("tableRowsCount").asText == "4")
+      assert(imp.get("importedColumns").get(0).asText == "id")
+      // the job-log channel rides back as messages (driver.py:269-289)
+      assert(r3.get("messages").get(0).get("level").asText == "Info")
+      assert(r3.get("messages").get(0).get("message").asText
+        .contains("Imported 4 rows"))
+
+      // PreviewTableCommand: Value cells incl. NULL
+      store.overwrite("p", "src", "nums",
+        Seq((1L, Some("a")), (2L, None)).toDF("id", "s"))
+      val (s4, r4) = exec(base,
+        """{"type":"PreviewTableCommand","path":["p","src"],
+           "tableName":"nums"}""")
+      assert(s4 == 200, r4.toString)
+      val prev = r4.get("commandResponse")
+      assert(prev.get("columns").get(0).asText == "id")
+      val rows = prev.get("rows")
+      assert(rows.size == 2)
+      val cells = (0 until rows.size).flatMap { i =>
+        val cs = rows.get(i).get("columns")
+        (0 until cs.size).map(j => cs.get(j))
+      }
+      assert(cells.exists(c => c.get("columnName").asText == "s" &&
+        c.get("value").isNull)) // NULL survives as JSON null
+      assert(cells.exists(c => c.get("columnName").asText == "s" &&
+        c.get("value").asText == "a"))
+
+      // ObjectInfoCommand at table depth: rowsCount as int64 string
+      val (s5, r5) = exec(base,
+        """{"type":"ObjectInfoCommand","path":["p","src","nums"],
+           "expectedObjectType":"TABLE"}""")
+      assert(s5 == 200, r5.toString)
+      val info = r5.get("commandResponse")
+      assert(info.get("objectType").asText == "TABLE")
+      val ti = info.get("tableInfo")
+      assert(ti.get("tableName").asText == "nums")
+      assert(ti.get("rowsCount").asText == "2")
+      assert(ti.get("primaryKeysNames").get(0).asText == "id")
+
+      // ExecuteQueryCommand: map<string,string> row rendering
+      val (s6, r6) = exec(base,
+        """{"type":"ExecuteQueryCommand","pathRestriction":["p","src"],
+           "query":"SELECT id, s FROM src_nums ORDER BY id"}""")
+      assert(s6 == 200, r6.toString)
+      val qr = r6.get("commandResponse")
+      assert(!qr.has("status")) // Success = proto3 default, omitted
+      assert(qr.get("data").get("columns").get(0).asText == "id")
+      val row0 = qr.get("data").get("rows").get(0).get("fields")
+      assert(row0.get("id").asText == "1")
+      assert(row0.get("s").asText == "a")
+
+      // DeleteTableRowsCommand with a where filter
+      val (s7, r7) = exec(base,
+        """{"type":"DeleteTableRowsCommand","path":["p","src"],
+           "tableName":"nums",
+           "whereFilters":[{"columnsName":"id","operator":"eq",
+             "values":["2"],"dataType":"BIGINT"}]}""")
+      assert(s7 == 200, r7.toString)
+      val del = r7.get("commandResponse")
+      assert(del.get("deletedRowsCount").asText == "1")
+      assert(del.get("tableRowsCount").asText == "1")
+
+      // TableExportToFileCommand via the HTTP provider's local-path arm
+      val outDir = Files.createTempDirectory("graft-driver-export")
+      val out = outDir.resolve("picked.csv").toString
+      val (s8, r8) = exec(base,
+        s"""{"type":"TableExportToFileCommand",
+            "source":{"path":["p","dst"],"tableName":"picked"},
+            "fileProvider":"HTTP",
+            "filePath":{"root":"$out"},
+            "exportOptions":{"columnsToExport":["id","s"],
+              "filters":{"limit":2}}}""")
+      assert(s8 == 200, r8.toString)
+      assert(r8.get("commandResponse").get("tableInfo")
+        .get("tableName").asText == "picked")
+      assert(spark.read.option("header", "true").csv(out).count() == 2L)
+    }
+  }
+
+  test("import from file with CsvTypeOptions Any payload") {
+    withServer() { (base, store, _) =>
+      import spark.implicits._
+      store.createTable("p", "in", "people",
+        Seq((1L, "x")).toDF("id", "name").schema, Seq("id"))
+      val dir = Files.createTempDirectory("graft-driver-import")
+      val csv = dir.resolve("people.csv")
+      Files.writeString(csv, "id;name\n1;ann\n2;bob\n3;cid\n")
+      val (st, r) = exec(base,
+        s"""{"type":"TableImportFromFileCommand",
+            "fileProvider":"HTTP","fileFormat":"CSV",
+            "formatTypeOptions":{"@type":
+              "type.googleapis.com/keboola.storageDriver.command.table.TableImportFromFileCommand.CsvTypeOptions",
+              "delimiter":";","enclosure":"\\""},
+            "filePath":{"root":"$csv"},
+            "destination":{"path":["p","in"],"tableName":"people"},
+            "importOptions":{"importType":"FULL",
+              "numberOfIgnoredLines":1}}""")
+      assert(st == 200, r.toString)
+      assert(r.get("commandResponse").get("importedRowsCount").asText == "3")
+      assert(store.read("p", "in", "people").count() == 3L)
+    }
+  }
+
+  test("schema, workspace, project, branch, and sharing commands over HTTP JSON") {
+    withServer() { (base, store, _) =>
+      import spark.implicits._
+      store.createTable("p", "b", "t",
+        Seq((1L, "a")).toDF("id", "s").schema)
+      store.overwrite("p", "b", "t", Seq((1L, "a")).toDF("id", "s"))
+
+      // AddColumn / AlterColumn / DropColumn (void responses)
+      assert(exec(base, """{"type":"AddColumnCommand","path":["p","b"],
+        "tableName":"t","columnDefinition":{"name":"extra","type":"VARCHAR"}}""")._1 == 200)
+      assert(exec(base, """{"type":"AlterColumnCommand","path":["p","b"],
+        "tableName":"t","desiredDefiniton":{"name":"extra2","type":"VARCHAR"},
+        "attributesToUpdate":["name"]}""")._1 == 200)
+      assert(exec(base, """{"type":"DropColumnCommand","path":["p","b"],
+        "tableName":"t","columnName":"extra2"}""")._1 == 200)
+      // AddPrimaryKey / DropPrimaryKey
+      assert(exec(base, """{"type":"AddPrimaryKeyCommand","path":["p","b"],
+        "tableName":"t","primaryKeysNames":["id"]}""")._1 == 200)
+      assert(store.tableInfo("p", "b", "t").primaryKey == Seq("id"))
+      assert(exec(base, """{"type":"DropPrimaryKeyCommand","path":["p","b"],
+        "tableName":"t"}""")._1 == 200)
+
+      // CreateProject (admin path, open deployment) mints a password/key
+      val (sp, rp) = exec(base,
+        """{"type":"CreateProjectCommand","projectId":"acme"}""")
+      assert(sp == 200)
+      val proj = rp.get("commandResponse")
+      assert(proj.get("@type").asText.endsWith("project.CreateProjectResponse"))
+      assert(proj.get("projectPassword").asText.nonEmpty)
+
+      // Branch lifecycle
+      val (sb, rb) = exec(base,
+        """{"type":"CreateDevBranchCommand","projectId":"acme","branchId":"dev1"}""")
+      assert(sb == 200)
+      assert(rb.get("commandResponse").get("devBranchReadOnlyRoleName")
+        .asText == "branch_acme_dev1_readonly")
+      assert(exec(base, """{"type":"DropDevBranchCommand",
+        "devBranchReadOnlyRoleName":"branch_acme_dev1_readonly"}""")._1 == 200)
+
+      // Share + link
+      val (ss, rs) = exec(base,
+        """{"type":"ShareBucketCommand","sourceProjectId":"p",
+           "sourceBucketId":"b","sourceBucketObjectName":"b"}""")
+      assert(ss == 200, rs.toString)
+      val shareRole = rs.get("commandResponse")
+        .get("bucketShareRoleName").asText
+      assert(shareRole.nonEmpty)
+      val (sl, rl) = exec(base,
+        s"""{"type":"LinkBucketCommand","targetProjectId":"acme",
+            "targetBucketId":"blink","sourceShareRoleName":"$shareRole"}""")
+      assert(sl == 200, rl.toString)
+      assert(rl.get("commandResponse").get("linkedBucketObjectName")
+        .asText == "blink")
+      assert(exec(base, s"""{"type":"UnlinkBucketCommand",
+        "bucketObjectName":"acme.blink","sourceShareRoleName":"$shareRole"}""")._1 == 200)
+      assert(exec(base, s"""{"type":"UnshareBucketCommand",
+        "bucketObjectName":"b","bucketShareRoleName":"$shareRole"}""")._1 == 200)
+
+      // Workspace lifecycle: create -> reset password -> load -> drop
+      val (sw, rw) = exec(base,
+        """{"type":"CreateWorkspaceCommand","projectId":"p","workspaceId":"w1"}""")
+      assert(sw == 200, rw.toString)
+      val ws = rw.get("commandResponse")
+      assert(ws.get("@type").asText
+        .endsWith("workspace.CreateWorkspaceResponse"))
+      val wsObj = ws.get("workspaceObjectName").asText
+      assert(ws.get("workspacePassword").asText.nonEmpty)
+      val (srp, rrp) = exec(base,
+        s"""{"type":"ResetWorkspacePasswordCommand",
+            "workspaceUserName":"${ws.get("workspaceUserName").asText}"}""")
+      assert(srp == 200)
+      assert(rrp.get("commandResponse").get("workspacePassword")
+        .asText.nonEmpty)
+      assert(exec(base, s"""{"type":"LoadTableToWorkspaceCommand",
+        "source":{"path":["p","b"],"tableName":"t"},
+        "destination":{"path":["$wsObj"],"tableName":"t_local"},
+        "importOptions":{}}""")._1 == 200)
+      assert(exec(base, s"""{"type":"ClearWorkspaceCommand",
+        "workspaceObjectName":"$wsObj"}""")._1 == 200)
+      assert(exec(base, s"""{"type":"DropWorkspaceCommand",
+        "workspaceObjectName":"$wsObj"}""")._1 == 200)
+
+      // Backend init is a 200 with InitBackendResponse
+      val (si, ri) = exec(base, """{"type":"InitBackendCommand"}""")
+      assert(si == 200)
+      assert(ri.get("commandResponse").get("@type").asText
+        .endsWith("backend.InitBackendResponse"))
+    }
+  }
+
+  test("error mapping: unknown command 400, unknown field 400, missing table 500-class") {
+    withServer() { (base, _, _) =>
+      val (s1, r1) = exec(base, """{"type":"FrobnicateCommand"}""")
+      assert(s1 == 400)
+      assert(r1.get("error").asText.contains("Unsupported command type"))
+      val (s2, r2) = exec(base,
+        """{"type":"DropTableCommand","path":["p","b"],"tableName":"t",
+           "bogusField":1}""")
+      assert(s2 == 400)
+      assert(r2.get("error").asText.contains("unknown field"))
+      // missing command envelope
+      val r3 = post(s"$base/driver/execute", """{"credentials":{}}""")
+      assert(r3.statusCode() == 400)
+      // full type URL form resolves like the bare name (driver.py:109-113)
+      val (s4, _) = exec(base,
+        """{"@type":"type.googleapis.com/keboola.storageDriver.command.backend.InitBackendCommand"}""")
+      assert(s4 == 200)
+    }
+  }
+
+  test("authorization: admin-only commands and project scoping") {
+    withServer(apiKey = Some("root-key")) { (base, store, server) =>
+      val admin = "Authorization" -> "Bearer root-key"
+      // mint scoped keys through the existing /keys surface
+      val adminScoped = om.readTree(post(s"$base/keys",
+        """{"project":"p","branch":"main","scope":"admin"}""",
+        admin).body()).get("key").asText
+      val readScoped = om.readTree(post(s"$base/keys",
+        """{"project":"p","branch":"main","scope":"read"}""",
+        admin).body()).get("key").asText
+      import spark.implicits._
+      store.createTable("p", "b", "t", Seq((1L, "a")).toDF("id", "s").schema)
+      store.overwrite("p", "b", "t", Seq((1L, "a")).toDF("id", "s"))
+
+      // no key at all -> 401
+      assert(post(s"$base/driver/execute",
+        """{"command":{"type":"InitBackendCommand"}}""").statusCode() == 401)
+      // scoped key on an admin-only command -> 403
+      val (sf, rf) = exec(base, """{"type":"CreateProjectCommand","projectId":"x"}""",
+        headers = Seq("Authorization" -> s"Bearer $adminScoped"))
+      assert(sf == 403, rf.toString)
+      assert(rf.get("error").asText.contains("requires admin API key"))
+      // scoped key with matching credentials.project_id -> allowed
+      val (so, _) = exec(base,
+        """{"type":"PreviewTableCommand","path":["p","b"],"tableName":"t"}""",
+        extra = ""","credentials":{"project_id":"p"}""",
+        headers = Seq("Authorization" -> s"Bearer $readScoped"))
+      assert(so == 200)
+      // scoped key, mismatched project -> 403 (driver.py:396-411)
+      val (sm, rm) = exec(base,
+        """{"type":"PreviewTableCommand","path":["q","b"],"tableName":"t"}""",
+        extra = ""","credentials":{"project_id":"q"}""",
+        headers = Seq("Authorization" -> s"Bearer $readScoped"))
+      assert(sm == 403)
+      assert(rm.get("error").asText.contains("is for project p"))
+      // read scope on a mutating command -> 403 (L8 scope honored)
+      val (sw, rw) = exec(base,
+        """{"type":"DropTableCommand","path":["p","b"],"tableName":"t"}""",
+        extra = ""","credentials":{"project_id":"p"}""",
+        headers = Seq("Authorization" -> s"Bearer $readScoped"))
+      assert(sw == 403, rw.toString)
+      // admin-scoped project key CAN mutate its own project
+      val (sa, ra) = exec(base,
+        """{"type":"DropTableCommand","path":["p","b"],"tableName":"t"}""",
+        extra = ""","credentials":{"project_id":"p"}""",
+        headers = Seq("Authorization" -> s"Bearer $adminScoped"))
+      assert(sa == 200, ra.toString)
+      // deployment admin key runs everything
+      assert(exec(base, """{"type":"InitBackendCommand"}""",
+        headers = Seq(admin))._1 == 200)
+    }
+  }
+
+  test("GET /driver/commands lists the registry") {
+    withServer() { (base, _, _) =>
+      val r = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/driver/commands")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      val names = om.readTree(r.body()).get("supported_commands")
+      val all = (0 until names.size).map(i => names.get(i).get("type").asText)
+      // the reference HTTP bridge's registry (driver.py:186-232) is covered
+      Seq("InitBackendCommand", "CreateProjectCommand", "CreateBucketCommand",
+        "CreateTableCommand", "PreviewTableCommand", "ObjectInfoCommand",
+        "TableImportFromFileCommand", "TableExportToFileCommand",
+        "AddColumnCommand", "DropColumnCommand", "AlterColumnCommand",
+        "AddPrimaryKeyCommand", "DropPrimaryKeyCommand",
+        "DeleteTableRowsCommand", "CreateWorkspaceCommand",
+        "DropWorkspaceCommand", "ClearWorkspaceCommand",
+        "ResetWorkspacePasswordCommand", "DropWorkspaceObjectCommand",
+        "GrantWorkspaceAccessToProjectCommand",
+        "RevokeWorkspaceAccessToProjectCommand",
+        "LoadTableToWorkspaceCommand", "ShareBucketCommand",
+        "UnshareBucketCommand", "LinkBucketCommand", "UnlinkBucketCommand",
+        "GrantBucketAccessToReadOnlyRoleCommand",
+        "RevokeBucketAccessFromReadOnlyRoleCommand",
+        "CreateDevBranchCommand", "DropDevBranchCommand",
+        "ExecuteQueryCommand", "RemoveBackendCommand", "DropProjectCommand",
+        "DropBucketCommand", "DropTableCommand")
+        .foreach(n => assert(all.contains(n), s"missing $n"))
+    }
+  }
+}
