@@ -42,9 +42,12 @@ object Queries {
     * sf10 agg measured 6.5 s decimal vs 3.0 s long), a long partial
     * doesn't. Longs may only accumulate over a BOUNDED set of rows —
     * a per-key bounded group (an order's ~7 lineitems) or one physical
-    * partition (capped by files.maxPartitionBytes: even 10^8 rows of
-    * 10^9-unit values stay two decades under Long.Max). Unbounded outer
-    * aggregations must widen back to decimal: [[sumUnscaled4]]. */
+    * partition: each row contributes at most 10^8 x 10^4 = 10^12
+    * unscaled, so rows_per_partition x 10^12 must stay under Long.Max
+    * ~9.2x10^18, i.e. under ~9M max-value rows per partition — which
+    * files.maxPartitionBytes (128 MB default, ~10-byte-plus rows) keeps
+    * an order of magnitude of headroom on. Unbounded outer aggregations
+    * must widen back to decimal: [[sumUnscaled4]]. */
   private[graft] def unscaled4(e: Column): Column =
     // native kernel: identical value to
     // (e.cast(DecimalType(12, 4)) * lit(10000)).cast(LongType)

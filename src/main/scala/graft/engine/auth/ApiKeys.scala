@@ -83,13 +83,14 @@ final class ApiKeys(catalog: StorageCatalog) {
     catalog.putSetting(idKey(r.id), hash)
   }
 
-  private def readRecord(json: String): KeyRecord = {
+  private def readRecord(json: String, hash: String): KeyRecord = {
     val n = om.readTree(json)
     def opt(f: String) = Option(n.get(f)).map(_.asText)
     KeyRecord(
       // records written before the lifecycle fields existed carry no id;
-      // surface them under a stable pseudo-id derived from creation time
-      opt("id").getOrElse("key_legacy"),
+      // surface them under a stable pseudo-id derived from the key hash
+      // (unique per key, so legacy keys stay individually addressable)
+      opt("id").getOrElse(s"key_legacy_${hash.take(8)}"),
       n.get("project").asText, opt("branch"),
       // legacy records stored `admin`/`read`; map to the reference names
       opt("scope").get match {
@@ -104,7 +105,13 @@ final class ApiKeys(catalog: StorageCatalog) {
   }
 
   private def recordByHash(hash: String): Option[KeyRecord] =
-    catalog.getSetting(recordKey(hash)).map(readRecord)
+    catalog.getSetting(recordKey(hash)).map(readRecord(_, hash))
+
+  /** Guards every read-modify-write of a key record (verify's lastUsedAt
+    * stamp, revoke, revokeById, rotate): without it, verify could re-write
+    * a record read before a concurrent revoke and persistently un-revoke
+    * the key (the catalog's putSetting is last-writer-wins). */
+  private val writeLock = new Object
 
   /** Create a key (api_keys.py:96-216): validates the scope/branch
     * combination, mints the key, persists hash + metadata. Returns the
@@ -162,7 +169,12 @@ final class ApiKeys(catalog: StorageCatalog) {
       val now = Instant.now
       val stale = r.lastUsedAt.forall(t =>
         Instant.parse(t).isBefore(now.minusSeconds(60)))
-      if (stale) writeRecord(hash, r.copy(lastUsedAt = Some(now.toString)))
+      if (stale) writeLock.synchronized {
+        // re-read under the lock: a concurrent revoke/rotate between the
+        // check above and this write must not be overwritten
+        recordByHash(hash).filter(!_.isRevoked).foreach(cur =>
+          writeRecord(hash, cur.copy(lastUsedAt = Some(now.toString))))
+      }
       KeyInfo(r.project, r.branch, r.legacyScope, r.createdAt)
     }
   }
@@ -176,7 +188,7 @@ final class ApiKeys(catalog: StorageCatalog) {
   /** Soft-revoke by raw key. True only on the active -> revoked
     * transition (idempotent retries return false, like the reference's
     * 404 on a second delete). */
-  def revoke(key: String): Boolean = {
+  def revoke(key: String): Boolean = writeLock.synchronized {
     val hash = sha256(key)
     recordByHash(hash) match {
       case Some(r) if !r.isRevoked =>
@@ -188,8 +200,8 @@ final class ApiKeys(catalog: StorageCatalog) {
   /** All keys of a project, revoked ones only on request
     * (api_keys.py:218-249; newest first like the reference's listing). */
   def list(project: String, includeRevoked: Boolean = false): Seq[KeyRecord] =
-    catalog.settingsWithPrefix("apikey/").values.toSeq
-      .map(readRecord)
+    catalog.settingsWithPrefix("apikey/").toSeq
+      .map { case (k, json) => readRecord(json, k.stripPrefix("apikey/")) }
       .filter(r => r.project == project && (includeRevoked || !r.isRevoked))
       .sortBy(_.createdAt)(Ordering[String].reverse)
 
@@ -208,7 +220,7 @@ final class ApiKeys(catalog: StorageCatalog) {
   /** Soft-revoke by id (api_keys.py:270-351). Left: error code; the
     * last active project_admin key cannot be revoked (lockout guard). */
   def revokeById(project: String, id: String): Either[String, KeyRecord] =
-    catalog.getSetting(idKey(id)) match {
+    writeLock.synchronized { catalog.getSetting(idKey(id)) match {
       case None => Left("api_key_not_found")
       case Some(hash) => recordByHash(hash) match {
         case Some(r) if r.project != project => Left("api_key_not_found")
@@ -221,7 +233,21 @@ final class ApiKeys(catalog: StorageCatalog) {
           writeRecord(hash, out); Right(out)
         case None => Left("api_key_not_found")
       }
-    }
+    } }
+
+  /** Soft-revoke EVERY active key of a project — the project-delete
+    * cascade (the last-admin lockout guard does not apply: the project
+    * itself is going away, and a recreated project with the same id must
+    * not inherit still-valid keys). Returns the number revoked. */
+  def revokeAllForProject(project: String): Int = writeLock.synchronized {
+    val now = Instant.now.toString
+    catalog.settingsWithPrefix("apikey/").toSeq.map { case (k, json) =>
+      (k.stripPrefix("apikey/"), readRecord(json, k.stripPrefix("apikey/")))
+    }.filter { case (_, r) => r.project == project && !r.isRevoked }
+      .map { case (hash, r) =>
+        writeRecord(hash, r.copy(revokedAt = Some(now)))
+      }.size
+  }
 
   /** Rotate: mint a new key with the old key's scope/branch, the
     * description suffixed " (rotated)" and the same TTL measured from
@@ -230,7 +256,7 @@ final class ApiKeys(catalog: StorageCatalog) {
     * new key exists before the old one is revoked), so the old record
     * is stamped directly rather than routed through the lockout guard. */
   def rotate(project: String, id: String): Either[String, (KeyRecord, String)] =
-    catalog.getSetting(idKey(id)) match {
+    writeLock.synchronized { catalog.getSetting(idKey(id)) match {
       case None => Left("api_key_not_found")
       case Some(hash) => recordByHash(hash) match {
         case Some(r) if r.project != project => Left("api_key_not_found")
@@ -246,5 +272,5 @@ final class ApiKeys(catalog: StorageCatalog) {
           Right(minted)
         case None => Left("api_key_not_found")
       }
-    }
+    } }
 }

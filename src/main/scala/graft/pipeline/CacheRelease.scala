@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Deferred cache release for query-shaped lazy pipeline APIs.
   *
@@ -13,20 +13,31 @@ import org.apache.spark.sql.DataFrame
   * workspace, notebook) holds at most one call's caches instead of
   * accumulating executor storage forever.
   *
-  * If a caller interleaves (executes call N's plan after constructing
-  * call N+1), the released cache recomputes — slower, never wrong.
+  * The pending queue is keyed per SparkSession: concurrent server
+  * sessions running pipeline calls on their own `newSession()` cannot
+  * drain each other's registered caches out from under an unexecuted
+  * plan. Callers sharing ONE SparkSession still share one queue — there,
+  * and when a single caller interleaves (executes call N's plan after
+  * constructing call N+1), the released cache recomputes — slower,
+  * never wrong.
   */
 private[pipeline] object CacheRelease {
 
-  private val pending =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val pending = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
 
-  /** Release every cache registered by PRIOR calls, register `inputs`
-    * as this call's caches, and pass `out` through unchanged. */
+  private def queueOf(s: SparkSession) =
+    pending.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
+
+  /** Release every cache registered by PRIOR calls on this session,
+    * register `inputs` as this call's caches, and pass `out` through
+    * unchanged. */
   def finalized(out: DataFrame, inputs: DataFrame*): DataFrame = {
-    var prior = pending.poll()
-    while (prior != null) { prior.unpersist(); prior = pending.poll() }
-    inputs.foreach(pending.add)
+    val q = queueOf(out.sparkSession)
+    var prior = q.poll()
+    while (prior != null) { prior.unpersist(); prior = q.poll() }
+    inputs.foreach(q.add)
     out
   }
 
@@ -34,5 +45,6 @@ private[pipeline] object CacheRelease {
     * draining now — for caches created mid-pipeline, before the
     * function's own finalized() runs (which would otherwise release
     * them immediately as "prior"). */
-  def register(inputs: DataFrame*): Unit = inputs.foreach(pending.add)
+  def register(inputs: DataFrame*): Unit =
+    inputs.foreach(df => queueOf(df.sparkSession).add(df))
 }

@@ -540,6 +540,13 @@ final class SqlHttpServer(
             if (!store.catalog.unlinkBucket(p, bname))
               store.catalog.removeSetting(s"bucket/$p/$bname")
           }
+          // revoke the project's API keys and retract its outbound shares:
+          // a recreated project with the same id must not inherit
+          // still-valid admin keys or shared-bucket grants from the
+          // previous owner
+          apiKeys.revokeAllForProject(p)
+          store.catalog.settingsWithPrefix(s"share/$p/").keys
+            .foreach(store.catalog.removeSetting)
           store.catalog.removeSetting(s"project/$p")
           respondJson(ex, 200, """{"deleted":true}""")
         }

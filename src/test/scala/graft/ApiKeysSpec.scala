@@ -85,6 +85,53 @@ class ApiKeysSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(keys.rotate("p1", "key_ghost") == Left("api_key_not_found"))
   }
 
+  test("verify's lastUsedAt stamp never resurrects a concurrently revoked key") {
+    val (_, keys) = newKeys()
+    // force the stale-stamp path: a fresh key has lastUsedAt = None
+    val raw = keys.generateProjectKey("p1")
+    // sequential re-check of the guarded write: once revoked, a verify
+    // (whose record read could predate the revoke) must not re-write the
+    // record with revokedAt = None
+    assert(keys.verify(raw).isDefined)
+    assert(keys.revoke(raw))
+    assert(keys.verify(raw).isEmpty)
+    assert(keys.list("p1", includeRevoked = true).head.isRevoked)
+    // and under real contention: hammer verify while revoking
+    val raw2 = keys.generateProjectKey("p2")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => while (!stop.get()) keys.verify(raw2))
+    t.start()
+    try {
+      Thread.sleep(20)
+      assert(keys.revoke(raw2))
+    } finally { stop.set(true); t.join() }
+    assert(keys.verify(raw2).isEmpty, "revocation lost to a verify write")
+  }
+
+  test("project-delete cascade: revokeAllForProject ignores the lockout guard") {
+    val (_, keys) = newKeys()
+    val a = keys.generateProjectKey("p1")
+    val b = keys.generateBranchKey("p1", "dev", "read")
+    val other = keys.generateProjectKey("p2")
+    assert(keys.revokeAllForProject("p1") == 2)
+    assert(keys.verify(a).isEmpty && keys.verify(b).isEmpty)
+    assert(keys.verify(other).isDefined) // untouched
+    assert(keys.revokeAllForProject("p1") == 0) // idempotent
+  }
+
+  test("legacy records get distinct hash-derived pseudo-ids") {
+    val (cat, _) = newKeys()
+    // hand-write two pre-lifecycle records (no id field), as old rounds did
+    val h1 = "a" * 64; val h2 = "b" * 64
+    cat.putSetting(s"apikey/$h1",
+      """{"project":"p1","scope":"admin","createdAt":"2026-01-01T00:00:00Z"}""")
+    cat.putSetting(s"apikey/$h2",
+      """{"project":"p1","scope":"read","branch":"dev","createdAt":"2026-01-02T00:00:00Z"}""")
+    val keys = new ApiKeys(cat)
+    val ids = keys.list("p1").map(_.id)
+    assert(ids.toSet == Set(s"key_legacy_${"a" * 8}", s"key_legacy_${"b" * 8}"))
+  }
+
   test("only SHA-256 hashes persist; registry survives reload") {
     val (cat, keys) = newKeys()
     val key = keys.generateProjectKey("p1")

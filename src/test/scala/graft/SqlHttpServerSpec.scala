@@ -172,7 +172,8 @@ class SqlHttpServerSpec extends SparkSpec {
   }
 
   test("projects and buckets CRUD over REST") {
-    val server = new SqlHttpServer(spark, fixture()).start()
+    val fixtureStore = fixture()
+    val server = new SqlHttpServer(spark, fixtureStore).start()
     val base = s"http://127.0.0.1:${server.boundPort}"
     try {
       // create: 201 with a minted admin key; duplicate conflicts
@@ -210,12 +211,20 @@ class SqlHttpServerSpec extends SparkSpec {
         .DELETE().build(), HttpResponse.BodyHandlers.ofString())
       assert(cascade.statusCode() == 200)
       assert(get(s"$base/storage/projects/p/buckets/geo").statusCode() == 404)
-      // delete project removes the registration
+      // delete project removes the registration AND revokes its keys /
+      // retracts its shares: a recreated px must not inherit either
+      val pxKey = om.readTree(c.body()).get("apiKey").asText
+      assert(server.apiKeys.verify(pxKey).isDefined)
+      fixtureStore.catalog.putSetting("share/px/some_bucket", "shared")
       val dp = client.send(HttpRequest.newBuilder(
         URI.create(s"$base/storage/projects/px")).DELETE().build(),
         HttpResponse.BodyHandlers.ofString())
       assert(dp.statusCode() == 200)
       assert(get(s"$base/storage/projects/px").statusCode() == 404)
+      assert(server.apiKeys.verify(pxKey).isEmpty,
+        "project delete must revoke the project's keys")
+      assert(fixtureStore.catalog.getSetting("share/px/some_bucket").isEmpty,
+        "project delete must retract outbound shares")
     } finally server.stop()
   }
 
