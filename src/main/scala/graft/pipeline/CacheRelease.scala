@@ -32,11 +32,25 @@ private[pipeline] object CacheRelease {
 
   /** Release every cache registered by PRIOR calls on this session,
     * register `inputs` as this call's caches, and pass `out` through
-    * unchanged. */
+    * unchanged.
+    *
+    * A prior cache whose analyzed plan matches one of the NEW inputs is
+    * dropped from the queue but NOT unpersisted: Spark's CacheManager
+    * keys cache entries by canonicalized plan, so for a repeated
+    * identical call (min-of-N benching, a user re-running a query) the
+    * new `.cache()` and the prior one are ONE shared entry — unpersisting
+    * the prior here would evict the entry the new call just registered
+    * and silently recompute the hottest stage for every consumer
+    * (measured 5x on the sf10 DSIR resample before this guard). */
   def finalized(out: DataFrame, inputs: DataFrame*): DataFrame = {
     val q = queueOf(out.sparkSession)
     var prior = q.poll()
-    while (prior != null) { prior.unpersist(); prior = q.poll() }
+    while (prior != null) {
+      val sharedWithNew = inputs.exists(_.queryExecution.analyzed
+        .sameResult(prior.queryExecution.analyzed))
+      if (!sharedWithNew) prior.unpersist()
+      prior = q.poll()
+    }
     inputs.foreach(q.add)
     out
   }
