@@ -34,17 +34,36 @@ object Profiler {
     * way on both engines; oracle SQL applies the identical nudge. */
   def r4(c: Column): Column = round(c + lit(1e-9), 4)
 
+  /** One-row frame of exact distinct counts (`nd_<col>`) as its OWN
+    * aggregation: one TypedImperativeAggregate in an Aggregate forces the
+    * WHOLE node onto the interpreted ObjectHashAggregate path, so mixing
+    * the distinct kernel with the declarative count/min/max made those
+    * run interpreted too (measured 2.2x at sf10). Split, the declarative
+    * stats stay whole-stage-codegen'd, the two 1-row sides meet in a free
+    * crossJoin, and their independent stages overlap in one job. The
+    * xxhash also moves into the codegen'd projection UNDER the aggregate
+    * instead of evaluating interpreted inside its per-row update. */
+  private def distinctWide(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val hashed = df.select(cols.map(c =>
+      when(col(c).isNotNull, xxhash64(col(c))).as(s"h_$c")): _*)
+    hashed
+      .agg(graft.functions.GraftFunctions
+        .exactDistinctCounts(cols.map(c => col(s"h_$c"))).as("nds"))
+      .select(cols.zipWithIndex.map { case (c, i) =>
+        col("nds").getItem(i).as(s"nd_$c") }: _*)
+  }
+
   /** A2: per-column base stats for a set of numeric columns, one output row
     * per column (min/max cast to double for a uniform schema). */
   def numericBaseStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"nn_$c"),
-        graft.functions.GraftFunctions.exactDistinctCount(col(c)).as(s"nd_$c"),
         min(col(c)).cast(DoubleType).as(s"mn_$c"),
         max(col(c)).cast(DoubleType).as(s"mx_$c"))
     }
     val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .crossJoin(distinctWide(df, cols))
     rowsFromOneRow(wide,
       Seq("column_name", "n_rows", "non_null", "n_distinct",
         "min_value", "max_value"),
@@ -360,13 +379,17 @@ object Profiler {
     * high>0.9 / medium>0.5 / low>0.01 / very_low. One agg pass. */
   def cardinalityProfile(df: DataFrame, cols: Seq[String],
       approx: Boolean = false): DataFrame = {
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"nn_$c"),
-        (if (approx) approx_count_distinct(col(c), rsd = 0.05)
-         else graft.functions.GraftFunctions.exactDistinctCount(col(c)))
-          .as(s"nd_$c"))
-    }
-    val wide = df.agg(count(lit(1)).as("n"), aggs: _*)
+    // approx (HLL++) is declarative and codegen-friendly inline; the
+    // exact kernel splits out for the same reason as in numericBaseStats
+    val wide =
+      if (approx) {
+        val aggs = cols.flatMap(c => Seq(count(col(c)).as(s"nn_$c"),
+          approx_count_distinct(col(c), rsd = 0.05).as(s"nd_$c")))
+        df.agg(count(lit(1)).as("n"), aggs: _*)
+      } else
+        df.agg(count(lit(1)).as("n"),
+            cols.map(c => count(col(c)).as(s"nn_$c")): _*)
+          .crossJoin(distinctWide(df, cols))
     rowsFromOneRow(wide,
       Seq("column_name", "null_pct", "distinct_ratio", "cardinality_class"),
       cols.map { c =>

@@ -149,6 +149,22 @@ object GraftFunctions {
     Shim.column(HashedDistinctCount(Shim.expression(hashed)).toAggregateExpression())
   }
 
+  /** [[exactDistinctCount]] over an ALREADY-hashed (nullable long)
+    * column: the hash runs in the codegen'd projection feeding the
+    * aggregate instead of interpreted inside the typed aggregate's
+    * per-row update. */
+  def exactDistinctCountPrehashed(hashed: Column): Column =
+    Shim.column(HashedDistinctCount(Shim.expression(hashed)).toAggregateExpression())
+
+  /** All-columns-at-once exact distinct counts over pre-hashed long
+    * columns — ONE typed-aggregate dispatch per row for the whole profile
+    * instead of one per column, with primitive (boxing-free) column
+    * reads. Returns array<bigint>, one count per input, in order. */
+  def exactDistinctCounts(hashed: Seq[Column]): Column =
+    Shim.column(org.apache.spark.sql.graftshim.GraftExpressions
+      .MultiHashedDistinctCount(hashed.map(Shim.expression))
+      .toAggregateExpression())
+
   /** DuckDB HISTOGRAM-shaped aggregate: value -> count map (§2.9), as a
     * typed Aggregator usable through functions.udaf. */
   class HistogramAgg extends Aggregator[String, Map[String, Long], Map[String, Long]] {

@@ -259,6 +259,105 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** All-columns-at-once [[HashedDistinctCount]]: one aggregate holding N
+    * hash sets, ONE update dispatch per row instead of N, and — when the
+    * children are plain column reads of pre-hashed longs (the profiler's
+    * shape) — primitive `getLong(ordinal)` access with zero boxing.
+    * Returns array<bigint> of the N distinct counts. The per-row typed
+    * aggregate dispatch is the irreducible interpreted cost of this
+    * execution path; amortizing it across every profiled column is what
+    * a single-pass multi-column profile needs at 10^8-row scale. */
+  case class MultiHashedDistinctCount(
+      children: Seq[Expression],
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[LongSet]] {
+
+    override def prettyName: String = "multi_hashed_distinct_count"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+
+    // after binding, a child over a pre-hashed projection column is a
+    // BoundReference; read it primitively (no per-row boxing). -1 marks a
+    // child that needs the generic eval path.
+    @transient private lazy val ordinals: Array[Int] = children.map {
+      case b: org.apache.spark.sql.catalyst.expressions.BoundReference
+        if b.dataType == LongType => b.ordinal
+      case _ => -1
+    }.toArray
+    @transient private lazy val childArr: Array[Expression] = children.toArray
+
+    override def createAggregationBuffer(): Array[LongSet] =
+      Array.fill(children.size)(new LongSet(new Array[Long](1 << 10), 0, false))
+
+    override def update(buf: Array[LongSet], input: InternalRow): Array[LongSet] = {
+      var i = 0
+      while (i < buf.length) {
+        val ord = ordinals(i)
+        if (ord >= 0) {
+          if (!input.isNullAt(ord)) buf(i).add(input.getLong(ord))
+        } else {
+          val v = childArr(i).eval(input)
+          if (v != null) buf(i).add(v.asInstanceOf[Long])
+        }
+        i += 1
+      }
+      buf
+    }
+
+    override def merge(buf: Array[LongSet], other: Array[LongSet]): Array[LongSet] = {
+      var i = 0
+      while (i < buf.length) {
+        if (other(i).hasZero) buf(i).add(0L)
+        other(i).foreachValue(buf(i).add)
+        i += 1
+      }
+      buf
+    }
+
+    override def eval(buf: Array[LongSet]): Any =
+      new GenericArrayData(buf.map(_.size.toLong))
+
+    override def serialize(buf: Array[LongSet]): Array[Byte] = {
+      val sizes = buf.map(s => s.size - (if (s.hasZero) 1 else 0))
+      val bb = java.nio.ByteBuffer.allocate(
+        4 + buf.length * 5 + 8 * sizes.sum)
+      bb.putInt(buf.length)
+      var i = 0
+      while (i < buf.length) {
+        bb.put(if (buf(i).hasZero) 1.toByte else 0.toByte)
+        bb.putInt(sizes(i))
+        buf(i).foreachValue(bb.putLong(_))
+        i += 1
+      }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[LongSet] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt()
+      Array.fill(n) {
+        val hasZero = bb.get() == 1
+        val m = bb.getInt()
+        var cap = 1 << 10
+        while (cap * 7 < m * 10) cap <<= 1
+        val set = new LongSet(new Array[Long](cap), 0, false)
+        if (hasZero) set.add(0L)
+        var i = 0
+        while (i < m) { set.add(bb.getLong()); i += 1 }
+        set
+      }
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): MultiHashedDistinctCount =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): MultiHashedDistinctCount =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): MultiHashedDistinctCount =
+      copy(children = newChildren)
+  }
+
   /** splitmix64 finalizer — a public-domain bijective 64-bit mixer. */
   @inline private def mix64(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L

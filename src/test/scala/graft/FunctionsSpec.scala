@@ -456,6 +456,33 @@ class FunctionsSpec extends SparkSpec {
       .as[Long].head() == 0L)
   }
 
+  test("exactDistinctCounts (fused multi-column) matches per-column countDistinct") {
+    val li = Tables.df(spark, sfDir, "lineitem")
+    val cols = Seq("l_extendedprice", "l_quantity", "l_returnflag", "l_orderkey")
+    // the profiler's shape: pre-hashed projection under the fused agg
+    val hashed = li.select(cols.map(c =>
+      when(col(c).isNotNull, xxhash64(col(c))).as(s"h_$c")): _*)
+    val fused = hashed
+      .agg(GraftFunctions.exactDistinctCounts(cols.map(c => col(s"h_$c"))))
+      .as[Seq[Long]].head()
+    val expected = cols.map(c =>
+      li.agg(countDistinct(col(c))).as[Long].head())
+    assert(fused == expected)
+    // nulls excluded per column independently; generic (non-BoundReference)
+    // children take the eval path and must agree
+    val withNulls = Seq((Some(1L), None: Option[Long]),
+      (None, Some(7L)), (Some(1L), Some(7L)), (Some(2L), None))
+      .toDF("a", "b")
+    assert(withNulls
+      .agg(GraftFunctions.exactDistinctCounts(Seq(
+        when(col("a").isNotNull, xxhash64(col("a"))),
+        when(col("b").isNotNull, xxhash64(col("b"))))))
+      .as[Seq[Long]].head() == Seq(2L, 1L))
+    assert(withNulls.limit(0)
+      .agg(GraftFunctions.exactDistinctCounts(Seq(col("a"), col("b"))))
+      .as[Seq[Long]].head() == Seq(0L, 0L))
+  }
+
   test("histogram_map aggregates value->count like DuckDB HISTOGRAM") {
     GraftFunctions.register(spark)
     Seq("a", "b", "a", "c", "a").toDF("v").createOrReplaceTempView("hist_test")
