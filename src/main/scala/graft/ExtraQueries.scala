@@ -186,8 +186,12 @@ object ExtraQueries {
     // parses on read) — extract + aggregate over events.props
     Q("j1_json_props",
       (s, dir) => Tables.df(s, dir, "events")
+        // native one-pass fixed-key extraction (json_fields kernel) —
+        // value-identical to get_json_object(props, '$.k'), without the
+        // per-row Jackson parse (parity pinned in FunctionsSpec)
         .withColumn("k_val",
-          get_json_object(col("props"), "$.k").cast(LongType))
+          graft.functions.GraftFunctions.jsonFields(col("props"), Seq("k"))
+            .getItem(0).cast(LongType))
         .groupBy("event_type")
         .agg(
           count(lit(1)).cast(LongType).as("n"),

@@ -156,6 +156,14 @@ object GraftFunctions {
   def exactDistinctCountPrehashed(hashed: Column): Column =
     Shim.column(HashedDistinctCount(Shim.expression(hashed)).toAggregateExpression())
 
+  /** Fixed-key one-pass JSON field extraction (array<string>, one entry
+    * per key, get_json_object semantics) — replaces N get_json_object
+    * calls, each a full Jackson parse of the document, with one byte
+    * scan. Parity pinned in FunctionsSpec. */
+  def jsonFields(json: Column, keys: Seq[String]): Column =
+    Shim.column(org.apache.spark.sql.graftshim.GraftExpressions
+      .JsonFields(Shim.expression(json), keys))
+
   /** All-columns-at-once exact distinct counts over pre-hashed long
     * columns — ONE typed-aggregate dispatch per row for the whole profile
     * instead of one per column, with primitive (boxing-free) column
@@ -232,6 +240,8 @@ object GraftFunctions {
     // they parameterize the generated code, not the row values)
     Shim.registerFunction(spark, "rolling_hash",
       es => RollingHash(es(0)))
+    Shim.registerFunction(spark, "json_fields",
+      es => GraftExpressions.JsonFields(es(0), es.drop(1).map(strArg(_, "json_fields"))))
     Shim.registerFunction(spark, "unscaled4",
       es => GraftExpressions.Unscaled4(es(0)))
     Shim.registerFunction(spark, "packed_hamming",
@@ -271,5 +281,14 @@ object GraftFunctions {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal integer parameter, got: $other")
+  }
+
+  private def strArg(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+      v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects literal string parameters, got: $other")
   }
 }

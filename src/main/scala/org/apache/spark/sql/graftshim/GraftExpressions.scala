@@ -358,6 +358,193 @@ object GraftExpressions {
       copy(children = newChildren)
   }
 
+  /** Static kernel: extract the values of FIXED top-level keys from a
+    * JSON object string in one byte pass — no Jackson parser, no UTF-8
+    * decode, no per-key re-scan. Returns one entry per requested key
+    * (null for missing / JSON null / non-object input), with
+    * get_json_object semantics: strings unescaped and unquoted, numbers
+    * and booleans as their raw token text, nested objects/arrays as
+    * their raw span. First occurrence wins on duplicate keys; only
+    * top-level keys match (nested objects are skipped balanced). */
+  def jsonFieldsEval(json: UTF8String, keys: Array[Array[Byte]]): ArrayData = {
+    val out = new Array[UTF8String](keys.length)
+    val b = json.getBytes
+    val n = b.length
+    var i = 0
+    def skipWs(): Unit = {
+      while (i < n && (b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r'))
+        i += 1
+    }
+    // scan past a JSON string body (opening quote consumed); leaves i
+    // after the closing quote; returns start of body
+    var strClosed = true
+    def skipString(): Int = {
+      val start = i
+      while (i < n && b(i) != '"') {
+        if (b(i) == '\\' && i + 1 < n) i += 2 else i += 1
+      }
+      strClosed = i < n
+      if (i < n) i += 1 // closing quote
+      start
+    }
+    def skipBalanced(): Unit = { // i at '{' or '['
+      var depth = 0
+      do {
+        val c = b(i)
+        if (c == '{' || c == '[') { depth += 1; i += 1 }
+        else if (c == '}' || c == ']') { depth -= 1; i += 1 }
+        else if (c == '"') { i += 1; skipString(); () }
+        else i += 1
+      } while (i < n && depth > 0)
+    }
+    def unescape(from: Int, until: Int): UTF8String = {
+      var hasEsc = false
+      var j = from
+      while (j < until && !hasEsc) { hasEsc = b(j) == '\\'; j += 1 }
+      if (!hasEsc)
+        return UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, from, until))
+      val sb = new java.lang.StringBuilder(until - from)
+      val raw = new String(b, from, until - from,
+        java.nio.charset.StandardCharsets.UTF_8)
+      var p = 0
+      while (p < raw.length) {
+        val c = raw.charAt(p)
+        if (c == '\\' && p + 1 < raw.length) {
+          raw.charAt(p + 1) match {
+            case '"' => sb.append('"'); p += 2
+            case '\\' => sb.append('\\'); p += 2
+            case '/' => sb.append('/'); p += 2
+            case 'b' => sb.append('\b'); p += 2
+            case 'f' => sb.append('\f'); p += 2
+            case 'n' => sb.append('\n'); p += 2
+            case 'r' => sb.append('\r'); p += 2
+            case 't' => sb.append('\t'); p += 2
+            case 'u' if p + 5 < raw.length + 1 =>
+              sb.append(Integer.parseInt(raw.substring(p + 2, p + 6), 16).toChar)
+              p += 6
+            case other => sb.append(other); p += 2
+          }
+        } else { sb.append(c); p += 1 }
+      }
+      UTF8String.fromString(sb.toString)
+    }
+    skipWs()
+    if (i >= n || b(i) != '{') return new GenericArrayData(out)
+    i += 1
+    var remaining = keys.length
+    var ok = true
+    while (ok && remaining > 0 && i < n) {
+      skipWs()
+      if (i >= n || b(i) == '}') ok = false
+      else if (b(i) != '"') ok = false // malformed
+      else {
+        i += 1
+        val k0 = skipString()
+        if (!strClosed) ok = false
+        val kEnd = i - 1
+        // which requested key is this? (first occurrence wins)
+        var hit = -1
+        var ki = 0
+        while (hit < 0 && ki < keys.length) {
+          val kb = keys(ki)
+          if (out(ki) == null && kb.length == kEnd - k0) {
+            var m = 0
+            while (m < kb.length && kb(m) == b(k0 + m)) m += 1
+            if (m == kb.length) hit = ki
+          }
+          ki += 1
+        }
+        skipWs()
+        if (i >= n || b(i) != ':') ok = false
+        else {
+          i += 1
+          skipWs()
+          if (i >= n) ok = false
+          else {
+            b(i) match {
+              case '"' =>
+                i += 1
+                val v0 = skipString()
+                if (!strClosed) ok = false // malformed: leave the key null
+                else if (hit >= 0) { out(hit) = unescape(v0, i - 1); remaining -= 1 }
+              case '{' | '[' =>
+                val v0 = i
+                skipBalanced()
+                if (hit >= 0) {
+                  out(hit) =
+                    UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, v0, i))
+                  remaining -= 1
+                }
+              case _ =>
+                val v0 = i
+                while (i < n && b(i) != ',' && b(i) != '}') i += 1
+                if (hit >= 0) {
+                  var vEnd = i
+                  while (vEnd > v0 && (b(vEnd - 1) == ' ' || b(vEnd - 1) == '\t' ||
+                    b(vEnd - 1) == '\n' || b(vEnd - 1) == '\r')) vEnd -= 1
+                  // JSON null -> SQL NULL, like get_json_object
+                  val isNull = vEnd - v0 == 4 && b(v0) == 'n' &&
+                    b(v0 + 1) == 'u' && b(v0 + 2) == 'l' && b(v0 + 3) == 'l'
+                  if (!isNull) {
+                    // get_json_object (Jackson) re-serializes non-integer
+                    // numbers canonically (-3.25e2 -> -325.0); integers
+                    // pass through raw either way
+                    var float = false
+                    var p = v0
+                    while (p < vEnd && !float) {
+                      val c = b(p)
+                      float = c == '.' || c == 'e' || c == 'E'
+                      p += 1
+                    }
+                    val raw = java.util.Arrays.copyOfRange(b, v0, vEnd)
+                    out(hit) =
+                      if (float && (b(v0) == '-' || (b(v0) >= '0' && b(v0) <= '9')))
+                        UTF8String.fromString(java.lang.Double.toString(
+                          java.lang.Double.parseDouble(new String(raw,
+                            java.nio.charset.StandardCharsets.US_ASCII))))
+                      else UTF8String.fromBytes(raw)
+                  }
+                  remaining -= 1
+                }
+            }
+            skipWs()
+            if (i < n && b(i) == ',') i += 1
+            else if (i >= n || b(i) != '}') { /* end or malformed */ }
+            if (i < n && b(i) == '}') ok = false
+          }
+        }
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One-pass fixed-key JSON field extraction (see [[jsonFieldsEval]]) —
+    * replaces N chained get_json_object calls (each a full Jackson parse
+    * of the document) with a single byte scan; parity vs get_json_object
+    * pinned in FunctionsSpec. */
+  case class JsonFields(child: Expression, keys: Seq[String])
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = true)
+    override def prettyName: String = "json_fields"
+
+    @transient private lazy val keyBytes: Array[Array[Byte]] =
+      keys.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+    override def nullSafeEval(j: Any): Any =
+      jsonFieldsEval(j.asInstanceOf[UTF8String], keyBytes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        val ref = ctx.addReferenceObj("jsonKeys", keyBytes, "byte[][]")
+        s"${ev.value} = $cls.jsonFieldsEval($s, $ref);"
+      })
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** splitmix64 finalizer — a public-domain bijective 64-bit mixer. */
   @inline private def mix64(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L

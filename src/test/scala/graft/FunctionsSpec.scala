@@ -456,6 +456,51 @@ class FunctionsSpec extends SparkSpec {
       .as[Long].head() == 0L)
   }
 
+  test("json_fields matches get_json_object on real data and edge shapes") {
+    // real data: the events props column, all rows
+    val ev = Tables.df(spark, sfDir, "events")
+    val mismatch = ev.select(
+        get_json_object(col("props"), "$.k").as("ref"),
+        GraftFunctions.jsonFields(col("props"), Seq("k")).getItem(0).as("got"))
+      .filter(!(col("ref") <=> col("got"))).count()
+    assert(mismatch == 0L)
+    // edge shapes: strings w/ escapes, numbers, booleans, JSON null,
+    // missing keys, nested objects/arrays (compact — get_json_object
+    // re-serializes, the kernel keeps the raw span, identical when the
+    // input is compact), nested key shadowing, non-object input
+    val docs = Seq(
+      """{"a": 1, "b": "x"}""",
+      """{"b":"with \"quote\" and \n newline and é"}""",
+      """{"a": -3.25e2, "b": true}""",
+      """{"a": null, "b": "kept"}""",
+      """{"c": 7}""",
+      """{"a":{"b":99,"c":[1,2]},"b":[1,{"a":0}]}""",
+      """{"x": {"a": 5}, "a": 6}""",
+      """not json""",
+      """[1,2,3]""",
+      """{"a": "", "b": "  spaced  "}""").toDF("j")
+    for (key <- Seq("a", "b")) {
+      val bad = docs.select(
+          get_json_object(col("j"), s"$$.$key").as("ref"),
+          GraftFunctions.jsonFields(col("j"), Seq(key)).getItem(0).as("got"))
+        .filter(!(col("ref") <=> col("got"))).collect()
+      assert(bad.isEmpty, s"key $key: ${bad.mkString("; ")}")
+    }
+    // multi-key single pass == per-key extraction
+    val multi = docs.select(GraftFunctions.jsonFields(col("j"),
+      Seq("a", "b")).as("arr"),
+      get_json_object(col("j"), "$.a").as("ra"),
+      get_json_object(col("j"), "$.b").as("rb"))
+      .filter(!(col("arr").getItem(0) <=> col("ra")) ||
+        !(col("arr").getItem(1) <=> col("rb"))).count()
+    assert(multi == 0L)
+    // SQL registration
+    GraftFunctions.register(spark)
+    assert(spark.sql(
+      """SELECT json_fields('{"k": 42, "s": "hi"}', 'k', 's')""")
+      .as[Seq[String]].head() == Seq("42", "hi"))
+  }
+
   test("exactDistinctCounts (fused multi-column) matches per-column countDistinct") {
     val li = Tables.df(spark, sfDir, "lineitem")
     val cols = Seq("l_extendedprice", "l_quantity", "l_returnflag", "l_orderkey")
