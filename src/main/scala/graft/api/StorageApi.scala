@@ -155,11 +155,50 @@ object StorageApi {
       try {
         val r = dispatch(cmd)
         opLog.record(cmd.getClass.getSimpleName, project, target, ms, "success")
+        familyMetrics(cmd, "success", ms / 1000.0)
         r
       } catch {
         case e: Throwable =>
           opLog.record(cmd.getClass.getSimpleName, project, target, ms, "error")
+          familyMetrics(cmd, "error", ms / 1000.0)
           throw e
+      }
+    }
+
+    /** The reference's per-family series (import/export/schema,
+      * metrics.py:319-360, 488-500), derived from the typed command — the
+      * generic graft_operations_total above stays the uniform series. */
+    private def familyMetrics(cmd: Command, status: String,
+        sec: Double): Unit = {
+      import graft.engine.ops.Metrics
+      def fileFormat(name: String): String =
+        if (name.takeWhile(_ != '?').endsWith(".parquet")) "parquet" else "csv"
+      def importOf(format: String, incremental: Boolean): Unit = {
+        Metrics.importOperations.inc(
+          Seq(format, if (incremental) "incremental" else "full", status))
+        Metrics.importDuration.observe(Seq(format), sec)
+      }
+      cmd match {
+        case c: ImportData => importOf("dataframe", c.incremental)
+        case c: ImportStagedFile =>
+          importOf(files.get(c.project, c.fileId).map(f => fileFormat(f.name))
+            .getOrElse("csv"), c.incremental)
+        case c: ImportFromUrl =>
+          importOf(fileFormat(Seq(c.path, c.fileName).filter(_.nonEmpty)
+            .lastOption.getOrElse(c.root)), c.incremental)
+        case c: ExportTable =>
+          Metrics.exportOperations.inc(Seq(c.format, status))
+          Metrics.exportDuration.observe(Seq(c.format), sec)
+        case c: AlterTable =>
+          c.ops.foreach { op =>
+            val name = op.getClass.getSimpleName
+            Metrics.schemaOperations.inc(Seq(name, status))
+            Metrics.schemaOperationDuration.observe(Seq(name), sec)
+          }
+        case _: AddPrimaryKey =>
+          Metrics.schemaOperations.inc(Seq("AddPrimaryKey", status))
+          Metrics.schemaOperationDuration.observe(Seq("AddPrimaryKey"), sec)
+        case _ => ()
       }
     }
 

@@ -171,12 +171,16 @@ final class StorageCatalog(val root: Path) {
   def linkBucket(project: String, alias: String, srcProject: String,
       srcBucket: String): Unit = {
     bucketLinks.put((project, alias), (srcProject, srcBucket)); persist()
+    graft.engine.ops.Metrics.bucketSharingOperations.inc(Seq("link", "success"))
   }
 
   /** Drop a bucket link; the shared source is untouched. */
   def unlinkBucket(project: String, alias: String): Boolean = {
     val existed = bucketLinks.remove((project, alias)).isDefined
-    if (existed) persist()
+    if (existed) {
+      persist()
+      graft.engine.ops.Metrics.bucketSharingOperations.inc(Seq("unlink", "success"))
+    }
     existed
   }
 
@@ -196,10 +200,32 @@ final class StorageCatalog(val root: Path) {
   // ------------------------------------------------------------ settings
 
   def putSetting(key: String, value: String): Unit = {
+    val t0 = System.nanoTime()
     settings.put(key, value); persist()
+    graft.engine.ops.Metrics.metadataQueries.inc(Seq("put"))
+    graft.engine.ops.Metrics.metadataQueryDuration.observe(
+      Seq("put"), (System.nanoTime() - t0) / 1e9)
   }
-  def getSetting(key: String): Option[String] = settings.get(key)
-  def removeSetting(key: String): Unit = { settings.remove(key); persist() }
+  def getSetting(key: String): Option[String] = {
+    graft.engine.ops.Metrics.metadataQueries.inc(Seq("get"))
+    settings.get(key)
+  }
+  def removeSetting(key: String): Unit = {
+    val t0 = System.nanoTime()
+    settings.remove(key); persist()
+    graft.engine.ops.Metrics.metadataQueries.inc(Seq("delete"))
+    graft.engine.ops.Metrics.metadataQueryDuration.observe(
+      Seq("delete"), (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Live bucket-link count (metrics). */
+  def countLinks: Int = bucketLinks.size
+
+  /** Tables CoW-materialized across all branches (metrics). */
+  def countBranchTables: Int = branchTables.size
+
+  /** Live (main-branch) table count across all projects (metrics). */
+  def countTables: Int = tables.size
   def settingsWithPrefix(prefix: String): Map[String, String] =
     settings.toMap.filter(_._1.startsWith(prefix))
 

@@ -938,6 +938,7 @@ final class TableStore(val spark: SparkSession, val catalog: StorageCatalog,
   def copyOnWriteToBranch(project: String, branch: String, bucket: String,
       table: String): TableMeta = {
     catalog.getBranchTable(project, branch, bucket, table).getOrElse {
+      val t0 = System.nanoTime()
       val main = catalog.getTable(project, bucket, table)
         .getOrElse(throw new NoSuchElementException(s"$project/$bucket/$table"))
       val mainVdir = catalog.versionDir(main)
@@ -947,6 +948,13 @@ final class TableStore(val spark: SparkSession, val catalog: StorageCatalog,
         .resolve(s"v${main.version}")
       Manifest.writeTo(branchVdir, manifest)
       catalog.recordBranchTable(branch, main)
+      graft.engine.ops.Metrics.branchCowOperations.inc(Seq(project, branch))
+      graft.engine.ops.Metrics.branchCowDuration.observe(Nil,
+        (System.nanoTime() - t0) / 1e9)
+      // a CoW copies manifest METADATA only (that's the point); the bytes
+      // series counts what actually moved
+      graft.engine.ops.Metrics.branchCowBytes.inc(Seq(project, branch),
+        java.nio.file.Files.size(branchVdir.resolve("manifest.json")))
       main
     }
   }
@@ -971,15 +979,24 @@ final class TableStore(val spark: SparkSession, val catalog: StorageCatalog,
 
   private def withWriteLock(project: String, bucket: String, table: String,
       branch: Option[String])(body: TableMeta => TableMeta): TableMeta = {
+    import graft.engine.ops.Metrics
     val lock = catalog.lockFor(catalog.key(project, bucket, table, branch))
+    val t0 = System.nanoTime()
+    Metrics.writeQueueDepth.inc(Seq(project))
     lock.lock()
+    Metrics.writeQueueDepth.dec(Seq(project))
+    val waited = (System.nanoTime() - t0) / 1e9
+    Metrics.tableLockWait.observe(Nil, waited)
+    Metrics.writeQueueWait.observe(Seq(project), waited)
+    Metrics.tableLockAcquisitions.inc(Seq(project, bucket, table))
+    Metrics.tableLocksActive.inc()
     try {
       val meta = branch
         .flatMap(b => catalog.getBranchTable(project, b, bucket, table))
         .orElse(catalog.getTable(project, bucket, table))
         .getOrElse(throw new NoSuchElementException(s"$project/$bucket/$table"))
       body(meta)
-    } finally lock.unlock()
+    } finally { Metrics.tableLocksActive.dec(); lock.unlock() }
   }
 
   private def commit(project: String, bucket: String, table: String,

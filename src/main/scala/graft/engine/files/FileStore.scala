@@ -145,6 +145,8 @@ final class FileStore(
       sha256Of(dest), s.contentType, tags, Instant.now.toString,
       catalog.root.relativize(dest.toAbsolutePath.normalize).toString)
     catalog.putSetting(recordKey(s.project, id), toJson(info))
+    graft.engine.ops.Metrics.filesUploads.inc(Seq("success"))
+    graft.engine.ops.Metrics.filesUploadBytes.inc(by = info.sizeBytes)
     info
   }
 
@@ -175,6 +177,9 @@ final class FileStore(
   }
 
   // ------------------------------------------------------------ queries
+
+  /** In-flight (staged, uncommitted) upload sessions (metrics). */
+  def stagingCount: Int = sessions.size
 
   def list(project: String): Seq[FileInfo] =
     catalog.settingsWithPrefix(s"file/$project/").values.map(fromJson)

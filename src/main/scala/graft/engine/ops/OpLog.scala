@@ -99,6 +99,41 @@ object Metrics {
         }.mkString("", "\n", "\n")
   }
 
+  /** Settable point-in-time series. A gauge may also carry a CALLBACK
+    * (`bind`) computing its samples at scrape time — how the reference
+    * fills its catalog-derived totals (metrics.py update_resource_metrics
+    * reads DB counts per scrape). */
+  final class Gauge(val name: String, val help: String, labels: Seq[String]) {
+    private[Metrics] val cells =
+      new ConcurrentHashMap[Seq[String], java.util.concurrent.atomic.DoubleAdder]()
+    @volatile private[Metrics] var provider: Option[() => Seq[(Seq[String], Double)]] = None
+    def set(v: Double, labelValues: Seq[String] = Nil): Unit = {
+      val c = cells.computeIfAbsent(labelValues,
+        _ => new java.util.concurrent.atomic.DoubleAdder)
+      c.reset(); c.add(v)
+    }
+    def inc(labelValues: Seq[String] = Nil, by: Double = 1): Unit =
+      cells.computeIfAbsent(labelValues,
+        _ => new java.util.concurrent.atomic.DoubleAdder).add(by)
+    def dec(labelValues: Seq[String] = Nil): Unit = inc(labelValues, -1)
+    def get(labelValues: Seq[String] = Nil): Double =
+      Option(cells.get(labelValues)).map(_.sum()).getOrElse(0.0)
+    /** Compute samples at scrape time instead of from set() cells. */
+    def bind(f: () => Seq[(Seq[String], Double)]): Unit = { provider = Some(f) }
+    private def num(v: Double): String =
+      if (v == v.toLong.toDouble) v.toLong.toString else v.toString
+    private[Metrics] def expose: String = {
+      val samples = provider match {
+        case Some(f) => scala.util.Try(f()).getOrElse(Nil)
+        case None => cells.asScala.toSeq.map { case (lv, v) => (lv, v.sum()) }
+      }
+      s"# HELP $name $help\n# TYPE $name gauge\n" +
+        samples.sortBy(_._1.mkString(","))
+          .map { case (lv, v) => s"$name${fmt(labels, lv)} ${num(v)}" }
+          .mkString("", "\n", "\n")
+    }
+  }
+
   private def fmt(labels: Seq[String], values: Seq[String]): String =
     if (labels.isEmpty) ""
     else labels.zip(values)
@@ -108,35 +143,267 @@ object Metrics {
   private val DurationBuckets =
     Seq(0.01, 0.05, 0.1, 0.5, 1.0, 5.0, 30.0, 120.0)
 
-  // the reference's core series (metrics.py:55-101, 209-221)
-  val requestCount = new Counter("graft_http_requests_total",
-    "HTTP requests", Seq("endpoint", "method", "status"))
-  val requestDuration = new Histogram("graft_http_request_duration_seconds",
-    "HTTP request duration", Seq("endpoint"), DurationBuckets)
-  val opCount = new Counter("graft_operations_total",
-    "Storage operations", Seq("operation", "status"))
-  val opDuration = new Histogram("graft_operation_duration_seconds",
-    "Storage operation duration", Seq("operation"), DurationBuckets)
-  val queryCount = new Counter("graft_workspace_queries_total",
-    "Workspace SQL queries", Seq("status"))
-  val idempotencyHits = new Counter("graft_idempotency_cache_hits_total",
-    "Idempotent replays served from cache", Nil)
-  val idempotencyConflicts = new Counter("graft_idempotency_conflicts_total",
-    "Idempotency keys reused with a different request", Nil)
+  private val registry = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+  private def counter(name: String, help: String,
+      labels: Seq[String] = Nil): Counter = {
+    val c = new Counter(name, help, labels); registry.synchronized { registry += c }; c
+  }
+  private def gauge(name: String, help: String,
+      labels: Seq[String] = Nil): Gauge = {
+    val g = new Gauge(name, help, labels); registry.synchronized { registry += g }; g
+  }
+  private def histogram(name: String, help: String, labels: Seq[String] = Nil,
+      buckets: Seq[Double] = DurationBuckets): Histogram = {
+    val h = new Histogram(name, help, labels, buckets)
+    registry.synchronized { registry += h }; h
+  }
 
-  private val all: Seq[() => String] = Seq(
-    () => requestCount.expose, () => requestDuration.expose,
-    () => opCount.expose, () => opDuration.expose,
-    () => queryCount.expose, () => idempotencyHits.expose,
-    () => idempotencyConflicts.expose)
+  // ------------------------------------------------------------------
+  // The reference's full series inventory (src/metrics.py:36-519),
+  // graft_ where the reference says duckdb_ (pgwire_ kept verbatim).
+  // MetricsParitySpec pins name-by-name coverage of the exposition.
+  // ------------------------------------------------------------------
+
+  // service (metrics.py:36-51)
+  val up = gauge("graft_api_up", "Service liveness (1 = up)")
+  up.set(1.0)
+  val startTime = gauge("graft_api_start_time_seconds",
+    "Unix time the service started")
+  startTime.set(System.currentTimeMillis() / 1000.0)
+
+  // HTTP (metrics.py:55-84)
+  val requestCount = counter("graft_api_requests_total",
+    "HTTP requests", Seq("method", "endpoint", "status_code"))
+  val requestDuration = histogram("graft_api_request_duration_seconds",
+    "HTTP request duration", Seq("method", "endpoint"))
+  val requestsInFlight = gauge("graft_api_requests_in_flight",
+    "HTTP requests currently executing", Seq("method"))
+  val errorCount = counter("graft_api_errors_total",
+    "HTTP error responses", Seq("type", "endpoint"))
+
+  // engine operations (metrics.py:88-101)
+  val opCount = counter("graft_operations_total",
+    "Storage operations", Seq("operation", "status"))
+  val opDuration = histogram("graft_operation_duration_seconds",
+    "Storage operation duration", Seq("operation"))
+
+  // catalog-derived resource totals (metrics.py:105-131) — bound to a
+  // scrape-time callback by the server (Metrics.bindCatalog)
+  val projectsTotal = gauge("graft_projects_total", "Registered projects")
+  val bucketsTotal = gauge("graft_buckets_total", "Declared buckets")
+  val tablesTotal = gauge("graft_tables_total", "Tables across all projects")
+  val workspacesTotal = gauge("graft_workspaces_total", "Workspaces")
+  val storageSizeBytes = gauge("graft_storage_size_bytes",
+    "On-disk storage size", Seq("type"))
+
+  // idempotency (metrics.py:135-155)
+  val idempotencyHits = counter("graft_idempotency_cache_hits_total",
+    "Idempotent replays served from cache")
+  val idempotencyMisses = counter("graft_idempotency_cache_misses_total",
+    "Mutating requests with a fresh idempotency key")
+  val idempotencyCacheSize = gauge("graft_idempotency_cache_size",
+    "Entries in the idempotency cache")
+  val idempotencyConflicts = counter("graft_idempotency_conflicts_total",
+    "Idempotency keys reused with a different request")
+
+  // write serialization (metrics.py:159-193). Table commits serialize on
+  // a per-table version check instead of a queue; the lock series record
+  // the commit critical section.
+  val writeQueueDepth = gauge("graft_write_queue_depth",
+    "Writers waiting per project", Seq("project_id"))
+  val writeQueueWait = histogram("graft_write_queue_wait_seconds",
+    "Wait for the write slot", Seq("project_id"),
+    Seq(0.001, 0.01, 0.05, 0.1, 0.5, 1.0, 5.0))
+  val tableLockAcquisitions = counter("graft_table_lock_acquisitions_total",
+    "Table commit-lock acquisitions", Seq("project_id", "bucket", "table"))
+  val tableLockWait = histogram("graft_table_lock_wait_seconds",
+    "Wait to acquire a table commit lock", Nil,
+    Seq(0.001, 0.01, 0.05, 0.1, 0.5, 1.0, 5.0))
+  val tableLocksActive = gauge("graft_table_locks_active",
+    "Commit locks currently held")
+
+  // PG-wire (metrics.py:197-233)
+  val pgwireConnections = counter("pgwire_connections_total",
+    "PG-wire connections", Seq("status"))
+  val pgwireConnectionsActive = gauge("pgwire_connections_active",
+    "Open PG-wire connections", Seq("workspace_id"))
+  val pgwireQueries = counter("pgwire_queries_total",
+    "PG-wire queries", Seq("workspace_id", "status"))
+  val pgwireQueryDuration = histogram("pgwire_query_duration_seconds",
+    "PG-wire query duration", Seq("workspace_id"))
+  val pgwireSessions = gauge("pgwire_sessions_total",
+    "Live PG-wire sessions")
+  val pgwireAuthDuration = histogram("pgwire_auth_duration_seconds",
+    "PG-wire auth handshake duration", Nil,
+    Seq(0.001, 0.005, 0.01, 0.05, 0.1, 0.5, 1.0))
+
+  // branches (metrics.py:237-264)
+  val branchesTotal = gauge("graft_branches_total", "Dev branches")
+  val branchCowOperations = counter("graft_branch_cow_operations_total",
+    "Copy-on-write branch operations", Seq("project_id", "branch_id"))
+  val branchCowDuration = histogram("graft_branch_cow_duration_seconds",
+    "Copy-on-write duration", Nil,
+    Seq(0.01, 0.05, 0.1, 0.5, 1.0, 5.0, 10.0, 30.0))
+  val branchCowBytes = counter("graft_branch_cow_bytes_total",
+    "Bytes copied on branch CoW", Seq("project_id", "branch_id"))
+  val branchTablesTotal = gauge("graft_branch_tables_total",
+    "Tables materialized in branches")
+
+  // metadata catalog (metrics.py:269-286)
+  val metadataQueries = counter("graft_metadata_queries_total",
+    "Catalog metadata operations", Seq("operation"))
+  val metadataQueryDuration = histogram("graft_metadata_query_duration_seconds",
+    "Catalog metadata operation duration", Seq("operation"))
+  val metadataConnectionsActive = gauge("graft_metadata_connections_active",
+    "Open metadata store handles")
+  metadataConnectionsActive.set(1.0) // in-process catalog: one handle
+
+  // gRPC driver (metrics.py:291-314)
+  val grpcRequests = counter("graft_grpc_requests_total",
+    "Driver commands executed", Seq("command", "status"))
+  val grpcRequestDuration = histogram("graft_grpc_request_duration_seconds",
+    "Driver command duration", Seq("command"))
+  val grpcConnectionsActive = gauge("graft_grpc_connections_active",
+    "Open gRPC connections")
+  val grpcErrors = counter("graft_grpc_errors_total",
+    "Driver command failures", Seq("command", "error_type"))
+
+  // import/export (metrics.py:319-360)
+  val importOperations = counter("graft_import_operations_total",
+    "Table imports", Seq("format", "mode", "status"))
+  val importDuration = histogram("graft_import_duration_seconds",
+    "Import duration", Seq("format"))
+  val importRows = counter("graft_import_rows_total", "Rows imported")
+  val importBytes = counter("graft_import_bytes_total",
+    "Bytes imported", Seq("format"))
+  val exportOperations = counter("graft_export_operations_total",
+    "Table exports", Seq("format", "status"))
+  val exportDuration = histogram("graft_export_duration_seconds",
+    "Export duration", Seq("format"))
+  val exportRows = counter("graft_export_rows_total", "Rows exported")
+
+  // S3-compatible store (metrics.py:365-398)
+  val s3Operations = counter("graft_s3_operations_total",
+    "S3-compatible operations", Seq("operation", "status"))
+  val s3OperationDuration = histogram("graft_s3_operation_duration_seconds",
+    "S3-compatible operation duration", Seq("operation"))
+  val s3BytesIn = counter("graft_s3_bytes_in_total", "Bytes received")
+  val s3BytesOut = counter("graft_s3_bytes_out_total", "Bytes served")
+  val s3MultipartActive = gauge("graft_s3_multipart_uploads_active",
+    "Multipart uploads in progress")
+  val s3PresignRequests = counter("graft_s3_presign_requests_total",
+    "Presign requests", Seq("method"))
+
+  // snapshots (metrics.py:403-441)
+  val snapshotsTotal = gauge("graft_snapshots_total", "Snapshots", Seq("type"))
+  val snapshotsCreated = counter("graft_snapshots_created_total",
+    "Snapshots created", Seq("type", "trigger"))
+  val snapshotsRestored = counter("graft_snapshots_restored_total",
+    "Snapshots restored")
+  val snapshotCreateDuration = histogram("graft_snapshot_create_duration_seconds",
+    "Snapshot create duration", Nil, Seq(0.01, 0.1, 0.5, 1.0, 5.0, 30.0))
+  val snapshotRestoreDuration = histogram("graft_snapshot_restore_duration_seconds",
+    "Snapshot restore duration", Nil, Seq(0.1, 0.5, 1.0, 5.0, 30.0, 60.0))
+  val snapshotsSizeBytes = gauge("graft_snapshots_size_bytes",
+    "Snapshot bytes on disk")
+  val snapshotsExpired = counter("graft_snapshots_expired_total",
+    "Snapshots removed by retention")
+
+  // files API (metrics.py:446-483)
+  val filesUploads = counter("graft_files_uploads_total",
+    "File uploads", Seq("status"))
+  val filesDownloads = counter("graft_files_downloads_total",
+    "File downloads", Seq("status"))
+  val filesUploadBytes = counter("graft_files_upload_bytes_total",
+    "Bytes uploaded")
+  val filesDownloadBytes = counter("graft_files_download_bytes_total",
+    "Bytes downloaded")
+  val filesUploadDuration = histogram("graft_files_upload_duration_seconds",
+    "Upload duration", Nil, Seq(0.1, 0.5, 1.0, 5.0, 30.0, 60.0))
+  val filesStagingCount = gauge("graft_files_staging_count",
+    "Staged (uncommitted) uploads")
+  val filesTotal = gauge("graft_files_total", "Committed files")
+
+  // schema ops (metrics.py:488-500)
+  val schemaOperations = counter("graft_schema_operations_total",
+    "Schema changes", Seq("operation", "status"))
+  val schemaOperationDuration = histogram("graft_schema_operation_duration_seconds",
+    "Schema change duration", Seq("operation"))
+
+  // bucket sharing (metrics.py:505-519)
+  val bucketSharesTotal = gauge("graft_bucket_shares_total", "Shared buckets")
+  val bucketLinksTotal = gauge("graft_bucket_links_total", "Linked buckets")
+  val bucketSharingOperations = counter("graft_bucket_sharing_operations_total",
+    "Share/link lifecycle operations", Seq("operation", "status"))
+
+  // engine extras beyond the reference inventory
+  val queryCount = counter("graft_workspace_queries_total",
+    "Workspace SQL queries", Seq("status"))
+
+  /** Bind every catalog-derived gauge to scrape-time counts over the
+    * given catalog — the reference's update_resource_metrics, computed
+    * per scrape instead of on a timer. */
+  def bindCatalog(catalog: graft.core.StorageCatalog): Unit = {
+    def n(prefix: String): Double =
+      catalog.settingsWithPrefix(prefix).size.toDouble
+    projectsTotal.bind(() => Seq(Nil -> n("project/")))
+    bucketsTotal.bind(() => Seq(Nil -> n("bucket/")))
+    tablesTotal.bind(() => Seq(Nil -> catalog.countTables.toDouble))
+    workspacesTotal.bind(() => Seq(Nil -> n("workspace/")))
+    branchesTotal.bind(() => Seq(Nil -> n("branch/")))
+    bucketSharesTotal.bind(() => Seq(Nil -> n("share/")))
+    bucketLinksTotal.bind(() => Seq(Nil -> catalog.countLinks.toDouble))
+    branchTablesTotal.bind(() =>
+      Seq(Nil -> catalog.countBranchTables.toDouble))
+    filesTotal.bind(() => Seq(Nil -> n("file/")))
+    snapshotsTotal.bind(() => catalog.listSnapshots()
+      .groupBy(_.kind).toSeq.map { case (k, ss) => Seq(k) -> ss.size.toDouble })
+    snapshotsSizeBytes.bind { () =>
+      val dir = catalog.root.resolve("snapshots")
+      def sizeOf(p: java.nio.file.Path): Long =
+        if (!java.nio.file.Files.exists(p)) 0L
+        else {
+          val s = java.nio.file.Files.walk(p)
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally s.close()
+        }
+      Seq(Nil -> sizeOf(dir).toDouble)
+    }
+    storageSizeBytes.bind { () =>
+      val root = catalog.root
+      def sizeOf(p: java.nio.file.Path): Long =
+        if (!java.nio.file.Files.exists(p)) 0L
+        else {
+          val s = java.nio.file.Files.walk(p)
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally s.close()
+        }
+      Seq(Seq("total") -> sizeOf(root).toDouble)
+    }
+  }
 
   /** Prometheus text exposition of every registered series. */
-  def expose(): String = all.map(_()).mkString
+  def expose(): String = registry.synchronized { registry.toSeq }.map {
+    case c: Counter => c.expose
+    case g: Gauge => g.expose
+    case h: Histogram => h.expose
+  }.mkString
 
-  /** Test hook: zero every series (process-global registry). */
-  def resetForTest(): Unit = {
-    Seq(requestCount, opCount, queryCount, idempotencyHits,
-      idempotencyConflicts).foreach(_.cells.clear())
-    Seq(requestDuration, opDuration).foreach(_.cells.clear())
+  /** Every registered series name (parity pinning). */
+  def seriesNames: Seq[String] = registry.synchronized { registry.toSeq }.map {
+    case c: Counter => c.name
+    case g: Gauge => g.name
+    case h: Histogram => h.name
+  }
+
+  /** Test hook: zero every mutating series (process-global registry). */
+  def resetForTest(): Unit = registry.synchronized { registry.toSeq }.foreach {
+    case c: Counter => c.cells.clear()
+    case g: Gauge => if (g.provider.isEmpty &&
+      g.name != "graft_api_up" && g.name != "graft_api_start_time_seconds" &&
+      g.name != "graft_metadata_connections_active") g.cells.clear()
+    case h: Histogram => h.cells.clear()
   }
 }

@@ -22,6 +22,7 @@ object Snapshots {
     val cat = store.catalog
     val meta = cat.getTable(project, bucket, table)
       .getOrElse(throw new NoSuchElementException(s"$project/$bucket/$table"))
+    val t0 = System.nanoTime()
     val id = UUID.randomUUID().toString
     val dir = cat.root.resolve("snapshots").resolve(project).resolve(id)
     val df = store.read(project, bucket, table)
@@ -32,11 +33,16 @@ object Snapshots {
     Files.writeString(dir.resolve("metadata.json"),
       s"""{"id":"$id","table":"$project/$bucket/$table","rows":$rows,"kind":"$kind"}""")
     cat.recordSnapshot(snap)
+    graft.engine.ops.Metrics.snapshotsCreated.inc(Seq(kind,
+      if (kind == "auto") "pre_destructive_op" else "api"))
+    graft.engine.ops.Metrics.snapshotCreateDuration.observe(Nil,
+      (System.nanoTime() - t0) / 1e9)
     snap
   }
 
   /** Restore a snapshot over the (possibly dropped) table. */
   def restore(spark: SparkSession, store: TableStore, snapshotId: String): Unit = {
+    val t0 = System.nanoTime()
     val cat = store.catalog
     val snap = cat.getSnapshot(snapshotId)
       .getOrElse(throw new NoSuchElementException(s"no snapshot $snapshotId"))
@@ -45,6 +51,9 @@ object Snapshots {
     if (cat.getTable(snap.project, snap.bucket, snap.table).isEmpty)
       cat.createTable(snap.project, snap.bucket, snap.table, snap.schemaDdl, Nil)
     store.overwrite(snap.project, snap.bucket, snap.table, df)
+    graft.engine.ops.Metrics.snapshotsRestored.inc()
+    graft.engine.ops.Metrics.snapshotRestoreDuration.observe(Nil,
+      (System.nanoTime() - t0) / 1e9)
   }
 
   /** L4 trigger hook: snapshot-before-destructive-op. Unconditional
@@ -92,6 +101,7 @@ object Snapshots {
     val stale = store.catalog.listSnapshots().filter(s =>
       java.time.Instant.parse(s.createdAt).isBefore(cutoff))
     stale.foreach(s => delete(store, s.id))
+    graft.engine.ops.Metrics.snapshotsExpired.inc(by = stale.size.toLong)
     stale.map(_.id)
   }
 
@@ -108,6 +118,7 @@ object Snapshots {
         .plus(java.time.Duration.ofDays(days.toLong)).isBefore(now)
     }
     stale.foreach(s => delete(store, s.id))
+    graft.engine.ops.Metrics.snapshotsExpired.inc(by = stale.size.toLong)
     stale.map(_.id)
   }
 }

@@ -78,6 +78,14 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
       .channel(classOf[NioServerSocketChannel])
       .childHandler(new ChannelInitializer[SocketChannel] {
         def initChannel(ch: SocketChannel): Unit = {
+          graft.engine.ops.Metrics.grpcConnectionsActive.inc()
+          ch.closeFuture().addListener(
+            new io.netty.util.concurrent.GenericFutureListener[
+                io.netty.util.concurrent.Future[_ >: Void]] {
+              def operationComplete(
+                  f: io.netty.util.concurrent.Future[_ >: Void]): Unit =
+                graft.engine.ops.Metrics.grpcConnectionsActive.dec()
+            })
           ch.pipeline.addLast(Http2FrameCodecBuilder.forServer().build())
           ch.pipeline.addLast(new Http2MultiplexHandler(
             new ChannelInitializer[Channel] {
@@ -170,16 +178,33 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
     * both surfaces through one servicer, driver.py:71-76, and maps the
     * captured status onto HTTP, driver.py:426-436). */
   private[server] def executeClassified(
-      reqBytes: Array[Byte]): Either[(Long, String), Array[Byte]] =
-    try Right(execute(reqBytes))
-    catch {
-      case e: Unauthenticated => Left((16L, e.getMessage))
-      case e: PermissionDenied => Left((7L, e.getMessage))
-      case e: Unimplemented => Left((12L, e.getMessage))
-      case e: IllegalArgumentException => Left((3L, s"${e.getMessage}"))
-      case e: NoSuchElementException => Left((5L, s"not found: ${e.getMessage}"))
-      case e: Throwable => Left((2L, s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      reqBytes: Array[Byte]): Either[(Long, String), Array[Byte]] = {
+    val command = // for the metrics labels only; execute re-parses
+      try parseAny(sub(parse(reqBytes), 2))._1
+      catch { case _: Throwable => "unparseable" }
+    val t0 = System.nanoTime()
+    val result =
+      try Right(execute(reqBytes))
+      catch {
+        case e: Unauthenticated => Left((16L, e.getMessage, e))
+        case e: PermissionDenied => Left((7L, e.getMessage, e))
+        case e: Unimplemented => Left((12L, e.getMessage, e))
+        case e: IllegalArgumentException => Left((3L, s"${e.getMessage}", e))
+        case e: NoSuchElementException =>
+          Left((5L, s"not found: ${e.getMessage}", e))
+        case e: Throwable =>
+          Left((2L, s"${e.getClass.getSimpleName}: ${e.getMessage}", e))
+      }
+    val status = if (result.isRight) "success" else "error"
+    graft.engine.ops.Metrics.grpcRequests.inc(Seq(command, status))
+    graft.engine.ops.Metrics.grpcRequestDuration.observe(
+      Seq(command), (System.nanoTime() - t0) / 1e9)
+    result.left.map { case (code, msg, e) =>
+      graft.engine.ops.Metrics.grpcErrors.inc(
+        Seq(command, e.getClass.getSimpleName))
+      (code, msg)
     }
+  }
 
   private final class Unauthenticated(msg: String) extends RuntimeException(msg)
   private final class PermissionDenied(msg: String) extends RuntimeException(msg)
@@ -635,6 +660,7 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
       val imported = staging.count()
       val StorageApi.Count(total) = handler.execute(StorageApi.ImportData(
         p, b, t, staging, incremental, dedup, stamp)): @unchecked
+      graft.engine.ops.Metrics.importRows.inc(by = imported)
       logInfo(s"Imported $imported rows into $p/$b/$t ($total total)")
       val out = new Writer().int(1, imported).int(2, total)
         .int(3, store.dataSize(p, b, t))
@@ -802,6 +828,7 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
       throw new IllegalArgumentException(
         "sourceProjectId and sourceBucketId are required")
     store.catalog.putSetting(s"share/$pid/$bucket", "shared")
+    graft.engine.ops.Metrics.bucketSharingOperations.inc(Seq("share", "success"))
     logInfo(s"Bucket $pid/$bucket shared")
     ("bucket.ShareBucketResponse",
       new Writer().str(1, s"share_${pid}_$bucket"))
@@ -821,6 +848,7 @@ final class GrpcDriverServer(spark: SparkSession, store: TableStore,
   private def unshareBucket(fs: Seq[Field]): Option[(String, Writer)] = {
     resolveShareRole(str(fs, 2)).foreach { case (pid, bucket) =>
       store.catalog.removeSetting(s"share/$pid/$bucket")
+      graft.engine.ops.Metrics.bucketSharingOperations.inc(Seq("unshare", "success"))
     }
     None
   }

@@ -156,13 +156,28 @@ final class PgWireServer(
             alive = false
         }
       }
-      if (alive)
-        startupPhase(in, out, parseStartupParams(startupBody)) match {
-          case None => () // auth failed; error already sent
+      if (alive) {
+        val params = parseStartupParams(startupBody)
+        val wsId = params.getOrElse("database", params.getOrElse("user", ""))
+        val authT0 = System.nanoTime()
+        val opened = startupPhase(in, out, params)
+        graft.engine.ops.Metrics.pgwireAuthDuration.observe(Nil,
+          (System.nanoTime() - authT0) / 1e9)
+        opened match {
+          case None => // auth failed; error already sent
+            graft.engine.ops.Metrics.pgwireConnections.inc(Seq("auth_failed"))
           case Some(session) =>
-            try queryLoop(in, out, session)
-            finally Workspace.closeSession(session) // reap bucketed mounts
+            graft.engine.ops.Metrics.pgwireConnections.inc(Seq("success"))
+            graft.engine.ops.Metrics.pgwireConnectionsActive.inc(Seq(wsId))
+            graft.engine.ops.Metrics.pgwireSessions.inc()
+            try queryLoop(in, out, session, wsId)
+            finally {
+              graft.engine.ops.Metrics.pgwireConnectionsActive.dec(Seq(wsId))
+              graft.engine.ops.Metrics.pgwireSessions.dec()
+              Workspace.closeSession(session) // reap bucketed mounts
+            }
         }
+      }
     } catch {
       case _: EOFException => ()
       case _: java.net.SocketException => ()
@@ -231,7 +246,22 @@ final class PgWireServer(
   }
 
   private def queryLoop(in: DataInputStream, out: DataOutputStream,
-      session: SparkSession): Unit = {
+      session: SparkSession, wsId: String = ""): Unit = {
+    // pgwire_queries_total/_duration, labeled by workspace like the
+    // reference (metrics.py:209-221)
+    def timedQuery[A](f: => A): A = {
+      val t0 = System.nanoTime()
+      try {
+        val r = f
+        graft.engine.ops.Metrics.pgwireQueries.inc(Seq(wsId, "success"))
+        r
+      } catch {
+        case e: Throwable =>
+          graft.engine.ops.Metrics.pgwireQueries.inc(Seq(wsId, "error"))
+          throw e
+      } finally graft.engine.ops.Metrics.pgwireQueryDuration.observe(
+        Seq(wsId), (System.nanoTime() - t0) / 1e9)
+    }
     var open = true
     // extended-protocol state: prepared statements (sql + declared param
     // OIDs) and bound portals (param-substituted sql). After an error in
@@ -266,8 +296,8 @@ final class PgWireServer(
             readyForQuery(out)
           } else {
             try {
-              val (rows, schema) = Workspace.executeQueryWithSchema(
-                session, sql.stripSuffix(";"), timeoutSeconds, maxRows)
+              val (rows, schema) = timedQuery(Workspace.executeQueryWithSchema(
+                session, sql.stripSuffix(";"), timeoutSeconds, maxRows))
               rowDescription(out, schema)
               rows.foreach(r => dataRow(out, r, schema))
               commandComplete(out, s"SELECT ${rows.length}")
@@ -362,8 +392,8 @@ final class PgWireServer(
               case None => fail("34000", s"unknown portal: $portal")
               case Some(sql) =>
                 val cap = if (exeMax > 0) math.min(exeMax, maxRows) else maxRows
-                val (rows, schema) = Workspace.executeQueryWithSchema(
-                  session, sql, timeoutSeconds, cap)
+                val (rows, schema) = timedQuery(Workspace.executeQueryWithSchema(
+                  session, sql, timeoutSeconds, cap))
                 // RowDescription was Describe's job; Execute sends rows only
                 rows.foreach(r => dataRow(out, r, schema))
                 commandComplete(out, s"SELECT ${rows.length}")

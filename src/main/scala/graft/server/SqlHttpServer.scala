@@ -84,6 +84,12 @@ final class SqlHttpServer(
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s"graft-presign:$seed".getBytes(StandardCharsets.UTF_8))
   }
+  // scrape-time resource gauges (the reference's update_resource_metrics)
+  graft.engine.ops.Metrics.bindCatalog(store.catalog)
+  graft.engine.ops.Metrics.filesStagingCount.bind(() =>
+    Seq(Nil -> files.stagingCount.toDouble))
+  graft.engine.ops.Metrics.idempotencyCacheSize.bind(() =>
+    Seq(Nil -> idemCache.size.toDouble))
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // requests run on a small pool; Spark parallelism is inside the jobs
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
@@ -301,8 +307,12 @@ final class SqlHttpServer(
             ex.getResponseHeaders.set("Content-Type", f.contentType)
             ex.sendResponseHeaders(200, Files.size(path))
             Files.copy(path, ex.getResponseBody) // streamed, no heap copy
+            graft.engine.ops.Metrics.filesDownloads.inc(Seq("success"))
+            graft.engine.ops.Metrics.filesDownloadBytes.inc(by = Files.size(path))
             ()
-          case None => respondJson(ex, 404, """{"error":"file not found"}""")
+          case None =>
+            graft.engine.ops.Metrics.filesDownloads.inc(Seq("not_found"))
+            respondJson(ex, 404, """{"error":"file not found"}""")
         }
       case ("DELETE", "projects" :: p :: "files" :: id :: Nil) =>
         if (files.delete(p, id)) respondJson(ex, 200, """{"deleted":true}""")
@@ -351,6 +361,29 @@ final class SqlHttpServer(
           requireAccess(ex, bucket, write = method == "PUT" || method == "DELETE")
         case _ => ()
       }
+      val s3op = (method, segs) match {
+        case ("PUT", _ :: k) if k.nonEmpty => "put_object"
+        case ("GET", _ :: k) if k.nonEmpty => "get_object"
+        case ("HEAD", _ :: k) if k.nonEmpty => "head_object"
+        case ("DELETE", _ :: k) if k.nonEmpty => "delete_object"
+        case ("GET", _ :: Nil) => "list_objects"
+        case _ => "other"
+      }
+      val s3t0 = System.nanoTime()
+      def s3done(status: String): Unit = {
+        graft.engine.ops.Metrics.s3Operations.inc(Seq(s3op, status))
+        graft.engine.ops.Metrics.s3OperationDuration.observe(
+          Seq(s3op), (System.nanoTime() - s3t0) / 1e9)
+      }
+      try {
+        s3dispatch(ex, method, segs, query)
+        s3done("success")
+      } catch { case e: Throwable => s3done("error"); throw e }
+    }
+  })
+
+  private def s3dispatch(ex: HttpExchange, method: String,
+      segs: List[String], query: Map[String, String]): Unit = {
       (method, segs) match {
         case ("PUT", bucket :: keyParts) if keyParts.nonEmpty =>
           val key = keyParts.mkString("/")
@@ -362,6 +395,7 @@ final class SqlHttpServer(
             Option(ex.getRequestHeaders.getFirst("Content-Type"))
               .getOrElse("application/octet-stream"))
           val etag = md.digest().map("%02x".format(_)).mkString
+          graft.engine.ops.Metrics.s3BytesIn.inc(by = info.sizeBytes)
           ex.getResponseHeaders.set("ETag", "\"" + etag + "\"")
           respondJson(ex, 200, s"""{"stored":"${info.id}"}""")
         case (m @ ("GET" | "HEAD"), bucket :: keyParts) if keyParts.nonEmpty =>
@@ -374,6 +408,7 @@ final class SqlHttpServer(
               else {
                 ex.sendResponseHeaders(200, Files.size(path))
                 Files.copy(path, ex.getResponseBody)
+                graft.engine.ops.Metrics.s3BytesOut.inc(by = Files.size(path))
                 ()
               }
             case None => respondXmlError(ex, 404, "NoSuchKey")
@@ -398,8 +433,7 @@ final class SqlHttpServer(
           ex.getResponseBody.write(bytes)
         case _ => respondJson(ex, 404, """{"error":"not found"}""")
       }
-    }
-  })
+  }
 
   // Storage-management REST surface — the reference's project/bucket/table
   // routers (src/routers/buckets.py, tables.py, table_import.py) as a thin
@@ -745,6 +779,7 @@ final class SqlHttpServer(
             s"bucket $b is already shared with project $target"))
         else {
           store.catalog.putSetting(s"share/$p/$b/to/$target", "shared")
+          graft.engine.ops.Metrics.bucketSharingOperations.inc(Seq("share", "success"))
           respondJson(ex, 200, shareInfoJson(p, b))
         }
 
@@ -755,6 +790,7 @@ final class SqlHttpServer(
           throw new IllegalArgumentException(
             "missing query parameter: targetProjectId"))
         store.catalog.removeSetting(s"share/$p/$b/to/$target")
+        graft.engine.ops.Metrics.bucketSharingOperations.inc(Seq("unshare", "success"))
         respondJson(ex, 200, """{"unshared":true}""")
 
       case ("POST", "projects" :: p :: "buckets" :: alias :: "link" :: Nil) =>
@@ -1086,6 +1122,7 @@ final class SqlHttpServer(
     val ttl = Option(body.get("expiresSeconds")).map(_.asLong).getOrElse(3600L)
     val expires = System.currentTimeMillis() / 1000 + ttl
     val sig = sign(method, bucket, key, expires.toString)
+    graft.engine.ops.Metrics.s3PresignRequests.inc(Seq(method))
     respondJson(ex, 200,
       s"""{"url":"/s3/$bucket/$key?X-Graft-Expires=$expires&X-Graft-Signature=$sig"}""")
   })
@@ -1340,6 +1377,11 @@ final class SqlHttpServer(
     val t0 = System.nanoTime()
     val endpoint = ex.getRequestURI.getPath.split("/")
       .drop(1).headOption.getOrElse("")
+    val method = ex.getRequestMethod
+    graft.engine.ops.Metrics.requestsInFlight.inc(Seq(method))
+    def countError(e: Exception): Unit =
+      graft.engine.ops.Metrics.errorCount.inc(
+        Seq(e.getClass.getSimpleName, endpoint))
     try {
       principalOf(ex) match {
         case None if !skipAuth =>
@@ -1349,22 +1391,28 @@ final class SqlHttpServer(
           if (!replayIdempotent(ex)) body
       }
     } catch {
-      case _: java.util.concurrent.TimeoutException =>
+      case e: java.util.concurrent.TimeoutException =>
+        countError(e)
         respondJson(ex, 408, """{"error":"statement timeout"}""")
       case e: SecurityException =>
+        countError(e)
         respondJson(ex, 403, errJson(e))
       case e: IllegalStateException => // connection/size limits
+        countError(e)
         respondJson(ex, 429, errJson(e))
       case e: NoSuchElementException =>
+        countError(e)
         respondJson(ex, 404, errJson(e))
       case e: Exception =>
+        countError(e)
         respondJson(ex, 400, errJson(e))
     } finally {
       val status = Option(ex.getAttribute("status")).fold("200")(_.toString)
+      graft.engine.ops.Metrics.requestsInFlight.dec(Seq(method))
       graft.engine.ops.Metrics.requestCount.inc(
-        Seq(endpoint, ex.getRequestMethod, status))
+        Seq(method, endpoint, status))
       graft.engine.ops.Metrics.requestDuration.observe(
-        Seq(endpoint), (System.nanoTime() - t0) / 1e9)
+        Seq(method, endpoint), (System.nanoTime() - t0) / 1e9)
       ex.close()
     }
   }
@@ -1412,6 +1460,7 @@ final class SqlHttpServer(
             ex.getResponseBody.write(c.body)
             true
           case None =>
+            graft.engine.ops.Metrics.idempotencyMisses.inc()
             ex.setAttribute("idemKey", cacheKey) // cache on response
             ex.setAttribute("idemBodyHash", bodyHash)
             false

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.{StorageCatalog, TableStore, Tables}
+import graft.engine.ops.Metrics
+import graft.server.SqlHttpServer
+
+/** L7 series-name parity: the reference exports ~72 Prometheus series
+  * (src/metrics.py:36-519); every one has a counterpart here — same
+  * suffix and labels semantics, graft_ where the reference says duckdb_
+  * (pgwire_ kept verbatim). The checked-in list below IS the reference
+  * inventory; the test pins that each name is registered AND present in
+  * the text exposition of a live server. */
+class MetricsParitySpec extends SparkSpec {
+
+  /** metrics.py's inventory, renamed duckdb_ -> graft_ (api prefix where
+    * the reference says duckdb_api_). One entry per metric object. */
+  private val referenceInventory = Seq(
+    // service (metrics.py:36-51)
+    "graft_api_up", "graft_api_start_time_seconds",
+    // HTTP (55-84)
+    "graft_api_requests_total", "graft_api_request_duration_seconds",
+    "graft_api_requests_in_flight", "graft_api_errors_total",
+    // operations (88-101)
+    "graft_operations_total", "graft_operation_duration_seconds",
+    // resources (105-131)
+    "graft_projects_total", "graft_buckets_total", "graft_tables_total",
+    "graft_workspaces_total", "graft_storage_size_bytes",
+    // idempotency (135-155)
+    "graft_idempotency_cache_hits_total",
+    "graft_idempotency_cache_misses_total", "graft_idempotency_cache_size",
+    "graft_idempotency_conflicts_total",
+    // write serialization (159-193)
+    "graft_write_queue_depth", "graft_write_queue_wait_seconds",
+    "graft_table_lock_acquisitions_total", "graft_table_lock_wait_seconds",
+    "graft_table_locks_active",
+    // PG-wire (197-233)
+    "pgwire_connections_total", "pgwire_connections_active",
+    "pgwire_queries_total", "pgwire_query_duration_seconds",
+    "pgwire_sessions_total", "pgwire_auth_duration_seconds",
+    // branches (237-264)
+    "graft_branches_total", "graft_branch_cow_operations_total",
+    "graft_branch_cow_duration_seconds", "graft_branch_cow_bytes_total",
+    "graft_branch_tables_total",
+    // metadata (269-286)
+    "graft_metadata_queries_total", "graft_metadata_query_duration_seconds",
+    "graft_metadata_connections_active",
+    // gRPC (291-314)
+    "graft_grpc_requests_total", "graft_grpc_request_duration_seconds",
+    "graft_grpc_connections_active", "graft_grpc_errors_total",
+    // import/export (319-360)
+    "graft_import_operations_total", "graft_import_duration_seconds",
+    "graft_import_rows_total", "graft_import_bytes_total",
+    "graft_export_operations_total", "graft_export_duration_seconds",
+    "graft_export_rows_total",
+    // S3-compatible (365-398)
+    "graft_s3_operations_total", "graft_s3_operation_duration_seconds",
+    "graft_s3_bytes_in_total", "graft_s3_bytes_out_total",
+    "graft_s3_multipart_uploads_active", "graft_s3_presign_requests_total",
+    // snapshots (403-441)
+    "graft_snapshots_total", "graft_snapshots_created_total",
+    "graft_snapshots_restored_total", "graft_snapshot_create_duration_seconds",
+    "graft_snapshot_restore_duration_seconds", "graft_snapshots_size_bytes",
+    "graft_snapshots_expired_total",
+    // files (446-483)
+    "graft_files_uploads_total", "graft_files_downloads_total",
+    "graft_files_upload_bytes_total", "graft_files_download_bytes_total",
+    "graft_files_upload_duration_seconds", "graft_files_staging_count",
+    "graft_files_total",
+    // schema (488-500)
+    "graft_schema_operations_total", "graft_schema_operation_duration_seconds",
+    // bucket sharing (505-519)
+    "graft_bucket_shares_total", "graft_bucket_links_total",
+    "graft_bucket_sharing_operations_total")
+
+  test("every reference series is registered, with no duplicates") {
+    val names = Metrics.seriesNames
+    assert(names.distinct.size == names.size,
+      s"duplicate series: ${names.diff(names.distinct)}")
+    val missing = referenceInventory.filterNot(names.contains)
+    assert(missing.isEmpty, s"missing series: ${missing.mkString(", ")}")
+  }
+
+  test("every reference series appears in a live server's /metrics exposition") {
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-metrics")))
+    val nation = Tables.df(spark, sfDir, "nation")
+    store.createTable("p", "geo", "nation", nation.schema)
+    store.overwrite("p", "geo", "nation", nation)
+    val server = new SqlHttpServer(spark, store).start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val body = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"http://127.0.0.1:${server.boundPort}/metrics")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      val missing = referenceInventory.filterNot(n =>
+        body.contains(s"# TYPE $n "))
+      assert(missing.isEmpty, s"not exposed: ${missing.mkString(", ")}")
+      // live samples, not just headers, for the instrumented hot paths
+      assert(body.contains("graft_table_lock_acquisitions_total{"))
+      assert(body.contains("graft_metadata_queries_total{"))
+      assert(body.contains("graft_tables_total 1"))
+      assert(body.contains("graft_projects_total"))
+    } finally server.stop()
+  }
+}

@@ -696,10 +696,15 @@ class SqlHttpServerSpec extends SparkSpec {
 
       // metrics exposition carries request/op/idempotency series
       val metrics = new String(get(s"$base/metrics").body())
-      assert(metrics.contains("graft_http_requests_total{endpoint=\"sessions\""))
+      assert(metrics.contains(
+        "graft_api_requests_total{method=\"POST\",endpoint=\"sessions\""))
       assert(metrics.contains("graft_idempotency_cache_hits_total 1"))
       assert(metrics.contains("graft_workspace_queries_total{status=\"submitted\"}"))
-      assert(metrics.contains("graft_http_request_duration_seconds_bucket"))
+      assert(metrics.contains("graft_api_request_duration_seconds_bucket"))
+      // scrape-time resource gauges read live catalog counts
+      assert(metrics.contains("graft_api_up 1"))
+      assert(metrics.contains("graft_tables_total 1"))
+      assert(metrics.contains("graft_storage_size_bytes{type=\"total\"}"))
     } finally server.stop()
   }
 
