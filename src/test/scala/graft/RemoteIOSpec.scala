@@ -11,6 +11,41 @@ import graft.engine.imp.RemoteIO._
   * local spool (exercised against a localhost server — no egress). */
 class RemoteIOSpec extends SparkSpec {
 
+  /** S8 live-egress integration: opt-in because the sandbox has no
+    * network. Point it at ANY S3-compatible endpoint (AWS, MinIO,
+    * localstack) and it drives the real s3a connector — credentials
+    * through the Hadoop conf, a CSV read straight off the bucket —
+    * the one leg the zero-egress suite below can't reach.
+    *
+    *   GRAFT_S3_IT=1 GRAFT_S3_BUCKET=my-bucket GRAFT_S3_KEY=path/f.csv \
+    *   GRAFT_S3_ACCESS_KEY=... GRAFT_S3_SECRET_KEY=... \
+    *   [GRAFT_S3_ENDPOINT=http://localhost:9000] [GRAFT_S3_REGION=...] \
+    *   sbt "testOnly graft.RemoteIOSpec"
+    *
+    * Skipped (not failed) when GRAFT_S3_IT is unset, so CI stays green
+    * offline; requires the hadoop-aws jars on the classpath (a deploy-time
+    * concern, documented in README). */
+  test("live s3a read against a real endpoint (opt-in: GRAFT_S3_IT=1)") {
+    assume(sys.env.get("GRAFT_S3_IT").contains("1"),
+      "set GRAFT_S3_IT=1 plus GRAFT_S3_{BUCKET,KEY,ACCESS_KEY,SECRET_KEY} to run")
+    val bucket = sys.env("GRAFT_S3_BUCKET")
+    val key = sys.env("GRAFT_S3_KEY")
+    val creds = RemoteIO.S3Creds(RemoteIO.S3Credentials(
+      sys.env("GRAFT_S3_ACCESS_KEY"), sys.env("GRAFT_S3_SECRET_KEY"),
+      sys.env.get("GRAFT_S3_REGION"), sys.env.get("GRAFT_S3_TOKEN")))
+    // non-AWS endpoints (MinIO/localstack) need path-style + endpoint
+    sys.env.get("GRAFT_S3_ENDPOINT").foreach { ep =>
+      spark.sparkContext.hadoopConfiguration.set("fs.s3a.endpoint", ep)
+      spark.sparkContext.hadoopConfiguration
+        .set("fs.s3a.path.style.access", "true")
+    }
+    val url = RemoteIO.resolve(spark, RemoteIO.Provider.S3, bucket,
+      fileName = key, creds = creds)
+    assert(url == s"s3a://$bucket/$key")
+    val df = spark.read.option("header", "true").csv(url)
+    assert(df.count() > 0, s"expected rows from $url")
+  }
+
   test("buildFileUrl mirrors the reference's provider cases") {
     assert(buildFileUrl(Provider.S3, "bkt", "dir", "f.csv") == "s3a://bkt/dir/f.csv")
     assert(buildFileUrl(Provider.S3, "bkt", "", "f.csv") == "s3a://bkt/f.csv")
