@@ -21,10 +21,47 @@ object Tables {
     // (the one choke point for test-table reads) so every session that
     // touches these tables is covered.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val raw =
-      if (name == "events") events(spark, dir)
-      else spark.read.parquet(s"$dir/$name.parquet")
-    spread(spark, dir, name, raw)
+    bucketedDf(spark, dir, name).getOrElse {
+      val raw =
+        if (name == "events") events(spark, dir)
+        else spark.read.parquet(s"$dir/$name.parquet")
+      spread(spark, dir, name, raw)
+    }
+  }
+
+  /** Mount a GenBuckets layout (`<dir>/bucketed/<name>` + spec sidecar)
+    * as a real CLUSTERED BY table — the same contract the engine's
+    * Workspace gives its stored bucketed tables (zero-Exchange PK-PK
+    * joins and exchange-free groupBy on the bucket key; at cluster scale
+    * the DSv2 KeyGroupedPartitioning form of the same thing). Same rows
+    * and values as the flat files, so oracle comparisons are unaffected.
+    * Registration is per (session, dir, table) and idempotent. */
+  private val bucketMounts =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+  private def bucketedDf(spark: SparkSession, dir: String,
+      name: String): Option[DataFrame] = {
+    val loc = java.nio.file.Paths.get(dir, "bucketed", name)
+    val spec = loc.resolve("_bucket_spec.json")
+    if (!java.nio.file.Files.exists(spec)) return None
+    val tbl = s"graft_bench_${name}_${Integer.toHexString(dir.hashCode)}"
+    val key = s"${System.identityHashCode(spark)}:$tbl"
+    bucketMounts.synchronized {
+      if (!bucketMounts.contains(key)) {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val j = om.readTree(java.nio.file.Files.readString(spec))
+        val keys = (0 until j.get("keys").size())
+          .map(i => s"`${j.get("keys").get(i).asText}`").mkString(", ")
+        spark.sql(
+          s"""CREATE TABLE IF NOT EXISTS `$tbl` (${j.get("schemaDdl").asText})
+             |USING PARQUET
+             |CLUSTERED BY ($keys) SORTED BY ($keys)
+             |INTO ${j.get("buckets").asInt} BUCKETS
+             |LOCATION '${loc.toUri}'""".stripMargin)
+        bucketMounts.add(key)
+        ()
+      }
+    }
+    Some(spark.table(tbl))
   }
 
   /** Small-scan fix-up: the test tables are single-row-group parquet files,

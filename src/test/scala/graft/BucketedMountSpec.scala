@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** GenBuckets layout + Tables' CLUSTERED BY mount: same rows/values as
+  * the flat files, and the q2-shaped per-order aggregation + PK join
+  * plan ZERO Exchange below the join — the engine's stored-table
+  * contract (Workspace.mountBucketed) realized for the bench's facts. */
+class BucketedMountSpec extends SparkSpec {
+
+  private def copyFlat(dst: Path, name: String): Unit = {
+    val src = java.nio.file.Paths.get(sfDir, s"$name.parquet")
+    val out = dst.resolve(s"$name.parquet")
+    if (Files.isDirectory(src)) {
+      Files.walk(src).forEach { p =>
+        val t = out.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else { Files.createDirectories(t.getParent); Files.copy(p, t); () }
+      }
+    } else Files.copy(src, out)
+    ()
+  }
+
+  test("bucketed mounts are value-identical and plan exchange-free joins") {
+    val dir = Files.createTempDirectory("graft-buckets")
+    Seq("lineitem", "orders").foreach(copyFlat(dir, _))
+    GenBuckets.writeLayout(spark, dir.toString, numBuckets = 4)
+
+    val liB = Tables.df(spark, dir.toString, "lineitem")
+    val oB = Tables.df(spark, dir.toString, "orders")
+    val liFlat = spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+    // value identity vs the flat source (same rows, any order)
+    assert(liB.count() == liFlat.count())
+    assert(liB.exceptAll(liFlat).isEmpty && liFlat.exceptAll(liB).isEmpty)
+
+    // q2's shape: per-order pre-agg + PK-PK join — with both sides
+    // bucketed on the key, no Exchange may appear below the join
+    val perOrder = liB.groupBy("l_orderkey")
+      .agg(sum(Queries.revUnscaled).as("rev_u"))
+    val joined = perOrder.join(oB, perOrder("l_orderkey") === oB("o_orderkey"))
+      .select(col("o_custkey"), col("rev_u"))
+    // no SHUFFLE exchange anywhere (a BroadcastExchange is legal — at this
+    // test scale AQE broadcasts the small side, which is strictly better)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed PK join must plan zero shuffle Exchange:\n$plan")
+    assert(plan.contains("Bucketed: true"), plan)
+
+    // and the aggregation result matches the flat-layout computation
+    val flatAgg = liFlat.groupBy("l_orderkey")
+      .agg(sum(Queries.revUnscaled).as("rev_u"))
+    assert(perOrder.exceptAll(flatAgg).isEmpty)
+  }
+}
