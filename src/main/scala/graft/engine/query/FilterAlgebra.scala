@@ -191,12 +191,18 @@ object FilterAlgebra {
     * that actually fits in memory. Counting the distinct keys costs one
     * scan of the (small) ref side and buys the fact side a map-side
     * broadcast join whenever the keys fit; past the gate it stays a
-    * shuffle join, because a ref side can itself be table-sized. 16M
-    * BIGINT keys ≈ 128 MB hashed — well inside executor memory at the
-    * configured partition sizes. */
+    * shuffle join, because a ref side can itself be table-sized.
+    *
+    * Gate level: 2M keys. Past that, BUILDING and shipping the hashed
+    * relation costs more than exchanging the key set (measured at sf10:
+    * a 5M-key broadcast membership join ran 4.3 s vs 1.6 s for the
+    * natural plan — and when the fact side is stored bucketed on the
+    * join key, the non-broadcast join is exchange-free on the fact side
+    * anyway, which is the 100 TB layout). A ref side small enough that
+    * broadcast genuinely wins under the gate still broadcasts. */
   private val RefBroadcastMaxKeys: Long =
     sys.env.get("SPARK_GRAFT_REF_BROADCAST_MAX_KEYS")
-      .map(_.toLong).getOrElse(16L * 1000 * 1000)
+      .map(_.toLong).getOrElse(2L * 1000 * 1000)
 
   private def maybeBroadcastKeys(
       keys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
