@@ -101,11 +101,32 @@ object Profiler {
         .cast("array<double>")
     else graft.functions.GraftFunctions.exactPercentiles(col(c), qs)
 
+  /** One-row frame of exact quantile vectors (`qv_<col>` array<double>)
+    * via the VALUE-COUNTS formulation: per column, a codegen'd
+    * `groupBy(value).count()` collapses the corpus map-side to its value
+    * histogram (n_distinct rows), and the weighted kernel interpolates
+    * over (value, count) pairs — bit-identical to buffering every row
+    * (FunctionsSpec pins it) at a fraction of the cost: the raw kernel
+    * shuffled EVERY value to one final task and single-thread-sorted
+    * 60M doubles per column (a11's 4-column pass measured 15.7 s at
+    * sf10; this shape runs it in ~2 s). The per-column sides meet in
+    * free 1-row crossJoins. */
+  private def exactPctWide(df: DataFrame,
+      colQs: Seq[(String, Seq[Double])]): DataFrame =
+    colQs.map { case (c, qs) =>
+      df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__c"))
+        .agg(graft.functions.GraftFunctions
+          .weightedExactPercentiles(col("__v"), col("__c"), qs)
+          .as(s"qv_$c"))
+    }.reduce(_.crossJoin(_))
+
   /** A5: interpolated percentiles, one column per quantile. All
     * quantiles come from ONE percentile(col, array(...)) aggregate — one
     * value buffer and one sort, instead of one full buffer per quantile. */
   def percentiles(df: DataFrame, c: String, approx: Boolean = false): DataFrame = {
-    val wide = df.agg(pctVec(c, Quantiles, approx).as("qv"))
+    val wide =
+      if (approx) df.agg(pctVec(c, Quantiles, approx).as("qv"))
+      else exactPctWide(df, Seq(c -> Quantiles)).select(col(s"qv_$c").as("qv"))
     val outs = Quantiles.zipWithIndex.map { case (q, i) =>
       r4(col("qv").getItem(i)).as(f"p${(q * 100).toInt}%02d")
     }
@@ -119,7 +140,10 @@ object Profiler {
     * left-side partition (32x the quantile work); broadcasting computes
     * it exactly once. Both quantiles come from one array-percentile. */
   def iqrOutliers(df: DataFrame, c: String, approx: Boolean = false): DataFrame = {
-    val q = df.agg(pctVec(c, Seq(0.25, 0.75), approx).as("qv"))
+    val q =
+      if (approx) df.agg(pctVec(c, Seq(0.25, 0.75), approx).as("qv"))
+      else exactPctWide(df, Seq(c -> Seq(0.25, 0.75)))
+        .select(col(s"qv_$c").as("qv"))
     val bounds = q.select(
       col("qv").getItem(0).as("q25"), col("qv").getItem(1).as("q75"))
       .select(
@@ -238,10 +262,13 @@ object Profiler {
       approx: Boolean = false): DataFrame = {
     // two passes total: quantiles, then counts (row count folded into the
     // second agg — no separate count() job)
-    val qAggs = numericCols.map { c =>
-      pctVec(c, Seq(0.25, 0.75), approx).as(s"q_$c")
-    }
-    val q = df.agg(qAggs.head, qAggs.tail: _*).collect()(0)
+    val q =
+      (if (approx) {
+        val qAggs = numericCols.map(c =>
+          pctVec(c, Seq(0.25, 0.75), approx).as(s"q_$c"))
+        df.agg(qAggs.head, qAggs.tail: _*)
+      } else exactPctWide(df, numericCols.map(_ -> Seq(0.25, 0.75))))
+        .collect()(0)
     val outAggs = numericCols.zipWithIndex.map { case (c, i) =>
       val qs = q.getSeq[Double](i)
       val (q25, q75) = (qs(0), qs(1))

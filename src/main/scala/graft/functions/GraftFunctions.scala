@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.graftshim.{GraftExpressions, Shim}
-import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, ExactPercentiles, HashedDistinctCount, HyperplaneSigPacked, Md5Positions, MinHashBandSigs, MinHashSig, PqAdcSum, PqAdcTable, PqEncode, RegexpFullMatch, RollingHash, WordGramHashes, WordShingles}
+import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, ExactPercentiles, HashedDistinctCount, HyperplaneSigPacked, Md5Positions, MinHashBandSigs, MinHashSig, NearestCentroid, PqAdcSum, PqAdcTable, PqEncode, RegexpFullMatch, RollingHash, WeightedExactPercentiles, WordGramHashes, WordShingles}
 
 /** Column/SQL-facing surface of the native expressions (implementations in
   * org.apache.spark.sql.graftshim.GraftExpressions — see SURVEY.md §2.9). */
@@ -105,6 +105,13 @@ object GraftFunctions {
     * bit-identical to Similarity.pqEncodeExpr; parity test in
     * FunctionsSpec). Codebooks stay Seq-typed into the expression so two
     * identical pq_encode calls are semantically equal (CSE-able). */
+  /** Nearest-centroid id (map-side argmax/argmin over a broadcast-tiny
+    * embedded centroid set) — bit-identical assignment and tie-breaks to
+    * the crossJoin + max_by/min_by formulation (parity in FunctionsSpec). */
+  def nearestCentroid(vec: Column, centroids: Seq[(Long, Seq[Double])],
+      byL2: Boolean = false): Column =
+    Shim.column(NearestCentroid(Shim.expression(vec), centroids, byL2))
+
   def pqEncode(cv: Column, books: Seq[Seq[Seq[Double]]]): Column =
     Shim.column(PqEncode(Shim.expression(cv), books))
 
@@ -137,6 +144,16 @@ object GraftFunctions {
     Shim.column(
       ExactPercentiles(Shim.expression(c.cast("double")), percentages)
         .toAggregateExpression())
+
+  /** [[exactPercentiles]] over (value, count) pairs — feed it
+    * `groupBy(col).count()` for bit-identical quantiles at value-counts
+    * cost (the corpus-sized pass becomes a codegen'd hash agg; the typed
+    * buffer holds the histogram, not every row). */
+  def weightedExactPercentiles(v: Column, cnt: Column,
+      percentages: Seq[Double]): Column =
+    Shim.column(
+      WeightedExactPercentiles(Shim.expression(v.cast("double")),
+        Shim.expression(cnt), percentages).toAggregateExpression())
 
   /** Exact-on-this-universe distinct count in one aggregation pass: the
     * column is hashed to 64 bits (nulls excluded, like COUNT(DISTINCT)),

@@ -119,19 +119,27 @@ object Similarity {
       k: Int, nprobe: Int = 2): DataFrame = {
     val cent = broadcast(centroids
       .select(col("vec_id").as("cent_id"), col("embedding").as("centv")))
+    // the corpus-side keep==1 assignment collects the (broadcast-tiny by
+    // contract) centroid set once and runs map-side: a pure projection,
+    // no crossJoin rows, no aggregation exchange — the corpus reaches
+    // its bucket join in scan order
+    lazy val centRows: Seq[(Long, Seq[Double])] = centroids
+      .select(col("vec_id"), col("embedding"))
+      .collect().map { r =>
+        (r.getLong(0), r.getSeq[Any](1).map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+        }.toSeq)
+      }.sortBy(_._1).toSeq
     def assign(df: DataFrame, idC: String, vC: String, keep: Int) = {
-      val scored = df.crossJoin(cent).withColumn("csim", cosine(vC, "centv"))
       if (keep == 1) {
-        // nearest centroid per vector = one max_by hash aggregation with
-        // map-side partial combine (the broadcast cross join is narrow, so
-        // partials collapse to one row per vector BEFORE the shuffle) — no
-        // sort, and the shuffle carries each embedding once, not K times.
-        scored.groupBy(col(idC))
-          .agg(
-            max_by(col("cent_id"),
-              struct(round(col("csim"), 6), -col("cent_id"))).as("cent_id"),
-            first(col(vC)).as(vC)) // constant per vector id
+        // nearest centroid per vector, map-side (nearest_centroid kernel;
+        // scoring and tie-breaks bit-identical to the crossJoin + max_by
+        // hash aggregation this replaces — parity pinned in FunctionsSpec)
+        df.withColumn("cent_id",
+          graft.functions.GraftFunctions.nearestCentroid(col(vC), centRows))
       } else {
+        val scored = df.crossJoin(cent).withColumn("csim", cosine(vC, "centv"))
         val w = Window.partitionBy(col(idC))
           .orderBy(round(col("csim"), 6).desc, col("cent_id"))
         scored.withColumn("crank", row_number().over(w))
@@ -331,22 +339,31 @@ object Similarity {
     * forever. */
   private[pipeline] def pqTrain(c: DataFrame, m: Int, ksub: Int, iters: Int,
       sampleSize: Int): (Seq[Seq[(Long, Seq[Double])]], Int) = {
+    // persist the sample: it is sampleSize rows, but its LINEAGE is a
+    // corpus-wide TakeOrdered — and kmeansRefine's seed/assign/size/
+    // collect actions each re-execute their input, which un-cached would
+    // re-scan (and re-normalize) the whole corpus per driver action
+    // (measured: the x38 train stage was 6-14 s at sf10, almost all of
+    // it repeated corpus scans under a 64-row sample)
     val sample = c.orderBy(md5(col("c_id").cast(StringType)), col("c_id"))
       .limit(sampleSize)
       .select(col("c_id").as("vec_id"), col("cv").as("embedding"))
-    val dims = sample.select(size(col("embedding"))).first().getInt(0)
-    require(dims % m == 0, s"dims $dims not divisible by m=$m subspaces")
-    val sub = dims / m
-    val codebooks = (0 until m).map { s =>
-      kmeansRefine(sample.select(col("vec_id"),
-          expr(s"slice(embedding, ${s * sub + 1}, $sub)").as("embedding")),
-        ksub, iters, byL2 = true)
-        .select("cluster_id", "dim", "c").collect()
-        .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
-        .map { case (cid, rows) =>
-          (cid, rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq) }
-    }
-    (codebooks, sub)
+      .persist()
+    try {
+      val dims = sample.select(size(col("embedding"))).first().getInt(0)
+      require(dims % m == 0, s"dims $dims not divisible by m=$m subspaces")
+      val sub = dims / m
+      val codebooks = (0 until m).map { s =>
+        kmeansRefine(sample.select(col("vec_id"),
+            expr(s"slice(embedding, ${s * sub + 1}, $sub)").as("embedding")),
+          ksub, iters, byL2 = true)
+          .select("cluster_id", "dim", "c").collect()
+          .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+          .map { case (cid, rows) =>
+            (cid, rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq) }
+      }
+      (codebooks, sub)
+    } finally sample.unpersist()
   }
 
   /** SQL lambda: squared L2 between a subvector slice of `vCol` and a

@@ -70,15 +70,24 @@ final class VectorIndex(store: TableStore, project: String, bucket: String,
     * slices, positional). Idempotent only as overwrite — retraining
     * invalidates existing codes, so do it before the first ingest. */
   def train(df: DataFrame): Unit = {
+    // persisted: the sample is sampleSize rows over a corpus-wide
+    // TakeOrdered lineage, and kmeansRefine re-executes its input for
+    // each of its driver actions (same fix as Similarity.pqTrain)
     val sample = df.orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
-      .limit(sampleSize).select("vec_id", "embedding")
+      .limit(sampleSize).select("vec_id", "embedding").persist()
     val cells = Similarity.kmeansRefine(sample, nCells, iters)
       .select(col("cluster_id").cast(IntegerType).as("cell"),
         col("dim").cast(IntegerType), col("c"))
     store.overwrite(project, bucket, cellsTable, cells)
+    // PQ trains on the SAME md5-ordered sample (pqTrain re-ranks by
+    // md5(c_id) — the identical key — so limiting the already-limited
+    // set is a no-op): normalizing 64 cached rows instead of handing
+    // pqTrain the whole corpus to re-scan saves the second corpus-wide
+    // TakeOrdered per train call
     val (cbs, _) = Similarity.pqTrain(
-      Similarity.pqNormalized(df, "vec_id", "c_id", "cv"),
+      Similarity.pqNormalized(sample, "vec_id", "c_id", "cv"),
       m, ksub, iters, sampleSize)
+    sample.unpersist()
     import spark.implicits._
     val books = cbs.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.flatMap { case ((_, cent), pos) =>
@@ -122,20 +131,17 @@ final class VectorIndex(store: TableStore, project: String, bucket: String,
   private def codebooks(): Seq[Seq[Seq[Double]]] = model()._2
 
   /** Cell of each vector: argmax cosine to the coarse centroids, round-6
-    * with ties to the LOWER cell — one broadcast pass, each embedding
-    * crosses the shuffle once (the [[Similarity.ivfTopK]] assignment
-    * shape). */
+    * with ties to the LOWER cell — a pure map-side projection via the
+    * nearest_centroid kernel (same scoring and tie-breaks as the
+    * crossJoin + max_by aggregation it replaces, pinned in
+    * FunctionsSpec), so ingest stays shuffle-free until the bucketed
+    * append's own exchange. */
   private def withCell(df: DataFrame): DataFrame = {
-    import spark.implicits._
-    val cent = broadcast(centroidVectors()
-      .toDF("cell", "centv"))
-    df.crossJoin(cent)
-      .withColumn("csim", Similarity.cosine("embedding", "centv"))
-      .groupBy(col("vec_id"))
-      .agg(
-        max_by(col("cell"), struct(round(col("csim"), 6), -col("cell")))
-          .as("cell"),
-        first(col("embedding")).as("embedding"))
+    val cents = centroidVectors().map { case (id, v) => (id.toLong, v) }
+      .sortBy(_._1)
+    df.withColumn("cell",
+      graft.functions.GraftFunctions.nearestCentroid(col("embedding"), cents)
+        .cast(IntegerType))
   }
 
   /** PQ codes (positional) for each vector under the frozen codebooks —

@@ -158,6 +158,164 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Growable (value, count) pair buffer for the weighted percentile
+    * aggregate. */
+  final class PairBuf(var vs: Array[Double], var cs: Array[Long], var n: Int) {
+    def add(v: Double, c: Long): Unit = {
+      if (n == vs.length) {
+        vs = java.util.Arrays.copyOf(vs, vs.length * 2)
+        cs = java.util.Arrays.copyOf(cs, cs.length * 2)
+      }
+      vs(n) = v; cs(n) = c; n += 1
+    }
+    def addAll(o: PairBuf): Unit = {
+      var i = 0
+      while (i < o.n) { add(o.vs(i), o.cs(i)); i += 1 }
+    }
+    /** In-place quicksort of both arrays by value, with the SAME total
+      * order as java.util.Arrays.sort(double[]): -0.0 < 0.0, NaN last
+      * (java.lang.Double.compare). */
+    def sortByValue(): Unit = qsort(0, n - 1)
+    private def qsort(lo: Int, hi: Int): Unit = {
+      var l = lo; var h = hi
+      while (l < h) {
+        if (h - l < 16) { isort(l, h); return }
+        val mid = l + (h - l) / 2
+        // median-of-three pivot
+        if (java.lang.Double.compare(vs(mid), vs(l)) < 0) swap(l, mid)
+        if (java.lang.Double.compare(vs(h), vs(l)) < 0) swap(l, h)
+        if (java.lang.Double.compare(vs(h), vs(mid)) < 0) swap(mid, h)
+        val p = vs(mid)
+        var i = l; var j = h
+        while (i <= j) {
+          while (java.lang.Double.compare(vs(i), p) < 0) i += 1
+          while (java.lang.Double.compare(vs(j), p) > 0) j -= 1
+          if (i <= j) { swap(i, j); i += 1; j -= 1 }
+        }
+        // recurse into the smaller side, loop the larger
+        if (j - l < h - i) { qsort(l, j); l = i } else { qsort(i, h); h = j }
+      }
+    }
+    private def isort(lo: Int, hi: Int): Unit = {
+      var i = lo + 1
+      while (i <= hi) {
+        val v = vs(i); val c = cs(i)
+        var j = i - 1
+        while (j >= lo && java.lang.Double.compare(vs(j), v) > 0) {
+          vs(j + 1) = vs(j); cs(j + 1) = cs(j); j -= 1
+        }
+        vs(j + 1) = v; cs(j + 1) = c
+        i += 1
+      }
+    }
+    @inline private def swap(i: Int, j: Int): Unit = {
+      val tv = vs(i); vs(i) = vs(j); vs(j) = tv
+      val tc = cs(i); cs(i) = cs(j); cs(j) = tc
+    }
+  }
+
+  /** Exact interpolated percentiles over (value, count) pairs — the
+    * VALUE-COUNTS formulation of [[ExactPercentiles]]: feed it
+    * `groupBy(col).count()` and it returns BIT-IDENTICAL results to the
+    * raw kernel over the ungrouped column (same sorted-neighbor doubles,
+    * same `(n-1)*p` linear interpolation — pinned in FunctionsSpec),
+    * while buffering n_distinct pairs instead of EVERY row. That is the
+    * 100 TB shape: the corpus-sized work is a codegen'd hash aggregate
+    * with map-side combine, the typed buffer holds only the value
+    * histogram, and rank arithmetic is Long (an all-unique column
+    * degrades to the raw kernel's cost, never worse). The one
+    * divergence: grouping normalizes -0.0 to 0.0 (numerically equal —
+    * invisible after the profiler's 4 dp rounding and threshold
+    * compares). */
+  case class WeightedExactPercentiles(
+      value: Expression,
+      cnt: Expression,
+      percentages: Seq[Double],
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[PairBuf]
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
+      with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+    override def prettyName: String = "weighted_exact_percentiles"
+    override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, LongType)
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def left: Expression = value
+    override def right: Expression = cnt
+
+    override def createAggregationBuffer(): PairBuf =
+      new PairBuf(new Array[Double](64), new Array[Long](64), 0)
+
+    override def update(buf: PairBuf, input: InternalRow): PairBuf = {
+      val v = value.eval(input)
+      if (v != null) {
+        val c = cnt.eval(input)
+        if (c != null) buf.add(v.asInstanceOf[Double], c.asInstanceOf[Long])
+      }
+      buf
+    }
+
+    override def merge(buf: PairBuf, other: PairBuf): PairBuf = {
+      buf.addAll(other); buf
+    }
+
+    override def eval(buf: PairBuf): Any = {
+      if (buf.n == 0) return null
+      buf.sortByValue()
+      var total = 0L
+      var i = 0
+      while (i < buf.n) { total += buf.cs(i); i += 1 }
+      if (total == 0L) return null
+      // value at rank r (0-based over the expanded multiset) via one
+      // cumulative walk per requested rank — percentages are few
+      def valueAt(r: Long): Double = {
+        var cum = 0L
+        var j = 0
+        while (j < buf.n) {
+          cum += buf.cs(j)
+          if (r < cum) return buf.vs(j)
+          j += 1
+        }
+        buf.vs(buf.n - 1)
+      }
+      val out = percentages.map { p =>
+        val index = (total - 1) * p
+        val lower = math.floor(index).toLong
+        val higher = math.ceil(index).toLong
+        if (lower == higher) valueAt(lower)
+        else valueAt(lower) * (higher - index) + valueAt(higher) * (index - lower)
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override def serialize(buf: PairBuf): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.n)
+      bb.putInt(buf.n)
+      var i = 0
+      while (i < buf.n) { bb.putDouble(buf.vs(i)); bb.putLong(buf.cs(i)); i += 1 }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): PairBuf = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt()
+      val vs = new Array[Double](math.max(n, 16))
+      val cs = new Array[Long](math.max(n, 16))
+      var i = 0
+      while (i < n) { vs(i) = bb.getDouble(); cs(i) = bb.getLong(); i += 1 }
+      new PairBuf(vs, cs, n)
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): WeightedExactPercentiles =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): WeightedExactPercentiles =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): WeightedExactPercentiles =
+      copy(value = newLeft, cnt = newRight)
+  }
+
   /** Open-addressing primitive long set (0 kept out-of-band). */
   final class LongSet(var table: Array[Long], var size: Int, var hasZero: Boolean) {
     private def mask: Int = table.length - 1
@@ -1233,45 +1391,235 @@ object GraftExpressions {
     "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>",
     "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>")
 
-  private lazy val piiCompiled: Array[(java.util.regex.Pattern, String)] =
-    PiiPatterns.map { case (re, m) =>
-      (java.util.regex.Pattern.compile(re), m)
-    }.toArray
+  // ---- PII byte scanners -------------------------------------------------
+  // All four patterns are pure-ASCII and java.util.regex's default \d and
+  // bracket classes are ASCII-only, so matching runs directly over the
+  // UTF-8 bytes. The one non-ASCII wrinkle is \b (see isWordCp below):
+  // boundary checks decode the single adjacent code point.
+
+  @inline private def isDigitB(b: Byte): Boolean = b >= '0' && b <= '9'
+  @inline private def isAlphaB(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+  @inline private def isWordB(b: Byte): Boolean =
+    isAlphaB(b) || isDigitB(b) || b == '_'
+  @inline private def isLocalB(b: Byte): Boolean =
+    isAlphaB(b) || isDigitB(b) || b == '.' || b == '_' || b == '%' ||
+      b == '+' || b == '-'
+  @inline private def isDomainB(b: Byte): Boolean =
+    isAlphaB(b) || isDigitB(b) || b == '.' || b == '-'
+
+  // java.util.regex's \b (without UNICODE_CHARACTER_CLASS) is UNICODE-aware
+  // even though \d/\w are ASCII: Pattern.Bound treats '_' or
+  // Character.isLetterOrDigit(codepoint) as word. Boundary checks therefore
+  // decode the single adjacent code point; all other matching stays on raw
+  // ASCII bytes.
+  @inline private def isWordCp(cp: Int): Boolean =
+    cp == '_' || Character.isLetterOrDigit(cp)
+
+  private def decodeCp(b: Array[Byte], s: Int, n: Int): Int = {
+    val b0 = b(s) & 0xFF
+    if (b0 < 0x80) b0
+    else if ((b0 & 0xE0) == 0xC0 && s + 1 < n)
+      ((b0 & 0x1F) << 6) | (b(s + 1) & 0x3F)
+    else if ((b0 & 0xF0) == 0xE0 && s + 2 < n)
+      ((b0 & 0x0F) << 12) | ((b(s + 1) & 0x3F) << 6) | (b(s + 2) & 0x3F)
+    else if ((b0 & 0xF8) == 0xF0 && s + 3 < n)
+      ((b0 & 0x07) << 18) | ((b(s + 1) & 0x3F) << 12) |
+        ((b(s + 2) & 0x3F) << 6) | (b(s + 3) & 0x3F)
+    else 0xFFFD
+  }
+
+  /** Is the code point ENDING at byte i-1 a \b word char? (false at i==0) */
+  private def wordBefore(b: Array[Byte], i: Int, n: Int): Boolean = {
+    if (i == 0) return false
+    val last = b(i - 1)
+    if ((last & 0x80) == 0) return isWordB(last)
+    var s = i - 1
+    while (s > 0 && (b(s) & 0xC0) == 0x80) s -= 1
+    isWordCp(decodeCp(b, s, n))
+  }
+
+  /** Is the code point STARTING at byte i a \b word char? (false at i==n) */
+  private def wordAt(b: Array[Byte], i: Int, n: Int): Boolean = {
+    if (i >= n) return false
+    val c = b(i)
+    if ((c & 0x80) == 0) return isWordB(c)
+    isWordCp(decodeCp(b, i, n))
+  }
+
+  /** Leftmost non-overlapping `[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}`
+    * matches, appended to `spans` as (start, end) byte offsets. Replays
+    * java.util.regex's backtracking outcome: the local part is the maximal
+    * local-char run ending at an '@' (interior starts fail identically, so
+    * only run starts need testing); the TLD dot is the RIGHTMOST '.' inside
+    * the domain run followed by >= 2 alphas (greedy `+` gives back from the
+    * right); the match ends at the end of that alpha run. A failed
+    * candidate resumes just after its '@' — domain chars are local chars,
+    * so a later '@' can still anchor a match inside the failed span. */
+  private def emailSpans(b: Array[Byte], n: Int, spans: IntBuf): Unit = {
+    var i = 0
+    while (i < n) {
+      if (isLocalB(b(i))) {
+        val runStart = i
+        while (i < n && isLocalB(b(i))) i += 1
+        if (i < n && b(i) == '@' && i > runStart) {
+          val atPos = i
+          val domStart = atPos + 1
+          var j = domStart
+          while (j < n && isDomainB(b(j))) j += 1
+          // rightmost '.' at p (p > domStart) with >= 2 alphas following
+          var p = j - 3
+          var end = -1
+          while (p > domStart && end < 0) {
+            if (b(p) == '.' && isAlphaB(b(p + 1)) && isAlphaB(b(p + 2))) {
+              var e = p + 3
+              while (e < j && isAlphaB(b(e))) e += 1
+              end = e
+            } else p -= 1
+          }
+          if (end >= 0) { spans.add(runStart, end); i = end }
+          else i = atPos + 1
+        }
+        // else: run not followed by '@' — nothing in it can match; i is
+        // already past the run
+      } else i += 1
+    }
+  }
+
+  /** `\b\d{3}-\d{2}-\d{4}\b` (SSN) — fixed 11-byte shape. */
+  private def ssnSpans(b: Array[Byte], n: Int, spans: IntBuf): Unit = {
+    var i = 0
+    while (i <= n - 11) {
+      if (isDigitB(b(i)) && !wordBefore(b, i, n) &&
+          isDigitB(b(i + 1)) && isDigitB(b(i + 2)) && b(i + 3) == '-' &&
+          isDigitB(b(i + 4)) && isDigitB(b(i + 5)) && b(i + 6) == '-' &&
+          isDigitB(b(i + 7)) && isDigitB(b(i + 8)) && isDigitB(b(i + 9)) &&
+          isDigitB(b(i + 10)) && !wordAt(b, i + 11, n)) {
+        spans.add(i, i + 11); i += 11
+      } else i += 1
+    }
+  }
+
+  /** `\b\d{3}[-.]\d{3}[-.]\d{4}\b` (phone) — fixed 12-byte shape. */
+  private def phoneSpans(b: Array[Byte], n: Int, spans: IntBuf): Unit = {
+    var i = 0
+    while (i <= n - 12) {
+      if (isDigitB(b(i)) && !wordBefore(b, i, n) &&
+          isDigitB(b(i + 1)) && isDigitB(b(i + 2)) &&
+          (b(i + 3) == '-' || b(i + 3) == '.') &&
+          isDigitB(b(i + 4)) && isDigitB(b(i + 5)) && isDigitB(b(i + 6)) &&
+          (b(i + 7) == '-' || b(i + 7) == '.') &&
+          isDigitB(b(i + 8)) && isDigitB(b(i + 9)) && isDigitB(b(i + 10)) &&
+          isDigitB(b(i + 11)) && !wordAt(b, i + 12, n)) {
+        spans.add(i, i + 12); i += 12
+      } else i += 1
+    }
+  }
+
+  /** `\b(\d{1,3}\.){3}\d{1,3}\b` (IP). Each dotted group is forced: a
+    * digit run of 1-3 ending at '.' (4+ digits can't backtrack into a
+    * valid split). The final group greedily takes up to 3 digits, and
+    * the trailing \b only succeeds when the WHOLE run was taken (any
+    * shorter take leaves a digit — a word char — adjacent), so the last
+    * group matches iff the run length is <= 3 and the byte after it is
+    * not a word char. */
+  private def ipSpans(b: Array[Byte], n: Int, spans: IntBuf): Unit = {
+    var i = 0
+    while (i < n) {
+      var matched = false
+      if (isDigitB(b(i)) && !wordBefore(b, i, n)) {
+        var j = i
+        var ok = true
+        var g = 0
+        while (g < 3 && ok) {
+          var d = 0
+          while (j + d < n && d <= 3 && isDigitB(b(j + d))) d += 1
+          if (d >= 1 && d <= 3 && j + d < n && b(j + d) == '.') j += d + 1
+          else ok = false
+          g += 1
+        }
+        if (ok) {
+          var d = 0
+          while (j + d < n && d <= 3 && isDigitB(b(j + d))) d += 1
+          if (d >= 1 && d <= 3 && !wordAt(b, j + d, n)) {
+            spans.add(i, j + d); i = j + d; matched = true
+          }
+        }
+      }
+      if (!matched) i += 1
+    }
+  }
+
+  /** Growable flat (start, end) span buffer. */
+  private final class IntBuf {
+    var a = new Array[Int](16)
+    var size = 0
+    def add(s: Int, e: Int): Unit = {
+      if (size + 2 > a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+      a(size) = s; a(size + 1) = e; size += 2
+    }
+    def clear(): Unit = size = 0
+  }
+
+  /** Splice `marker` over each span of `b`; returns the rebuilt array. */
+  private def splice(b: Array[Byte], n: Int, spans: IntBuf,
+      marker: Array[Byte]): Array[Byte] = {
+    var covered = 0
+    var k = 0
+    while (k < spans.size) { covered += spans.a(k + 1) - spans.a(k); k += 2 }
+    val out = new Array[Byte](n - covered + marker.length * (spans.size / 2))
+    var src = 0; var dst = 0
+    k = 0
+    while (k < spans.size) {
+      val s = spans.a(k); val e = spans.a(k + 1)
+      System.arraycopy(b, src, out, dst, s - src); dst += s - src
+      System.arraycopy(marker, 0, out, dst, marker.length)
+      dst += marker.length
+      src = e
+      k += 2
+    }
+    System.arraycopy(b, src, out, dst, n - src)
+    out
+  }
+
+  private val piiMarkers: Array[Array[Byte]] =
+    PiiPatterns.map(_._2.getBytes("UTF-8")).toArray
 
   /** Static kernel: the sequential PII redaction chain in one eval.
     * Semantics are EXACTLY the four regexp_replace passes it replaces —
-    * same java.util.regex engine, same patterns, same order, literal
-    * markers — minus the work that provably can't happen: one byte scan
-    * gates each pass on characters its pattern REQUIRES ('@' for EMAIL;
-    * digits plus '-'/'.' for SSN/PHONE/IP). Gates read the ORIGINAL
-    * bytes, which stays sound across passes because markers introduce
-    * none of the gate characters. A clean document (the overwhelming
-    * case in a real corpus) costs one scan and zero regex work or
-    * string copies. */
+    * same patterns, same order, literal markers — implemented as
+    * hand-rolled byte scanners over the UTF-8 bytes (each pass a single
+    * O(n) scan, no Matcher, no UTF-16 round trip, no per-pass String
+    * copy). Pass boundaries are preserved: each scanner reads the
+    * PREVIOUS pass's output, exactly like chained replaceAll (a
+    * single-shared-pass formulation would diverge — e.g. an IP match
+    * starting left of an overlapping phone match would steal bytes the
+    * phone pass owns). Byte-parity vs the regexp_replace chain is pinned
+    * in FunctionsSpec, including a ScalaCheck fuzz over adversarial
+    * digit/dot/dash/'@' soup. A clean document costs four scans and
+    * zero copies. */
   def piiRedactEval(s: UTF8String): UTF8String = {
-    val n = s.numBytes()
-    var at = false; var digit = false; var dash = false; var dot = false
-    var i = 0
-    while (i < n) {
-      val b = s.getByte(i)
-      if (b == '@') at = true
-      else if (b >= '0' && b <= '9') digit = true
-      else if (b == '-') dash = true
-      else if (b == '.') dot = true
-      i += 1
-    }
-    val gates = Array(at, digit && dash, digit && (dash || dot), digit && dot)
-    if (!gates.exists(identity)) return s
-    var cur = s.toString
-    i = 0
-    while (i < gates.length) {
-      if (gates(i)) {
-        val (p, marker) = piiCompiled(i)
-        cur = p.matcher(cur).replaceAll(marker)
+    var cur = s.getBytes
+    var n = cur.length
+    var changed = false
+    val spans = new IntBuf
+    var pass = 0
+    while (pass < 4) {
+      spans.clear()
+      pass match {
+        case 0 => emailSpans(cur, n, spans)
+        case 1 => ssnSpans(cur, n, spans)
+        case 2 => phoneSpans(cur, n, spans)
+        case 3 => ipSpans(cur, n, spans)
       }
-      i += 1
+      if (spans.size > 0) {
+        cur = splice(cur, n, spans, piiMarkers(pass))
+        n = cur.length
+        changed = true
+      }
+      pass += 1
     }
-    UTF8String.fromString(cur)
+    if (!changed) s else UTF8String.fromBytes(cur)
   }
 
   /** One-pass gated PII redaction (§2 x17) — parity pin vs the
@@ -1597,6 +1945,105 @@ object GraftExpressions {
     * arrays compare by reference, which broke semanticEquals/common-
     * subexpression elimination between two identical pq_encode calls;
     * the eval-side array view is derived once, lazily. */
+  /** Spark's round(v, 6) for doubles: NaN/Inf pass through, else
+    * BigDecimal.valueOf HALF_UP — the exact RoundBase double path
+    * (round6 above assumes finite input; cosine of a zero vector is
+    * NaN, so the centroid scorer needs the guarded form). */
+  @inline private def round6OrNaN(v: Double): Double =
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v
+    else java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Static kernel: nearest-centroid id of one vector over a broadcast-
+    * tiny centroid set — the map-side replacement for the crossJoin +
+    * max_by/min_by hash aggregation (which paid K× cosine rows into a
+    * partial agg plus a corpus-wide exchange; this is a pure projection,
+    * so an ingest/bucketing pass stays shuffle-free until its sink).
+    *
+    * Bit-identical scoring and tie-breaks to the aggregate formulation:
+    * cosine mode replays CosineSimilarity's left-to-right accumulation,
+    * L2 mode the zip_with/aggregate squared-diff sum; scores round to
+    * 6 dp (Spark Round double semantics, incl. NaN passthrough — and
+    * Double.compare ranks NaN above all reals exactly like Spark's
+    * double ordering in max_by); ties keep the LOWER centroid id
+    * (ascending scan, strict improvement) = max_by(struct(r, -id)) /
+    * min_by(struct(r, id)). */
+  def nearestCentroidEval(v: ArrayData, isFloat: Boolean,
+      ids: Array[Long], cents: Array[Array[Double]], byL2: Boolean): Long = {
+    var best = 0
+    var bestR = if (byL2) Double.NaN else Double.NaN
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(v.numElements(), cent.length)
+      var r = 0.0
+      if (byL2) {
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val x = (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) - cent(i)
+          acc += x * x
+          i += 1
+        }
+        r = round6OrNaN(acc)
+      } else {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+          val y = cent(i)
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        r = round6OrNaN(dot / (math.sqrt(na) * math.sqrt(nb)))
+      }
+      if (c == 0 ||
+          (if (byL2) java.lang.Double.compare(r, bestR) < 0
+           else java.lang.Double.compare(r, bestR) > 0)) {
+        best = c; bestR = r
+      }
+      c += 1
+    }
+    ids(best)
+  }
+
+  /** `nearest_centroid(vec) -> centroid id` over an embedded (id, vector)
+    * set; see [[nearestCentroidEval]]. */
+  case class NearestCentroid(child: Expression,
+      centroids: Seq[(Long, Seq[Double])], byL2: Boolean)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    require(centroids.nonEmpty, "nearest_centroid needs >= 1 centroid")
+
+    @transient private lazy val idsArr: Array[Long] =
+      centroids.map(_._1).toArray
+    @transient private lazy val centsArr: Array[Array[Double]] =
+      centroids.map(_._2.toArray).toArray
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(
+      TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "nearest_centroid"
+
+    private def elemIsFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(v: Any): Any =
+      nearestCentroidEval(v.asInstanceOf[ArrayData], elemIsFloat,
+        idsArr, centsArr, byL2)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        val idsRef = ctx.addReferenceObj("ncIds", idsArr, "long[]")
+        val centsRef = ctx.addReferenceObj("ncCents", centsArr, "double[][]")
+        s"${ev.value} = $cls.nearestCentroidEval($a, $elemIsFloat, $idsRef, $centsRef, $byL2);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+      copy(child = newChild)
+  }
+
   case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
       extends UnaryExpression with ExpectsInputTypes {
 

@@ -157,6 +157,116 @@ class FunctionsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("weighted percentiles over value-counts == raw exact percentiles") {
+    val qs = Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+    def both(df: org.apache.spark.sql.DataFrame, c: String): Unit = {
+      val raw = df.agg(GraftFunctions.exactPercentiles(col(c), qs).as("qv"))
+        .collect()(0).getSeq[Double](0)
+      val weighted = df.groupBy(col(c).as("__v"))
+        .agg(count(lit(1)).as("__c"))
+        .agg(GraftFunctions
+          .weightedExactPercentiles(col("__v"), col("__c"), qs).as("qv"))
+        .collect()(0).getSeq[Double](0)
+      assert(raw == weighted, s"col $c: $raw != $weighted")
+    }
+    val li = Tables.df(spark, sfDir, "lineitem")
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .foreach(both(li, _))
+    // edge shapes: nulls interleaved, single value, duplicates-only, and
+    // a deterministic pseudo-random mix with repeats
+    val edge = Seq[java.lang.Double](null, 5.0, 5.0, null, 1.5, -3.25, 5.0,
+      1.5, 0.0, 7.125).toDF("v")
+    both(edge, "v")
+    both(Seq(42.0).toDF("v"), "v")
+    both(Seq(2.0, 2.0, 2.0).toDF("v"), "v")
+    val rnd = new scala.util.Random(7)
+    both(Seq.fill(5000)(math.floor(rnd.nextDouble() * 97) / 8.0).toDF("v"), "v")
+  }
+
+  test("nearest_centroid bit-identical to crossJoin + max_by/min_by") {
+    val e = Tables.df(spark, sfDir, "embeddings").limit(400)
+      .select(col("vec_id"), col("embedding"))
+      // adversarial rows: zero vector (NaN cosine), constant vector
+      .union(Seq(
+        (900001L, Array.fill(64)(0.0f)),
+        (900002L, Array.fill(64)(1.0f))).toDF("vec_id", "embedding"))
+    val centroids = Tables.df(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centv"))
+    val centRows = centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+    // cosine mode vs max_by(struct(round6, -id))
+    val agg = e.crossJoin(broadcast(centroids))
+      .withColumn("csim", GraftFunctions.cosineSim(col("embedding"), col("centv")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"),
+        struct(round(col("csim"), 6), -col("cent_id"))).as("want"))
+    val diff = e.withColumn("got",
+        GraftFunctions.nearestCentroid(col("embedding"), centRows))
+      .join(agg, "vec_id")
+      .filter(col("got") =!= col("want"))
+    assert(diff.count() == 0)
+    // L2 mode vs min_by(struct(round6, id)) on double arrays
+    val ed = e.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val l2 = expr("""aggregate(zip_with(v, centv, (x, y) -> (x - y) * (x - y)),
+      CAST(0 AS DOUBLE), (acc, d) -> acc + d)""")
+    val aggL2 = ed.crossJoin(broadcast(centroids))
+      .withColumn("cdist", l2)
+      .groupBy("vec_id")
+      .agg(min_by(col("cent_id"),
+        struct(round(col("cdist"), 6), col("cent_id"))).as("want"))
+    val diffL2 = ed.withColumn("got",
+        GraftFunctions.nearestCentroid(col("v"), centRows, byL2 = true))
+      .join(aggL2, "vec_id")
+      .filter(col("got") =!= col("want"))
+    assert(diffL2.count() == 0)
+  }
+
+  test("pii_redact byte-scanner parity fuzz vs java.util.regex chain") {
+    import graft.pipeline.TextAnalysis
+    import org.apache.spark.unsafe.types.UTF8String
+    val compiled = TextAnalysis.PiiPatterns.map { case (re, m) =>
+      (java.util.regex.Pattern.compile(re), m)
+    }
+    def chain(s: String): String = compiled.foldLeft(s) {
+      case (acc, (p, m)) => p.matcher(acc).replaceAll(m)
+    }
+    def kernel(s: String): String =
+      org.apache.spark.sql.graftshim.GraftExpressions
+        .piiRedactEval(UTF8String.fromString(s)).toString
+    // adversarial alphabet: heavy on digit/dot/dash/'@' soup plus word
+    // chars, '_' (word but not allowed everywhere), unicode (non-word
+    // multi-byte), and marker-ish brackets
+    val alphabet: Array[String] =
+      "0123456789.-@aZ_%+ <>".map(_.toString).toArray ++ Array("é", "😀")
+    val rnd = new scala.util.Random(0x9a7f17)
+    val targeted = Seq("", "a@b.co", "a@b", "a@@b.com", "a@.com", "a@b.c",
+      "x@y.com.z", "123-45-6789", "x123-45-6789", "123-45-6789y",
+      "é123-45-6789", "123-45-67890", "555-123-4567", "555.123.4567",
+      "555-123.4567", "1.2.3.4", "1.2.3.4.5", "1234.5.6.7", "1.2.3.456",
+      "1.2.3.456-789-0123", "123.456.789.0123", "12.34.56.789-1234",
+      "123-45-6789@mail.example.com", "user@x.com123-45-6789",
+      "10.0.0.1a@b.co", "a@b.co1", "a@b%c.com", "a@b@c.com",
+      "_@x.co", "9@9.aa", "123-456-78-9012", "123-45-6789-1234")
+    for (t <- targeted)
+      assert(kernel(t) == chain(t), s"targeted <$t>")
+    var k = 0
+    while (k < 30000) {
+      val len = rnd.nextInt(40)
+      val sb = new StringBuilder
+      var j = 0
+      while (j < len) {
+        sb.append(alphabet(rnd.nextInt(alphabet.length)))
+        j += 1
+      }
+      val s = sb.toString
+      assert(kernel(s) == chain(s), s"fuzz <$s>")
+      k += 1
+    }
+  }
+
   test("simhash64 bit-identical to the explode/groupBy SQL formulation") {
     val docs = Tables.df(spark, sfDir, "documents").limit(300)
       .select(col("doc_id").as("id"), col("text"))

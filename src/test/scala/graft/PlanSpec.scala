@@ -193,4 +193,18 @@ class PlanSpec extends SparkSpec {
     // the bit-test screen runs as a Filter under codegen before the join
     assert(finalPlan.contains("bloom_bits"))
   }
+
+  test("IVF corpus cell assignment is map-side: no exchange above the scan") {
+    import org.apache.spark.sql.functions._
+    val e = graft.core.Tables.df(spark, sfDir, "embeddings")
+    val centroids = e.filter(col("vec_id") < 8)
+    val df = graft.pipeline.Similarity.ivfTopK(
+      e.filter(col("vec_id") >= 8 && col("vec_id") < 13),
+      e.filter(col("vec_id") >= 13), centroids, k = 5, nprobe = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    // the corpus side carries nearest_centroid as a projection; the only
+    // exchanges left belong to the probe join + ranking, not assignment
+    assert(plan.contains("nearest_centroid"))
+    assert(!plan.contains("max_by"))
+  }
 }
