@@ -53,9 +53,25 @@ object GenBuckets {
       numBuckets: Int = 32): Unit =
     Layout.foreach { case (table, key) =>
       val out = s"$dir/bucketed/$table"
+      // drop any previous layout FIRST: Tables.df prefers the bucketed
+      // mount when present, and rebuilding would otherwise read the very
+      // files the overwrite is deleting
+      val outPath = java.nio.file.Paths.get(out)
+      if (java.nio.file.Files.exists(outPath)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(outPath).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.delete)
+      }
       val df = graft.core.Tables.df(spark, dir, table)
       val tmpName = s"genb_${table}_${Integer.toHexString(dir.hashCode)}"
-      df.write.bucketBy(numBuckets, key).sortBy(key)
+      // repartition on the bucket key with numBuckets partitions: the
+      // same HashPartitioning the bucketizer applies, so each write task
+      // holds exactly ONE bucket -> one file per bucket. That matters
+      // beyond tidiness: Spark only trusts a bucketed table's sortBy
+      // metadata when every bucket is a single file, and with it trusted
+      // the PK-PK sort-merge joins elide their corpus-sized Sort nodes.
+      df.repartition(numBuckets, org.apache.spark.sql.functions.col(key))
+        .write.bucketBy(numBuckets, key).sortBy(key)
         .option("path", out).mode("overwrite")
         .saveAsTable(tmpName)
       spark.sql(s"DROP TABLE IF EXISTS `$tmpName`") // files stay at `out`
