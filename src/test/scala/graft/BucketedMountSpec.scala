@@ -56,4 +56,44 @@ class BucketedMountSpec extends SparkSpec {
       .agg(sum(Queries.revUnscaled).as("rev_u"))
     assert(perOrder.exceptAll(flatAgg).isEmpty)
   }
+
+  test("one-file-per-bucket sorted layout elides the fact-side join Sort") {
+    val dir = Files.createTempDirectory("graft-buckets-sorted")
+    Seq("lineitem", "orders").foreach(copyFlat(dir, _))
+    GenBuckets.writeLayout(spark, dir.toString, numBuckets = 4)
+
+    // GenBuckets repartitions on the bucket key before the bucketed
+    // write, so every bucket is exactly ONE key-sorted file — the only
+    // layout Spark's sorted-bucket-scan rule trusts
+    Seq("lineitem", "orders").foreach { t =>
+      val files = Files.list(dir.resolve(s"bucketed/$t")).iterator()
+      val parquet = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(files).asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      assert(parquet == 4, s"$t: expected 4 single-file buckets, got $parquet")
+    }
+
+    // a raw PK-PK join of the two sorted mounts: the scan itself reports
+    // the sort order, so SortMergeJoin needs no Sort above either scan
+    // (broadcast disabled so the test-sized join actually plans SMJ)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val liB = Tables.df(spark, dir.toString, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val oB = Tables.df(spark, dir.toString, "orders")
+        .select("o_orderkey", "o_custkey")
+      val joined = liB.join(oB, liB("l_orderkey") === oB("o_orderkey"))
+      joined.write.mode("overwrite").format("noop").save()
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Sort "),
+        s"sorted single-file buckets must elide the join Sorts:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
 }
