@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.graftshim.{GraftExpressions, Shim}
-import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, ExactPercentiles, HashedDistinctCount, HyperplaneSigPacked, Md5Positions, MinHashBandSigs, MinHashSig, NearestCentroid, PqAdcSum, PqAdcTable, PqEncode, RegexpFullMatch, RollingHash, WeightedExactPercentiles, WordGramHashes, WordShingles}
+import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, ExactPercentiles, HashedDistinctCount, HllBucketRho, HyperplaneSigPacked, Md5Positions, MinHashBandSigs, MinHashSig, NearestCentroid, PqAdcSum, PqAdcTable, PqEncode, RegexpFullMatch, RollingHash, WeightedExactPercentiles, WordGramHashes, WordShingles}
 
 /** Column/SQL-facing surface of the native expressions (implementations in
   * org.apache.spark.sql.graftshim.GraftExpressions — see SURVEY.md §2.9). */
@@ -122,6 +122,12 @@ object GraftFunctions {
   /** ADC distance of a coded row: Σ_s adc[s][codes[s]]. */
   def pqAdcSum(codes: Column, adc: Column): Column =
     Shim.column(PqAdcSum(Shim.expression(codes), Shim.expression(adc)))
+
+  /** Packed HLL (bucket &lt;&lt; 8 | rho) of a string value's md5 —
+    * bit-identical to the hex conv/substring/regexp chain (parity in
+    * FunctionsSpec), one digest and a few bit ops per row. */
+  def hllBucketRho(v: Column): Column =
+    Shim.column(HllBucketRho(Shim.expression(v)))
 
   /** Double-hashed md5 probe positions over the two 60-bit digest halves
     * (pos_j = h1 + j·h2 mod m) — the CMS/Bloom per-row primitive,

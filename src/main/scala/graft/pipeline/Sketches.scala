@@ -37,17 +37,15 @@ object Sketches {
     * on the first non-zero digit) — no float, no engine-specific
     * hashing, so (bucket, rho) is identical in any engine with md5. */
   private[pipeline] def hllBucketRho(value: Column): (Column, Column) = {
-    val hex = md5(value.cast(StringType))
-    val bucket = conv(substring(hex, 1, 2), 16, 10).cast(IntegerType)
-    val rest = substring(hex, 3, 13)
-    val lz = length(regexp_extract(rest, "^0*", 0))
-    val d = rest.substr(lz + lit(1), lit(1))
-    val extra = when(d === "1", 3)
-      .when(d.isin("2", "3"), 2)
-      .when(d.isin("4", "5", "6", "7"), 1)
-      .otherwise(0)
-    val rho = when(lz === 13, lit(53)).otherwise(lz * 4 + extra + 1)
-    (bucket, rho)
+    // native kernel: one digest + bit ops per row, packed bucket<<8|rho
+    // (the hex conv/substring/regexp chain it replaces remains the
+    // engine-neutral reference in hllDistinctOracleSql; bit-parity is
+    // pinned in FunctionsSpec). The two extractions share the packed
+    // subtree — whole-stage codegen's subexpression elimination computes
+    // the digest once.
+    val packed = graft.functions.GraftFunctions
+      .hllBucketRho(value.cast(StringType))
+    (shiftright(packed, 8), packed.bitwiseAND(lit(255)))
   }
 
   /** Approximate distinct count of `valueCol` per group via HyperLogLog

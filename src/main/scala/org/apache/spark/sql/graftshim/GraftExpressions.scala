@@ -316,6 +316,50 @@ object GraftExpressions {
       copy(value = newLeft, cnt = newRight)
   }
 
+  private val hllMd5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Static kernel: HLL (bucket, rho) of one value's md5, packed as
+    * `bucket << 8 | rho` — bit-identical to the hex-string chain it
+    * replaces (bucket = first two hex digits; rho = leading-zero BITS of
+    * the next 13 hex digits + 1, capped at 53 when all 52 bits are
+    * zero), read straight off the digest bytes: no 32-char hex render,
+    * no conv/substring/regexp per row. */
+  def hllBucketRhoEval(s: UTF8String): Int = {
+    val md = hllMd5.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val bucket = d(0) & 0xFF
+    val v = ((d(1) & 0xFFL) << 44) | ((d(2) & 0xFFL) << 36) |
+      ((d(3) & 0xFFL) << 28) | ((d(4) & 0xFFL) << 20) |
+      ((d(5) & 0xFFL) << 12) | ((d(6) & 0xFFL) << 4) |
+      ((d(7) & 0xFF) >>> 4)
+    val rho = if (v == 0L) 53 else java.lang.Long.numberOfLeadingZeros(v) - 12 + 1
+    (bucket << 8) | rho
+  }
+
+  /** `hll_bucket_rho(string) -> int` (packed `bucket << 8 | rho`); see
+    * [[hllBucketRhoEval]]. */
+  case class HllBucketRho(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "hll_bucket_rho"
+
+    override def nullSafeEval(s: Any): Any =
+      hllBucketRhoEval(s.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.hllBucketRhoEval($s);"
+      })
+
+    override protected def withNewChildInternal(c: Expression): HllBucketRho =
+      copy(child = c)
+  }
+
   /** Open-addressing primitive long set (0 kept out-of-band). */
   final class LongSet(var table: Array[Long], var size: Int, var hasZero: Boolean) {
     private def mask: Int = table.length - 1

@@ -157,6 +157,29 @@ class FunctionsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("hll_bucket_rho bit-identical to the md5 hex conv/regexp chain") {
+    val vals = Tables.df(spark, sfDir, "events").limit(500)
+      .select(col("user_id").cast("string").as("v"))
+      .union(Seq("", "0", "x", "éü", "12345678901234567890").toDF("v"))
+    val hex = md5(col("v"))
+    val bucket = conv(substring(hex, 1, 2), 16, 10).cast("int")
+    val rest = substring(hex, 3, 13)
+    val lz = length(regexp_extract(rest, "^0*", 0))
+    val d = rest.substr(lz + lit(1), lit(1))
+    val extra = when(d === "1", 3)
+      .when(d.isin("2", "3"), 2)
+      .when(d.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rho = when(lz === 13, lit(53)).otherwise(lz * 4 + extra + 1)
+    val packed = GraftFunctions.hllBucketRho(col("v"))
+    val diff = vals
+      .withColumn("nb", shiftright(packed, 8))
+      .withColumn("nr", packed.bitwiseAND(lit(255)))
+      .withColumn("hb", bucket).withColumn("hr", rho)
+      .filter(col("nb") =!= col("hb") || col("nr") =!= col("hr"))
+    assert(diff.count() == 0)
+  }
+
   test("weighted percentiles over value-counts == raw exact percentiles") {
     val qs = Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
     def both(df: org.apache.spark.sql.DataFrame, c: String): Unit = {
