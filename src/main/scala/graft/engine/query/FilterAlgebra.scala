@@ -205,10 +205,19 @@ object FilterAlgebra {
       .map(_.toLong).getOrElse(2L * 1000 * 1000)
 
   private def maybeBroadcastKeys(
-      keys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    if (keys.count() <= RefBroadcastMaxKeys)
+      keys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // decide from Catalyst's free size estimate, not an eager count():
+    // the count was a whole extra ref-side scan+distinct job on EVERY
+    // execution. Under the gate, hint broadcast; above (or unknown-
+    // large), leave the plan alone — AQE sees the REAL post-shuffle key
+    // size at runtime and still converts to broadcast when the distinct
+    // set turns out small (its own threshold), so a mis-estimate costs
+    // nothing but the default plan.
+    val approxRows = keys.queryExecution.optimizedPlan.stats.sizeInBytes / 16
+    if (approxRows <= RefBroadcastMaxKeys)
       org.apache.spark.sql.functions.broadcast(keys)
     else keys
+  }
 
   /** P7 (parity-plus — declared in proto/table.proto:469-484, never
     * implemented by the reference): IN / NOT_IN filters against another
