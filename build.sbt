@@ -26,11 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 32g: the three-scale bench (sf0.1+sf1+sf3 in one JVM) carries GC
-  // debt between sections at 16g — single-pass sf3 numbers inflated up
-  // to 6x vs the same query isolated in a fresh JVM; headroom keeps the
-  // old gen from churning (the box has 128 GiB)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 64g: the five-section bench (sf0.1+sf1+sf3+sf10+dedup in one JVM)
+  // holds the sf10 table caches (~10 GiB columnar) PLUS each pipeline
+  // query's working caches in a 0.6x-heap storage pool; at 32g the
+  // sf10 section ran in permanent eviction (sweep times up to 3.8x the
+  // same query isolated — round-9 x39 read 28.9 s vs 7.6 s isolated).
+  // The box has 128 GiB; headroom is cheaper than recomputation.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
   // 32 executor threads hitting native gzip/snappy critical sections
   // starve allocations behind the GCLocker; the JDK default (2 retries)
   // surfaces as a spurious "Java heap space" OOM long before the heap

@@ -17,6 +17,9 @@ object Verify {
       // planner (PK-PK sort-merge joins then elide corpus-sized Sorts);
       // gracefully ignored when a bucket has >1 file
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // compressed replicas under-split byte-sized scan partitions; see
+      // the same setting in graft.Bench
+      .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

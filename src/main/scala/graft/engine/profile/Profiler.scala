@@ -55,27 +55,43 @@ object Profiler {
         col("nds").getItem(i).as(s"nd_$c") }: _*)
   }
 
+  /** Fused per-column value histogram: ONE corpus scan + ONE
+    * (col_id, value) exchange for EVERY profiled column. posexplode of
+    * the double-cast column vector keeps null values (array length is
+    * fixed, so each row contributes exactly one element per column),
+    * and the hash aggregate combines map-side exactly as the per-column
+    * shape did — same total exchange bytes, 1/N the scans and jobs
+    * (the four per-column passes were a2's sf10 residual: 4 full scans
+    * for 4 columns). Exactness of the double cast: distinct counts and
+    * min/max are preserved whenever values are exactly representable
+    * (<= 15 significant decimal digits / |int| < 2^53) — true for every
+    * profiler call site, and the same cast the output applies anyway. */
+  private def fusedHistogram(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(posexplode(array(cols.map(c => col(c).cast(DoubleType)): _*))
+        .as(Seq("__ci", "__v")))
+      .groupBy("__ci", "__v").agg(count(lit(1)).as("__c"))
+
   /** One-row frame of per-column histogram stats — row count `nr_<c>`,
     * non-null `nn_<c>`, TRULY exact distinct `nd_<c>`, min/max — derived
-    * from `groupBy(value).count()` per column. The corpus-sized pass is
-    * a codegen'd hash aggregate with map-side combine (low-cardinality
-    * columns collapse to a handful of rows per partition before the
-    * exchange); the second agg runs over n_distinct rows. This replaced
-    * the typed distinct-count kernel, whose per-row update dispatch was
-    * the a2 floor (measured 2.4 s vs 1.9 s for all four columns at
-    * sf10) — and unlike the 64-bit-hash kernel, COUNT(DISTINCT value)
-    * over the histogram is exact with no collision universe at all. */
-  private def histogramWide(df: DataFrame, cols: Seq[String]): DataFrame =
-    cols.map { c =>
-      df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__c"))
-        .agg(
-          coalesce(sum(col("__c")), lit(0L)).as(s"nr_$c"),
-          coalesce(sum(when(col("__v").isNotNull, col("__c"))), lit(0L))
-            .as(s"nn_$c"),
-          count(when(col("__v").isNotNull, 1)).as(s"nd_$c"),
-          min(col("__v")).cast(DoubleType).as(s"mn_$c"),
-          max(col("__v")).cast(DoubleType).as(s"mx_$c"))
-    }.reduce(_.crossJoin(_))
+    * from the [[fusedHistogram]] (n_distinct-sized; the rollup below is
+    * one tiny agg). This replaced the typed distinct-count kernel, whose
+    * per-row update dispatch was the a2 floor (measured 2.4 s vs 1.9 s
+    * for all four columns at sf10) — and unlike the 64-bit-hash kernel,
+    * COUNT(DISTINCT value) over the histogram is exact with no
+    * collision universe at all. */
+  private def histogramWide(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      val in = col("__ci") === i
+      Seq(
+        coalesce(sum(when(in, col("__c"))), lit(0L)).as(s"nr_$c"),
+        coalesce(sum(when(in && col("__v").isNotNull, col("__c"))), lit(0L))
+          .as(s"nn_$c"),
+        count(when(in && col("__v").isNotNull, 1)).as(s"nd_$c"),
+        min(when(in, col("__v"))).as(s"mn_$c"),
+        max(when(in, col("__v"))).as(s"mx_$c"))
+    }
+    fusedHistogram(df, cols).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** A2: per-column base stats for a set of numeric columns, one output row
     * per column (min/max cast to double for a uniform schema). */
@@ -129,13 +145,18 @@ object Profiler {
     * sf10; this shape runs it in ~2 s). The per-column sides meet in
     * free 1-row crossJoins. */
   private def exactPctWide(df: DataFrame,
-      colQs: Seq[(String, Seq[Double])]): DataFrame =
-    colQs.map { case (c, qs) =>
-      df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__c"))
-        .agg(graft.functions.GraftFunctions
-          .weightedExactPercentiles(col("__v"), col("__c"), qs)
-          .as(s"qv_$c"))
-    }.reduce(_.crossJoin(_))
+      colQs: Seq[(String, Seq[Double])]): DataFrame = {
+    // one fused histogram pass for all columns (see fusedHistogram);
+    // each kernel sees only its own column's (value, count) rows — the
+    // when() nulls the rest and the kernel skips null values
+    val aggs = colQs.zipWithIndex.map { case ((c, qs), i) =>
+      graft.functions.GraftFunctions
+        .weightedExactPercentiles(
+          when(col("__ci") === i, col("__v")), col("__c"), qs)
+        .as(s"qv_$c")
+    }
+    fusedHistogram(df, colQs.map(_._1)).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** A5: interpolated percentiles, one column per quantile. All
     * quantiles come from ONE percentile(col, array(...)) aggregate — one
