@@ -52,16 +52,24 @@ object GenBuckets {
   def writeLayout(spark: SparkSession, dir: String,
       numBuckets: Int = 32): Unit =
     Layout.foreach { case (table, key) =>
+      import java.nio.file.{Files, Paths, StandardCopyOption}
       val out = s"$dir/bucketed/$table"
-      // drop any previous layout FIRST: Tables.df prefers the bucketed
-      // mount when present, and rebuilding would otherwise read the very
-      // files the overwrite is deleting
-      val outPath = java.nio.file.Paths.get(out)
-      if (java.nio.file.Files.exists(outPath)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(outPath).iterator().asScala.toSeq
-          .reverse.foreach(java.nio.file.Files.delete)
-      }
+      // Build the NEW layout beside the old one and swap only after the
+      // write succeeds: a failure mid-rebuild must leave the previous
+      // layout intact (the old delete-first shape left NEITHER on disk).
+      // While the build runs, Tables.df still resolves the old mount —
+      // reading it as the rebuild source is fine, it holds the same rows.
+      val tmpOut = s"$dir/bucketed/.rebuild_$table"
+      val outPath = Paths.get(out)
+      val tmpPath = Paths.get(tmpOut)
+      def deleteTree(p: java.nio.file.Path): Unit =
+        if (Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          scala.util.Using.resource(Files.walk(p)) { walk =>
+            walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          }
+        }
+      deleteTree(tmpPath)
       val df = graft.core.Tables.df(spark, dir, table)
       val tmpName = s"genb_${table}_${Integer.toHexString(dir.hashCode)}"
       // repartition on the bucket key with numBuckets partitions: the
@@ -72,13 +80,14 @@ object GenBuckets {
       // the PK-PK sort-merge joins elide their corpus-sized Sort nodes.
       df.repartition(numBuckets, org.apache.spark.sql.functions.col(key))
         .write.bucketBy(numBuckets, key).sortBy(key)
-        .option("path", out).mode("overwrite")
+        .option("path", tmpOut).mode("overwrite")
         .saveAsTable(tmpName)
-      spark.sql(s"DROP TABLE IF EXISTS `$tmpName`") // files stay at `out`
+      spark.sql(s"DROP TABLE IF EXISTS `$tmpName`") // files stay at tmpOut
       val spec = s"""{"keys":["$key"],"buckets":$numBuckets,""" +
         s""""schemaDdl":${jsonStr(df.schema.toDDL)}}"""
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(out, "_bucket_spec.json"), spec)
+      Files.writeString(tmpPath.resolve("_bucket_spec.json"), spec)
+      deleteTree(outPath) // the swap: old out only after the new build
+      Files.move(tmpPath, outPath, StandardCopyOption.ATOMIC_MOVE)
       println(s"bucketed $table by $key into $out")
     }
 

@@ -211,10 +211,19 @@ object FilterAlgebra {
     // execution. Under the gate, hint broadcast; above (or unknown-
     // large), leave the plan alone — AQE sees the REAL post-shuffle key
     // size at runtime and still converts to broadcast when the distinct
-    // set turns out small (its own threshold), so a mis-estimate costs
-    // nothing but the default plan.
-    val approxRows = keys.queryExecution.optimizedPlan.stats.sizeInBytes / 16
-    if (approxRows <= RefBroadcastMaxKeys)
+    // set turns out small (its own threshold), so an OVER-estimate costs
+    // nothing but the default plan. An UNDER-estimate is not free: the
+    // explicit broadcast() hint cannot be reverted by AQE, and
+    // sizeInBytes here is compressed parquet bytes — a narrow
+    // RLE-friendly key column can read far below 16 bytes/row while
+    // holding tens of millions of distinct keys. So (a) trust a defined
+    // rowCount over the byte heuristic, and (b) never hint when the raw
+    // byte estimate itself is already broadcast-hostile (> 256 MB).
+    val stats = keys.queryExecution.optimizedPlan.stats
+    val approxRows: BigInt = stats.rowCount
+      .getOrElse(stats.sizeInBytes / 16)
+    if (approxRows <= BigInt(RefBroadcastMaxKeys) &&
+        stats.sizeInBytes <= BigInt(256L << 20))
       org.apache.spark.sql.functions.broadcast(keys)
     else keys
   }

@@ -107,10 +107,14 @@ object GraftFunctions {
     * identical pq_encode calls are semantically equal (CSE-able). */
   /** Nearest-centroid id (map-side argmax/argmin over a broadcast-tiny
     * embedded centroid set) — bit-identical assignment and tie-breaks to
-    * the crossJoin + max_by/min_by formulation (parity in FunctionsSpec). */
+    * the crossJoin + max_by/min_by formulation (parity in FunctionsSpec).
+    * The "ties keep the lower centroid id" contract requires the kernel
+    * to scan ids ascending (it keeps the first strict improvement), so
+    * the set is sorted here once rather than trusting every caller. */
   def nearestCentroid(vec: Column, centroids: Seq[(Long, Seq[Double])],
       byL2: Boolean = false): Column =
-    Shim.column(NearestCentroid(Shim.expression(vec), centroids, byL2))
+    Shim.column(NearestCentroid(Shim.expression(vec),
+      centroids.sortBy(_._1), byL2))
 
   def pqEncode(cv: Column, books: Seq[Seq[Seq[Double]]]): Column =
     Shim.column(PqEncode(Shim.expression(cv), books))

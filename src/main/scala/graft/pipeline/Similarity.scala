@@ -123,12 +123,17 @@ object Similarity {
     // contract) centroid set once and runs map-side: a pure projection,
     // no crossJoin rows, no aggregation exchange — the corpus reaches
     // its bucket join in scan order
+    // NOTE: referencing centRows runs a Spark job (collect of the tiny
+    // centroid set) at plan-CONSTRUCTION time — the lazy val only defers
+    // it until the first assign() call, not until execution. Null-safe
+    // numeric decode: a null element or unexpected numeric type must not
+    // MatchError a pipeline that merely mis-typed its centroid column.
     lazy val centRows: Seq[(Long, Seq[Double])] = centroids
       .select(col("vec_id"), col("embedding"))
       .collect().map { r =>
         (r.getLong(0), r.getSeq[Any](1).map {
-          case f: java.lang.Float => f.toDouble
-          case d: java.lang.Double => d.doubleValue()
+          case null      => 0.0
+          case n: Number => n.doubleValue()
         }.toSeq)
       }.sortBy(_._1).toSeq
     def assign(df: DataFrame, idC: String, vC: String, keep: Int) = {
