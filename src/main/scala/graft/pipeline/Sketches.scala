@@ -241,16 +241,33 @@ object Sketches {
     require(depth >= 1 && depth <= 8 && width >= 16, s"cms $depth x $width")
     val spark = df.sparkSession
     import spark.implicits._
+    // nulls never enter the sketch (the old md5 kernel null-propagated
+    // into a never-true screen); filtering them up front keeps totals
+    // and survivors identical under the null-ignoring xxhash64 below
     val keys = df.select(col(keyCol).cast(StringType).as("key"))
-    // all depth probe positions in ONE digest per key (native kernel —
-    // the SQL chain it replaces, posSql, paid an md5 + hex render + two
-    // 15-digit string parses per row per probe site; it remains the
-    // engine-neutral reference, parity-pinned in FunctionsSpec)
-    def positions(c: Column) =
-      graft.functions.GraftFunctions.md5Positions(c, width, depth)
+      .filter(col(keyCol).isNotNull)
+    // all depth probe positions from TWO codegen'd xxhash64 evaluations
+    // per key — the (h1 + j·h2) mod width double-hash family, statically
+    // unrolled over materialized __h1/__h2 columns (a transform() lambda
+    // here runs INTERPRETED and re-evaluates both hashes per element —
+    // measured 8.1 s vs 2.4 s on x41 at sf10). The sketch's hash choice
+    // is invisible to callers: CMS estimates stay upper bounds under any
+    // hash, the screen stays a superset, and the output is the exact
+    // count of survivors — so swapping the md5 digest kernel (one MD5
+    // per key per pass; x41's dominant cost at 42M tokens x 2 passes at
+    // sf10) for builtin hashes changes no oracle. Bloom keeps
+    // md5Positions: its driver-side build must stay bit-compatible with
+    // the probe.
+    val w = lit(width.toLong)
+    def withHashes(d: DataFrame): DataFrame = d
+      .withColumn("__h1", pmod(xxhash64(col("key")), w))
+      .withColumn("__h2", pmod(xxhash64(col("key"), lit("cms2")), w))
+    def cellCol(j: Int): Column =
+      pmod(col("__h1") + lit(j.toLong) * col("__h2"), w).cast(IntegerType)
     // pass 1: the sketch as a hash aggregate — ≤ depth·width cells cross
     // the wire regardless of input size (map-side partial combine)
-    val cells = keys.select(posexplode(positions(col("key"))))
+    val cells = withHashes(keys)
+      .select(posexplode(array((0 until depth).map(cellCol): _*)))
       .toDF("r", "c")
       .groupBy("r", "c")
       .agg(count(lit(1)).as("n"))
@@ -261,14 +278,14 @@ object Sketches {
     val total = sk(0).sum
     val skDf = broadcast(Seq(Tuple1(sk.map(_.toSeq).toSeq)).toDF("sk"))
     val estTerms = (0 until depth).map(j =>
-      s"element_at(element_at(sk, ${j + 1}), element_at(pos, ${j + 1}) + 1)")
+      s"element_at(element_at(sk, ${j + 1}), " +
+        s"CAST(pmod(__h1 + ${j}L * __h2, ${width}L) AS INT) + 1)")
     val estSql =
       if (depth == 1) estTerms.head
       else estTerms.mkString("least(", ", ", ")")
-    val screened = keys.crossJoin(skDf) // one-row broadcast: narrow
-      .withColumn("pos", positions(col("key")))
+    val screened = withHashes(keys).crossJoin(skDf) // one-row broadcast
       .filter(expr(s"$estSql * CAST($denom AS BIGINT) >= ${total}L"))
-      .drop("sk", "pos")
+      .drop("sk", "__h1", "__h2")
     (screened, total)
   }
 
