@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Local iteration tool: run one bench query at a scale dir and dump
+  * per-stage wall/task times plus the formatted plan — pinpoints which
+  * exchange/scan a slow query actually spends its time in (the bench
+  * JSON only shows totals). Not part of the driver contract. */
+object ProfileQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/repo/testdata-sf10"
+    val passes = if (args.length > 2) args(2).toInt else 2
+    val cpus = Runtime.getRuntime.availableProcessors().toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.locality.wait", "0s")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      .config("spark.sql.files.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_SPLITS", cpus))
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.execution.replaceHashWithSortAgg.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_SORTAGG", "false"))
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16777216")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    var record = false
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        if (record) {
+          val i = e.stageInfo
+          val wall = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3
+          val m = i.taskMetrics
+          val taskSec = m.executorRunTime / 1e3
+          stages.add(f"  stage ${i.stageId}%3d wall=${wall}%6.2fs task=${taskSec}%8.1fs " +
+            f"cpu=${m.executorCpuTime / 1e9}%7.1fs gc=${m.jvmGCTime / 1e3}%5.1fs " +
+            f"shw=${m.shuffleWriteMetrics.writeTime / 1e9}%5.1fs " +
+            f"tasks=${i.numTasks}%4d  ${i.name.takeWhile(_ != '\n').take(60)}")
+        }
+    })
+
+    // same warm regime as Bench: cache tables, one untimed warmup pass
+    core.Tables.names.foreach { n =>
+      try core.Tables.df(spark, sfDir, n).cache().count()
+      catch { case _: Throwable => () }
+    }
+    // scratch variants for local A/B (not part of the driver contract)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val scratch: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "_a2_union" -> ((s, dir) => {
+        val df = core.Tables.df(s, dir, "lineitem")
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        cols.map { c =>
+          df.select(col(c).cast(DoubleType).as("__v"))
+            .groupBy("__v").agg(count(lit(1)).as("__c"))
+            .agg(
+              lit(c).as("column_name"),
+              coalesce(sum("__c"), lit(0L)).cast(LongType).as("n_rows"),
+              coalesce(sum(when(col("__v").isNotNull, col("__c"))), lit(0L))
+                .cast(LongType).as("non_null"),
+              count(when(col("__v").isNotNull, 1)).cast(LongType).as("n_distinct"),
+              min("__v").as("min_value"), max("__v").as("max_value"))
+        }.reduce(_ unionAll _).orderBy("column_name")
+      }),
+      "_sum1" -> ((s, dir) => core.Tables.df(s, dir, "lineitem")
+        .agg(sum(col("l_quantity")))),
+      "_sum4" -> ((s, dir) => core.Tables.df(s, dir, "lineitem")
+        .agg(sum(col("l_quantity")), sum(col("l_extendedprice")),
+          sum(col("l_discount")), sum(col("l_tax")))),
+      "_grp1" -> ((s, dir) => core.Tables.df(s, dir, "lineitem")
+        .groupBy(col("l_quantity")).agg(count(lit(1)))),
+      "_iter4" -> ((s, dir) => {
+        val df = core.Tables.df(s, dir, "lineitem")
+        val proj = df.select(Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax").map(c => col(c).cast(DoubleType)): _*)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("s", DoubleType, false)))
+        org.apache.spark.sql.graftshim.Shim.mapInternal(proj, schema) { rows =>
+          var s = 0.0
+          while (rows.hasNext) {
+            val r = rows.next()
+            var i = 0
+            while (i < 4) { if (!r.isNullAt(i)) s += r.getDouble(i); i += 1 }
+          }
+          Iterator(new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](s)))
+        }.agg(sum("s"))
+      }),
+      "_hist_ep" -> ((s, dir) => graft.engine.profile.Profiler.numericBaseStats(
+        core.Tables.df(s, dir, "lineitem"), Seq("l_extendedprice"))),
+      "_hist_qty" -> ((s, dir) => graft.engine.profile.Profiler.numericBaseStats(
+        core.Tables.df(s, dir, "lineitem"), Seq("l_quantity", "l_discount", "l_tax"))))
+    if (name == "_sorttest") {
+      // driver-side microbench: dual-pivot quicksort on the replica
+      // pattern (repeating 600k-value sequence) vs random doubles
+      val src = new Array[Double](600000)
+      val rnd = new java.util.Random(7)
+      for (i <- src.indices) src(i) = rnd.nextDouble() * 100000
+      val pattern = new Array[Double](1900000)
+      for (i <- pattern.indices) pattern(i) = src(i % 600000)
+      val random = new Array[Double](1900000)
+      for (i <- random.indices) random(i) = rnd.nextDouble()
+      for (label <- Seq("pattern", "random"); _ <- 1 to 2) {
+        val a = (if (label == "pattern") pattern else random).clone()
+        val t0 = System.nanoTime()
+        java.util.Arrays.sort(a)
+        println(f"$label sort: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      spark.stop(); return
+    }
+    if (name == "_combtest") {
+      val src = new Array[Double](600000)
+      val rnd = new java.util.Random(7)
+      for (i <- src.indices) src(i) = rnd.nextDouble() * 100000
+      val n = 1900000
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      for (_ <- 1 to 3) {
+        val rows = (0 until n).iterator.map(i =>
+          new GenericInternalRow(Array[Any](src(i % 600000))))
+        val t0 = System.nanoTime()
+        val out = graft.engine.profile.Profiler
+          .histogramCombiner(1, rows.map(_.asInstanceOf[
+            org.apache.spark.sql.catalyst.InternalRow]))
+        var cnt = 0L
+        while (out.hasNext) { out.next(); cnt += 1 }
+        println(f"combiner: ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$cnt")
+      }
+      spark.stop(); return
+    }
+    val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      scratch.getOrElse(name, Queries.byName(name).fn)
+    def exec(): Unit =
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+    exec() // warmup
+
+    (1 to passes).foreach { p =>
+      stages.clear()
+      record = true
+      val t0 = System.nanoTime()
+      exec()
+      val dt = (System.nanoTime() - t0) / 1e9
+      record = false
+      println(f"== pass $p: $name total ${dt}%.2f s")
+      stages.forEach(s => println(s))
+    }
+
+    val df = fn(spark, sfDir)
+    df.collect()
+    println(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    spark.stop()
+  }
+}

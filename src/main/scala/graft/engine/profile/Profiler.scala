@@ -66,10 +66,149 @@ object Profiler {
     * min/max are preserved whenever values are exactly representable
     * (<= 15 significant decimal digits / |int| < 2^53) — true for every
     * profiler call site, and the same cast the output applies anyway. */
-  private def fusedHistogram(df: DataFrame, cols: Seq[String]): DataFrame =
-    df.select(posexplode(array(cols.map(c => col(c).cast(DoubleType)): _*))
-        .as(Seq("__ci", "__v")))
-      .groupBy("__ci", "__v").agg(count(lit(1)).as("__c"))
+  private def fusedHistogram(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val proj = df.select(cols.map(c => col(c).cast(DoubleType)): _*)
+    val schema = StructType(Seq(
+      StructField("__ci", IntegerType, nullable = false),
+      StructField("__v", DoubleType, nullable = true),
+      StructField("__c", LongType, nullable = false)))
+    val partials = org.apache.spark.sql.graftshim.Shim
+      .mapInternal(proj, schema)(histogramCombiner(cols.length, _))
+    // exchange carries only the per-partition DEDUPED (col, value, count)
+    // rows; this rollup resolves cross-partition duplicates exactly
+    partials.groupBy("__ci", "__v").agg(sum("__c").as("__c"))
+  }
+
+  /** Per-partition histogram combiner: per column, an interleaved
+    * open-addressing (doubleBits, count) table filled in a tight
+    * primitive loop. This replaced `posexplode + partial HashAggregate`,
+    * whose per-row UnsafeRow machinery measured ~270 ns/(row·col) at
+    * sf10 (65 task-seconds for 4 columns x 60M rows — the whole a2
+    * residual). Two cardinality regimes, both exact:
+    *
+    *  - LOW (map fits L2): probe the interleaved table — key and count
+    *    share a cache line, 50% max load keeps probe chains ~1.
+    *  - HIGH (distinct > [[HistMaxMapEntries]]): a DRAM-sized map pays a
+    *    ~500 ns dependent-load chain per insert (measured: extendedprice
+    *    at 590k distinct/partition cost 30+ task-s alone), so the map
+    *    FREEZES and further unseen values append to a buffer that is
+    *    sorted + run-length-encoded at the end — sequential memory, ~5x
+    *    cheaper than probing DRAM. Hot keys already in the frozen map
+    *    still combine in place.
+    *
+    * Memory stays bounded like any map-side combiner: a buffer reaching
+    * [[HistBufferCap]] sort-flushes its runs and resets; duplicates
+    * across map/buffer/flushes (and across partitions) are resolved by
+    * the exact groupBy rollup above, so results are bit-identical at any
+    * flush point. Value normalization matches Spark's group-key rules:
+    * -0.0 folds to 0.0 and NaN to the canonical bits. */
+  private val HistMaxMapEntries = 1 << 17 // 131k entries = 4 MB table
+  private val HistBufferCap = 1 << 22 // 4M doubles = 32 MB, then sort-flush
+  private[graft] def histogramCombiner(nCols: Int,
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      maxMapEntries: Int = HistMaxMapEntries,
+      bufferCap: Int = HistBufferCap)
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    def emit(ci: Int, bits: java.lang.Long, c: Long): InternalRow =
+      new GenericInternalRow(Array[Any](ci,
+        if (bits == null) null else java.lang.Double.longBitsToDouble(bits), c))
+    val flushed = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    val nulls = new Array[Long](nCols)
+    val tabs = new Array[Array[Long]](nCols) // interleaved [key0,cnt0,key1,cnt1,..]
+    val sizes = new Array[Int](nCols)
+    val caps = new Array[Int](nCols) // slot count (array length / 2)
+    val frozen = new Array[Boolean](nCols)
+    val bufs = new Array[Array[Double]](nCols)
+    val bufLens = new Array[Int](nCols)
+    def reset(ci: Int, cap: Int): Unit = {
+      tabs(ci) = new Array[Long](cap << 1); sizes(ci) = 0; caps(ci) = cap
+    }
+    (0 until nCols).foreach(reset(_, 1 << 10))
+    def sortFlush(ci: Int): Unit = {
+      val b = bufs(ci); val n = bufLens(ci)
+      if (n == 0) return
+      java.util.Arrays.sort(b, 0, n)
+      var i = 0
+      while (i < n) {
+        val bits = java.lang.Double.doubleToRawLongBits(b(i))
+        var j = i + 1
+        while (j < n && java.lang.Double.doubleToRawLongBits(b(j)) == bits) j += 1
+        flushed += emit(ci, bits, (j - i).toLong)
+        i = j
+      }
+      bufLens(ci) = 0
+    }
+    def append(ci: Int, v: Double): Unit = {
+      var b = bufs(ci)
+      if (b == null) { b = new Array[Double](1 << 16); bufs(ci) = b }
+      else if (bufLens(ci) == b.length) {
+        if (b.length >= bufferCap) { sortFlush(ci) }
+        else { b = java.util.Arrays.copyOf(b, b.length << 1); bufs(ci) = b }
+      }
+      b(bufLens(ci)) = v; bufLens(ci) += 1
+    }
+    // probe: returns true when combined into the table (or inserted)
+    def probe(ci: Int, bits: Long, c: Long, insertIfAbsent: Boolean): Boolean = {
+      val mask = caps(ci) - 1
+      var h = bits * -7046029254386353131L
+      h ^= h >>> 32
+      var i = (h & mask).toInt
+      val t = tabs(ci)
+      while ({ val s = i << 1
+        if (t(s + 1) == 0L) {
+          if (!insertIfAbsent) return false
+          t(s) = bits; t(s + 1) = c; sizes(ci) += 1
+          if (sizes(ci) << 1 > caps(ci)) grow(ci)
+          return true
+        }
+        if (t(s) == bits) { t(s + 1) += c; return true }
+        true
+      }) i = (i + 1) & mask
+      false // unreachable
+    }
+    def grow(ci: Int): Unit = {
+      val old = tabs(ci); val oldCap = caps(ci)
+      if (oldCap >= (maxMapEntries << 1)) { frozen(ci) = true; return }
+      reset(ci, oldCap << 1)
+      var i = 0
+      while (i < oldCap) {
+        val s = i << 1
+        if (old(s + 1) != 0L) probe(ci, old(s), old(s + 1), insertIfAbsent = true)
+        i += 1
+      }
+    }
+    while (rows.hasNext) {
+      val r = rows.next()
+      var ci = 0
+      while (ci < nCols) {
+        if (r.isNullAt(ci)) nulls(ci) += 1
+        else {
+          val raw = r.getDouble(ci)
+          val v = if (raw == 0.0d) 0.0d
+            else if (raw != raw) Double.NaN // canonical NaN bits
+            else raw
+          if (frozen(ci)) {
+            // hot keys still combine in the frozen map; new values buffer
+            if (!probe(ci, java.lang.Double.doubleToRawLongBits(v), 1L,
+                insertIfAbsent = false)) append(ci, v)
+          } else probe(ci, java.lang.Double.doubleToRawLongBits(v), 1L,
+            insertIfAbsent = true)
+        }
+        ci += 1
+      }
+    }
+    (0 until nCols).foreach(sortFlush)
+    val finals = (0 until nCols).iterator.flatMap { ci =>
+      val t = tabs(ci)
+      val live = (0 until caps(ci)).iterator.filter(i => t((i << 1) + 1) != 0L)
+        .map(i => emit(ci, t(i << 1), t((i << 1) + 1)))
+      if (nulls(ci) != 0L) live ++ Iterator(emit(ci, null, nulls(ci)))
+      else live
+    }
+    flushed.iterator ++ finals
+  }
 
   /** One-row frame of per-column histogram stats — row count `nr_<c>`,
     * non-null `nn_<c>`, TRULY exact distinct `nd_<c>`, min/max — derived

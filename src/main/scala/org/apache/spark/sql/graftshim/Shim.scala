@@ -21,4 +21,20 @@ object Shim {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Execute `df`'s plan and hand its InternalRow RDD to `f`, wrapping the
+    * result back into a DataFrame of `schema` — the bridge a hand-rolled
+    * per-partition combiner needs to stay on catalyst rows (no Row
+    * re-encoding on either side). InternalRows from `f` must be immutable
+    * per emit (fresh GenericInternalRow, not a reused buffer). */
+  def mapInternal(df: org.apache.spark.sql.DataFrame,
+      schema: org.apache.spark.sql.types.StructType)(
+      f: Iterator[org.apache.spark.sql.catalyst.InternalRow] =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow])
+      : org.apache.spark.sql.DataFrame = {
+    val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd.mapPartitions(f, preservesPartitioning = false),
+      schema)
+  }
 }

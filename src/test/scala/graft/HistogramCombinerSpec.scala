@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.functions._
+import graft.engine.profile.Profiler
+
+/** The per-partition histogram combiner behind fusedHistogram (a2/a5/a6/
+  * a11): exactness at tiny map/buffer caps (forcing freeze + sort-flush
+  * paths), value normalization, null handling — pinned against a plain
+  * Scala groupBy of the same stream. */
+class HistogramCombinerSpec extends SparkSpec {
+
+  private def run(values: Seq[Seq[java.lang.Double]], nCols: Int,
+      maxMap: Int, bufCap: Int): Map[(Int, Option[Long]), Long] = {
+    val rows: Iterator[InternalRow] = values.iterator.map { vs =>
+      new GenericInternalRow(vs.map(v =>
+        if (v == null) null else v.doubleValue()).toArray[Any])
+    }
+    val out = Profiler.histogramCombiner(nCols, rows, maxMap, bufCap)
+    // partial rows may repeat a (ci, v) key across flush generations —
+    // fold them exactly like the downstream groupBy does
+    out.toSeq.groupBy(r => (r.getInt(0), if (r.isNullAt(1)) None
+        else Some(java.lang.Double.doubleToLongBits(r.getDouble(1)))))
+      .map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }
+  }
+
+  private def oracle(values: Seq[Seq[java.lang.Double]], nCols: Int)
+      : Map[(Int, Option[Long]), Long] =
+    (0 until nCols).flatMap { ci =>
+      values.map(_(ci)).groupBy(v => Option(v).map(d =>
+          java.lang.Double.doubleToLongBits(
+            if (d == 0.0) 0.0 else d.doubleValue())))
+        .map { case (v, vs) => (ci, v) -> vs.size.toLong }
+    }.toMap
+
+  test("matches plain groupBy incl. nulls, -0.0 and NaN folding") {
+    val vals: Seq[Seq[java.lang.Double]] = Seq(
+      Seq(1.0, 2.0), Seq(1.0, null), Seq(-0.0, 3.5), Seq(0.0, 3.5),
+      Seq(Double.NaN, null), Seq(Double.NaN, 2.0), Seq(null, 2.0))
+    assert(run(vals, 2, 1 << 4, 1 << 4) === oracle(vals, 2))
+  }
+
+  test("freeze + sort-flush paths are exact at adversarial caps") {
+    val rnd = new scala.util.Random(42)
+    // 20k rows over ~3k distinct per column: map cap 64 forces freeze
+    // almost immediately; buffer cap 128 forces ~150 sort-flushes
+    val vals: Seq[Seq[java.lang.Double]] = (0 until 20000).map { _ =>
+      Seq[java.lang.Double](
+        rnd.nextInt(3000).toDouble,
+        if (rnd.nextInt(50) == 0) null else rnd.nextInt(10).toDouble)
+    }
+    for ((mm, bc) <- Seq((64, 128), (1 << 20, 1 << 20), (64, 1 << 20)))
+      assert(run(vals, 2, mm, bc) === oracle(vals, 2), s"caps mm=$mm bc=$bc")
+  }
+
+  test("numericBaseStats end-to-end equals SQL aggregation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 5000).map { i =>
+      (if (i % 97 == 0) None else Some(rnd.nextInt(40).toDouble),
+        rnd.nextDouble() * 1e6)
+    }.toDF("a", "b")
+    val got = Profiler.numericBaseStats(df, Seq("a", "b"))
+      .orderBy("column_name").collect()
+    val want = df.select(
+      count(lit(1)), count($"a"), countDistinct($"a"), min($"a"), max($"a"),
+      count(lit(1)), count($"b"), countDistinct($"b"), min($"b"), max($"b"))
+      .head()
+    assert(got(0) === Row("a", want.getLong(0), want.getLong(1),
+      want.getLong(2), want.getDouble(3), want.getDouble(4)))
+    assert(got(1) === Row("b", want.getLong(5), want.getLong(6),
+      want.getLong(7), want.getDouble(8), want.getDouble(9)))
+  }
+}
