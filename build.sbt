@@ -39,4 +39,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // is actually full (seen as "Retried waiting for GCLocker too often")
   "-XX:+UnlockDiagnosticVMOptions",
   "-XX:GCLockerRetryAllocationCount=100",
+  // Parallel (throughput) collector: G1 is the JDK default, but these
+  // mains are pure batch — task-metric GC time at sf10 showed 80-100
+  // aggregate task-seconds of G1 pauses inside single join+agg stages
+  // (q2 first pass 31 s -> 4 s, q8 min 2.8 -> 1.2 s under Parallel).
+  // A latency-sensitive deployment of the server would pick G1 back via
+  // SPARK_GRAFT_GC=UseG1GC.
+  s"-XX:+${sys.env.getOrElse("SPARK_GRAFT_GC", "UseParallelGC")}",
 )

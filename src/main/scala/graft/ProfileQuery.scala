@@ -97,6 +97,21 @@ object ProfileQuery {
             .GenericInternalRow(Array[Any](s)))
         }.agg(sum("s"))
       }),
+      "_q2b" -> ((s, dir) => {
+        val li = core.Tables.df(s, dir, "lineitem")
+        val o = core.Tables.df(s, dir, "orders")
+        val c = core.Tables.df(s, dir, "customer")
+        val perOrder = li.groupBy("l_orderkey")
+          .agg(sum(Queries.revUnscaled).as("rev_u"))
+        perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
+          .join(c.select("c_custkey", "c_mktsegment").hint("shuffle_hash"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            Queries.sumUnscaled4(col("rev_u")).as("revenue"),
+            count(lit(1)).cast(LongType).as("n_orders"))
+          .orderBy("c_mktsegment")
+      }),
       "_hist_ep" -> ((s, dir) => graft.engine.profile.Profiler.numericBaseStats(
         core.Tables.df(s, dir, "lineitem"), Seq("l_extendedprice"))),
       "_hist_qty" -> ((s, dir) => graft.engine.profile.Profiler.numericBaseStats(
