@@ -46,4 +46,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // A latency-sensitive deployment of the server would pick G1 back via
   // SPARK_GRAFT_GC=UseG1GC.
   s"-XX:+${sys.env.getOrElse("SPARK_GRAFT_GC", "UseParallelGC")}",
+  // query bursts allocate short-lived row buffers far faster than the
+  // default 1/3-heap young gen absorbs, so survivors promote and every
+  // other sf10 pass ate a full collection (p7: 600 task-s of GC in one
+  // stage). Half-heap young gen keeps the churn young; old gen still
+  // holds 2x the sf10 table caches.
+  s"-XX:NewRatio=${sys.env.getOrElse("SPARK_GRAFT_NEWRATIO", "1")}",
 )
