@@ -49,7 +49,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // query bursts allocate short-lived row buffers far faster than the
   // default 1/3-heap young gen absorbs, so survivors promote and every
   // other sf10 pass ate a full collection (p7: 600 task-s of GC in one
-  // stage). Half-heap young gen keeps the churn young; old gen still
-  // holds 2x the sf10 table caches.
-  s"-XX:NewRatio=${sys.env.getOrElse("SPARK_GRAFT_NEWRATIO", "1")}",
+  // stage). A PINNED half-heap young gen keeps the churn young (NewRatio
+  // alone is overridden by UseAdaptiveSizePolicy, which shrank it back);
+  // old gen still holds ~3x the sf10 table caches.
+  s"-Xmn${sys.env.getOrElse("SPARK_GRAFT_YOUNG", "32g")}",
+  "-XX:-UseAdaptiveSizePolicy",
 )
