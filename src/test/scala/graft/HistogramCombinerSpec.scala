@@ -55,6 +55,30 @@ class HistogramCombinerSpec extends SparkSpec {
       assert(run(vals, 2, mm, bc) === oracle(vals, 2), s"caps mm=$mm bc=$bc")
   }
 
+  test("property: random values/specials/caps always match the oracle") {
+    val gen = new scala.util.Random(1234)
+    for (trial <- 0 until 25) {
+      val nCols = 1 + gen.nextInt(3)
+      val n = 1 + gen.nextInt(4000)
+      val vals: Seq[Seq[java.lang.Double]] = (0 until n).map { _ =>
+        (0 until nCols).map { _ =>
+          gen.nextInt(8) match {
+            case 0 => null
+            case 1 => java.lang.Double.valueOf(0.0)
+            case 2 => java.lang.Double.valueOf(-0.0)
+            case 3 => java.lang.Double.valueOf(Double.NaN)
+            case 4 => java.lang.Double.valueOf(gen.nextInt(5).toDouble)
+            case _ => java.lang.Double.valueOf(gen.nextDouble() * 1e9)
+          }
+        }
+      }
+      val mm = 1 << (2 + gen.nextInt(8))
+      val bc = 1 << (2 + gen.nextInt(10))
+      assert(run(vals, nCols, mm, bc) === oracle(vals, nCols),
+        s"trial=$trial n=$n cols=$nCols mm=$mm bc=$bc")
+    }
+  }
+
   test("numericBaseStats end-to-end equals SQL aggregation") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
