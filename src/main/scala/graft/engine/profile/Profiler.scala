@@ -120,34 +120,63 @@ object Profiler {
     val sizes = new Array[Int](nCols)
     val caps = new Array[Int](nCols) // slot count (array length / 2)
     val frozen = new Array[Boolean](nCols)
-    val bufs = new Array[Array[Double]](nCols)
+    val bufs = new Array[Array[Long]](nCols) // raw doubleToRawLongBits
     val bufLens = new Array[Int](nCols)
     def reset(ci: Int, cap: Int): Unit = {
       tabs(ci) = new Array[Long](cap << 1); sizes(ci) = 0; caps(ci) = cap
     }
     (0 until nCols).foreach(reset(_, 1 << 10))
+    // flush = group equal bit patterns and emit runs. Equal values only
+    // need to be ADJACENT (the rows feed a groupBy), not globally
+    // ordered, so: hash-scatter into 256 buckets (two sequential passes)
+    // and sort each ~n/256-value bucket while it sits in cache — one big
+    // dual-pivot sort of a DRAM-sized array paid random-access latency
+    // on every partition exchange level.
     def sortFlush(ci: Int): Unit = {
       val b = bufs(ci); val n = bufLens(ci)
       if (n == 0) return
-      java.util.Arrays.sort(b, 0, n)
+      val counts = new Array[Int](257)
       var i = 0
       while (i < n) {
-        val bits = java.lang.Double.doubleToRawLongBits(b(i))
-        var j = i + 1
-        while (j < n && java.lang.Double.doubleToRawLongBits(b(j)) == bits) j += 1
-        flushed += emit(ci, bits, (j - i).toLong)
-        i = j
+        counts((((b(i) * -7046029254386353131L) >>> 56).toInt & 255) + 1) += 1
+        i += 1
+      }
+      i = 1
+      while (i < 257) { counts(i) += counts(i - 1); i += 1 }
+      val cur = java.util.Arrays.copyOf(counts, 256)
+      val aux = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        val bkt = ((b(i) * -7046029254386353131L) >>> 56).toInt & 255
+        aux(cur(bkt)) = b(i); cur(bkt) += 1
+        i += 1
+      }
+      var bkt = 0
+      while (bkt < 256) {
+        val from = counts(bkt); val to = counts(bkt + 1)
+        if (to > from) {
+          java.util.Arrays.sort(aux, from, to)
+          var i2 = from
+          while (i2 < to) {
+            val bits = aux(i2)
+            var j = i2 + 1
+            while (j < to && aux(j) == bits) j += 1
+            flushed += emit(ci, bits, (j - i2).toLong)
+            i2 = j
+          }
+        }
+        bkt += 1
       }
       bufLens(ci) = 0
     }
-    def append(ci: Int, v: Double): Unit = {
+    def append(ci: Int, bits: Long): Unit = {
       var b = bufs(ci)
-      if (b == null) { b = new Array[Double](1 << 16); bufs(ci) = b }
+      if (b == null) { b = new Array[Long](1 << 16); bufs(ci) = b }
       else if (bufLens(ci) == b.length) {
         if (b.length >= bufferCap) { sortFlush(ci) }
         else { b = java.util.Arrays.copyOf(b, b.length << 1); bufs(ci) = b }
       }
-      b(bufLens(ci)) = v; bufLens(ci) += 1
+      b(bufLens(ci)) = bits; bufLens(ci) += 1
     }
     // probe: returns true when combined into the table (or inserted)
     def probe(ci: Int, bits: Long, c: Long, insertIfAbsent: Boolean): Boolean = {
@@ -189,12 +218,11 @@ object Profiler {
           val v = if (raw == 0.0d) 0.0d
             else if (raw != raw) Double.NaN // canonical NaN bits
             else raw
+          val bits = java.lang.Double.doubleToRawLongBits(v)
           if (frozen(ci)) {
             // hot keys still combine in the frozen map; new values buffer
-            if (!probe(ci, java.lang.Double.doubleToRawLongBits(v), 1L,
-                insertIfAbsent = false)) append(ci, v)
-          } else probe(ci, java.lang.Double.doubleToRawLongBits(v), 1L,
-            insertIfAbsent = true)
+            if (!probe(ci, bits, 1L, insertIfAbsent = false)) append(ci, bits)
+          } else probe(ci, bits, 1L, insertIfAbsent = true)
         }
         ci += 1
       }
