@@ -46,6 +46,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // A latency-sensitive deployment of the server would pick G1 back via
   // SPARK_GRAFT_GC=UseG1GC.
   s"-XX:+${sys.env.getOrElse("SPARK_GRAFT_GC", "UseParallelGC")}",
+  // 83 oracle queries x several codegen classes each fills the default
+  // 240 MB code cache mid-sweep; once it sweeps/disables compilation,
+  // later queries run partially interpreted (p7 read 0.84 s isolated vs
+  // 4.1 s late-sweep with identical heap state)
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "1g")}",
   // query bursts allocate short-lived row buffers far faster than the
   // default 1/3-heap young gen absorbs, so survivors promote and every
   // other sf10 pass ate a full collection (p7: 600 task-s of GC in one
