@@ -23,6 +23,29 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Resolved heap + the collector choice drive the generation sizing
+// below: a fixed -Xmn32g on a smaller SPARK_DRIVER_MEM would fail JVM
+// startup (young gen > heap), so the young-gen default is HALF the
+// resolved heap, and the pin is only emitted for the Parallel
+// collector — under G1 a pinned -Xmn silently disables the adaptive
+// young sizing G1's pause model depends on.
+val graftHeap = sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")
+def graftHalfHeap(h: String): String = "^(\\d+)([gGmMkK])$".r
+  .findFirstMatchIn(h.trim)
+  .map(m => s"${math.max(1L, m.group(1).toLong / 2)}${m.group(2)}")
+  .getOrElse("32g")
+val graftGc = sys.env.getOrElse("SPARK_GRAFT_GC", "UseParallelGC")
+val graftYoungOpts =
+  if (graftGc == "UseParallelGC")
+    // query bursts allocate short-lived row buffers far faster than the
+    // default 1/3-heap young gen absorbs, so survivors promote and every
+    // other sf10 pass ate a full collection (p7: 600 task-s of GC in one
+    // stage). A PINNED half-heap young gen keeps the churn young
+    // (NewRatio alone is overridden by UseAdaptiveSizePolicy, which
+    // shrank it back); old gen still holds ~3x the sf10 table caches.
+    Seq(s"-Xmn${sys.env.getOrElse("SPARK_GRAFT_YOUNG", graftHalfHeap(graftHeap))}",
+      "-XX:-UseAdaptiveSizePolicy")
+  else Seq.empty
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
@@ -32,7 +55,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // sf10 section ran in permanent eviction (sweep times up to 3.8x the
   // same query isolated — round-9 x39 read 28.9 s vs 7.6 s isolated).
   // The box has 128 GiB; headroom is cheaper than recomputation.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  s"-Xmx$graftHeap",
   // 32 executor threads hitting native gzip/snappy critical sections
   // starve allocations behind the GCLocker; the JDK default (2 retries)
   // surfaces as a spurious "Java heap space" OOM long before the heap
@@ -45,18 +68,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (q2 first pass 31 s -> 4 s, q8 min 2.8 -> 1.2 s under Parallel).
   // A latency-sensitive deployment of the server would pick G1 back via
   // SPARK_GRAFT_GC=UseG1GC.
-  s"-XX:+${sys.env.getOrElse("SPARK_GRAFT_GC", "UseParallelGC")}",
+  s"-XX:+$graftGc",
   // 83 oracle queries x several codegen classes each fills the default
   // 240 MB code cache mid-sweep; once it sweeps/disables compilation,
   // later queries run partially interpreted (p7 read 0.84 s isolated vs
   // 4.1 s late-sweep with identical heap state)
   s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "1g")}",
-  // query bursts allocate short-lived row buffers far faster than the
-  // default 1/3-heap young gen absorbs, so survivors promote and every
-  // other sf10 pass ate a full collection (p7: 600 task-s of GC in one
-  // stage). A PINNED half-heap young gen keeps the churn young (NewRatio
-  // alone is overridden by UseAdaptiveSizePolicy, which shrank it back);
-  // old gen still holds ~3x the sf10 table caches.
-  s"-Xmn${sys.env.getOrElse("SPARK_GRAFT_YOUNG", "32g")}",
-  "-XX:-UseAdaptiveSizePolicy",
-)
+) ++ graftYoungOpts

@@ -96,10 +96,20 @@ object Profiler {
     *    cheaper than probing DRAM. Hot keys already in the frozen map
     *    still combine in place.
     *
-    * Memory stays bounded like any map-side combiner: a buffer reaching
-    * [[HistBufferCap]] sort-flushes its runs and resets; duplicates
-    * across map/buffer/flushes (and across partitions) are resolved by
-    * the exact groupBy rollup above, so results are bit-identical at any
+    * Memory bound, stated precisely: the raw-value buffer is hard-capped
+    * at [[HistBufferCap]] doubles per column (a full buffer sort-flushes
+    * its runs and resets), but the FLUSHED run-length rows themselves
+    * accumulate on heap until partition end — O(distinct values observed
+    * in this partition) rows at ~80-100 B each, ~60 MB for the worst
+    * profiled column (extendedprice, ~600k distinct/partition x 4 cols).
+    * That is the same asymptotic residence as the partial HashAggregate
+    * output this replaced, minus its sort-spill fallback; a column set
+    * whose per-partition distinct count could exceed available heap
+    * would need the flush output streamed incrementally instead (not a
+    * profiled shape — partitions are sized by maxPartitionBytes, which
+    * bounds observed values per partition). Duplicates across
+    * map/buffer/flushes (and across partitions) are resolved by the
+    * exact groupBy rollup above, so results are bit-identical at any
     * flush point. Value normalization matches Spark's group-key rules:
     * -0.0 folds to 0.0 and NaN to the canonical bits. */
   private val HistMaxMapEntries = 1 << 17 // 131k entries = 4 MB table
@@ -107,7 +117,8 @@ object Profiler {
   private[graft] def histogramCombiner(nCols: Int,
       rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
       maxMapEntries: Int = HistMaxMapEntries,
-      bufferCap: Int = HistBufferCap)
+      bufferCap: Int = HistBufferCap,
+      onMidFlush: () => Unit = () => ())
       : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -171,10 +182,17 @@ object Profiler {
     }
     def append(ci: Int, bits: Long): Unit = {
       var b = bufs(ci)
-      if (b == null) { b = new Array[Long](1 << 16); bufs(ci) = b }
-      else if (bufLens(ci) == b.length) {
-        if (b.length >= bufferCap) { sortFlush(ci) }
-        else { b = java.util.Arrays.copyOf(b, b.length << 1); bufs(ci) = b }
+      // initial allocation honors small caps, so a tiny bufferCap really
+      // exercises mid-stream flushes (ADVICE round 10: a fixed 1<<16
+      // floor made every sub-65536 cap a no-op in tests)
+      if (b == null) {
+        b = new Array[Long](math.min(1 << 16, bufferCap)); bufs(ci) = b
+      } else if (bufLens(ci) == b.length) {
+        if (b.length >= bufferCap) { sortFlush(ci); onMidFlush() }
+        else {
+          b = java.util.Arrays.copyOf(b, math.min(b.length << 1, bufferCap))
+          bufs(ci) = b
+        }
       }
       b(bufLens(ci)) = bits; bufLens(ci) += 1
     }

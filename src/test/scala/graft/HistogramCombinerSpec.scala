@@ -13,12 +13,16 @@ import graft.engine.profile.Profiler
 class HistogramCombinerSpec extends SparkSpec {
 
   private def run(values: Seq[Seq[java.lang.Double]], nCols: Int,
-      maxMap: Int, bufCap: Int): Map[(Int, Option[Long]), Long] = {
+      maxMap: Int, bufCap: Int,
+      midFlushes: java.util.concurrent.atomic.AtomicInteger =
+        new java.util.concurrent.atomic.AtomicInteger)
+      : Map[(Int, Option[Long]), Long] = {
     val rows: Iterator[InternalRow] = values.iterator.map { vs =>
       new GenericInternalRow(vs.map(v =>
         if (v == null) null else v.doubleValue()).toArray[Any])
     }
-    val out = Profiler.histogramCombiner(nCols, rows, maxMap, bufCap)
+    val out = Profiler.histogramCombiner(nCols, rows, maxMap, bufCap,
+      () => { midFlushes.incrementAndGet(); () })
     // partial rows may repeat a (ci, v) key across flush generations —
     // fold them exactly like the downstream groupBy does
     out.toSeq.groupBy(r => (r.getInt(0), if (r.isNullAt(1)) None
@@ -45,14 +49,24 @@ class HistogramCombinerSpec extends SparkSpec {
   test("freeze + sort-flush paths are exact at adversarial caps") {
     val rnd = new scala.util.Random(42)
     // 20k rows over ~3k distinct per column: map cap 64 forces freeze
-    // almost immediately; buffer cap 128 forces ~150 sort-flushes
+    // almost immediately; buffer cap 128 (the buffer is allocated at
+    // min(1<<16, cap), so small caps genuinely bind) forces a mid-stream
+    // sort-flush roughly every 128 buffered values — ~140 flushes here,
+    // asserted below so this path can never silently stop running
     val vals: Seq[Seq[java.lang.Double]] = (0 until 20000).map { _ =>
       Seq[java.lang.Double](
         rnd.nextInt(3000).toDouble,
         if (rnd.nextInt(50) == 0) null else rnd.nextInt(10).toDouble)
     }
-    for ((mm, bc) <- Seq((64, 128), (1 << 20, 1 << 20), (64, 1 << 20)))
-      assert(run(vals, 2, mm, bc) === oracle(vals, 2), s"caps mm=$mm bc=$bc")
+    for ((mm, bc) <- Seq((64, 128), (1 << 20, 1 << 20), (64, 1 << 20))) {
+      val flushes = new java.util.concurrent.atomic.AtomicInteger
+      assert(run(vals, 2, mm, bc, flushes) === oracle(vals, 2),
+        s"caps mm=$mm bc=$bc")
+      if (bc == 128) assert(flushes.get > 50,
+        s"buffer cap $bc must force mid-stream flushes, saw ${flushes.get}")
+      else assert(flushes.get == 0,
+        s"large cap $bc unexpectedly flushed ${flushes.get} times")
+    }
   }
 
   test("property: random values/specials/caps always match the oracle") {
