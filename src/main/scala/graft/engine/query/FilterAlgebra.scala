@@ -228,12 +228,112 @@ object FilterAlgebra {
     else keys
   }
 
+  /** Bitmap tier of the ref-filter size gates. When both key columns are
+    * integral and the ref key set both COUNTS under
+    * [[RefBitmapMaxKeys]] and SPANS a range whose dense bitmap fits
+    * [[RefBitmapMaxBytes]], membership skips the join entirely: two
+    * small jobs against the (dim-sized, typically cached) ref side —
+    * min/max/count, then a primitive-array key collect — build an exact
+    * bitmap that the fact scan probes map-side in whole-stage codegen
+    * ([[org.apache.spark.sql.graftshim.GraftExpressions.LongKeyInBitmap]]).
+    * The fact side then materializes NO joined rows: at sf10 the
+    * SortMergeJoin LeftOuter it replaces copied 60M joined rows per pass
+    * — pure young-gen garbage that cost 17-21 task-seconds of GC
+    * isolated and multiplied under the bench sweep's pre-filled heap
+    * (p7 read 4-5 s mid-sweep vs 0.8-2.0 s isolated; the bitmap is
+    * 1.9 MB and L2-resident). At 100 TB this is the classic semi-join
+    * reduction: ship a compact exact filter to the fact scan instead of
+    * shuffling — or hash-joining — the fact. Sparse, huge, or
+    * non-integral key sets fall back to the join tier below. */
+  private val RefBitmapMaxBytes: Long =
+    sys.env.get("SPARK_GRAFT_REF_BITMAP_MAX_BYTES").map(_.toLong)
+      .getOrElse(64L << 20)
+  private val RefBitmapMaxKeys: Long =
+    sys.env.get("SPARK_GRAFT_REF_BITMAP_MAX_KEYS").map(_.toLong)
+      .getOrElse(32L * 1000 * 1000)
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Builds the (min, bitmap-words) pair for the ref key set, or None
+    * when any gate fails. An empty ref side returns an empty bitmap
+    * (matches-nothing), not None — the join would also match nothing. */
+  private def refKeyBitmap(refDf: org.apache.spark.sql.DataFrame,
+      refColumn: String): Option[(Long, Array[Long])] = {
+    if (!isIntegral(refDf.schema(refColumn).dataType)) return None
+    // free pre-gate so an obviously table-sized ref skips the agg job;
+    // generous 16x slack because a filtered subquery's estimate is rough
+    val stats = refDf.queryExecution.optimizedPlan.stats
+    val approxRows: BigInt = stats.rowCount.getOrElse(stats.sizeInBytes / 16)
+    if (approxRows > BigInt(16L * RefBitmapMaxKeys)) return None
+    val k = col(refColumn).cast(LongType)
+    val r = refDf.agg(count(k).as("n"), min(k).as("lo"), max(k).as("hi")).head()
+    val n = r.getLong(0)
+    if (n == 0) return Some((0L, Array.empty[Long]))
+    if (n > RefBitmapMaxKeys) return None
+    val lo = r.getLong(1); val hi = r.getLong(2)
+    val span = hi - lo + 1 // wraps negative when the true span overflows
+    if (span <= 0 || span > (RefBitmapMaxBytes << 3)) return None
+    val words = new Array[Long](((span + 63) >>> 6).toInt)
+    // per-partition primitive long arrays: no Row boxing on the collect
+    // (n is gated, so the transient driver footprint is <= 8n bytes)
+    val parts: Array[Array[Long]] = refDf
+      .filter(col(refColumn).isNotNull).select(k.as("k"))
+      .queryExecution.toRdd.mapPartitions { it =>
+        val b = new scala.collection.mutable.ArrayBuilder.ofLong
+        while (it.hasNext) b += it.next().getLong(0)
+        Iterator(b.result())
+      }.collect()
+    parts.foreach { arr =>
+      var i = 0
+      while (i < arr.length) {
+        val off = arr(i) - lo
+        words((off >>> 6).toInt) |= 1L << (off & 63)
+        i += 1
+      }
+    }
+    Some((lo, words))
+  }
+
+  /** The map-side membership Column for the bitmap tier, or None when
+    * either column is non-integral or the ref set fails the gates.
+    * Null fact keys evaluate null — callers coalesce per semantics. */
+  private def refMembershipExpr(df: org.apache.spark.sql.DataFrame,
+      column: String, refDf: org.apache.spark.sql.DataFrame,
+      refColumn: String): Option[Column] = {
+    val factIntegral =
+      Try(isIntegral(df.schema(column).dataType)).getOrElse(false)
+    if (!factIntegral) return None
+    refKeyBitmap(refDf, refColumn).map { case (lo, words) =>
+      org.apache.spark.sql.graftshim.Shim.column(
+        org.apache.spark.sql.graftshim.GraftExpressions.LongKeyInBitmap(
+          org.apache.spark.sql.graftshim.Shim.expression(
+            col(column).cast(LongType)), lo, words))
+    }
+  }
+
   /** P7 (parity-plus — declared in proto/table.proto:469-484, never
     * implemented by the reference): IN / NOT_IN filters against another
-    * table's column, as semi/anti joins (never a collected value list —
-    * the ref table may be huge; the key set is counted and broadcast
-    * only while it fits, see [[maybeBroadcastKeys]]). */
+    * table's column, as semi/anti joins (never a collected value LIST in
+    * the plan — the ref table may be huge; the key set goes through the
+    * bitmap tier when it fits [[refKeyBitmap]]'s gates, else is counted
+    * and broadcast only while it fits, see [[maybeBroadcastKeys]]). */
   def refTableFilter(df: org.apache.spark.sql.DataFrame,
+      column: String, refDf: org.apache.spark.sql.DataFrame,
+      refColumn: String, negate: Boolean = false): org.apache.spark.sql.DataFrame =
+    refMembershipExpr(df, column, refDf, refColumn) match {
+      case Some(hit) =>
+        // anti keeps null fact keys (a null never matches), so the null
+        // membership must coalesce to false before negation
+        df.filter(if (negate) !coalesce(hit, lit(false)) else hit)
+      case None => refTableFilterJoin(df, column, refDf, refColumn, negate)
+    }
+
+  /** Join tier of [[refTableFilter]] (also the property-test oracle for
+    * the bitmap tier). */
+  private[graft] def refTableFilterJoin(df: org.apache.spark.sql.DataFrame,
       column: String, refDf: org.apache.spark.sql.DataFrame,
       refColumn: String, negate: Boolean = false): org.apache.spark.sql.DataFrame = {
     val keys = maybeBroadcastKeys(
@@ -242,13 +342,26 @@ object FilterAlgebra {
   }
 
   /** Both sides of [[refTableFilter]] in ONE pass: every row tagged with
-    * membership mode ("in"/"not_in") via a single left join against the
-    * distinct ref keys, instead of a semi-join scan plus an anti-join
-    * scan. Downstream rollups that want both partitions group on `mode`
-    * and pay one scan of the (possibly 100 TB) fact side, not two — and
-    * with the key set broadcast (size-gated), that scan never shuffles:
-    * membership is tagged map-side and only agg partials move. */
+    * membership mode ("in"/"not_in"). On the bitmap tier the tag is a
+    * pure map-side expression — one scan of the (possibly 100 TB) fact
+    * side, no join at all; past the gates it degrades to a single left
+    * join against the distinct ref keys (broadcast while THOSE fit,
+    * see [[maybeBroadcastKeys]]) instead of a semi-join scan plus an
+    * anti-join scan. */
   def refTableMembership(df: org.apache.spark.sql.DataFrame,
+      column: String, refDf: org.apache.spark.sql.DataFrame,
+      refColumn: String, modeCol: String = "mode"): org.apache.spark.sql.DataFrame =
+    refMembershipExpr(df, column, refDf, refColumn) match {
+      case Some(hit) =>
+        // null fact key -> hit is null -> when() falls through: not_in,
+        // identical to the left join's null __ref_hit
+        df.withColumn(modeCol, when(hit, "in").otherwise("not_in"))
+      case None => refTableMembershipJoin(df, column, refDf, refColumn, modeCol)
+    }
+
+  /** Join tier of [[refTableMembership]] (also the property-test oracle
+    * for the bitmap tier). */
+  private[graft] def refTableMembershipJoin(df: org.apache.spark.sql.DataFrame,
       column: String, refDf: org.apache.spark.sql.DataFrame,
       refColumn: String, modeCol: String = "mode"): org.apache.spark.sql.DataFrame = {
     val keys = maybeBroadcastKeys(

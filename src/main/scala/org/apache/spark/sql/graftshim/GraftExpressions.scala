@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -1402,6 +1402,109 @@ object GraftExpressions {
     new GenericArrayData(out.toArray)
   }
 
+  /** Per-document term counts in one pass — the same tokenization as
+    * [[tokensEval]] (lowercase, split on space runs, drop empties) but
+    * counted doc-locally into a first-occurrence-ordered map. This is
+    * the zero-shuffle form of `explode(split(...)) + groupBy(doc, term)`:
+    * a document's terms never leave the row, so the (doc, term) tf frame
+    * needs NO exchange at all — at corpus scale the groupBy it replaces
+    * shuffled O(corpus tokens). Keys are unique by construction, so a
+    * downstream explode is already the deduped tf frame. */
+  def termCountsEval(s: UTF8String): ArrayBasedMapData = {
+    val str = s.toLowerCase.toString
+    val n = str.length
+    val m = new java.util.LinkedHashMap[String, java.lang.Long](16)
+    var i = 0
+    var start = -1
+    while (i <= n) {
+      val isSpace = i == n || str.charAt(i) == ' '
+      if (!isSpace) { if (start < 0) start = i }
+      else if (start >= 0) {
+        val term = str.substring(start, i)
+        val prev = m.get(term)
+        m.put(term, if (prev == null) 1L else prev.longValue() + 1L)
+        start = -1
+      }
+      i += 1
+    }
+    val k = new Array[Any](m.size)
+    val v = new Array[Any](m.size)
+    var j = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      k(j) = UTF8String.fromString(e.getKey)
+      v(j) = e.getValue.longValue()
+      j += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(k), new GenericArrayData(v))
+  }
+
+  /** `term_counts(text) -> map<term, tf>`; see [[termCountsEval]]. */
+  case class TermCounts(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType =
+      MapType(StringType, LongType, valueContainsNull = false)
+    override def prettyName: String = "term_counts"
+
+    override def nullSafeEval(s: Any): Any =
+      termCountsEval(s.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.termCountsEval($s);"
+      })
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def termLookupEval(term: UTF8String,
+      map: java.util.HashMap[UTF8String, java.lang.Double]): Double = {
+    val v = map.get(term)
+    // misses are impossible when the table was built from the same frame
+    // (the unigram-ppl contract); NaN is a loud canary, not a value the
+    // pipeline can silently absorb
+    if (v == null) Double.NaN else v.doubleValue()
+  }
+
+  /** `term_lookup(term) -> double` against a driver-built (term, value)
+    * table embedded in the plan (ships once per stage in the task-binary
+    * broadcast). The scalar-lookup half of the small-vocabulary unigram
+    * model: O(1) hash probe per row instead of a per-term window or join
+    * over the corpus-sized tf frame. Gated by the caller on vocabulary
+    * size — a web-scale vocabulary takes the join formulation instead. */
+  case class TermLookup(child: Expression, entries: Seq[(String, Double)])
+      extends UnaryExpression with ExpectsInputTypes {
+
+    @transient private lazy val table: java.util.HashMap[UTF8String, java.lang.Double] = {
+      val m = new java.util.HashMap[UTF8String, java.lang.Double](
+        math.max(16, entries.size * 2))
+      entries.foreach { case (t, d) =>
+        m.put(UTF8String.fromString(t), java.lang.Double.valueOf(d))
+      }
+      m
+    }
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "term_lookup"
+
+    override def nullSafeEval(t: Any): Any =
+      termLookupEval(t.asInstanceOf[UTF8String], table)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        val ref = ctx.addReferenceObj("termTable", table, "java.util.HashMap")
+        s"${ev.value} = $cls.termLookupEval($t, $ref);"
+      })
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** One-pass whitespace tokenizer (§2.9) — parity pin vs the
     * filter(split(trim)) HOF chain in FunctionsSpec; the first
     * projection of the substring-dedup / boilerplate paths. */
@@ -2049,6 +2152,46 @@ object GraftExpressions {
       c += 1
     }
     ids(best)
+  }
+
+  /** Probe half of FilterAlgebra's bitmap semi-join reduction (P7):
+    * exact membership of an integral key in a dense bitmap of the
+    * ref-table key set. `words` covers keys in
+    * [min, min + words.length*64); anything outside is absent. One
+    * cache-resident load + bit test per row inside whole-stage codegen —
+    * this replaces a SortMergeJoin LeftOuter whose per-row joined-row
+    * copies were pure young-gen garbage on the 100 TB-shaped fact side
+    * (measured at sf10: 17-21 task-seconds of GC in 2 of 3 passes,
+    * worse mid-sweep). Null keys propagate null; callers coalesce per
+    * semi/anti semantics. The bitmap ships once per stage inside the
+    * task binary broadcast, like any plan constant. */
+  case class LongKeyInBitmap(child: Expression, min: Long, words: Array[Long])
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "long_key_in_bitmap"
+
+    override def nullSafeEval(v: Any): Any =
+      bitmapContains(v.asInstanceOf[Long], min, words)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        val ref = ctx.addReferenceObj("refBitmap", words, "long[]")
+        s"${ev.value} = $cls.bitmapContains($a, ${min}L, $ref);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): LongKeyInBitmap =
+      copy(child = newChild)
+  }
+
+  /** Bit test behind [[LongKeyInBitmap]]. `key - min` wrap-around is
+    * safe: a true difference >= 2^63 wraps negative and reads absent. */
+  def bitmapContains(key: Long, min: Long, words: Array[Long]): Boolean = {
+    val off = key - min
+    off >= 0 && off < (words.length.toLong << 6) &&
+      ((words((off >>> 6).toInt) >>> (off & 63)) & 1L) != 0L
   }
 
   /** `nearest_centroid(vec) -> centroid id` over an embedded (id, vector)

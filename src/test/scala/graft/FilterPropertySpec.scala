@@ -55,10 +55,14 @@ object FilterPropertySpec extends Properties("FilterAlgebra") {
       got == expect
     }
 
+  // int keys in [-20,20] take the bitmap tier (negative min exercised);
+  // the package-private *Join variants are the join-tier oracle, and the
+  // Scala set model pins both
   property("refTableMembership partitions = semi-join + anti-join") =
     Prop.forAll(rowsGen, Gen.listOf(Gen.choose(-20, 20))) { (xs, refs) =>
       val df = xs.toDF("x")
       val ref = refs.toDF("k")
+      val refSet = refs.toSet
       val tagged = FilterAlgebra.refTableMembership(df, "x", ref, "k")
       val inGot = tagged.filter(org.apache.spark.sql.functions.col("mode") === "in")
         .select("x").as[Int].collect().sorted.toSeq
@@ -68,8 +72,37 @@ object FilterPropertySpec extends Properties("FilterAlgebra") {
         .as[Int].collect().sorted.toSeq
       val notAnti = FilterAlgebra.refTableFilter(df, "x", ref, "k", negate = true)
         .as[Int].collect().sorted.toSeq
+      val inJoin = FilterAlgebra.refTableFilterJoin(df, "x", ref, "k")
+        .as[Int].collect().sorted.toSeq
+      val notJoin = FilterAlgebra.refTableFilterJoin(df, "x", ref, "k", negate = true)
+        .as[Int].collect().sorted.toSeq
+      val taggedJoin = FilterAlgebra.refTableMembershipJoin(df, "x", ref, "k")
+      val inJoinTag = taggedJoin.filter(org.apache.spark.sql.functions.col("mode") === "in")
+        .select("x").as[Int].collect().sorted.toSeq
       inGot == inSemi && notGot == notAnti &&
+        inGot == inJoin && notGot == notJoin && inGot == inJoinTag &&
+        inGot == xs.filter(refSet.contains).sorted &&
+        notGot == xs.filterNot(refSet.contains).sorted &&
         inGot.size + notGot.size == xs.size
+    }
+
+  property("refTableFilter bitmap tier handles null keys like the joins") =
+    Prop.forAll(Gen.listOf(Gen.option(Gen.choose(-20, 20))),
+        Gen.listOf(Gen.option(Gen.choose(-20, 20)))) { (xs, refs) =>
+      import org.apache.spark.sql.functions.col
+      val df = xs.map(o => Tuple1(o.map(Integer.valueOf).orNull))
+        .toDF("x").select(col("x").cast("int").as("x"))
+      val ref = refs.map(o => Tuple1(o.map(Integer.valueOf).orNull))
+        .toDF("k").select(col("k").cast("int").as("k"))
+      def vals(d: org.apache.spark.sql.DataFrame): Seq[Option[Int]] =
+        d.collect().toSeq.map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+          .sortBy(_.getOrElse(Int.MinValue))
+      val semi = vals(FilterAlgebra.refTableFilter(df, "x", ref, "k"))
+      val anti = vals(FilterAlgebra.refTableFilter(df, "x", ref, "k", negate = true))
+      val semiJ = vals(FilterAlgebra.refTableFilterJoin(df, "x", ref, "k"))
+      val antiJ = vals(FilterAlgebra.refTableFilterJoin(df, "x", ref, "k", negate = true))
+      // semi drops null fact keys; anti keeps them — both tiers agree
+      semi == semiJ && anti == antiJ
     }
 
   property("NOT IN is the complement of IN") =
