@@ -45,6 +45,20 @@ object GraftFunctions {
   def tokens(text: Column, lower: Boolean = false): Column =
     Shim.column(GraftExpressions.Tokens(Shim.expression(text), lower))
 
+  /** Per-document term counts (lowercased whitespace tokens ->
+    * first-occurrence-ordered map<term, tf>) in one codegen'd pass —
+    * the zero-shuffle form of explode + groupBy(doc, term): a doc's
+    * terms never leave the row (parity test in FunctionsSpec). */
+  def termCounts(text: Column): Column =
+    Shim.column(GraftExpressions.TermCounts(Shim.expression(text)))
+
+  /** O(1) per-row lookup of a driver-built (term -> double) table
+    * embedded in the plan; the small-vocabulary fast path of the
+    * unigram-perplexity scorer (NaN on a miss — impossible when the
+    * table was built from the same frame). */
+  def termLookup(term: Column, entries: Seq[(String, Double)]): Column =
+    Shim.column(GraftExpressions.TermLookup(Shim.expression(term), entries))
+
   /** Gated sequential PII redaction of a text column in one eval
     * (parity test in FunctionsSpec vs the regexp_replace chain). */
   def piiRedact(text: Column): Column =

@@ -432,20 +432,53 @@ object TextAnalysis {
     * tokens + vocab size; one doc-keyed aggregation scores. At 100 TB
     * every stage is O(corpus tokens) with map-side combine — the only
     * global state is the two scalars. */
+  /** Vocabulary-size gate for the embedded-table fast path below: a
+    * 1M-term table is ~tens of MB in the plan (ships once per stage);
+    * a web-scale vocabulary falls back to the windowed formulation. */
+  private val PplVocabMax: Int =
+    sys.env.get("SPARK_GRAFT_PPL_VOCAB_MAX").map(_.toInt).getOrElse(1 << 20)
+
   def unigramPerplexity(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    // Shape note (measured at sf10, 500k docs / 42M tokens): the
-    // (doc, term) tf build dominates; caching tf costs as much as
-    // recomputing it, and replacing the term-window with a
-    // vocabulary-table join measured no better (6.2-6.6 s vs 5.2 s for
-    // this shape) — the tf-weighted sum is pinned by the oracle, so
-    // token-level scoring (which would skip the tf shuffle) is not
-    // fp-safe. Keeping the two-pass window formulation.
+      textCol: String, maxVocab: Int = PplVocabMax): DataFrame = {
+    // Shape (round 11): the (doc, term) tf frame is computed DOC-LOCALLY
+    // by the term_counts kernel — a document's terms never leave the
+    // row, so tf needs no shuffle at all (the old explode + groupBy
+    // shuffled O(corpus tokens), and the corpus-count window that
+    // followed re-shuffled the same frame onto |vocab| keys — at sf10
+    // the bench corpus has 130 distinct terms over 27.5M tokens, so
+    // that window was maximal skew by construction). The corpus term
+    // histogram is a |vocab|-row rollup; under the gate its add-one
+    // NLLs embed in the plan as an O(1)-lookup table and the only
+    // remaining exchange carries one combined row per doc. Oracle fp
+    // parity: -log((ct+1)/denom) is evaluated once per TERM on the
+    // driver with the same Math.log the per-row Catalyst log used, and
+    // the tf-weighted per-doc sum keeps the oracle's (doc, term)
+    // granularity; 4dp rounding absorbs the (already arbitrary)
+    // summation order, as before.
     val tf = df
       .select(col(idCol).as("doc_id"),
-        explode(split(lower(trim(col(textCol))), " +")).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy("doc_id", "term").agg(count(lit(1)).cast(LongType).as("tf"))
+        explode(graft.functions.GraftFunctions.termCounts(col(textCol))))
+      .select(col("doc_id"), col("key").as("term"), col("value").as("tf"))
+    val ct = tf.groupBy("term").agg(sum(col("tf")).as("ct"))
+    val vocab = ct.limit(maxVocab + 1).collect()
+    if (vocab.length > maxVocab) return unigramPerplexityWindowed(tf)
+    val n = vocab.iterator.map(_.getLong(1)).sum
+    val denom = (n + vocab.length).toDouble // N + V
+    val entries = vocab.iterator.map { r =>
+      r.getString(0) -> -math.log((r.getLong(1) + 1d) / denom)
+    }.toSeq
+    val nll = graft.functions.GraftFunctions.termLookup(col("term"), entries)
+    tf.groupBy("doc_id")
+      .agg(
+        sum(col("tf")).cast(LongType).as("n_tokens"),
+        round(sum(col("tf") * nll) / sum(col("tf")), 4).as("mean_nll"))
+  }
+
+  /** Past-the-gate formulation over the same doc-local tf frame: the
+    * corpus term count rides a term-partition window (no vocabulary
+    * materializes anywhere — the right shape when |vocab| is itself
+    * table-sized), then the same per-doc rollup. */
+  private[graft] def unigramPerplexityWindowed(tf: DataFrame): DataFrame = {
     val totals = tf.agg(sum(col("tf")), countDistinct(col("term"))).collect()(0)
     val denom = (totals.getLong(0) + totals.getLong(1)).toDouble // N + V
     val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")

@@ -136,6 +136,23 @@ class FunctionsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("term_counts matches explode+groupBy of the HOF token chain") {
+    val docs = Tables.df(spark, sfDir, "documents").limit(300)
+      .select(col("doc_id"), col("text"))
+      .union(Seq((-1L, ""), (-2L, " a  a b "), (-3L, "A a B b B"),
+        (-4L, "éÜ éü 😀 😀")).toDF("doc_id", "text"))
+    val viaKernel = docs
+      .select(col("doc_id"),
+        explode(GraftFunctions.termCounts(col("text"))))
+      .select(col("doc_id"), col("key"), col("value"))
+    val viaHof = docs
+      .select(col("doc_id"), explode(expr(
+        "filter(split(lower(trim(text)), ' +'), x -> x != '')")).as("key"))
+      .groupBy("doc_id", "key").agg(count(lit(1)).as("value"))
+    assert(viaKernel.exceptAll(viaHof).count() == 0)
+    assert(viaHof.exceptAll(viaKernel).count() == 0)
+  }
+
   test("pii_redact bit-identical to the sequential regexp_replace chain") {
     import graft.pipeline.TextAnalysis
     val docs = Tables.df(spark, sfDir, "documents").limit(300)

@@ -628,6 +628,18 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L, 0.9808), (2L, 2L, 1.1836)))
   }
 
+  test("unigramPerplexity: embedded-table fast path == windowed formulation") {
+    val docs = Tables.df(spark, sfDir, "documents").limit(400)
+      .select(col("doc_id"), col("text"))
+    val fast = TextAnalysis.unigramPerplexity(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    // maxVocab = 1 forces the past-the-gate windowed path on any real corpus
+    val windowed = TextAnalysis.unigramPerplexity(docs, "doc_id", "text",
+        maxVocab = 1)
+      .orderBy("doc_id").collect().toSeq
+    assert(fast.nonEmpty && fast == windowed)
+  }
+
   test("tfIdfTopTerms: rank bounded, df consistent, corpus-wide idf") {
     val docs = Seq(
       (1L, "spark spark engine"),
