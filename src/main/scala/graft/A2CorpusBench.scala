@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Local A/B tool for the a2_base_stats residual (round-10 verdict item:
+  * "demonstrate the real-corpus claim"). NOT part of the driver contract.
+  *
+  * BENCH_NOTES attributes a2's ~5x-twin residual at sf10 to the GenScale
+  * replica corpus: every partition holds the SAME ~600k distinct values,
+  * so the per-partition-deduped (col, value) exchange carries 32x the
+  * global result size while DuckDB merges the 600k in one in-process
+  * hash. This main turns that argument into a measured fact: it
+  * generates a NON-replicated corpus of the same scale (60M rows, 4
+  * numeric columns) whose distinct values are partition-local with a
+  * zipf-ish popularity skew — the shard-covers-its-own-entities shape a
+  * real corpus has — then times the exact a2 plan (min-of-N, cached
+  * table, noop sink) for comparison against the DuckDB twin
+  * (tools/a2_twin.py runs the a2 oracle SQL over the same parquet).
+  *
+  * Column regimes (per 1.875M-row partition, 32 partitions):
+  *  - c_skew:   ~600k-value partition-local alphabet, zipf-biased — the
+  *              extendedprice shape, unreplicated
+  *  - c_unique: near-unique (row-id scaled) — the true high-cardinality
+  *              regime, global distinct ~ rows
+  *  - c_hot:    10k-value partition-local alphabet — hot-key regime
+  *  - c_small:  50 shared values — the l_quantity shape
+  *
+  * Usage: runMain graft.A2CorpusBench gen   <dir>   (writes parquet)
+  *        runMain graft.A2CorpusBench bench <dir> [passes]
+  */
+object A2CorpusBench {
+
+  val Rows: Long = 60L * 1000 * 1000
+  val Parts = 32
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: A2CorpusBench gen|bench <dir> [passes]")
+    val mode = args(0)
+    val dir = args(1)
+    val cpus = Runtime.getRuntime.availableProcessors().toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.locality.wait", "0s")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (mode == "gen") gen(spark, dir) else bench(spark, dir,
+      if (args.length > 2) args(2).toInt else 3)
+    spark.stop()
+  }
+
+  private def gen(spark: SparkSession, dir: String): Unit = {
+    val pid = spark_partition_id().cast("long")
+    // zipf-ish inverse transform: cube of a uniform biases ranks toward 0
+    def zipf(alphabet: Int, seed: Int) =
+      floor(pow(rand(seed), 3.0) * alphabet).cast("long")
+    val df = spark.range(0, Rows, 1, Parts).select(
+      // partition-local 600k alphabet (pid offset) -> unreplicated skew
+      ((pid * 600000L + zipf(600000, 1)) * 0.01).as("c_skew"),
+      // near-unique: the row id itself, scaled
+      (col("id") * 0.0001).as("c_unique"),
+      // partition-local hot 10k alphabet
+      ((pid * 10000L + zipf(10000, 2)) * 0.25).as("c_hot"),
+      // 50 shared values, uniform
+      (floor(rand(3) * 50) + lit(1.0)).as("c_small"))
+    df.write.mode("overwrite").parquet(s"$dir/a2corpus.parquet")
+    println(s"wrote $Rows rows to $dir/a2corpus.parquet")
+  }
+
+  private def bench(spark: SparkSession, dir: String, passes: Int): Unit = {
+    val cols = Seq("c_skew", "c_unique", "c_hot", "c_small")
+    val t = spark.read.parquet(s"$dir/a2corpus.parquet")
+      .repartition(Parts) // same cached-table regime as Bench.runSuite
+      .cache()
+    t.count()
+    def q() = graft.engine.profile.Profiler.numericBaseStats(t, cols)
+      .orderBy("column_name")
+    q().write.mode("overwrite").format("noop").save() // warmup/JIT
+    val times = (1 to passes).map { i =>
+      val t0 = System.nanoTime()
+      q().write.mode("overwrite").format("noop").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"pass $i: $dt%.2f s")
+      dt
+    }
+    println(f"a2corpus spark min-of-$passes: ${times.min}%.2f s")
+  }
+}

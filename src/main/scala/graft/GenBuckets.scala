@@ -25,10 +25,18 @@ import org.apache.spark.sql.SparkSession
   */
 object GenBuckets {
 
-  /** table -> bucket key (the PK-side join keys q2/q4/q8 use). */
+  /** table -> bucket key: the PK-side join keys q2/q4/q8 use, plus
+    * events clustered by user_id — the layout a store serving
+    * user-keyed event analytics would hold (st3's attribution join and
+    * any per-user sessionization then co-partition off the scan: both
+    * sides of the self-join inherit HashPartitioning(user_id), which
+    * satisfies the (user_id, band) clustering, so the two corpus-sized
+    * exchanges disappear; at sf10 those two shuffle writes were 17 of
+    * st3's ~20 task-seconds). */
   val Layout: Map[String, String] = Map(
     "lineitem" -> "l_orderkey",
-    "orders" -> "o_orderkey")
+    "orders" -> "o_orderkey",
+    "events" -> "user_id")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: GenBuckets <dir> [numBuckets]")
@@ -53,6 +61,11 @@ object GenBuckets {
       numBuckets: Int = 32): Unit =
     Layout.foreach { case (table, key) =>
       import java.nio.file.{Files, Paths, StandardCopyOption}
+      // a dir that ships without this table (partial fixtures, dedup
+      // corpora) just doesn't get its layout
+      if (!Files.exists(Paths.get(dir, s"$table.parquet"))) {
+        println(s"skip $table: no flat source under $dir")
+      } else {
       val out = s"$dir/bucketed/$table"
       // Build the NEW layout beside the old one and swap only after the
       // write succeeds: a failure mid-rebuild must leave the previous
@@ -89,6 +102,7 @@ object GenBuckets {
       deleteTree(outPath) // the swap: old out only after the new build
       Files.move(tmpPath, outPath, StandardCopyOption.ATOMIC_MOVE)
       println(s"bucketed $table by $key into $out")
+      }
     }
 
   private def jsonStr(s: String): String =

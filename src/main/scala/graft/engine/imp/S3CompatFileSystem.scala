@@ -1,0 +1,244 @@
+package graft.engine.imp
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, StandardCopyOption}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FSInputStream, FileStatus, FileSystem, Path}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+import graft.server.SigV4
+
+/** S8 — a minimal S3-protocol Hadoop FileSystem, SigV4-signed.
+  *
+  * The production deployment reads object stores through the stock
+  * connectors (hadoop-aws etc., a deploy-time classpath concern — see
+  * [[RemoteIO]]); this class exists so the LIVE remote-I/O leg is
+  * executable in environments that ship no connector jars: it speaks
+  * enough of the S3 REST dialect (SigV4-signed GET / PUT / DELETE /
+  * ListObjectsV2) for `spark.read`/`df.write` over an `s3a://` URL, and
+  * the integration test drives it loopback against the engine's OWN
+  * S3-compatible server (`SqlHttpServer`'s `/s3` surface, itself modeled
+  * on reference: src/routers/s3_compat.py:621-1100) — real HTTP, real
+  * signatures, no egress required. Activate per-session with
+  * `fs.s3a.impl = graft.engine.imp.S3CompatFileSystem`; deployments with
+  * the real connectors simply don't set the override.
+  *
+  * Scope, stated honestly: reads spool the object to local disk before
+  * serving seeks (the same staging discipline as [[RemoteIO]]'s
+  * presigned-HTTP path — one object, not a data path; the production
+  * connector's ranged reads are exactly what the stock s3a client is
+  * for); writes buffer locally and PUT on close; `rename`/`append` are
+  * unsupported (object stores have neither); keys are plain-ASCII (the
+  * canonical-URI form our signer and the server's verifier share).
+  *
+  * Conf keys (the standard s3a names, so [[RemoteIO.applyCredentials]]
+  * wires them unchanged): `fs.s3a.endpoint` (may carry a base path, e.g.
+  * `http://127.0.0.1:8080/s3` — S3-compatible gateways under a path
+  * prefix), `fs.s3a.access.key`, `fs.s3a.secret.key`,
+  * `fs.s3a.endpoint.region` (default us-east-1).
+  */
+final class S3CompatFileSystem extends FileSystem {
+
+  private var fsUri: URI = _
+  private var bucket: String = _
+  private var endpoint: URI = _
+  private var accessKey: String = _
+  private var secretKey: String = _
+  private var region: String = _
+  private var workDir: Path = _
+  private lazy val http = HttpClient.newHttpClient()
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    fsUri = URI.create(s"${name.getScheme}://${name.getAuthority}")
+    bucket = name.getAuthority
+    val ep = conf.get("fs.s3a.endpoint")
+    require(ep != null && ep.nonEmpty,
+      "S3CompatFileSystem needs fs.s3a.endpoint")
+    endpoint = URI.create(ep.stripSuffix("/"))
+    accessKey = conf.get("fs.s3a.access.key", "")
+    secretKey = conf.get("fs.s3a.secret.key", "")
+    region = conf.get("fs.s3a.endpoint.region", "us-east-1")
+    workDir = new Path(fsUri.toString + "/")
+  }
+
+  override def getScheme: String = Option(fsUri).map(_.getScheme).getOrElse("s3a")
+  override def getUri: URI = fsUri
+  override def getWorkingDirectory: Path = workDir
+  override def setWorkingDirectory(dir: Path): Unit = { workDir = dir }
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = true
+  override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException("append: object stores are immutable")
+  override def rename(src: Path, dst: Path): Boolean =
+    throw new UnsupportedOperationException("rename: not an object-store operation")
+
+  /** bucket-relative key of `f` ("" for the bucket root). */
+  private def keyOf(f: Path): String =
+    f.toUri.getPath.stripPrefix("/")
+
+  // ------------------------------------------------------- signed HTTP
+
+  private val AmzFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+
+  /** One signed request. The canonical URI is the endpoint's base path +
+    * /bucket/key (path-style addressing), signed over host, x-amz-date
+    * and an UNSIGNED-PAYLOAD content hash — the exact header set
+    * [[graft.server.SigV4.verify]] checks on the other end. */
+  private def signed(method: String, pathAndQuery: (String, String),
+      body: HttpRequest.BodyPublisher): HttpRequest = {
+    val (path, query) = pathAndQuery
+    val amzDate = AmzFmt.format(java.time.Instant.now())
+    val date = amzDate.take(8)
+    val hostHeader = endpoint.getHost +
+      (if (endpoint.getPort > 0) s":${endpoint.getPort}" else "")
+    val headers = Map(
+      "host" -> hostHeader,
+      "x-amz-date" -> amzDate,
+      "x-amz-content-sha256" -> "UNSIGNED-PAYLOAD")
+    val signedHeaders = Seq("host", "x-amz-content-sha256", "x-amz-date")
+    val parsed = SigV4.Parsed(accessKey, date, region, "s3",
+      signedHeaders, "")
+    val sig = SigV4.computeSignature(parsed, secretKey, method, path,
+      query, headers, "UNSIGNED-PAYLOAD", amzDate)
+    val auth = s"AWS4-HMAC-SHA256 Credential=$accessKey/$date/$region/s3/" +
+      s"aws4_request, SignedHeaders=${signedHeaders.mkString(";")}, " +
+      s"Signature=$sig"
+    val url = endpoint.getScheme + "://" + hostHeader + path +
+      (if (query.nonEmpty) s"?$query" else "")
+    HttpRequest.newBuilder(URI.create(url))
+      .method(method, body)
+      .header("Authorization", auth)
+      .header("x-amz-date", amzDate)
+      .header("x-amz-content-sha256", "UNSIGNED-PAYLOAD")
+      .build()
+  }
+
+  private def objectPath(key: String): (String, String) =
+    (s"${endpoint.getPath}/$bucket/$key", "")
+
+  private def listPath(prefix: String): (String, String) =
+    (s"${endpoint.getPath}/$bucket", s"list-type=2&prefix=${SigV4.uriEncode(prefix)}")
+
+  // ------------------------------------------------------------- reads
+
+  /** ListObjectsV2 under a prefix -> (key, size, mtimeMs). */
+  private def listKeys(prefix: String): Seq[(String, Long, Long)] = {
+    val resp = http.send(signed("GET", listPath(prefix),
+      HttpRequest.BodyPublishers.noBody()), HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new java.io.IOException(s"list $bucket/$prefix -> ${resp.statusCode()}")
+    val contents = "<Contents>(.*?)</Contents>".r
+    val keyRe = "<Key>(.*?)</Key>".r
+    val sizeRe = "<Size>(\\d+)</Size>".r
+    val mtimeRe = "<LastModified>(.*?)</LastModified>".r
+    contents.findAllMatchIn(resp.body()).map { m =>
+      val c = m.group(1)
+      val k = keyRe.findFirstMatchIn(c).map(_.group(1)).getOrElse("")
+      val s = sizeRe.findFirstMatchIn(c).map(_.group(1).toLong).getOrElse(0L)
+      val t = mtimeRe.findFirstMatchIn(c).map(_.group(1)).flatMap(ts =>
+        scala.util.Try(java.time.Instant.parse(ts).toEpochMilli).toOption)
+        .getOrElse(0L)
+      (k, s, t)
+    }.toSeq
+  }
+
+  private def fileStatus(key: String, size: Long, mtime: Long): FileStatus =
+    new FileStatus(size, false, 1, 64L << 20, mtime,
+      new Path(s"$fsUri/$key"))
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val key = keyOf(f)
+    if (key.isEmpty)
+      return new FileStatus(0, true, 1, 0, 0, new Path(s"$fsUri/"))
+    val under = listKeys(key)
+    under.find(_._1 == key) match {
+      case Some((k, s, t)) => fileStatus(k, s, t)
+      case None if under.exists(_._1.startsWith(s"$key/")) =>
+        new FileStatus(0, true, 1, 0, 0, new Path(s"$fsUri/$key"))
+      case None =>
+        throw new java.io.FileNotFoundException(s"$fsUri/$key")
+    }
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val key = keyOf(f)
+    val prefix = if (key.isEmpty) "" else s"$key/"
+    val under = listKeys(prefix)
+    if (under.isEmpty && key.nonEmpty) Array(getFileStatus(f))
+    else under.map { case (k, s, t) => fileStatus(k, s, t) }.toArray
+  }
+
+  /** Spool-backed seekable stream (deleted on close). */
+  private final class SpoolStream(spool: java.io.File)
+      extends FSInputStream {
+    private val raf = new java.io.RandomAccessFile(spool, "r")
+    override def seek(pos: Long): Unit = raf.seek(pos)
+    override def getPos: Long = raf.getFilePointer
+    override def seekToNewSource(targetPos: Long): Boolean = false
+    override def read(): Int = raf.read()
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      raf.read(b, off, len)
+    override def close(): Unit = { raf.close(); spool.delete(); () }
+  }
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val key = keyOf(f)
+    val spool = Files.createTempFile("graft-s3fs-", ".spool")
+    val resp = http.send(signed("GET", objectPath(key),
+      HttpRequest.BodyPublishers.noBody()), HttpResponse.BodyHandlers.ofInputStream())
+    if (resp.statusCode() != 200) {
+      Files.deleteIfExists(spool)
+      if (resp.statusCode() == 404)
+        throw new java.io.FileNotFoundException(s"$fsUri/$key")
+      throw new java.io.IOException(s"GET $bucket/$key -> ${resp.statusCode()}")
+    }
+    scala.util.Using.resource(resp.body()) { in =>
+      Files.copy(in, spool, StandardCopyOption.REPLACE_EXISTING)
+    }
+    new FSDataInputStream(new SpoolStream(spool.toFile))
+  }
+
+  // ------------------------------------------------------------ writes
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    val key = keyOf(f)
+    val spool = Files.createTempFile("graft-s3fs-put-", ".spool")
+    val out = new java.io.FilterOutputStream(
+        Files.newOutputStream(spool)) {
+      override def close(): Unit = {
+        super.close()
+        try {
+          val resp = http.send(signed("PUT", objectPath(key),
+            HttpRequest.BodyPublishers.ofFile(spool)),
+            HttpResponse.BodyHandlers.ofString())
+          if (resp.statusCode() != 200)
+            throw new java.io.IOException(
+              s"PUT $bucket/$key -> ${resp.statusCode()}: ${resp.body()}")
+        } finally { Files.deleteIfExists(spool); () }
+      }
+    }
+    new FSDataOutputStream(new java.io.BufferedOutputStream(out, 64 << 10), statistics)
+  }
+
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    val key = keyOf(f)
+    if (key.isEmpty) return false
+    val targets =
+      if (recursive) listKeys(key).map(_._1)
+        .filter(k => k == key || k.startsWith(s"$key/"))
+      else Seq(key)
+    targets.map { k =>
+      val resp = http.send(signed("DELETE", objectPath(k),
+        HttpRequest.BodyPublishers.noBody()), HttpResponse.BodyHandlers.ofString())
+      resp.statusCode() == 204
+    }.exists(identity)
+  }
+}

@@ -96,4 +96,39 @@ class BucketedMountSpec extends SparkSpec {
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
   }
+
+  test("events user_id mount co-partitions the attribution self-join") {
+    val dir = Files.createTempDirectory("graft-buckets-events")
+    Seq("events").foreach(copyFlat(dir, _))
+    GenBuckets.writeLayout(spark, dir.toString, numBuckets = 4)
+
+    val evB = Tables.df(spark, dir.toString, "events")
+    val evFlat = Tables.df(spark, sfDir, "events")
+    // value identity vs the flat source (same rows, any order)
+    assert(evB.count() == evFlat.count())
+    assert(evB.exceptAll(evFlat).isEmpty && evFlat.exceptAll(evB).isEmpty)
+    // same attribution rows as the flat layout
+    val w = 60 * 60 * 1000L
+    val a = graft.streaming.EventsStream.attributionBatch(evB, w)
+    val aFlat = graft.streaming.EventsStream.attributionBatch(evFlat, w)
+    assert(a.exceptAll(aFlat).isEmpty && aFlat.exceptAll(a).isEmpty)
+    // both self-join sides inherit HashPartitioning(user_id) from the
+    // bucketed scan, which satisfies the (user, band) clustering: no
+    // shuffle Exchange may appear below the join (broadcast disabled so
+    // the test-sized join actually plans SMJ)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = graft.streaming.EventsStream.attributionBatch(evB, w)
+      joined.write.mode("overwrite").format("noop").save()
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"user_id-bucketed self-join must plan zero shuffle Exchange:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
 }

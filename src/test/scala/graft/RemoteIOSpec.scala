@@ -46,6 +46,62 @@ class RemoteIOSpec extends SparkSpec {
     assert(df.count() > 0, s"expected rows from $url")
   }
 
+  /** S8 loopback egress: the minimal S3-protocol FileSystem
+    * ([[graft.engine.imp.S3CompatFileSystem]]) drives the engine's OWN
+    * S3-compatible server over real HTTP with real SigV4 signatures —
+    * write, list, read (via spark.read over the s3a:// URL), delete.
+    * This is the live remote-I/O leg executed end-to-end without
+    * external egress; the GRAFT_S3_IT spec above remains the opt-in
+    * run against a third-party endpoint / the stock connectors. */
+  test("S8 loopback: s3a write+read+delete through the S3-compatible server") {
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-s3fs")))
+    val secret = "s3-loopback-secret"
+    val server = new graft.server.SqlHttpServer(spark, store,
+      apiKey = Some(secret)).start()
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      conf.set("fs.s3a.impl",
+        classOf[graft.engine.imp.S3CompatFileSystem].getName)
+      conf.set("fs.s3a.impl.disable.cache", "true")
+      conf.set("fs.s3a.endpoint", s"http://127.0.0.1:${server.boundPort}/s3")
+      RemoteIO.applyCredentials(spark,
+        S3Creds(S3Credentials("graft", secret)))
+      // URL through the same resolver every import uses
+      val url = RemoteIO.resolve(spark, RemoteIO.Provider.S3, "proj",
+        path = "stage", fileName = "nation.csv",
+        creds = S3Creds(S3Credentials("graft", secret)))
+      assert(url == "s3a://proj/stage/nation.csv")
+      val p = new org.apache.hadoop.fs.Path(url)
+      val fs = p.getFileSystem(conf)
+      assert(fs.isInstanceOf[graft.engine.imp.S3CompatFileSystem])
+      // write: buffered create, PUT on close (signed)
+      val out = fs.create(p)
+      out.write("n_nationkey,n_name\n0,ALGERIA\n1,ARGENTINA\n".getBytes("UTF-8"))
+      out.close()
+      // list + stat see the object with its size
+      val st = fs.getFileStatus(p)
+      assert(!st.isDirectory && st.getLen > 0)
+      assert(fs.listStatus(new org.apache.hadoop.fs.Path("s3a://proj/stage"))
+        .map(_.getPath.getName).contains("nation.csv"))
+      // the actual read path: spark.read over the s3a URL
+      val df = spark.read.option("header", "true").csv(url)
+      assert(df.count() == 2)
+      assert(df.select("n_name").collect().map(_.getString(0)).sorted.toSeq
+        == Seq("ALGERIA", "ARGENTINA"))
+      // delete round-trip
+      assert(fs.delete(p, false))
+      intercept[java.io.FileNotFoundException](fs.getFileStatus(p))
+      // a bad secret must be rejected by the server's SigV4 gate
+      conf.set("fs.s3a.secret.key", "wrong-secret")
+      val fsBad = p.getFileSystem(conf)
+      intercept[java.io.IOException] {
+        val o = fsBad.create(new org.apache.hadoop.fs.Path("s3a://proj/x.csv"))
+        o.write("a".getBytes); o.close()
+      }
+    } finally server.stop()
+  }
+
   test("buildFileUrl mirrors the reference's provider cases") {
     assert(buildFileUrl(Provider.S3, "bkt", "dir", "f.csv") == "s3a://bkt/dir/f.csv")
     assert(buildFileUrl(Provider.S3, "bkt", "", "f.csv") == "s3a://bkt/f.csv")

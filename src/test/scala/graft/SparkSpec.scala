@@ -14,6 +14,14 @@ object SparkTestSession {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // a scan bucketed on a SUBSET of a join's keys is a valid
+      // co-partitioning (all rows of a key pair share a partition);
+      // the default rejects it and reshuffles both sides on the full
+      // key set — st3's (user_id, band) self-join over user_id-bucketed
+      // events needs exactly the subset form. Bucket keys here are
+      // high-cardinality PKs/user ids, so the skew risk the default
+      // guards against does not apply.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

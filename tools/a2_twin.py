@@ -1,0 +1,31 @@
+#!/usr/bin/env python3
+"""DuckDB twin for graft.A2CorpusBench: the a2_base_stats oracle SQL over
+the non-replicated A/B corpus, min-of-N on 32 threads (the same regime
+as tools/bench_duckdb.py). Usage: a2_twin.py <dir> [passes]."""
+import sys
+import time
+
+import duckdb
+
+d = sys.argv[1]
+passes = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+cols = ["c_skew", "c_unique", "c_hot", "c_small"]
+sql = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+  COUNT({c}) AS non_null, COUNT(DISTINCT {c}) AS n_distinct,
+  CAST(MIN({c}) AS DOUBLE) AS min_value,
+  CAST(MAX({c}) AS DOUBLE) AS max_value FROM t"""
+    for c in cols) + "\nORDER BY column_name"
+
+con = duckdb.connect()
+con.execute("SET threads=32")
+con.execute(f"CREATE VIEW t AS SELECT * FROM '{d}/a2corpus.parquet/*.parquet'")
+con.execute(sql).fetchall()  # warmup
+times = []
+for i in range(passes):
+    t0 = time.time()
+    con.execute(sql).fetchall()
+    dt = time.time() - t0
+    times.append(dt)
+    print(f"pass {i + 1}: {dt:.2f} s")
+print(f"a2corpus duckdb min-of-{passes}: {min(times):.2f} s")
