@@ -35,7 +35,8 @@ object A2CorpusBench {
   val Parts = 32
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: A2CorpusBench gen|bench <dir> [passes]")
+    require(args.length >= 2,
+      "usage: A2CorpusBench gen <dir> [local|shared] | bench <dir> [passes]")
     val mode = args(0)
     val dir = args(1)
     val cpus = Runtime.getRuntime.availableProcessors().toString
@@ -51,27 +52,35 @@ object A2CorpusBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (mode == "gen") gen(spark, dir) else bench(spark, dir,
-      if (args.length > 2) args(2).toInt else 3)
+    if (mode == "gen") gen(spark, dir,
+      args.length <= 2 || args(2) == "local")
+    else bench(spark, dir, if (args.length > 2) args(2).toInt else 3)
     spark.stop()
   }
 
-  private def gen(spark: SparkSession, dir: String): Unit = {
-    val pid = spark_partition_id().cast("long")
+  /** `local = true`: each partition draws from its OWN alphabets (global
+    * distinct = 32x the alphabet; the shard-covers-its-own-entities
+    * shape). `local = false`: all partitions share the alphabets (global
+    * distinct = alphabet size; the hot-value shape — what the GenScale
+    * replica corpus also effectively is). */
+  private def gen(spark: SparkSession, dir: String, local: Boolean): Unit = {
+    val pid =
+      if (local) spark_partition_id().cast("long") else lit(0L)
     // zipf-ish inverse transform: cube of a uniform biases ranks toward 0
     def zipf(alphabet: Int, seed: Int) =
       floor(pow(rand(seed), 3.0) * alphabet).cast("long")
     val df = spark.range(0, Rows, 1, Parts).select(
-      // partition-local 600k alphabet (pid offset) -> unreplicated skew
+      // 600k alphabet -> the extendedprice-like skew column
       ((pid * 600000L + zipf(600000, 1)) * 0.01).as("c_skew"),
-      // near-unique: the row id itself, scaled
+      // near-unique: the row id itself, scaled (identical in both modes)
       (col("id") * 0.0001).as("c_unique"),
-      // partition-local hot 10k alphabet
+      // hot 10k alphabet
       ((pid * 10000L + zipf(10000, 2)) * 0.25).as("c_hot"),
       // 50 shared values, uniform
       (floor(rand(3) * 50) + lit(1.0)).as("c_small"))
     df.write.mode("overwrite").parquet(s"$dir/a2corpus.parquet")
-    println(s"wrote $Rows rows to $dir/a2corpus.parquet")
+    println(s"wrote $Rows rows (${if (local) "partition-local" else "shared"} " +
+      s"alphabets) to $dir/a2corpus.parquet")
   }
 
   private def bench(spark: SparkSession, dir: String, passes: Int): Unit = {
