@@ -1054,7 +1054,8 @@ object PipelineQueries {
 
     // CCNet-style unigram pseudo-perplexity: mean -ln p(token) per doc
     // under the corpus's own add-one-smoothed unigram model; 4dp both
-    // engines, term-window corpus counts (no vocab broadcast/join)
+    // engines. tf is doc-local (term_counts kernel, zero shuffle); the
+    // NLL table embeds in the plan under a vocab gate, windowed past it
     Q("x29_unigram_ppl",
       (s, dir) => TextAnalysis.unigramPerplexity(
           Tables.df(s, dir, "documents"), "doc_id", "text")

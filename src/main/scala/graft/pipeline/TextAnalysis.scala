@@ -399,21 +399,46 @@ object TextAnalysis {
     * each O(corpus terms), and no driver-side state beyond the single
     * document count. */
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, maxVocab: Int = PplVocabMax): DataFrame = {
+    // Round 11: same treatment as unigramPerplexity — the (doc, term) tf
+    // frame comes doc-locally from the term_counts kernel (no shuffle),
+    // and under the vocabulary gate the df/idf tables embed in the plan
+    // as O(1) lookups, removing the term-partition window's re-shuffle
+    // of the corpus-sized frame. The doc-rank window's exchange remains
+    // (it is the same work the oracle's window pays). fp parity: idf is
+    // log(nDocs/df) with the same Math.log and the same double operands
+    // whether computed per row or once per term on the driver.
     val nDocs = df.count().toDouble
     val tf = df
       .select(col(idCol).as("doc_id"),
-        explode(split(lower(trim(col(textCol))), " +")).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy("doc_id", "term").agg(count(lit(1)).cast(LongType).as("tf"))
-    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+        explode(graft.functions.GraftFunctions.termCounts(col(textCol))))
+      .select(col("doc_id"), col("key").as("term"), col("value").as("tf"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
-    tf.withColumn("df", count(lit(1)).over(wTerm).cast(LongType))
-      .withColumn("tfidf", round(col("tf") * log(lit(nDocs) / col("df")), 4))
+    def rankCut(scored: DataFrame): DataFrame = scored
       .withColumn("rank", row_number().over(wDoc).cast(LongType))
       .filter(col("rank") <= k)
       .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val vocab = dfreq.limit(maxVocab + 1).collect()
+    if (vocab.length > maxVocab) {
+      // web-scale vocabulary: df rides a term-partition window instead
+      val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+      rankCut(tf
+        .withColumn("df", count(lit(1)).over(wTerm).cast(LongType))
+        .withColumn("tfidf",
+          round(col("tf") * log(lit(nDocs) / col("df")), 4)))
+    } else {
+      val dfEntries = vocab.toSeq.map(r =>
+        r.getString(0) -> r.getLong(1).toDouble)
+      val idfEntries = vocab.toSeq.map(r =>
+        r.getString(0) -> math.log(nDocs / r.getLong(1)))
+      rankCut(tf
+        .withColumn("df", graft.functions.GraftFunctions
+          .termLookup(col("term"), dfEntries).cast(LongType))
+        .withColumn("tfidf", round(col("tf") * graft.functions.GraftFunctions
+          .termLookup(col("term"), idfEntries), 4)))
+    }
   }
 
   /** Unigram pseudo-perplexity quality score — the CCNet-style

@@ -640,6 +640,17 @@ class PipelineSpec extends SparkSpec {
     assert(fast.nonEmpty && fast == windowed)
   }
 
+  test("tfIdfTopTerms: embedded-table fast path == windowed formulation") {
+    val docs = Tables.df(spark, sfDir, "documents").limit(400)
+      .select(col("doc_id"), col("text"))
+    val fast = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank").collect().toSeq
+    val windowed = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 3,
+        maxVocab = 1)
+      .orderBy("doc_id", "rank").collect().toSeq
+    assert(fast.nonEmpty && fast == windowed)
+  }
+
   test("tfIdfTopTerms: rank bounded, df consistent, corpus-wide idf") {
     val docs = Seq(
       (1L, "spark spark engine"),
