@@ -259,33 +259,53 @@ object FilterAlgebra {
 
   /** Builds the (min, bitmap-words) pair for the ref key set, or None
     * when any gate fails. An empty ref side returns an empty bitmap
-    * (matches-nothing), not None — the join would also match nothing. */
+    * (matches-nothing), not None — the join would also match nothing.
+    *
+    * ONE job: each partition collects its keys as a primitive long
+    * array, capped at [[RefBitmapMaxKeys]] (past the cap it returns an
+    * oversize sentinel — any single partition that large already fails
+    * the global gate, so no separate count job is needed); min/max/
+    * count fold on the driver from the arrays (~ms for a gated set).
+    * The stats pre-gate bounds the worst-case wasted collect. */
   private def refKeyBitmap(refDf: org.apache.spark.sql.DataFrame,
       refColumn: String): Option[(Long, Array[Long])] = {
     if (!isIntegral(refDf.schema(refColumn).dataType)) return None
-    // free pre-gate so an obviously table-sized ref skips the agg job;
-    // generous 16x slack because a filtered subquery's estimate is rough
+    // free pre-gate so an obviously table-sized ref skips the collect;
+    // 4x slack because a filtered subquery's estimate is rough
     val stats = refDf.queryExecution.optimizedPlan.stats
     val approxRows: BigInt = stats.rowCount.getOrElse(stats.sizeInBytes / 16)
-    if (approxRows > BigInt(16L * RefBitmapMaxKeys)) return None
+    if (approxRows > BigInt(4L * RefBitmapMaxKeys)) return None
     val k = col(refColumn).cast(LongType)
-    val r = refDf.agg(count(k).as("n"), min(k).as("lo"), max(k).as("hi")).head()
-    val n = r.getLong(0)
-    if (n == 0) return Some((0L, Array.empty[Long]))
-    if (n > RefBitmapMaxKeys) return None
-    val lo = r.getLong(1); val hi = r.getLong(2)
-    val span = hi - lo + 1 // wraps negative when the true span overflows
-    if (span <= 0 || span > (RefBitmapMaxBytes << 3)) return None
-    val words = new Array[Long](((span + 63) >>> 6).toInt)
-    // per-partition primitive long arrays: no Row boxing on the collect
-    // (n is gated, so the transient driver footprint is <= 8n bytes)
+    val cap = RefBitmapMaxKeys
     val parts: Array[Array[Long]] = refDf
       .filter(col(refColumn).isNotNull).select(k.as("k"))
       .queryExecution.toRdd.mapPartitions { it =>
         val b = new scala.collection.mutable.ArrayBuilder.ofLong
-        while (it.hasNext) b += it.next().getLong(0)
-        Iterator(b.result())
+        var n = 0L
+        while (it.hasNext && n <= cap) { b += it.next().getLong(0); n += 1 }
+        // oversize sentinel: null means "this partition alone busts the
+        // gate" — the driver bails to the join tier
+        Iterator(if (it.hasNext) null else b.result())
       }.collect()
+    if (parts.contains(null)) return None
+    var n = 0L
+    var lo = Long.MaxValue
+    var hi = Long.MinValue
+    parts.foreach { arr =>
+      n += arr.length
+      var i = 0
+      while (i < arr.length) {
+        val v = arr(i)
+        if (v < lo) lo = v
+        if (v > hi) hi = v
+        i += 1
+      }
+    }
+    if (n == 0) return Some((0L, Array.empty[Long]))
+    if (n > RefBitmapMaxKeys) return None
+    val span = hi - lo + 1 // wraps negative when the true span overflows
+    if (span <= 0 || span > (RefBitmapMaxBytes << 3)) return None
+    val words = new Array[Long](((span + 63) >>> 6).toInt)
     parts.foreach { arr =>
       var i = 0
       while (i < arr.length) {

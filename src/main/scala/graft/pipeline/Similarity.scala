@@ -52,6 +52,17 @@ object Similarity {
     * bit exactly, making bucketed-ANN output differentially testable.
     * Pure expression — computable identically for corpus and queries. */
   def hyperplaneSig(vecCol: String, planes: Int): Column =
+    org.apache.spark.sql.graftshim.Shim.column(
+      org.apache.spark.sql.graftshim.GraftExpressions.Md5HyperplaneSig(
+        org.apache.spark.sql.graftshim.Shim.expression(col(vecCol)), planes))
+
+  /** The HOF/SQL formulation of [[hyperplaneSig]] — the parity oracle for
+    * the native kernel (FunctionsSpec pins them bit-identical). The
+    * per-element md5 CASE re-derives the row-independent sign matrix on
+    * EVERY row, and the nested HOFs are CodegenFallback — 51M interpreted
+    * md5 calls per 200k x 4 x 64 corpus pass, 40-50 CPU + 60-69 GC
+    * task-seconds at sf10 — which is why the kernel exists. */
+  private[graft] def hyperplaneSigHof(vecCol: String, planes: Int): Column =
     expr(
       s"""array_join(transform(sequence(0, ${planes - 1}), p ->
          |  CASE WHEN aggregate(

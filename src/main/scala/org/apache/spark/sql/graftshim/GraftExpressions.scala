@@ -777,6 +777,93 @@ object GraftExpressions {
       bits
     })
 
+  /** ±1 weights of the md5-derived (engine-neutral) hyperplanes used by
+    * the LSH-bucket ANN paths: weight(p, d) = +1 iff the first hex digit
+    * of md5("p_d") is odd — exactly the per-element CASE the SQL/oracle
+    * formulation evaluates, but row-INDEPENDENT, so it is built once per
+    * (planes, dim) shape and reused across every row. The HOF chain it
+    * replaces re-derived this matrix per row: 51M interpreted md5 calls
+    * for a 200k x 4-plane x 64-dim corpus pass — 40-50 CPU + 60-69 GC
+    * task-seconds at sf10, all of it constant-folding by hand. */
+  private val md5PlaneCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  private def md5PlaneSigns(planes: Int, dim: Int): Array[Double] =
+    md5PlaneCache.computeIfAbsent((planes, dim), { _ =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = new Array[Double](planes * dim)
+      var p = 0
+      while (p < planes) {
+        var d = 0
+        while (d < dim) {
+          md.reset()
+          val h = md.digest(
+            s"${p}_$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          out(p * dim + d) = if (((h(0) >> 4) & 0xF) % 2 == 1) 1.0 else -1.0
+          d += 1
+        }
+        p += 1
+      }
+      out
+    })
+
+  /** Static kernel shared by eval and codegen: '0'/'1' signature string
+    * of the vector's signs against the md5 hyperplanes, bit-identical to
+    * the HOF/SQL formulation (CAST-to-double per element, left-to-right
+    * accumulation, acc >= 0 -> '1'; an EMPTY vector replays the HOF's
+    * null-propagation quirk and reads all-'0'). */
+  def md5HyperplaneSigEval(xa: ArrayData, isFloat: Boolean,
+      planes: Int): UTF8String = {
+    val n = xa.numElements()
+    val chars = new Array[Byte](planes)
+    if (n == 0) {
+      java.util.Arrays.fill(chars, '0'.toByte)
+      return UTF8String.fromBytes(chars)
+    }
+    val signs = md5PlaneSigns(planes, n)
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      val base = p * n
+      var d = 0
+      while (d < n) {
+        val x: Double = if (isFloat) xa.getFloat(d).toDouble else xa.getDouble(d)
+        acc += x * signs(base + d)
+        d += 1
+      }
+      chars(p) = if (acc >= 0) '1' else '0'
+      p += 1
+    }
+    UTF8String.fromBytes(chars)
+  }
+
+  /** `md5_hyperplane_sig(vec) -> '0'/'1' string`; see
+    * [[md5HyperplaneSigEval]]. */
+  case class Md5HyperplaneSig(child: Expression, planes: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    require(planes > 0, "planes must be positive")
+    override def inputTypes: Seq[AbstractDataType] = Seq(
+      TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+    override def dataType: DataType = StringType
+    override def prettyName: String = "md5_hyperplane_sig"
+
+    private def elemIsFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(v: Any): Any =
+      md5HyperplaneSigEval(v.asInstanceOf[ArrayData], elemIsFloat, planes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.md5HyperplaneSigEval($a, $elemIsFloat, $planes);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Md5HyperplaneSig =
+      copy(child = newChild)
+  }
+
   /** Static kernel shared by eval and codegen: sign bit p of the vector's
     * projection onto deterministic ±1 hyperplane p, packed into longs
     * (bit p of the signature = bit p&63 of word p>>6). */

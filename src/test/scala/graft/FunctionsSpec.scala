@@ -136,6 +136,25 @@ class FunctionsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("md5_hyperplane_sig bit-identical to the HOF md5 formulation") {
+    import graft.pipeline.Similarity
+    val e = Tables.df(spark, sfDir, "embeddings").limit(400)
+      .select(col("embedding"))
+      // edge cases: empty vector (the HOF's null-propagation quirk reads
+      // all-'0'), and a negative/zero-heavy vector
+      .union(Tables.df(spark, sfDir, "embeddings").limit(1)
+        .select(slice(col("embedding"), 1, 0).as("embedding")))
+      .union(Tables.df(spark, sfDir, "embeddings").limit(5)
+        .select(transform(col("embedding"), v => v * -1.0f).as("embedding")))
+    for (planes <- Seq(1, 4, 8, 65)) {
+      val diff = e
+        .withColumn("native", Similarity.hyperplaneSig("embedding", planes))
+        .withColumn("hof", Similarity.hyperplaneSigHof("embedding", planes))
+        .filter(col("native") =!= col("hof"))
+      assert(diff.count() == 0, s"planes=$planes")
+    }
+  }
+
   test("term_counts matches explode+groupBy of the HOF token chain") {
     val docs = Tables.df(spark, sfDir, "documents").limit(300)
       .select(col("doc_id"), col("text"))
