@@ -267,16 +267,18 @@ object FilterAlgebra {
     * the global gate, so no separate count job is needed); min/max/
     * count fold on the driver from the arrays (~ms for a gated set).
     * The stats pre-gate bounds the worst-case wasted collect. */
-  private def refKeyBitmap(refDf: org.apache.spark.sql.DataFrame,
-      refColumn: String): Option[(Long, Array[Long])] = {
+  private[graft] def refKeyBitmap(refDf: org.apache.spark.sql.DataFrame,
+      refColumn: String,
+      maxKeys: Long = RefBitmapMaxKeys,
+      maxBytes: Long = RefBitmapMaxBytes): Option[(Long, Array[Long])] = {
     if (!isIntegral(refDf.schema(refColumn).dataType)) return None
     // free pre-gate so an obviously table-sized ref skips the collect;
     // 4x slack because a filtered subquery's estimate is rough
     val stats = refDf.queryExecution.optimizedPlan.stats
     val approxRows: BigInt = stats.rowCount.getOrElse(stats.sizeInBytes / 16)
-    if (approxRows > BigInt(4L * RefBitmapMaxKeys)) return None
+    if (approxRows > BigInt(4L * maxKeys)) return None
     val k = col(refColumn).cast(LongType)
-    val cap = RefBitmapMaxKeys
+    val cap = maxKeys
     val parts: Array[Array[Long]] = refDf
       .filter(col(refColumn).isNotNull).select(k.as("k"))
       .queryExecution.toRdd.mapPartitions { it =>
@@ -302,9 +304,9 @@ object FilterAlgebra {
       }
     }
     if (n == 0) return Some((0L, Array.empty[Long]))
-    if (n > RefBitmapMaxKeys) return None
+    if (n > maxKeys) return None
     val span = hi - lo + 1 // wraps negative when the true span overflows
-    if (span <= 0 || span > (RefBitmapMaxBytes << 3)) return None
+    if (span <= 0 || span > (maxBytes << 3)) return None
     val words = new Array[Long](((span + 63) >>> 6).toInt)
     parts.foreach { arr =>
       var i = 0

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.query.FilterAlgebra
+import org.apache.spark.sql.graftshim.GraftExpressions
+
+/** Gate paths of the P7 bitmap semi-join reduction (FilterAlgebra
+  * .refKeyBitmap): the property tests pin value semantics on sets that
+  * always pass the gates; these pin the gates themselves — count cap,
+  * per-partition oversize sentinel, sparse-range and span-overflow
+  * bailouts, empty/null ref sides — and exact bitmap membership. */
+class RefBitmapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dense key set builds an exact bitmap; membership matches the set") {
+    val keys = Seq(-7L, -3L, 0L, 1L, 5L, 42L)
+    val ref = keys.toDF("k")
+    val Some((lo, words)) = FilterAlgebra.refKeyBitmap(ref, "k")
+    assert(lo == -7L)
+    for (v <- -10L to 50L)
+      assert(GraftExpressions.bitmapContains(v, lo, words) == keys.contains(v),
+        s"v=$v")
+    // far outside the range, including wrap-around-prone extremes
+    for (v <- Seq(Long.MinValue, Long.MaxValue, -1000000L, 1000000L))
+      assert(!GraftExpressions.bitmapContains(v, lo, words))
+  }
+
+  test("count gate: more distinct keys than maxKeys falls back to None") {
+    val ref = (1L to 10L).toDF("k")
+    assert(FilterAlgebra.refKeyBitmap(ref, "k", maxKeys = 5).isEmpty)
+    assert(FilterAlgebra.refKeyBitmap(ref, "k", maxKeys = 10).isDefined)
+  }
+
+  test("per-partition oversize sentinel bails before collecting the rest") {
+    // one partition holding maxKeys+ rows must not OOM-collect: the
+    // sentinel truncates that partition's array and the driver bails
+    val ref = (1L to 1000L).toDF("k").repartition(1)
+    assert(FilterAlgebra.refKeyBitmap(ref, "k", maxKeys = 100).isEmpty)
+  }
+
+  test("range gate: sparse keys exceed the bitmap byte budget") {
+    val ref = Seq(0L, 1L << 40).toDF("k")
+    // span 2^40 bits >> 1 MB budget
+    assert(FilterAlgebra.refKeyBitmap(ref, "k", maxBytes = 1L << 20).isEmpty)
+  }
+
+  test("span overflow (min/max straddling the long range) bails safely") {
+    val ref = Seq(Long.MinValue, Long.MaxValue).toDF("k")
+    assert(FilterAlgebra.refKeyBitmap(ref, "k").isEmpty)
+  }
+
+  test("empty and all-null ref sides build a matches-nothing bitmap") {
+    val empty = Seq.empty[Long].toDF("k")
+    assert(FilterAlgebra.refKeyBitmap(empty, "k")
+      .exists { case (_, w) => w.isEmpty })
+    val nulls = Seq[java.lang.Long](null, null).toDF("k")
+    assert(FilterAlgebra.refKeyBitmap(nulls, "k")
+      .exists { case (_, w) => w.isEmpty })
+    // end-to-end: semi keeps nothing, anti keeps everything
+    val df = Seq(1L, 2L).toDF("x")
+    assert(FilterAlgebra.refTableFilter(df, "x", nulls, "k").count() == 0)
+    assert(FilterAlgebra.refTableFilter(df, "x", nulls, "k",
+      negate = true).count() == 2)
+  }
+
+  test("non-integral key types fall back to the join tier") {
+    val ref = Seq("a", "b").toDF("k")
+    assert(FilterAlgebra.refKeyBitmap(ref, "k").isEmpty)
+    val refD = Seq(1.5, 2.5).toDF("k")
+    assert(FilterAlgebra.refKeyBitmap(refD, "k").isEmpty)
+  }
+}
