@@ -164,6 +164,15 @@ class PlanSpec extends SparkSpec {
       .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
     assert(factScans == 1,
       s"expected one lineitem scan (membership tagging), got $factScans")
+    // round 11: the bitmap tier replaces the membership JOIN outright —
+    // the fact pass must tag via the codegen bitmap probe, joining
+    // nothing (the integral orderkey set at test scale always fits the
+    // count/range gates)
+    assert(finalPlan.contains("long_key_in_bitmap"),
+      s"membership must probe the ref bitmap map-side:\n$finalPlan")
+    assert(!finalPlan.contains("SortMergeJoin") &&
+      !finalPlan.contains("BroadcastHashJoin"),
+      s"bitmap-tier membership must plan no join at all:\n$finalPlan")
   }
 
   test("hll distinct partial-aggregates registers map-side; raw values never shuffle") {
