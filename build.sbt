@@ -30,10 +30,23 @@ val jdk17AddOpens = Seq(
 // collector — under G1 a pinned -Xmn silently disables the adaptive
 // young sizing G1's pause model depends on.
 val graftHeap = sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")
-def graftHalfHeap(h: String): String = "^(\\d+)([gGmMkK])$".r
+// Half the heap in a COMMON UNIT (MB), so -Xmn stays strictly under
+// -Xmx for every input: halving the numeric prefix alone turns a "1g"
+// heap into -Xmn1g == -Xmx1g, which fails JVM startup under
+// ParallelGC. None (skip the pin) when the heap is too small for a
+// meaningful half — the JVM default sizing is better than a degenerate
+// pin.
+def graftHalfHeap(h: String): Option[String] = "^(\\d+)([gGmMkK])$".r
   .findFirstMatchIn(h.trim)
-  .map(m => s"${math.max(1L, m.group(1).toLong / 2)}${m.group(2)}")
-  .getOrElse("32g")
+  .flatMap { m =>
+    val mb = m.group(1).toLong * (m.group(2).toLowerCase match {
+      case "g" => 1024L
+      case "m" => 1L
+      case _   => 0L // a k-sized heap can't hold a useful young gen
+    })
+    val halfMb = mb / 2
+    if (halfMb >= 256L && halfMb < mb) Some(s"${halfMb}m") else None
+  }
 val graftGc = sys.env.getOrElse("SPARK_GRAFT_GC", "UseParallelGC")
 val graftYoungOpts =
   if (graftGc == "UseParallelGC")
@@ -43,8 +56,8 @@ val graftYoungOpts =
     // stage). A PINNED half-heap young gen keeps the churn young
     // (NewRatio alone is overridden by UseAdaptiveSizePolicy, which
     // shrank it back); old gen still holds ~3x the sf10 table caches.
-    Seq(s"-Xmn${sys.env.getOrElse("SPARK_GRAFT_YOUNG", graftHalfHeap(graftHeap))}",
-      "-XX:-UseAdaptiveSizePolicy")
+    sys.env.get("SPARK_GRAFT_YOUNG").orElse(graftHalfHeap(graftHeap))
+      .map(y => s"-Xmn$y").toSeq ++ Seq("-XX:-UseAdaptiveSizePolicy")
   else Seq.empty
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",

@@ -310,16 +310,20 @@ object ExtraQueries {
         // INTERSECT = both flags, EXCEPT = F only, UNION DISTINCT =
         // every flagged key. The intersect/except/union-distinct form
         // paid three scans and three dedup shuffles of the same keys.
+        // one 2-bit membership mask per custkey (1=F, 2=O, 3=both): a
+        // single bit_or buffer halves the partial-agg update work vs two
+        // max(when) columns — and o_custkey barely collapses map-side
+        // (~10 orders per key spread over 32 partitions), so the partial
+        // update path IS the hot loop here
         val o = Tables.df(s, dir, "orders")
         val flags = o.filter(col("o_orderstatus").isin("F", "O"))
           .groupBy("o_custkey")
-          .agg(
-            max(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("in_f"),
-            max(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("in_o"))
+          .agg(bit_or(when(col("o_orderstatus") === "F", 1).otherwise(2))
+            .as("m"))
         flags.agg(
-          sum(when(col("in_f") === 1 && col("in_o") === 1, 1L).otherwise(0L))
+          sum(when(col("m") === 3, 1L).otherwise(0L))
             .cast(LongType).as("n_i"),
-          sum(when(col("in_f") === 1 && col("in_o") === 0, 1L).otherwise(0L))
+          sum(when(col("m") === 1, 1L).otherwise(0L))
             .cast(LongType).as("n_e"),
           count(lit(1)).cast(LongType).as("n_u"))
           .selectExpr("stack(3, n_i, '1_intersect', n_e, '2_except'," +
@@ -507,18 +511,29 @@ object ExtraQueries {
              |WHERE a.event_type = 'purchase'
              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
-    // j2 — skew-salted join: documents fan out on `source` (3 distinct
-    // values — every row is a hot key by construction), the per-source
-    // dim is replicated once per salt, and the join adds the salt to the
-    // equi-keys so each hot key spreads over 8 shuffle partitions
-    // instead of piling onto one task. Exact same result multiset as the
-    // plain join (each pair meets exactly once) → plain-SQL oracle.
+    // j2 — skew-managed join: documents fan out on `source` (3 distinct
+    // values — every row is a hot key by construction). The size-gated
+    // tier choice (SkewJoin.skewSafeJoin) picks the right tool: this
+    // 3-row dim broadcasts, so the big side never shuffles and there is
+    // no skew to salt away; a dim too big to broadcast takes the salted
+    // tier (salt added to the equi-keys so each hot key spreads over
+    // `salts` shuffle partitions instead of piling onto one task).
+    // Both tiers produce the exact plain-join multiset (each pair meets
+    // exactly once) → plain-SQL oracle; the salted tier's equality is
+    // property-pinned in ScaleSpec.
     Q("j2_salted_join",
       (s, dir) => {
         val docs = Tables.df(s, dir, "documents").select("doc_id", "source")
-        val dim = Tables.df(s, dir, "documents")
-          .groupBy("source").agg(count(lit(1)).as("source_docs"))
-        SkewJoin.saltedJoin(docs, dim, "source", salts = 8)
+        // explicit broadcast: the dim is a 3-group aggregate by
+        // construction, but its pre-CBO size ESTIMATE is child-sized, so
+        // without the hint AQE only converts to broadcast AFTER both
+        // sides' shuffle writes are already paid (the fact side's write
+        // was 60% of this query's task time). Query-level knowledge the
+        // generic operator can't assume — skewSafeJoin passes hints
+        // through either tier.
+        val dim = broadcast(Tables.df(s, dir, "documents")
+          .groupBy("source").agg(count(lit(1)).as("source_docs")))
+        SkewJoin.skewSafeJoin(docs, dim, "source", salts = 8)
           .orderBy("doc_id")
       },
       Some("""SELECT d.doc_id, d.source, c.source_docs

@@ -31,9 +31,12 @@ import graft.server.SigV4
   * serving seeks (the same staging discipline as [[RemoteIO]]'s
   * presigned-HTTP path — one object, not a data path; the production
   * connector's ranged reads are exactly what the stock s3a client is
-  * for); writes buffer locally and PUT on close; `rename`/`append` are
-  * unsupported (object stores have neither); keys are plain-ASCII (the
-  * canonical-URI form our signer and the server's verifier share).
+  * for); writes buffer locally and PUT on close; `rename` is emulated as
+  * copy+delete (the FileOutputCommitter's commit path needs it — see
+  * [[rename]]); `append` is unsupported (object stores can't); listings
+  * follow ListObjectsV2 continuation tokens across pages; keys are
+  * plain-ASCII (the canonical-URI form our signer and the server's
+  * verifier share).
   *
   * Conf keys (the standard s3a names, so [[RemoteIO.applyCredentials]]
   * wires them unchanged): `fs.s3a.endpoint` (may carry a base path, e.g.
@@ -49,6 +52,7 @@ final class S3CompatFileSystem extends FileSystem {
   private var accessKey: String = _
   private var secretKey: String = _
   private var region: String = _
+  private var pageSize: Int = 1000
   private var workDir: Path = _
   private lazy val http = HttpClient.newHttpClient()
 
@@ -64,6 +68,9 @@ final class S3CompatFileSystem extends FileSystem {
     accessKey = conf.get("fs.s3a.access.key", "")
     secretKey = conf.get("fs.s3a.secret.key", "")
     region = conf.get("fs.s3a.endpoint.region", "us-east-1")
+    // the stock s3a name for the ListObjectsV2 page size; tests shrink it
+    // to drive the continuation-token path with a handful of objects
+    pageSize = conf.getInt("fs.s3a.paging.maximum", 1000)
     workDir = new Path(fsUri.toString + "/")
   }
 
@@ -74,8 +81,57 @@ final class S3CompatFileSystem extends FileSystem {
   override def mkdirs(f: Path, permission: FsPermission): Boolean = true
   override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
     throw new UnsupportedOperationException("append: object stores are immutable")
-  override def rename(src: Path, dst: Path): Boolean =
-    throw new UnsupportedOperationException("rename: not an object-store operation")
+
+  /** Object stores have no rename, but Hadoop's FileOutputCommitter
+    * commits every task and job via rename — so df.write needs one.
+    * Emulated as copy (GET -> spooled PUT) + DELETE per object, with
+    * directory renames fanning out over the prefix listing; the
+    * production connectors do the same thing server-side. Returns false
+    * (the FS-contract signal, not an exception) when src doesn't exist. */
+  override def rename(src: Path, dst: Path): Boolean = {
+    val srcKey = keyOf(src)
+    val dstKey = keyOf(dst)
+    if (srcKey.isEmpty) return false
+    if (srcKey == dstKey) return true
+    val under = listKeys(srcKey)
+    val toMove: Seq[String] =
+      if (under.exists(_._1 == srcKey)) Seq(srcKey)
+      else under.map(_._1).filter(_.startsWith(s"$srcKey/"))
+    if (toMove.isEmpty) return false
+    toMove.foreach { k =>
+      val target = if (k == srcKey) dstKey else dstKey + k.stripPrefix(srcKey)
+      copyObject(k, target)
+      deleteObject(k)
+    }
+    true
+  }
+
+  /** GET `srcKey` to a local spool, PUT it at `dstKey` (one object at a
+    * time — commit-path file counts, not a data path). */
+  private def copyObject(srcKey: String, dstKey: String): Unit = {
+    val spool = Files.createTempFile("graft-s3fs-cp-", ".spool")
+    try {
+      val get = http.send(signed("GET", objectPath(srcKey),
+        HttpRequest.BodyPublishers.noBody()), HttpResponse.BodyHandlers.ofInputStream())
+      if (get.statusCode() != 200)
+        throw new java.io.IOException(s"GET $bucket/$srcKey -> ${get.statusCode()}")
+      scala.util.Using.resource(get.body()) { in =>
+        Files.copy(in, spool, StandardCopyOption.REPLACE_EXISTING)
+      }
+      val put = http.send(signed("PUT", objectPath(dstKey),
+        HttpRequest.BodyPublishers.ofFile(spool)),
+        HttpResponse.BodyHandlers.ofString())
+      if (put.statusCode() != 200)
+        throw new java.io.IOException(
+          s"PUT $bucket/$dstKey -> ${put.statusCode()}: ${put.body()}")
+    } finally { Files.deleteIfExists(spool); () }
+  }
+
+  private def deleteObject(key: String): Boolean = {
+    val resp = http.send(signed("DELETE", objectPath(key),
+      HttpRequest.BodyPublishers.noBody()), HttpResponse.BodyHandlers.ofString())
+    resp.statusCode() == 204
+  }
 
   /** bucket-relative key of `f` ("" for the bucket root). */
   private def keyOf(f: Path): String =
@@ -122,30 +178,46 @@ final class S3CompatFileSystem extends FileSystem {
   private def objectPath(key: String): (String, String) =
     (s"${endpoint.getPath}/$bucket/$key", "")
 
-  private def listPath(prefix: String): (String, String) =
-    (s"${endpoint.getPath}/$bucket", s"list-type=2&prefix=${SigV4.uriEncode(prefix)}")
+  private def listPath(prefix: String, token: Option[String]): (String, String) =
+    (s"${endpoint.getPath}/$bucket",
+      token.fold("")(t => s"continuation-token=${SigV4.uriEncode(t)}&") +
+        s"list-type=2&max-keys=$pageSize&prefix=${SigV4.uriEncode(prefix)}")
 
   // ------------------------------------------------------------- reads
 
-  /** ListObjectsV2 under a prefix -> (key, size, mtimeMs). */
+  /** ListObjectsV2 under a prefix -> (key, size, mtimeMs). Follows
+    * IsTruncated/NextContinuationToken pages: real gateways cap a page
+    * at 1000 keys, and a parquet dataset easily exceeds that — a
+    * single-page read would silently drop files from spark.read. */
   private def listKeys(prefix: String): Seq[(String, Long, Long)] = {
-    val resp = http.send(signed("GET", listPath(prefix),
-      HttpRequest.BodyPublishers.noBody()), HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() != 200)
-      throw new java.io.IOException(s"list $bucket/$prefix -> ${resp.statusCode()}")
     val contents = "<Contents>(.*?)</Contents>".r
     val keyRe = "<Key>(.*?)</Key>".r
     val sizeRe = "<Size>(\\d+)</Size>".r
     val mtimeRe = "<LastModified>(.*?)</LastModified>".r
-    contents.findAllMatchIn(resp.body()).map { m =>
-      val c = m.group(1)
-      val k = keyRe.findFirstMatchIn(c).map(_.group(1)).getOrElse("")
-      val s = sizeRe.findFirstMatchIn(c).map(_.group(1).toLong).getOrElse(0L)
-      val t = mtimeRe.findFirstMatchIn(c).map(_.group(1)).flatMap(ts =>
-        scala.util.Try(java.time.Instant.parse(ts).toEpochMilli).toOption)
-        .getOrElse(0L)
-      (k, s, t)
-    }.toSeq
+    val truncRe = "<IsTruncated>true</IsTruncated>".r
+    val tokRe = "<NextContinuationToken>(.*?)</NextContinuationToken>".r
+    val out = Seq.newBuilder[(String, Long, Long)]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val resp = http.send(signed("GET", listPath(prefix, token),
+        HttpRequest.BodyPublishers.noBody()), HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new java.io.IOException(s"list $bucket/$prefix -> ${resp.statusCode()}")
+      val body = resp.body()
+      contents.findAllMatchIn(body).foreach { m =>
+        val c = m.group(1)
+        val k = keyRe.findFirstMatchIn(c).map(_.group(1)).getOrElse("")
+        val s = sizeRe.findFirstMatchIn(c).map(_.group(1).toLong).getOrElse(0L)
+        val t = mtimeRe.findFirstMatchIn(c).map(_.group(1)).flatMap(ts =>
+          scala.util.Try(java.time.Instant.parse(ts).toEpochMilli).toOption)
+          .getOrElse(0L)
+        out += ((k, s, t))
+      }
+      token = tokRe.findFirstMatchIn(body).map(_.group(1))
+      more = truncRe.findFirstIn(body).isDefined && token.isDefined
+    }
+    out.result()
   }
 
   private def fileStatus(key: String, size: Long, mtime: Long): FileStatus =
@@ -166,12 +238,28 @@ final class S3CompatFileSystem extends FileSystem {
     }
   }
 
+  /** Immediate children only, per the Hadoop FS contract: direct object
+    * keys as files, deeper keys folded into synthesized directory
+    * entries. The FileOutputCommitter's job commit walks directories
+    * level by level (task dir -> files) and computes each destination
+    * from the CHILD name — a flat recursive listing here would merge
+    * every committed file onto the output root. */
   override def listStatus(f: Path): Array[FileStatus] = {
     val key = keyOf(f)
     val prefix = if (key.isEmpty) "" else s"$key/"
     val under = listKeys(prefix)
     if (under.isEmpty && key.nonEmpty) Array(getFileStatus(f))
-    else under.map { case (k, s, t) => fileStatus(k, s, t) }.toArray
+    else {
+      val files = under.collect {
+        case (k, s, t) if !k.stripPrefix(prefix).contains("/") =>
+          fileStatus(k, s, t)
+      }
+      val dirs = under.map(_._1.stripPrefix(prefix)).filter(_.contains("/"))
+        .map(_.takeWhile(_ != '/')).distinct
+        .map(d => new FileStatus(0, true, 1, 0, 0,
+          new Path(s"$fsUri/$prefix$d")))
+      (files ++ dirs).toArray
+    }
   }
 
   /** Spool-backed seekable stream (deleted on close). */
@@ -235,10 +323,6 @@ final class S3CompatFileSystem extends FileSystem {
       if (recursive) listKeys(key).map(_._1)
         .filter(k => k == key || k.startsWith(s"$key/"))
       else Seq(key)
-    targets.map { k =>
-      val resp = http.send(signed("DELETE", objectPath(k),
-        HttpRequest.BodyPublishers.noBody()), HttpResponse.BodyHandlers.ofString())
-      resp.statusCode() == 204
-    }.exists(identity)
+    targets.map(deleteObject).exists(identity)
   }
 }

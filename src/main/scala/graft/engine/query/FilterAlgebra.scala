@@ -261,61 +261,65 @@ object FilterAlgebra {
     * when any gate fails. An empty ref side returns an empty bitmap
     * (matches-nothing), not None — the join would also match nothing.
     *
-    * ONE job: each partition collects its keys as a primitive long
-    * array, capped at [[RefBitmapMaxKeys]] (past the cap it returns an
-    * oversize sentinel — any single partition that large already fails
-    * the global gate, so no separate count job is needed); min/max/
-    * count fold on the driver from the arrays (~ms for a gated set).
-    * The stats pre-gate bounds the worst-case wasted collect. */
+    * TWO small jobs, gates first: (1) an aggregate for count/min/max —
+    * executor-side, a few bytes back, so the count and span gates are
+    * enforced BEFORE anything is collected (a one-job "collect then
+    * count" variant could pull partitions × cap longs onto the driver
+    * when a ref side has many partitions each under the per-partition
+    * cap); (2) the key collect, which after the count gate is bounded
+    * by maxKeys longs total. The per-partition sentinel stays as a
+    * belt-and-braces bound against a source that returns more rows on
+    * the second scan than the first. The stats pre-gate makes an
+    * obviously table-sized ref skip both jobs. */
   private[graft] def refKeyBitmap(refDf: org.apache.spark.sql.DataFrame,
       refColumn: String,
       maxKeys: Long = RefBitmapMaxKeys,
       maxBytes: Long = RefBitmapMaxBytes): Option[(Long, Array[Long])] = {
     if (!isIntegral(refDf.schema(refColumn).dataType)) return None
-    // free pre-gate so an obviously table-sized ref skips the collect;
+    // free pre-gate so an obviously table-sized ref skips both jobs;
     // 4x slack because a filtered subquery's estimate is rough
     val stats = refDf.queryExecution.optimizedPlan.stats
     val approxRows: BigInt = stats.rowCount.getOrElse(stats.sizeInBytes / 16)
     if (approxRows > BigInt(4L * maxKeys)) return None
     val k = col(refColumn).cast(LongType)
+    val keys = refDf.filter(col(refColumn).isNotNull).select(k.as("k"))
+    // job 1: count/min/max only — nothing row-sized leaves the executors
+    val gateRow = keys.agg(count(col("k")).as("n"),
+      min(col("k")).as("lo"), max(col("k")).as("hi")).head()
+    val n = gateRow.getLong(0)
+    if (n == 0) return Some((0L, Array.empty[Long]))
+    if (n > maxKeys) return None
+    val lo = gateRow.getLong(1)
+    val hi = gateRow.getLong(2)
+    val span = hi - lo + 1 // wraps negative when the true span overflows
+    if (span <= 0 || span > (maxBytes << 3)) return None
+    // job 2: the gated collect — ≤ maxKeys longs total by the count gate
     val cap = maxKeys
-    val parts: Array[Array[Long]] = refDf
-      .filter(col(refColumn).isNotNull).select(k.as("k"))
+    val parts: Array[Array[Long]] = keys
       .queryExecution.toRdd.mapPartitions { it =>
         val b = new scala.collection.mutable.ArrayBuilder.ofLong
-        var n = 0L
-        while (it.hasNext && n <= cap) { b += it.next().getLong(0); n += 1 }
+        var m = 0L
+        while (it.hasNext && m <= cap) { b += it.next().getLong(0); m += 1 }
         // oversize sentinel: null means "this partition alone busts the
         // gate" — the driver bails to the join tier
         Iterator(if (it.hasNext) null else b.result())
       }.collect()
     if (parts.contains(null)) return None
-    var n = 0L
-    var lo = Long.MaxValue
-    var hi = Long.MinValue
-    parts.foreach { arr =>
-      n += arr.length
-      var i = 0
-      while (i < arr.length) {
-        val v = arr(i)
-        if (v < lo) lo = v
-        if (v > hi) hi = v
-        i += 1
-      }
-    }
-    if (n == 0) return Some((0L, Array.empty[Long]))
-    if (n > maxKeys) return None
-    val span = hi - lo + 1 // wraps negative when the true span overflows
-    if (span <= 0 || span > (maxBytes << 3)) return None
+    var seen = 0L
     val words = new Array[Long](((span + 63) >>> 6).toInt)
     parts.foreach { arr =>
+      seen += arr.length
       var i = 0
       while (i < arr.length) {
         val off = arr(i) - lo
+        // a key outside the gated [lo, hi] span (source changed between
+        // the two jobs) would corrupt the bitmap — bail to the join tier
+        if (off < 0 || off >= span) return None
         words((off >>> 6).toInt) |= 1L << (off & 63)
         i += 1
       }
     }
+    if (seen > maxKeys) return None
     Some((lo, words))
   }
 

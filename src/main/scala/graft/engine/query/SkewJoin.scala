@@ -36,6 +36,40 @@ object SkewJoin {
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Gated tier choice (same pattern as FilterAlgebra's bitmap/join
+    * tiers): salt ONLY when the runtime can't manage skew itself.
+    *
+    * With AQE + its skew-join rule enabled, the plain join is strictly
+    * better at every scale: AQE sizes both sides at runtime (no reliance
+    * on optimizer estimates — an Aggregate's pre-CBO sizeInBytes is
+    * child-sized and useless here), broadcasts a small-enough dim (the
+    * big side then never shuffles, so there is NO skewed partition for
+    * salting to fix — the salt explode would only add per-row hash work
+    * and replicate the dim for nothing), and splits genuinely skewed
+    * SMJ/SHJ partitions with small-side replication — which is exactly
+    * what manual salting does, minus the always-paid explode.
+    *
+    * Without AQE skew handling (disabled, or a custom strategy that
+    * bypasses it), fall back to the static broadcast-threshold estimate,
+    * and past that to the salted tier — the conservative side;
+    * correctness is identical in all tiers (pinned in ScaleSpec). */
+  def skewSafeJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    val conf = big.sparkSession.sessionState.conf
+    def flag(k: String) = scala.util.Try(
+      conf.getConfString(k, "true").toBoolean).getOrElse(false)
+    val aqeSkew = flag("spark.sql.adaptive.enabled") &&
+      flag("spark.sql.adaptive.skewJoin.enabled")
+    val threshold = conf.autoBroadcastJoinThreshold
+    // lazy: analyzing `small` standalone is only needed for the static
+    // gate (and logs a spurious unattached-hint warning if `small`
+    // carries a broadcast hint)
+    lazy val sz = small.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (aqeSkew || (threshold > 0 && sz <= threshold))
+      big.join(small, Seq(key), joinType)
+    else saltedJoin(big, small, key, salts, joinType)
+  }
+
   /** Two-phase skew-safe aggregation: partial-aggregate on (key, salt),
     * then final-aggregate on key. For algebraic aggregates (sum/count),
     * this caps any single task's share of a hot key at ~1/salts. Spark's

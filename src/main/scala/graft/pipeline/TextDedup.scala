@@ -244,33 +244,42 @@ object TextDedup {
     // structs instead of ~50-char strings keeps the span text out of the
     // row pipeline entirely (profiled 2.5x on the explode at 18M rows),
     // and array_distinct compares 16-byte values, not strings.
+    // persisted in ARRAY form (one row per doc), not exploded: both
+    // consumers below need the hash arrays — n_spans map-side as size(sp)
+    // and the df aggregation via explode — and the wordGramHashes
+    // projection is the single most expensive map stage (same pattern as
+    // minHashPairs' cached shingle sets). Caching pre-explode holds doc
+    // rows instead of Σ posting-list rows for the same bytes.
     val spans = df.select(col(idCol).as("id"),
       array_distinct(graft.functions.GraftFunctions.wordGramHashes(
         expr(s"split(trim($textCol), ' +')"), n)).as("sp"))
-    // persisted: both aggregations below consume posts, and rebuilding the
-    // span arrays is the single most expensive map stage (same pattern as
-    // minHashPairs' cached shingle sets)
-    val posts = spans.select(col("id"), explode(col("sp")).as("s"))
-      .select(col("id"), col("s.h1").as("h1"), col("s.h2").as("h2"))
       .persist()
-    // ONE span-sized shuffle, no self-join: (id, span) is distinct by
-    // construction (shingles are array_distinct per doc), so a span's
-    // count IS its document frequency, and a df=1 span belongs to exactly
-    // one doc (min(id) = that doc). n_shared = n_spans − unique-span
-    // count; the per-owner rollup after the df=1 filter shuffles ~one row
-    // per (doc, partition) thanks to map-side combine, and n_spans comes
-    // straight from the shingle array size — never exploded. The naive
-    // posts⋈docFreq join-back costs two more full-posts shuffles (13x
-    // DuckDB at 18M rows); this shape is within ~2x.
-    val uniqPerDoc = posts.groupBy("h1", "h2")
+    // n_spans comes straight from the shingle array size — never
+    // exploded, never shuffled. The n_spans > 0 filter keeps the output
+    // row set identical to the posting-list formulation (a doc with no
+    // n-gram never produced a posting row).
+    val docSpans = spans
+      .select(col("id"), size(col("sp")).cast(LongType).as("n_spans"))
+      .filter(col("n_spans") > 0)
+    // ONE span-sized shuffle, no self-join, and exactly ONE pass consumes
+    // the exploded posting list: (id, span) is distinct by construction
+    // (shingles are array_distinct per doc), so a span's count IS its
+    // document frequency, and a df=1 span belongs to exactly one doc
+    // (min(id) = that doc). n_shared = n_spans − unique-span count; the
+    // per-owner rollup after the df=1 filter shuffles ~one row per
+    // (doc, partition) thanks to map-side combine. The naive posts⋈docFreq
+    // join-back costs two more full-posts shuffles (13x DuckDB at 18M
+    // rows), and the round-11 shape spent a second full aggregation over
+    // the exploded frame just to recount n_spans (10.4 s at sf10).
+    val uniqPerDoc = spans.select(col("id"), explode(col("sp")).as("s"))
+      .select(col("id"), col("s.h1").as("h1"), col("s.h2").as("h2"))
+      .groupBy("h1", "h2")
       .agg(count(lit(1)).as("df"), min(col("id")).as("owner"))
       .filter(col("df") === 1)
       .groupBy(col("owner").as("id"))
       .agg(count(lit(1)).cast(LongType).as("n_unique"))
-    // n_spans per doc from the cached posts too (map-side combine makes
-    // this shuffle ~one row per doc per partition)
-    val out = posts.groupBy("id")
-      .agg(count(lit(1)).cast(LongType).as("n_spans"))
+    // doc-count-sized join: both sides are ≤ one row per document
+    val out = docSpans
       .join(uniqPerDoc, Seq("id"), "left")
       .withColumn("n_shared",
         col("n_spans") - coalesce(col("n_unique"), lit(0L)))
@@ -278,7 +287,7 @@ object TextDedup {
         round(col("n_shared").cast(DoubleType) / col("n_spans") + lit(1e-9), 4))
       .select(col("id").as("doc_id"), col("n_spans"), col("n_shared"),
         col("share_ratio"))
-    finalized(out, posts)
+    finalized(out, spans)
   }
 
   /** 64-bit SimHash per document from word tokens (weight = token count),

@@ -421,9 +421,23 @@ final class SqlHttpServer(
           }
         case ("GET", bucket :: Nil) => // ListObjectsV2
           val prefix = query.getOrElse("prefix", "")
-          val objs = files.list(bucket).filter(_.name.startsWith(prefix))
+          // real gateways paginate at 1000 keys (S3 ListObjectsV2
+          // MaxKeys default); emitting IsTruncated/NextContinuationToken
+          // here keeps the loopback IT honest about what a cloud
+          // endpoint returns, and the token is the last key returned
+          // (keys are listed in key order, as S3 does)
+          val maxKeys = query.get("max-keys").flatMap(s =>
+            scala.util.Try(s.toInt).toOption).getOrElse(1000).max(1)
+          val after = query.get("continuation-token")
+          val all = files.list(bucket).filter(_.name.startsWith(prefix))
+            .sortBy(_.name)
+          val fromTok = after.fold(all)(t => all.dropWhile(_.name <= t))
+          val objs = fromTok.take(maxKeys)
+          val truncated = fromTok.size > objs.size
           val xml = new StringBuilder(
-            s"""<?xml version="1.0" encoding="UTF-8"?><ListBucketResult><Name>$bucket</Name><Prefix>$prefix</Prefix><KeyCount>${objs.size}</KeyCount>""")
+            s"""<?xml version="1.0" encoding="UTF-8"?><ListBucketResult><Name>$bucket</Name><Prefix>$prefix</Prefix><KeyCount>${objs.size}</KeyCount><MaxKeys>$maxKeys</MaxKeys><IsTruncated>$truncated</IsTruncated>""")
+          if (truncated) xml.append(
+            s"<NextContinuationToken>${objs.last.name}</NextContinuationToken>")
           objs.foreach(f => xml.append(
             s"<Contents><Key>${f.name}</Key><Size>${f.sizeBytes}</Size><LastModified>${f.createdAt}</LastModified></Contents>"))
           xml.append("</ListBucketResult>")

@@ -102,6 +102,51 @@ class RemoteIOSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  /** S8 loopback, write path: a full df.write.parquet -> spark.read
+    * roundtrip over s3a://. This drives the parts raw fs.create can't:
+    * the FileOutputCommitter's commit (rename emulated as copy+delete),
+    * immediate-children listStatus over the _temporary tree, and —
+    * with fs.s3a.paging.maximum shrunk to 2 — the ListObjectsV2
+    * continuation-token loop (real gateways truncate at 1000 keys; a
+    * single-page listing would silently drop files from the read). */
+  test("S8 loopback: df.write commit + paginated listing over s3a") {
+    val store = new TableStore(spark,
+      new StorageCatalog(Files.createTempDirectory("graft-s3fs-w")))
+    val secret = "s3-loopback-secret"
+    val server = new graft.server.SqlHttpServer(spark, store,
+      apiKey = Some(secret)).start()
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      conf.set("fs.s3a.impl",
+        classOf[graft.engine.imp.S3CompatFileSystem].getName)
+      conf.set("fs.s3a.impl.disable.cache", "true")
+      conf.set("fs.s3a.endpoint", s"http://127.0.0.1:${server.boundPort}/s3")
+      conf.set("fs.s3a.paging.maximum", "2") // force >1 list page
+      RemoteIO.applyCredentials(spark,
+        S3Creds(S3Credentials("graft", secret)))
+      import spark.implicits._
+      val df = (1 to 40).map(i => (i.toLong, s"row_$i")).toDF("id", "name")
+      // 4 partitions -> 4 part files + _SUCCESS: listing needs 3 pages
+      df.repartition(4).write.mode("overwrite")
+        .parquet("s3a://proj/ds.parquet")
+      val back = spark.read.parquet("s3a://proj/ds.parquet")
+      assert(back.count() == 40)
+      assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+        == (1 to 40).map(_.toLong).sum)
+      // the commit left no _temporary residue behind
+      val fs = new org.apache.hadoop.fs.Path("s3a://proj/ds.parquet")
+        .getFileSystem(conf)
+      val names = fs.listStatus(
+        new org.apache.hadoop.fs.Path("s3a://proj/ds.parquet"))
+        .map(_.getPath.getName)
+      assert(names.count(_.endsWith(".parquet")) == 4, names.mkString(","))
+      assert(!names.exists(_.contains("_temporary")), names.mkString(","))
+      // rename contract: a missing source returns false, not an exception
+      assert(!fs.rename(new org.apache.hadoop.fs.Path("s3a://proj/nope"),
+        new org.apache.hadoop.fs.Path("s3a://proj/nope2")))
+    } finally server.stop()
+  }
+
   test("buildFileUrl mirrors the reference's provider cases") {
     assert(buildFileUrl(Provider.S3, "bkt", "dir", "f.csv") == "s3a://bkt/dir/f.csv")
     assert(buildFileUrl(Provider.S3, "bkt", "", "f.csv") == "s3a://bkt/f.csv")

@@ -75,6 +75,27 @@ class ScaleSpec extends SparkSpec {
       SkewJoin.saltedJoin(big, small, "k", salts = 8, joinType = "full_outer"))
   }
 
+  test("skewSafeJoin: plain under AQE skew handling, salted without it") {
+    val big = (1 to 2000).map(i => (if (i <= 1800) 1 else i % 50, i))
+      .toDF("k", "v")
+    val small = (0 to 60).map(i => (i, s"name_$i")).toDF("k", "name")
+    val want = big.join(small, "k").agg(count(lit(1)), sum("v")).collect()(0)
+    // default session: AQE + skew-join on -> plain tier (no salt column
+    // anywhere in the plan; AQE broadcasts/splits from runtime sizes)
+    val plainTier = SkewJoin.skewSafeJoin(big, small, "k", salts = 8)
+    assert(!plainTier.queryExecution.optimizedPlan.toString.contains("__salt"))
+    assert(plainTier.agg(count(lit(1)), sum("v")).collect()(0) == want)
+    // AQE skew handling off + broadcast-sized estimate unavailable:
+    // the salted tier engages, same result
+    withSQLConf(
+      "spark.sql.adaptive.skewJoin.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val saltedTier = SkewJoin.skewSafeJoin(big, small, "k", salts = 8)
+      assert(saltedTier.queryExecution.optimizedPlan.toString.contains("__salt"))
+      assert(saltedTier.agg(count(lit(1)), sum("v")).collect()(0) == want)
+    }
+  }
+
   test("append writes bytes proportional to staging, not table size") {
     val store = new TableStore(spark,
       new StorageCatalog(Files.createTempDirectory("graft-inc")))

@@ -33,4 +33,17 @@ object SparkTestSession {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   def sfDir: String = SparkTestSession.sfDir
+
+  /** Set session confs for the block, restoring priors after (the shared
+    * session makes leaked confs cross-suite poison). */
+  def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val conf = spark.sessionState.conf
+    val priors = pairs.map { case (k, _) =>
+      k -> scala.util.Try(conf.getConfString(k)).toOption }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally priors.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
