@@ -583,11 +583,14 @@ object PipelineQueries {
            |FROM documents GROUP BY source ORDER BY source""".stripMargin
       }),
 
-    // canonical md5 fingerprint (content-addressed dedup key)
+    // canonical md5 fingerprint (content-addressed dedup key); raw rows
+    // range-sorted first so the regexp+md5 kernel runs once, not twice
+    // (the post-projection orderBy's sampling pass re-evaluates it)
     Q("x10_fingerprint",
       (s, dir) => Tables.df(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id"),
+        .repartitionByRange(col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),
       Some("""SELECT doc_id,
              |  md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
@@ -621,10 +624,18 @@ object PipelineQueries {
           lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
           lit(" ip 10.0.0."), (col("doc_id") % 256).cast(StringType)))
         val red = TextAnalysis.redactPii(col("t2"))
-        planted.select(col("doc_id"),
+        // range-exchange the RAW rows by doc_id and sort within
+        // partitions BEFORE the redaction kernel: orderBy placed after
+        // the projection re-evaluates the whole kernel in the range
+        // sampling pass (measured: two ~10 task-s kernel stages instead
+        // of one at sf10). Sampling here touches only doc_id; the
+        // deterministic per-row projection preserves the sorted order,
+        // so the output ordering is identical.
+        planted.repartitionByRange(col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .select(col("doc_id"),
             md5(red.cast(BinaryType)).as("fp_redacted"),
             TextAnalysis.redactionCount(red).as("n_redactions"))
-          .orderBy("doc_id")
       },
       Some {
         val planted =
@@ -902,9 +913,14 @@ object PipelineQueries {
     // intra-document segment repetition (C4-style duplicate-line signal):
     // pure array algebra, '.'-segment splits, exact list-function twin
     Q("x25_segment_repetition",
+      // raw rows range-sorted by doc_id BEFORE the segment kernel (x17's
+      // fix): orderBy after the projection re-ran the whole quadratic
+      // segment-count expression in the range sampling pass
       (s, dir) => TextAnalysis.segmentRepetition(
-          Tables.df(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id"),
+          Tables.df(s, dir, "documents")
+            .repartitionByRange(col("doc_id"))
+            .sortWithinPartitions("doc_id"),
+          "doc_id", "text"),
       Some("""WITH t AS (
              |  SELECT doc_id,
              |    list_filter(string_split(text, '. '), s -> s <> '') AS segs
