@@ -216,4 +216,25 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("nearest_centroid"))
     assert(!plan.contains("max_by"))
   }
+
+  test("expensive projections run ABOVE the ordering exchange (x17 shape)") {
+    // orderBy placed after a kernel projection makes the range
+    // partitioner's sampling job re-evaluate the whole projection; the
+    // round-12 shape exchanges+sorts the raw rows first, so the kernel
+    // must appear only above the rangepartitioning Exchange in the tree
+    val df = Queries.byName("x17_pii_redaction").fn(spark, sfDir)
+    df.collect() // finalize AQE
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val lines = finalPlan.linesIterator.toSeq
+    val kernelAt = lines.indexWhere(_.contains("pii_redact"))
+    val exchangeAt = lines.indexWhere(l =>
+      l.contains("Exchange rangepartitioning"))
+    assert(kernelAt >= 0 && exchangeAt >= 0, finalPlan)
+    // tree prints top-down: the projection (consumer) must sit above
+    // the exchange it consumes
+    assert(kernelAt < exchangeAt,
+      s"pii_redact must be evaluated after the range exchange, " +
+        s"not sampled by it:\n$finalPlan")
+  }
 }
