@@ -57,8 +57,12 @@ object GenBuckets {
   }
 
   /** Write the bucketed copies + spec sidecars under `<dir>/bucketed/`. */
-  def writeLayout(spark: SparkSession, dir: String,
-      numBuckets: Int = 32): Unit =
+  def writeLayout(spark: SparkSession, dirArg: String,
+      numBuckets: Int = 32): Unit = {
+    // option("path", ...) resolves a RELATIVE path against the session's
+    // warehouse dir, not the process cwd — the sidecar write then lands
+    // somewhere else entirely. Absolutize once, up front.
+    val dir = java.nio.file.Paths.get(dirArg).toAbsolutePath.toString
     Layout.foreach { case (table, key) =>
       import java.nio.file.{Files, Paths, StandardCopyOption}
       // a dir that ships without this table (partial fixtures, dedup
@@ -104,6 +108,7 @@ object GenBuckets {
       println(s"bucketed $table by $key into $out")
       }
     }
+  }
 
   private def jsonStr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

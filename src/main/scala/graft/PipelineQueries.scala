@@ -1315,14 +1315,19 @@ object PipelineQueries {
     // oracle is plain GROUP BY/HAVING with a pure-BIGINT threshold.
     Q("x41_hot_tokens",
       (s, dir) => {
-        // explode the raw split and drop empties AFTER — the generate +
-        // filter stay in whole-stage codegen, where the filter(...)
-        // lambda ran interpreted per document (split(trim, ' +') only
-        // yields empties for blank text, so the two are row-identical)
-        val toks = Tables.df(s, dir, "documents")
-          .select(explode(split(trim(col("text")), " +")).as("token"))
-          .filter(col("token") =!= "")
-        Sketches.cmsHeavyHitters(toks, "token", denom = 200).orderBy("key")
+        // doc-local tf FIRST (term_counts kernel, case kept — identical
+        // token set to exploding split(trim, ' +') and dropping empties:
+        // both are the maximal non-space runs), THEN the weighted CMS:
+        // both sketch passes stream one row per (doc, distinct token)
+        // instead of one per token instance, and the split-array
+        // materialization disappears. Output identical — sketch cells
+        // and survivor counts sum the tf weights.
+        val tf = Tables.df(s, dir, "documents")
+          .select(explode(graft.functions.GraftFunctions
+            .termCounts(col("text"), lower = false)))
+          .toDF("token", "tf")
+        Sketches.cmsHeavyHittersWeighted(tf, "token", "tf", denom = 200)
+          .orderBy("key")
       },
       Some("""WITH toks AS (
              |  SELECT t AS key FROM (

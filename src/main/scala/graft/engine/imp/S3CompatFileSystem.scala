@@ -93,15 +93,21 @@ final class S3CompatFileSystem extends FileSystem {
     val dstKey = keyOf(dst)
     if (srcKey.isEmpty) return false
     if (srcKey == dstKey) return true
+    // HDFS contract: renaming onto an existing file returns false, it
+    // never silently overwrites
+    if (listKeys(dstKey).exists(_._1 == dstKey)) return false
     val under = listKeys(srcKey)
-    val toMove: Seq[String] =
-      if (under.exists(_._1 == srcKey)) Seq(srcKey)
-      else under.map(_._1).filter(_.startsWith(s"$srcKey/"))
+    // a zero-byte directory-marker object can coexist with children at
+    // the same key — move the marker AND the children, not just one
+    val toMove: Seq[String] = under.map(_._1).filter(k =>
+      k == srcKey || k.startsWith(s"$srcKey/"))
     if (toMove.isEmpty) return false
     toMove.foreach { k =>
       val target = if (k == srcKey) dstKey else dstKey + k.stripPrefix(srcKey)
       copyObject(k, target)
-      deleteObject(k)
+      if (!deleteObject(k))
+        throw new java.io.IOException(
+          s"rename: DELETE $bucket/$k failed after copy to $target")
     }
     true
   }

@@ -319,7 +319,11 @@ object FilterAlgebra {
         i += 1
       }
     }
-    if (seen > maxKeys) return None
+    // a nondeterministic ref side (sample/limit/rand) can return a
+    // different key set on job 2 than the gate aggregate saw on job 1;
+    // any count drift means the bitmap may not equal the join tier's
+    // semantics — bail rather than silently differ
+    if (seen != n) return None
     Some((lo, words))
   }
 

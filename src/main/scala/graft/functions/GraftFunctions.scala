@@ -49,8 +49,8 @@ object GraftFunctions {
     * first-occurrence-ordered map<term, tf>) in one codegen'd pass —
     * the zero-shuffle form of explode + groupBy(doc, term): a doc's
     * terms never leave the row (parity test in FunctionsSpec). */
-  def termCounts(text: Column): Column =
-    Shim.column(GraftExpressions.TermCounts(Shim.expression(text)))
+  def termCounts(text: Column, lower: Boolean = true): Column =
+    Shim.column(GraftExpressions.TermCounts(Shim.expression(text), lower))
 
   /** O(1) per-row lookup of a driver-built (term -> double) table
     * embedded in the plan; the small-vocabulary fast path of the
@@ -63,6 +63,16 @@ object GraftFunctions {
     * (parity test in FunctionsSpec vs the regexp_replace chain). */
   def piiRedact(text: Column): Column =
     Shim.column(GraftExpressions.PiiRedact(Shim.expression(text)))
+
+  /** GPT-2-style pre-tokenizer match count in one byte scan (parity
+    * fuzz in FunctionsSpec vs the regexp_count it replaces). */
+  def bpeTokenCount(text: Column): Column =
+    Shim.column(GraftExpressions.BpeTokenCount(Shim.expression(text)))
+
+  /** Whitespace token count in one byte scan (parity fuzz in
+    * FunctionsSpec vs the trim+split chain it replaces). */
+  def wsTokenCount(text: Column): Column =
+    Shim.column(GraftExpressions.WsTokenCount(Shim.expression(text)))
 
   /** Packed 64-bit weighted SimHash [lo, hi] of a text column in one
     * codegen'd pass (parity test in FunctionsSpec; replaces a
@@ -297,6 +307,10 @@ object GraftFunctions {
       es => GraftExpressions.QualitySignals(es(0)))
     Shim.registerFunction(spark, "pii_redact",
       es => GraftExpressions.PiiRedact(es(0)))
+    Shim.registerFunction(spark, "bpe_token_count",
+      es => GraftExpressions.BpeTokenCount(es(0)))
+    Shim.registerFunction(spark, "ws_token_count",
+      es => GraftExpressions.WsTokenCount(es(0)))
     Shim.registerFunction(spark, "tokens",
       es => GraftExpressions.Tokens(es(0), lower = false))
     Shim.registerFunction(spark, "chunk_tokens",

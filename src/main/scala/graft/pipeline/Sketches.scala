@@ -237,14 +237,20 @@ object Sketches {
     * total), with the sketch already dropped, plus the exact grand
     * total (free from sketch row 0 — no second scan). */
   private def cmsPrefiltered(df: DataFrame, keyCol: String, denom: Int,
-      depth: Int, width: Int): (DataFrame, Long) = {
+      depth: Int, width: Int,
+      weightCol: Option[String] = None): (DataFrame, Long) = {
     require(depth >= 1 && depth <= 8 && width >= 16, s"cms $depth x $width")
     val spark = df.sparkSession
     import spark.implicits._
     // nulls never enter the sketch (the old md5 kernel null-propagated
     // into a never-true screen); filtering them up front keeps totals
-    // and survivors identical under the null-ignoring xxhash64 below
-    val keys = df.select(col(keyCol).cast(StringType).as("key"))
+    // and survivors identical under the null-ignoring xxhash64 below.
+    // __w = instance multiplicity: 1 for raw instance streams, the
+    // pre-counted weight for (key, weight) inputs — sketch cells and the
+    // grand total sum it, so both forms build the identical sketch.
+    val keys = df.select(col(keyCol).cast(StringType).as("key"),
+        weightCol.map(w => col(w).cast(LongType)).getOrElse(lit(1L))
+          .as("__w"))
       .filter(col(keyCol).isNotNull)
     // all depth probe positions from TWO codegen'd xxhash64 evaluations
     // per key — the (h1 + j·h2) mod width double-hash family, statically
@@ -267,10 +273,10 @@ object Sketches {
     // pass 1: the sketch as a hash aggregate — ≤ depth·width cells cross
     // the wire regardless of input size (map-side partial combine)
     val cells = withHashes(keys)
-      .select(posexplode(array((0 until depth).map(cellCol): _*)))
-      .toDF("r", "c")
+      .select(col("__w"), posexplode(array((0 until depth).map(cellCol): _*)))
+      .toDF("w", "r", "c")
       .groupBy("r", "c")
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("w")).as("n"))
       .collect()
     val sk = Array.fill(depth, width.toInt)(0L)
     cells.foreach(row => sk(row.getInt(0))(row.getInt(1)) = row.getLong(2))
@@ -312,6 +318,24 @@ object Sketches {
     screened
       .groupBy("key")
       .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(denom.toLong) >= lit(total))
+  }
+
+  /** [[cmsHeavyHitters]] over PRE-COUNTED (key, weight) rows — the shape
+    * a doc-local tf kernel produces. Identical output to feeding each key
+    * `weight` times as instances (sketch cells sum weights; the survivor
+    * count is sum(weight)), but both passes stream one row per DISTINCT
+    * key per upstream group instead of one per instance — at corpus
+    * scale the token stream shrinks to the per-document vocabulary
+    * before any hashing happens. */
+  def cmsHeavyHittersWeighted(df: DataFrame, keyCol: String,
+      weightCol: String, denom: Int = 200, depth: Int = 4,
+      width: Int = 2048): DataFrame = {
+    val (screened, total) =
+      cmsPrefiltered(df, keyCol, denom, depth, width, Some(weightCol))
+    screened
+      .groupBy("key")
+      .agg(sum(col("__w")).cast(LongType).as("cnt"))
       .filter(col("cnt") * lit(denom.toLong) >= lit(total))
   }
 

@@ -20,10 +20,13 @@ import org.apache.spark.sql.types._
   */
 object TextAnalysis {
 
-  /** Whitespace token count: runs of non-space in trimmed text. */
+  /** Whitespace token count: runs of non-space in trimmed text — the
+    * native WsTokenCount kernel (one byte scan; exactly
+    * `when(trim = '', 0).otherwise(size(split(trim, " +")))` without the
+    * regex split or the token-array allocation; parity fuzz in
+    * FunctionsSpec). */
   def tokenCount(c: Column): Column =
-    when(trim(c) === "", lit(0L))
-      .otherwise(size(split(trim(c), " +")).cast(LongType))
+    graft.functions.GraftFunctions.wsTokenCount(c)
 
   /** GPT-2-style pre-tokenizer pattern (simplified for cross-engine
     * parity: contraction suffixes, space-prefixed letter runs, digit
@@ -34,9 +37,13 @@ object TextAnalysis {
     "'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
 
   /** BPE-ish subword-budget token count: number of pre-tokenizer matches
-    * (the unit LLM data pipelines meter before byte-pair merges). */
+    * (the unit LLM data pipelines meter before byte-pair merges) — the
+    * native BpeTokenCount byte-scanner kernel, an exact replay of the
+    * regexp_count over [[BpePretokenPattern]] it replaces (that ran the
+    * backtracking automaton per document — the last regex-per-row hot
+    * path; parity fuzz in FunctionsSpec). */
   def bpeTokenCount(c: Column): Column =
-    regexp_count(c, lit(BpePretokenPattern)).cast(LongType)
+    graft.functions.GraftFunctions.bpeTokenCount(c)
 
   /** Count of non-overlapping occurrences of `needle` (left-to-right).
     * Literal `replace`, not regexp_replace: same semantics, no regex
@@ -536,10 +543,15 @@ object TextAnalysis {
       isTarget: Column, buckets: Int = 128,
       salt: String = "dsir"): DataFrame = {
     require(buckets > 0)
+    // doc-local tf FIRST (term_counts kernel — identical token multiset
+    // to exploding split(lower(trim), ' +') and dropping empties), so
+    // the md5 bucket hash runs once per (doc, DISTINCT term), not once
+    // per token instance, and the split-array materialization
+    // disappears — the vocabulary-sized shape that holds at corpus scale
     val toks = df
       .select(col(idCol).as("doc_id"), isTarget.as("is_target"),
-        explode(split(lower(trim(col(textCol))), " +")).as("term"))
-      .filter(col("term") =!= "")
+        explode(graft.functions.GraftFunctions.termCounts(col(textCol))))
+      .toDF("doc_id", "is_target", "term", "w")
     val bucket = pmod(
       conv(substring(md5(concat(lit(salt), col("term"))), 1, 6), 16, 10)
         .cast(LongType), lit(buckets.toLong))
@@ -548,7 +560,7 @@ object TextAnalysis {
     // the cache that explode runs twice per evaluation
     val tf = toks.groupBy(col("doc_id"), col("is_target"),
         bucket.as("bucket"))
-      .agg(count(lit(1)).cast(LongType).as("tf"))
+      .agg(sum(col("w")).cast(LongType).as("tf"))
       .cache()
     val profile = tf.groupBy("bucket").agg(
       sum(when(col("is_target"), col("tf")).otherwise(0L)).as("ct"),

@@ -429,17 +429,25 @@ final class SqlHttpServer(
           val maxKeys = query.get("max-keys").flatMap(s =>
             scala.util.Try(s.toInt).toOption).getOrElse(1000).max(1)
           val after = query.get("continuation-token")
+          // each page re-lists and re-sorts the full bucket, then scans
+          // from the start — O(pages × keys). Acceptable for this test
+          // gateway (buckets are small); a production store would keep a
+          // sorted index and seek to the token instead.
           val all = files.list(bucket).filter(_.name.startsWith(prefix))
             .sortBy(_.name)
           val fromTok = after.fold(all)(t => all.dropWhile(_.name <= t))
           val objs = fromTok.take(maxKeys)
           val truncated = fromTok.size > objs.size
+          // key text must be XML-escaped: a key containing & < > would
+          // otherwise emit malformed XML the s3a client can't parse
+          def esc(s: String): String = s.replace("&", "&amp;")
+            .replace("<", "&lt;").replace(">", "&gt;")
           val xml = new StringBuilder(
-            s"""<?xml version="1.0" encoding="UTF-8"?><ListBucketResult><Name>$bucket</Name><Prefix>$prefix</Prefix><KeyCount>${objs.size}</KeyCount><MaxKeys>$maxKeys</MaxKeys><IsTruncated>$truncated</IsTruncated>""")
+            s"""<?xml version="1.0" encoding="UTF-8"?><ListBucketResult><Name>${esc(bucket)}</Name><Prefix>${esc(prefix)}</Prefix><KeyCount>${objs.size}</KeyCount><MaxKeys>$maxKeys</MaxKeys><IsTruncated>$truncated</IsTruncated>""")
           if (truncated) xml.append(
-            s"<NextContinuationToken>${objs.last.name}</NextContinuationToken>")
+            s"<NextContinuationToken>${esc(objs.last.name)}</NextContinuationToken>")
           objs.foreach(f => xml.append(
-            s"<Contents><Key>${f.name}</Key><Size>${f.sizeBytes}</Size><LastModified>${f.createdAt}</LastModified></Contents>"))
+            s"<Contents><Key>${esc(f.name)}</Key><Size>${f.sizeBytes}</Size><LastModified>${f.createdAt}</LastModified></Contents>"))
           xml.append("</ListBucketResult>")
           val bytes = xml.toString.getBytes(StandardCharsets.UTF_8)
           ex.getResponseHeaders.set("Content-Type", "application/xml")

@@ -1497,8 +1497,11 @@ object GraftExpressions {
     * needs NO exchange at all — at corpus scale the groupBy it replaces
     * shuffled O(corpus tokens). Keys are unique by construction, so a
     * downstream explode is already the deduped tf frame. */
-  def termCountsEval(s: UTF8String): ArrayBasedMapData = {
-    val str = s.toLowerCase.toString
+  def termCountsEval(s: UTF8String): ArrayBasedMapData =
+    termCountsEval(s, true)
+
+  def termCountsEval(s: UTF8String, lower: Boolean): ArrayBasedMapData = {
+    val str = (if (lower) s.toLowerCase else s).toString
     val n = str.length
     val m = new java.util.LinkedHashMap[String, java.lang.Long](16)
     var i = 0
@@ -1527,8 +1530,10 @@ object GraftExpressions {
     new ArrayBasedMapData(new GenericArrayData(k), new GenericArrayData(v))
   }
 
-  /** `term_counts(text) -> map<term, tf>`; see [[termCountsEval]]. */
-  case class TermCounts(child: Expression)
+  /** `term_counts(text) -> map<term, tf>`; see [[termCountsEval]].
+    * `lower = false` keeps case (x41's heavy-hitter tokens are
+    * case-sensitive, matching `split(trim(text), ' +')`). */
+  case class TermCounts(child: Expression, lower: Boolean = true)
       extends UnaryExpression with ExpectsInputTypes {
 
     override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
@@ -1537,12 +1542,12 @@ object GraftExpressions {
     override def prettyName: String = "term_counts"
 
     override def nullSafeEval(s: Any): Any =
-      termCountsEval(s.asInstanceOf[UTF8String])
+      termCountsEval(s.asInstanceOf[UTF8String], lower)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, s => {
         val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
-        s"${ev.value} = $cls.termCountsEval($s);"
+        s"${ev.value} = $cls.termCountsEval($s, $lower);"
       })
 
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
@@ -1609,6 +1614,131 @@ object GraftExpressions {
       nullSafeCodeGen(ctx, ev, s => {
         val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
         s"${ev.value} = $cls.tokensEval($s, $lower);"
+      })
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Static kernel: GPT-2-style pre-tokenizer match count as ONE byte
+    * scan — an exact replay of java.util.regex's leftmost,
+    * first-alternative-wins semantics on
+    * `'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +`
+    * (TextAnalysis.BpePretokenPattern). Every byte position matches one
+    * of the five alternatives, so matches tile the string and the count
+    * is the number of tiles. The character classes are pure-ASCII and
+    * UTF-8 continuation bytes are >= 0x80, so a multi-byte character is
+    * a run of alternative-4 bytes — byte-level and char-level
+    * tokenization agree. Replaces the last regexp-per-row hot path
+    * (x16's regexp_count ran the backtracking automaton per document;
+    * same recipe as the pii_redact scanner). Bit-parity fuzz vs the
+    * regex in FunctionsSpec. */
+  def bpeTokenCountEval(s: UTF8String): Long = {
+    val n = s.numBytes()
+    var i = 0
+    var cnt = 0L
+    while (i < n) {
+      val c = s.getByte(i)
+      var consumed = false
+      // alt 1: '(s|t|re|ve|m|ll|d) — tried first, only at the match start
+      if (c == '\'' && i + 1 < n) {
+        val d = s.getByte(i + 1)
+        if (d == 's' || d == 't' || d == 'm' || d == 'd') {
+          i += 2; consumed = true
+        } else if ((d == 'r' || d == 'v') && i + 2 < n &&
+            s.getByte(i + 2) == 'e') {
+          i += 3; consumed = true
+        } else if (d == 'l' && i + 2 < n && s.getByte(i + 2) == 'l') {
+          i += 3; consumed = true
+        }
+      }
+      if (!consumed) {
+        if (isAlphaB(c)) { // alt 2, no leading space
+          i += 1; while (i < n && isAlphaB(s.getByte(i))) i += 1
+        } else if (isDigitB(c)) { // alt 3, no leading space
+          i += 1; while (i < n && isDigitB(s.getByte(i))) i += 1
+        } else if (c == ' ') {
+          val d = if (i + 1 < n) s.getByte(i + 1) else ' '.toByte
+          if (isAlphaB(d)) { // alt 2 with the optional space
+            i += 2; while (i < n && isAlphaB(s.getByte(i))) i += 1
+          } else if (isDigitB(d)) { // alt 3 with the optional space
+            i += 2; while (i < n && isDigitB(s.getByte(i))) i += 1
+          } else if (d != ' ' && i + 1 < n) { // alt 4 with the space
+            i += 2; while (i < n && isBpeOtherB(s.getByte(i))) i += 1
+          } else { // alt 5: greedy space run
+            i += 1; while (i < n && s.getByte(i) == ' ') i += 1
+          }
+        } else { // alt 4 (includes an apostrophe whose suffix failed)
+          i += 1; while (i < n && isBpeOtherB(s.getByte(i))) i += 1
+        }
+      }
+      cnt += 1
+    }
+    cnt
+  }
+
+  /** alt-4 class `[^A-Za-z0-9 ]`: NOT letter/digit/space — includes
+    * apostrophes (alt 1 is only tried at a match's start position). */
+  @inline private def isBpeOtherB(b: Byte): Boolean =
+    !isAlphaB(b) && !isDigitB(b) && b != ' '
+
+  /** `bpe_token_count(text)` — see [[bpeTokenCountEval]]. */
+  case class BpeTokenCount(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "bpe_token_count"
+
+    override def nullSafeEval(s: Any): Any =
+      java.lang.Long.valueOf(bpeTokenCountEval(s.asInstanceOf[UTF8String]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.bpeTokenCountEval($s);"
+      })
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Static kernel: whitespace token count — the number of maximal runs
+    * of non-space bytes, exactly
+    * `when(trim(c) === "", 0L).otherwise(size(split(trim(c), " +")))`
+    * without the regex split or the token-array allocation: a trimmed
+    * string splits on space runs into exactly its non-space runs (Spark's
+    * split keeps trailing empties, but a trimmed string has none), and
+    * the all-space/empty case counts zero runs, matching the when guard.
+    * 0x20 never occurs inside a UTF-8 multibyte sequence, so the byte
+    * scan is safe. */
+  def wsTokenCountEval(s: UTF8String): Long = {
+    val n = s.numBytes()
+    var i = 0
+    var cnt = 0L
+    var inRun = false
+    while (i < n) {
+      if (s.getByte(i) != ' ') {
+        if (!inRun) { cnt += 1; inRun = true }
+      } else inRun = false
+      i += 1
+    }
+    cnt
+  }
+
+  /** `ws_token_count(text)` — see [[wsTokenCountEval]]. */
+  case class WsTokenCount(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "ws_token_count"
+
+    override def nullSafeEval(s: Any): Any =
+      java.lang.Long.valueOf(wsTokenCountEval(s.asInstanceOf[UTF8String]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.wsTokenCountEval($s);"
       })
 
     override protected def withNewChildInternal(c: Expression) = copy(child = c)

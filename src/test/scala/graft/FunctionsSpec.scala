@@ -326,6 +326,81 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("bpe_token_count byte-scanner parity fuzz vs java.util.regex") {
+    import graft.pipeline.TextAnalysis
+    import org.apache.spark.unsafe.types.UTF8String
+    val p = java.util.regex.Pattern.compile(TextAnalysis.BpePretokenPattern)
+    def regexCount(s: String): Long = {
+      val m = p.matcher(s)
+      var c = 0L
+      while (m.find()) c += 1
+      c
+    }
+    def kernel(s: String): Long =
+      org.apache.spark.sql.graftshim.GraftExpressions
+        .bpeTokenCountEval(UTF8String.fromString(s))
+    // adversarial alphabet: apostrophes + every contraction-suffix letter
+    // (s t r e v m l d), digits, double spaces, punctuation runs,
+    // multi-byte chars that must fold into the [^A-Za-z0-9 ] class
+    val alphabet: Array[String] =
+      "'strevmld aZ09!,.-".map(_.toString).toArray ++
+        Array("  ", "'s", "'ll", "'re", "é", "😀", "'x")
+    val targeted = Seq("", " ", "  ", "a", " a", "a ", "a  b", "a   b",
+      "'s", "'t", "'re", "'ve", "'m", "'ll", "'d", "'", "'r", "'re'",
+      "'l", "'ls", "'status", "don't", "we'll", "it's and they're",
+      "x'", "x's", " 's", " '", "!'s!", "a1b2", " 12 ab", "1 2",
+      "é'é", " é", "!!'s!!", "'''", "''s", "a'd", "' s", "'e", "'v")
+    for (t <- targeted)
+      assert(kernel(t) == regexCount(t), s"targeted <$t>")
+    val rnd = new scala.util.Random(0xb9e17)
+    var k = 0
+    while (k < 30000) {
+      val len = rnd.nextInt(40)
+      val sb = new StringBuilder
+      var j = 0
+      while (j < len) {
+        sb.append(alphabet(rnd.nextInt(alphabet.length)))
+        j += 1
+      }
+      val s = sb.toString
+      assert(kernel(s) == regexCount(s), s"fuzz <$s>")
+      k += 1
+    }
+  }
+
+  test("ws_token_count byte-scanner parity fuzz vs the trim+split chain") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def chain(s: String): Long = {
+      // Spark trim strips 0x20 only, at the true ends of the string (a
+      // regex " +$" would over-trim: Java's $ also matches before a
+      // final \n)
+      var a = 0; var b = s.length
+      while (a < b && s.charAt(a) == ' ') a += 1
+      while (b > a && s.charAt(b - 1) == ' ') b -= 1
+      val t = s.substring(a, b)
+      if (t.isEmpty) 0L else t.split(" +", -1).length.toLong
+    }
+    def kernel(s: String): Long =
+      org.apache.spark.sql.graftshim.GraftExpressions
+        .wsTokenCountEval(UTF8String.fromString(s))
+    val targeted = Seq("", " ", "   ", "a", " a ", "a b", "a  b",
+      "\ta\tb", "a\nb", " \t ", "é  😀", "x ", " x")
+    for (t <- targeted) assert(kernel(t) == chain(t), s"targeted <$t>")
+    val alphabet: Array[String] =
+      "a b\t\n".map(_.toString).toArray ++ Array("  ", "é")
+    val rnd = new scala.util.Random(0x3517)
+    var k = 0
+    while (k < 20000) {
+      val len = rnd.nextInt(30)
+      val sb = new StringBuilder
+      var j = 0
+      while (j < len) { sb.append(alphabet(rnd.nextInt(alphabet.length))); j += 1 }
+      val s = sb.toString
+      assert(kernel(s) == chain(s), s"fuzz <$s>")
+      k += 1
+    }
+  }
+
   test("simhash64 bit-identical to the explode/groupBy SQL formulation") {
     val docs = Tables.df(spark, sfDir, "documents").limit(300)
       .select(col("doc_id").as("id"), col("text"))

@@ -217,24 +217,41 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("max_by"))
   }
 
-  test("expensive projections run ABOVE the ordering exchange (x17 shape)") {
-    // orderBy placed after a kernel projection makes the range
-    // partitioner's sampling job re-evaluate the whole projection; the
-    // round-12 shape exchanges+sorts the raw rows first, so the kernel
-    // must appear only above the rangepartitioning Exchange in the tree
-    val df = Queries.byName("x17_pii_redaction").fn(spark, sfDir)
+  // orderBy placed after a kernel projection makes the range
+  // partitioner's sampling job re-evaluate the whole projection; the
+  // round-12 shape exchanges+sorts the raw rows first, so the kernel
+  // must appear only above the rangepartitioning Exchange in the tree.
+  // All three queries that rely on physical order preservation (Project
+  // above a range exchange + partition-local sort) are pinned here — a
+  // future optimizer/AQE change that reorders any of them must fail.
+  private def assertProjectionAboveRangeExchange(queryName: String,
+      kernelMarker: String): Unit = {
+    val df = Queries.byName(queryName).fn(spark, sfDir)
     df.collect() // finalize AQE
     val finalPlan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     val lines = finalPlan.linesIterator.toSeq
-    val kernelAt = lines.indexWhere(_.contains("pii_redact"))
+    val kernelAt = lines.indexWhere(_.contains(kernelMarker))
     val exchangeAt = lines.indexWhere(l =>
       l.contains("Exchange rangepartitioning"))
     assert(kernelAt >= 0 && exchangeAt >= 0, finalPlan)
     // tree prints top-down: the projection (consumer) must sit above
     // the exchange it consumes
     assert(kernelAt < exchangeAt,
-      s"pii_redact must be evaluated after the range exchange, " +
+      s"$kernelMarker must be evaluated after the range exchange, " +
         s"not sampled by it:\n$finalPlan")
+  }
+
+  test("expensive projections run ABOVE the ordering exchange (x17 shape)") {
+    assertProjectionAboveRangeExchange("x17_pii_redaction", "pii_redact")
+  }
+
+  test("x10's md5 fingerprint runs ABOVE the ordering exchange") {
+    assertProjectionAboveRangeExchange("x10_fingerprint", "regexp_replace")
+  }
+
+  test("x25's segment kernel runs ABOVE the ordering exchange") {
+    assertProjectionAboveRangeExchange("x25_segment_repetition",
+      "array_distinct")
   }
 }

@@ -11,6 +11,27 @@ import graft.engine.imp.RemoteIO._
   * local spool (exercised against a localhost server — no egress). */
 class RemoteIOSpec extends SparkSpec {
 
+  /** The shared session's hadoopConfiguration outlives each test; the
+    * S7/S8 legs set endpoints that die with their servers plus tiny page
+    * sizes and throwaway credentials — snapshot every touched fs.s3a.*
+    * key and restore (or unset) after the body, so later suites never
+    * inherit a dead endpoint or a 2-key page size. */
+  private val S3aKeys = Seq(
+    "fs.s3a.impl", "fs.s3a.impl.disable.cache", "fs.s3a.endpoint",
+    "fs.s3a.paging.maximum", "fs.s3a.path.style.access",
+    "fs.s3a.access.key", "fs.s3a.secret.key", "fs.s3a.session.token",
+    "fs.s3a.endpoint.region", "fs.s3a.aws.credentials.provider")
+
+  private def withS3aConfRestore[A](body: => A): A = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val saved = S3aKeys.map(k => k -> Option(conf.get(k)))
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   /** S8 live-egress integration: opt-in because the sandbox has no
     * network. Point it at ANY S3-compatible endpoint (AWS, MinIO,
     * localstack) and it drives the real s3a connector — credentials
@@ -33,17 +54,19 @@ class RemoteIOSpec extends SparkSpec {
     val creds = RemoteIO.S3Creds(RemoteIO.S3Credentials(
       sys.env("GRAFT_S3_ACCESS_KEY"), sys.env("GRAFT_S3_SECRET_KEY"),
       sys.env.get("GRAFT_S3_REGION"), sys.env.get("GRAFT_S3_TOKEN")))
-    // non-AWS endpoints (MinIO/localstack) need path-style + endpoint
-    sys.env.get("GRAFT_S3_ENDPOINT").foreach { ep =>
-      spark.sparkContext.hadoopConfiguration.set("fs.s3a.endpoint", ep)
-      spark.sparkContext.hadoopConfiguration
-        .set("fs.s3a.path.style.access", "true")
+    withS3aConfRestore {
+      // non-AWS endpoints (MinIO/localstack) need path-style + endpoint
+      sys.env.get("GRAFT_S3_ENDPOINT").foreach { ep =>
+        spark.sparkContext.hadoopConfiguration.set("fs.s3a.endpoint", ep)
+        spark.sparkContext.hadoopConfiguration
+          .set("fs.s3a.path.style.access", "true")
+      }
+      val url = RemoteIO.resolve(spark, RemoteIO.Provider.S3, bucket,
+        fileName = key, creds = creds)
+      assert(url == s"s3a://$bucket/$key")
+      val df = spark.read.option("header", "true").csv(url)
+      assert(df.count() > 0, s"expected rows from $url")
     }
-    val url = RemoteIO.resolve(spark, RemoteIO.Provider.S3, bucket,
-      fileName = key, creds = creds)
-    assert(url == s"s3a://$bucket/$key")
-    val df = spark.read.option("header", "true").csv(url)
-    assert(df.count() > 0, s"expected rows from $url")
   }
 
   /** S8 loopback egress: the minimal S3-protocol FileSystem
@@ -54,6 +77,7 @@ class RemoteIOSpec extends SparkSpec {
     * external egress; the GRAFT_S3_IT spec above remains the opt-in
     * run against a third-party endpoint / the stock connectors. */
   test("S8 loopback: s3a write+read+delete through the S3-compatible server") {
+    withS3aConfRestore {
     val store = new TableStore(spark,
       new StorageCatalog(Files.createTempDirectory("graft-s3fs")))
     val secret = "s3-loopback-secret"
@@ -100,6 +124,7 @@ class RemoteIOSpec extends SparkSpec {
         o.write("a".getBytes); o.close()
       }
     } finally server.stop()
+    }
   }
 
   /** S8 loopback, write path: a full df.write.parquet -> spark.read
@@ -110,6 +135,7 @@ class RemoteIOSpec extends SparkSpec {
     * continuation-token loop (real gateways truncate at 1000 keys; a
     * single-page listing would silently drop files from the read). */
   test("S8 loopback: df.write commit + paginated listing over s3a") {
+    withS3aConfRestore {
     val store = new TableStore(spark,
       new StorageCatalog(Files.createTempDirectory("graft-s3fs-w")))
     val secret = "s3-loopback-secret"
@@ -144,7 +170,16 @@ class RemoteIOSpec extends SparkSpec {
       // rename contract: a missing source returns false, not an exception
       assert(!fs.rename(new org.apache.hadoop.fs.Path("s3a://proj/nope"),
         new org.apache.hadoop.fs.Path("s3a://proj/nope2")))
+      // rename contract: an existing destination object returns false
+      // (never a silent overwrite)
+      val occupied = new org.apache.hadoop.fs.Path("s3a://proj/occupied")
+      val o1 = fs.create(occupied); o1.write("x".getBytes); o1.close()
+      val src2 = new org.apache.hadoop.fs.Path("s3a://proj/src2")
+      val o2 = fs.create(src2); o2.write("y".getBytes); o2.close()
+      assert(!fs.rename(src2, occupied))
+      assert(fs.getFileStatus(src2).getLen == 1) // source untouched
     } finally server.stop()
+    }
   }
 
   test("buildFileUrl mirrors the reference's provider cases") {
@@ -164,6 +199,7 @@ class RemoteIOSpec extends SparkSpec {
   }
 
   test("credentials map to the Hadoop configuration keys") {
+    withS3aConfRestore {
     val conf = spark.sparkContext.hadoopConfiguration
     applyCredentials(spark, S3Creds(S3Credentials(
       "AKFAKE", "SECRETFAKE", Some("eu-west-1"), Some("TOKENFAKE"))))
@@ -179,6 +215,7 @@ class RemoteIOSpec extends SparkSpec {
     assert(conf.get("fs.azure.account.key.acct.blob.core.windows.net") == "azkey")
     applyCredentials(spark, GcsCreds(GcsCredentials("/tmp/key.json")))
     assert(conf.get("google.cloud.auth.service.account.json.keyfile") == "/tmp/key.json")
+    }
   }
 
   test("presigned http staging downloads once to the spool and imports") {
