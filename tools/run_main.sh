@@ -1,0 +1,38 @@
+#!/bin/bash
+# Run a graft main directly from the compiled classes, mirroring the
+# javaOptions in build.sbt (sbt's project lock only allows one sbt at a
+# time; this lets generators/benches run while sbt is busy).
+# Usage: tools/run_main.sh <mainClass> [args...]
+set -e
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+HEAP="${SPARK_DRIVER_MEM:-64g}"
+GC="${SPARK_GRAFT_GC:-UseParallelGC}"
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.nio.ch=ALL-UNNAMED"
+ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.nio.cs=ALL-UNNAMED"
+ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.security.action=ALL-UNNAMED"
+ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+YOUNG=""
+if [ "$GC" = "UseParallelGC" ]; then
+  # half-heap young gen like build.sbt (only handles the Ng form)
+  case "$HEAP" in
+    *g) half_mb=$(( ${HEAP%g} * 1024 / 2 ))
+        if [ "$half_mb" -ge 256 ]; then
+          YOUNG="-Xmn${half_mb}m -XX:-UseAdaptiveSizePolicy"
+        fi ;;
+  esac
+fi
+exec java $ADD_OPENS \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -Xmx"$HEAP" $YOUNG \
+  -XX:+UnlockDiagnosticVMOptions \
+  -XX:GCLockerRetryAllocationCount=100 \
+  -XX:+"$GC" \
+  -XX:ReservedCodeCacheSize="${SPARK_GRAFT_CODECACHE:-1g}" \
+  -cp "$REPO/target/scala-2.13/classes:/opt/spark/jars/*" \
+  "$@"
