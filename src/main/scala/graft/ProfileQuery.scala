@@ -42,18 +42,28 @@ object ProfileQuery {
     spark.sparkContext.setLogLevel("WARN")
 
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // job description per stage (set via setJobDescription in labeled
+    // operators) — the stage callsite alone is useless for multi-job
+    // lifecycle queries like x33/x38
+    val stageDesc = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     var record = false
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val d = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+        e.stageIds.foreach(sid => stageDesc.put(sid, d))
+      }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         if (record) {
           val i = e.stageInfo
           val wall = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3
           val m = i.taskMetrics
           val taskSec = m.executorRunTime / 1e3
+          val desc = Option(stageDesc.get(i.stageId)).getOrElse("")
           stages.add(f"  stage ${i.stageId}%3d wall=${wall}%6.2fs task=${taskSec}%8.1fs " +
             f"cpu=${m.executorCpuTime / 1e9}%7.1fs gc=${m.jvmGCTime / 1e3}%5.1fs " +
             f"shw=${m.shuffleWriteMetrics.writeTime / 1e9}%5.1fs " +
-            f"tasks=${i.numTasks}%4d  ${i.name.takeWhile(_ != '\n').take(60)}")
+            f"tasks=${i.numTasks}%4d  [$desc] ${i.name.takeWhile(_ != '\n').take(40)}")
         }
     })
 

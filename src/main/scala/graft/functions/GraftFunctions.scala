@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.graftshim.{GraftExpressions, Shim}
-import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, ExactPercentiles, HashedDistinctCount, HllBucketRho, HyperplaneSigPacked, Md5Positions, MinHashBandSigs, MinHashSig, NearestCentroid, PqAdcSum, PqAdcTable, PqEncode, RegexpFullMatch, RollingHash, WeightedExactPercentiles, WordGramHashes, WordShingles}
+import org.apache.spark.sql.graftshim.GraftExpressions.{CosineSimilarity, ExactPercentiles, GramIntersectCount, HashedDistinctCount, HllBucketRho, HyperplaneSigPacked, Md5Positions, MinHashBandSigs, MinHashSig, MinHashSigFromGrams, NearestCentroid, PqAdcSum, PqAdcTable, PqEncode, RegexpFullMatch, RollingHash, SigAgreeCount, WeightedExactPercentiles, WordGramHashes, WordShingleHashes, WordShingles}
 
 /** Column/SQL-facing surface of the native expressions (implementations in
   * org.apache.spark.sql.graftshim.GraftExpressions — see SURVEY.md §2.9). */
@@ -170,6 +170,30 @@ object GraftFunctions {
     * FunctionsSpec). */
   def wordGramHashes(toks: Column, k: Int): Column =
     Shim.column(WordGramHashes(Shim.expression(toks), k))
+
+  /** Hashed DISTINCT word n-gram shingles of a text column
+    * (array&lt;struct&lt;h1,h2&gt;&gt;, [[wordShingles]]' tokenization and
+    * distinct order, [[wordGramHashes]]' two-seed convention) — the
+    * compact exact-verify set of the MinHash dedup family. */
+  def wordShingleHashes(text: Column, n: Int): Column =
+    Shim.column(WordShingleHashes(Shim.expression(text), n))
+
+  /** K-wide MinHash signature from [[wordShingleHashes]] rows —
+    * bit-identical to `minHashSig(wordShingles(text, n), k)` (parity
+    * test in FunctionsSpec), no gram strings materialized. */
+  def minHashSigFromGrams(sh: Column, k: Int): Column =
+    Shim.column(MinHashSigFromGrams(Shim.expression(sh), k))
+
+  /** |a ∩ b| of two [[wordShingleHashes]] sets (BIGINT) — equals
+    * `size(array_intersect(a, b))` on distinct inputs (parity test in
+    * FunctionsSpec) without the non-atomic-element slow path. */
+  def gramIntersectCount(a: Column, b: Column): Column =
+    Shim.column(GramIntersectCount(Shim.expression(a), Shim.expression(b)))
+
+  /** Positionwise agreement count of two bigint arrays (BIGINT) — the
+    * MinHash signature screen, previously zip_with+filter+size. */
+  def sigAgreeCount(a: Column, b: Column): Column =
+    Shim.column(SigAgreeCount(Shim.expression(a), Shim.expression(b)))
 
   /** Exact interpolated percentiles over a numeric column (QUANTILE_CONT
     * semantics, identical values to Spark's `percentile`), via the native

@@ -18,7 +18,7 @@ import graft.core.TableStore
   *     Jaccard), connected components, keep the min-id representative per
   *     component;
   *  2. corpus-check — the representatives' band signatures probe the
-  *     index table, which is stored PK-hash-bucketed on `band_sig` so the
+  *     index table, which is stored hash-bucketed on `(band, sig)` so the
   *     probe plans ONLY the buckets this batch's signatures land in
   *     ([[TableStore.readMatchingBuckets]] — bucket ids are collected as
   *     ints, the index data itself never moves unless matched);
@@ -42,13 +42,21 @@ final class IncrementalDedup(store: TableStore, project: String,
     numHashes: Int = 64, bands: Int = 16,
     indexBuckets: Int = 64) {
 
-  /** Corpus schema is fixed: (doc_id BIGINT PK, text STRING). */
+  /** Corpus schema is fixed: (doc_id BIGINT PK, text STRING). The index
+    * holds the banded MinHash rows as the two NUMERIC key columns the
+    * banding produces — (band INT, sig BIGINT) — not the round-13
+    * "band:sig" concat string: every probe/commit exchange, the bucket
+    * hash and the per-bucket write sort then operate on 12 bytes of
+    * fixed-width ints instead of a ~25-char string (§2.3 narrower
+    * types). Same probes, same candidates — (band, sig) equality IS
+    * band_sig equality. */
   def init(): Unit = {
     store.createTable(project, bucket, corpusTable,
       StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType))), Seq("doc_id"))
     store.createTable(project, bucket, indexTable,
-      StructType(Seq(StructField("band_sig", StringType),
+      StructType(Seq(StructField("band", IntegerType),
+        StructField("sig", LongType),
         StructField("doc_id", LongType))))
   }
 
@@ -56,6 +64,8 @@ final class IncrementalDedup(store: TableStore, project: String,
     * corpus. Deterministic for a fixed batch sequence. */
   def ingest(staging0: DataFrame,
       commitSettings: Map[String, String] = Map.empty): Long = {
+    val sc = staging0.sparkSession.sparkContext
+    def phase(p: String): Unit = sc.setJobDescription(s"incdedup: $p")
     val staging = staging0.select(col("doc_id"), col("text"))
 
     // ONE signature pass per batch: sets/sigs/band rows computed here are
@@ -64,11 +74,11 @@ final class IncrementalDedup(store: TableStore, project: String,
     // most expensive projection of the whole ingest
     val art = TextDedup.minHashArtifacts(staging, "doc_id", "text", n,
       numHashes, bands)
-    art.sets.persist()
-    art.sigs.persist()
+    art.base.persist()
 
     // 1. batch-normalize: components over exact-verified in-batch pairs,
     // min-id representative survives (singletons represent themselves)
+    phase("in-batch pairs + components")
     val pairs = TextDedup.minHashPairsFrom(art, threshold, numHashes)
     val reps = staging.join(
       TextDedup.connectedComponents(staging.select("doc_id"), "doc_id", pairs)
@@ -80,16 +90,17 @@ final class IncrementalDedup(store: TableStore, project: String,
     // signatures hash into, then exact-verify candidates against the
     // matched corpus texts. Probe rows = the precomputed band rows cut to
     // the surviving representatives (no recompute).
+    phase("corpus probe")
     val bandRows = art.bands
       .join(reps.select(col("doc_id").as("id")), "id")
-      .select(concat(col("band").cast(StringType), lit(":"),
-        col("sig").cast(StringType)).as("band_sig"),
+      .select(col("band").cast(IntegerType), col("sig"),
         col("id").as("doc_id"))
       .persist()
     val idx = store.readMatchingBuckets(project, bucket, indexTable,
-      bandRows.select("band_sig"))
+      bandRows.select("band", "sig"))
     val candidates = bandRows
-      .join(idx.select(col("band_sig"), col("doc_id").as("old_id")), "band_sig")
+      .join(idx.select(col("band"), col("sig"), col("doc_id").as("old_id")),
+        Seq("band", "sig"))
       .select(col("doc_id").as("new_id"), col("old_id")).distinct()
     val corpus = store.read(project, bucket, corpusTable)
     val dupNew = candidates
@@ -97,12 +108,13 @@ final class IncrementalDedup(store: TableStore, project: String,
         col("k").as("ka")), "new_id")
       .join(corpus.select(col("doc_id").as("old_id"), col("text").as("old_text")),
         "old_id")
-      .withColumn("shb", TextDedup.shingles("old_text", n))
-      .withColumn("common",
-        size(array_intersect(col("sha"), col("shb"))).cast(LongType))
+      .withColumn("shb", TextDedup.shingleHashes("old_text", n))
+      .withColumn("common", graft.functions.GraftFunctions
+        .gramIntersectCount(col("sha"), col("shb")))
       .filter(col("common").cast(DoubleType) /
         (col("ka") + size(col("shb")) - col("common")) >= threshold)
       .select(col("new_id").as("doc_id")).distinct()
+    phase("corpus verify + kept count")
     val kept = reps.join(dupNew, Seq("doc_id"), "left_anti").persist()
     val nKept = kept.count()
 
@@ -113,14 +125,17 @@ final class IncrementalDedup(store: TableStore, project: String,
     // orphans drop out, and the replayed batch re-appends its rows (the
     // candidate set is distinct()-ed, duplicate band rows only fatten
     // the probed buckets). Corpus commit = batch commit.
+    phase("index append")
     store.appendBucketed(project, bucket, indexTable,
       bandRows.join(kept.select("doc_id"), "doc_id")
-        .select("band_sig", "doc_id"),
-      Seq("band_sig"), indexBuckets)
+        .select("band", "sig", "doc_id"),
+      Seq("band", "sig"), indexBuckets)
+    phase("corpus append")
     store.append(project, bucket, corpusTable, kept,
       commitSettings = commitSettings)
+    sc.setJobDescription(null)
 
-    art.sets.unpersist(); art.sigs.unpersist()
+    art.base.unpersist()
     reps.unpersist(); bandRows.unpersist()
     kept.unpersist()
     nKept

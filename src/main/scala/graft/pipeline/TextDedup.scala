@@ -39,12 +39,14 @@ object TextDedup {
       .filter(col("dup_count") > 1)
       .select(col("keep_id"), col("dup_count"))
 
-  /** Distinct shingle sets per doc: (id, sh: array<string>, k: int). */
-  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    df.select(col(idCol).as("id"), shingles(textCol, n).as("sh"))
-      .withColumn("k", size(col("sh")))
-      .filter(col("k") > 0)
+  /** Hashed distinct shingle set of `textCol` — 16 bytes per shingle
+    * (struct&lt;h1,h2&gt;, wordShingles' distinct set under
+    * wordGramHashes' two-seed convention). Set intersections over these
+    * equal the string-set intersections beyond-birthday-safely, so the
+    * dedup verifies carry these through cache and exchange instead of
+    * ~30-char gram strings. */
+  def shingleHashes(textCol: String, n: Int): Column =
+    graft.functions.GraftFunctions.wordShingleHashes(col(textCol), n)
 
   /** All pairs with word-n-gram Jaccard >= threshold, via inverted index.
     *
@@ -88,10 +90,20 @@ object TextDedup {
       // doc-frequency profile AND the index join) — without the cache
       // the explode, the hottest map stage, runs twice
       val cached = posts0.persist()
-      val freq = cached.groupBy("h1", "h2").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= c).select("h1", "h2")
       CacheRelease.register(cached)
-      cached.join(freq, Seq("h1", "h2"))
+      // Drop-side formulation: the cap keeps grams with df <= c, i.e.
+      // drops the OVER-cap grams — and those are few by construction
+      // (ultra-frequent boilerplate), so a LEFT ANTI against them
+      // broadcasts, where the old INNER join against the df <= c
+      // majority (~one row per distinct gram) reshuffled the whole
+      // posting list. On a corpus where no gram exceeds the cap the
+      // anti-join is skipped outright (isEmpty runs the doc-frequency
+      // aggregation that the old plan paid anyway). Identical kept set:
+      // {df <= c} == posts minus {df > c}.
+      val hot = cached.groupBy("h1", "h2").agg(count(lit(1)).as("df"))
+        .filter(col("df") > c).select("h1", "h2")
+      if (hot.isEmpty) cached
+      else cached.join(hot, Seq("h1", "h2"), "left_anti")
     }
     val a = posts.select(col("id").as("a_id"), col("k").as("ka"),
       col("h1"), col("h2"))
@@ -130,31 +142,43 @@ object TextDedup {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
-  /** The shared per-batch MinHash artifacts: distinct shingle sets
-    * (id, sh, k), full signatures (id, sig: array&lt;bigint&gt;) and banded
-    * rows (id, band, sig) — computed ONCE and reused by pair mining AND
-    * index maintenance. Before this existed, [[IncrementalDedup]] ran the
-    * signature chain (the hottest projection of the dedup family) twice
-    * per ingested batch: once inside [[minHashPairs]] and once again for
-    * the probe rows. */
-  final case class MinHashArtifacts(sets: DataFrame, sigs: DataFrame,
-      bands: DataFrame)
+  /** The shared per-batch MinHash artifacts: ONE base frame
+    * (id, sh: array&lt;struct&lt;h1,h2&gt;&gt;, k, sig: array&lt;bigint&gt;)
+    * holding both the hashed exact-verify shingle set and the MinHash
+    * signature, plus banded rows (id, band, sig) — computed ONCE and
+    * reused by pair mining AND index maintenance. Callers persist `base`;
+    * `sets`/`sigs` are projections of it. Before round 14 the base held
+    * the shingle STRINGS, and every verify join shuffled ~30-char gram
+    * strings (34 task-seconds of shuffle write in one x33 stage at
+    * dedup30); the hashed set is 16 bytes per shingle and intersects by
+    * two-long compares. */
+  final case class MinHashArtifacts(base: DataFrame, bands: DataFrame) {
+    /** (id, sh: array<struct<h1,h2>>, k) — hashed distinct shingles. */
+    def sets: DataFrame = base.select(col("id"), col("sh"), col("k"))
+    /** (id, sig: array<bigint>) — the k-wide MinHash signature. */
+    def sigs: DataFrame = base.select(col("id"), col("sig"))
+  }
 
   /** Computes [[MinHashArtifacts]] with the codegen'd native expressions
-    * (GraftExpressions.MinHashSig / MinHashBandSigs) — one fused pass per
-    * doc, no intermediate arrays. Bit-identical to the HOF xxhash64 chain
-    * this file used through round 6 (parity-pinned in FunctionsSpec), so
-    * index rows written by older builds still match probes. */
+    * (WordShingleHashes / MinHashSigFromGrams / MinHashBandSigs) — one
+    * fused pass per doc. Signatures are BIT-IDENTICAL to the string
+    * chain `minHashSig(wordShingles(text, n))` and therefore to the HOF
+    * xxhash64 chain this file used through round 6 (parity-pinned in
+    * FunctionsSpec), so index rows written by older builds still match
+    * probes. */
   def minHashArtifacts(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, bands: Int): MinHashArtifacts = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val sets = shingleSets(df, idCol, textCol, n)
-    val sigs = sets.select(col("id"),
-      graft.functions.GraftFunctions.minHashSig(col("sh"), numHashes).as("sig"))
-    val bandRows = sigs.select(col("id"), posexplode(
+    val base = df
+      .select(col(idCol).as("id"), shingleHashes(textCol, n).as("sh"))
+      .withColumn("k", size(col("sh")))
+      .filter(col("k") > 0)
+      .withColumn("sig",
+        graft.functions.GraftFunctions.minHashSigFromGrams(col("sh"), numHashes))
+    val bandRows = base.select(col("id"), posexplode(
         graft.functions.GraftFunctions.minHashBandSigs(col("sig"), bands)))
       .toDF("id", "band", "sig")
-    MinHashArtifacts(sets, sigs, bandRows)
+    MinHashArtifacts(base, bandRows)
   }
 
   /** Banded MinHash signature rows (id, band, sig) — the LSH bucketing key
@@ -177,12 +201,10 @@ object TextDedup {
   def minHashPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, numHashes: Int = 64, bands: Int = 32): DataFrame = {
     val art = minHashArtifacts(df, idCol, textCol, n, numHashes, bands)
-    art.sets.cache()
-    // the signature frame feeds the band rows AND both sides of the
-    // agreement screen — cache it too (|docs| × k longs, tiny next to sets)
-    art.sigs.cache()
-    finalized(minHashPairsFrom(art, threshold, numHashes),
-      art.sets, art.sigs)
+    // one cache covers the shingle-hash sets, the signatures and the band
+    // rows' input — sets/sigs are projections of it
+    art.base.cache()
+    finalized(minHashPairsFrom(art, threshold, numHashes), art.base)
   }
 
   /** See [[CacheRelease]]: registers this call's caches, releases the
@@ -205,20 +227,24 @@ object TextDedup {
     // cheap screen before the expensive set intersection: the fraction of
     // agreeing signature positions estimates Jaccard (stderr ~ 1/sqrt(k));
     // threshold/2 is >4 sigma below any true pair at k=64, and discards
-    // nearly all of the r=2 band-collision false positives
+    // nearly all of the r=2 band-collision false positives. sigAgreeCount
+    // is the codegen'd form of the zip_with+filter+size chain (which
+    // allocated two boxed arrays per candidate, interpreted).
     val estMin = threshold / 2
     val siga = sigs.select(col("id").as("a_id"), col("sig").as("siga"))
     val sigb = sigs.select(col("id").as("b_id"), col("sig").as("sigb"))
     val candidates = rawCandidates.join(siga, "a_id").join(sigb, "b_id")
-      .filter(expr(
-        s"size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))") >=
-        lit(estMin * numHashes))
+      .filter(graft.functions.GraftFunctions
+        .sigAgreeCount(col("siga"), col("sigb")) >= lit(estMin * numHashes))
       .select("a_id", "b_id")
-    // exact verification on screened candidates only
+    // exact verification on screened candidates only; gramIntersectCount
+    // = size(array_intersect(...)) on the distinct hashed sets without
+    // the non-atomic-element interpreted path
     val sa = sets.select(col("id").as("a_id"), col("sh").as("sha"), col("k").as("ka"))
     val sb = sets.select(col("id").as("b_id"), col("sh").as("shb"), col("k").as("kb"))
     candidates.join(sa, "a_id").join(sb, "b_id")
-      .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast(LongType))
+      .withColumn("common", graft.functions.GraftFunctions
+        .gramIntersectCount(col("sha"), col("shb")))
       .withColumn("jaccard",
         col("common").cast(DoubleType) / (col("ka") + col("kb") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -420,13 +446,17 @@ object TextDedup {
       driverEdgeLimit: Long = 1L << 21): DataFrame = {
     val edges0 = pairs.select(col("a_id").cast(LongType).as("src"),
       col("b_id").cast(LongType).as("dst")).persist()
-    if (edges0.count() <= driverEdgeLimit) {
+    // ONE action decides the path AND fetches the edges: take(limit + 1)
+    // either returns every edge (≤ limit → driver path, same bounded
+    // footprint the old count-then-collect pair had) or overflows into
+    // the iterative path — the separate count() job is gone
+    val collected = {
       val sess = edges0.sparkSession
-      val collected = {
-        import sess.implicits._
-        // typed collect: specialized primitive tuples, not boxed Rows
-        edges0.as[(Long, Long)].collect()
-      }
+      import sess.implicits._
+      // typed take: specialized primitive tuples, not boxed Rows
+      edges0.as[(Long, Long)].take(driverEdgeLimit.toInt + 1)
+    }
+    if (collected.length <= driverEdgeLimit) {
       val labels = driverComponents(collected)
       edges0.unpersist()
       val spark = docs.sparkSession

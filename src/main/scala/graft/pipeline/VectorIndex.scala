@@ -171,13 +171,17 @@ final class VectorIndex(store: TableStore, project: String, bucket: String,
   def ingest(batch: DataFrame,
       commitSettings: Map[String, String] = Map.empty): Long = {
     val b = batch.select(col("vec_id"), col("embedding")).persist()
-    val coded = withCodes(withCell(b)).persist()
+    // the coded frame has exactly ONE consumer (the index append) — a
+    // persist would only add a second materialization pass; the cell
+    // assignment + PQ encode are map-side projections over the cached
+    // batch, cheapest recomputed never
+    val coded = withCodes(withCell(b))
     store.appendBucketed(project, bucket, indexTable,
       coded.select("cell", "vec_id", "codes"), Seq("cell"), indexBuckets)
     store.appendBucketed(project, bucket, corpusTable,
       b, Seq("vec_id"), indexBuckets, commitSettings = commitSettings)
     val n = b.count()
-    b.unpersist(); coded.unpersist()
+    b.unpersist()
     n
   }
 
@@ -243,7 +247,11 @@ final class VectorIndex(store: TableStore, project: String, bucket: String,
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("qv"))
 
-    // nprobe nearest cells per query (round-6, lower cell on ties)
+    // nprobe nearest cells per query (round-6, lower cell on ties).
+    // Persisted: the cell set feeds the index bucket-id collect AND the
+    // probed join of the final plan — query-set-sized (≤ queries·nprobe
+    // rows), but its lineage is a crossJoin + window job pipeline that
+    // used to replay once per consumer.
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(round(col("csim"), 6).desc, col("cell"))
     val qCells = q.crossJoin(cent)
@@ -251,6 +259,7 @@ final class VectorIndex(store: TableStore, project: String, bucket: String,
       .withColumn("crank", row_number().over(wq))
       .filter(col("crank") <= nprobe)
       .select(col("q_id"), col("cell"))
+      .persist()
 
     // probed index rows only: bucket-pruned scan of the inverted file
     val probed = store.readMatchingBuckets(project, bucket, indexTable,
@@ -275,6 +284,11 @@ final class VectorIndex(store: TableStore, project: String, bucket: String,
       // duplicate coded rows (crash-replay orphans, see ingest) must not
       // become duplicate top-k entries
       .distinct()
+      // persisted: the candidate set drives the corpus bucket-id collect
+      // AND the rerank join — without the cache the WHOLE probed-scan +
+      // ADC + window chain executed twice per search (once inside
+      // readMatchingBuckets' collect, once in the final plan)
+      .persist()
 
     // exact rerank on raw embeddings, corpus read bucket-pruned by the
     // candidate ids; ranking identical to bruteForceTopK
@@ -285,9 +299,12 @@ final class VectorIndex(store: TableStore, project: String, bucket: String,
       .withColumn("sim", Similarity.cosine("qv", "cv"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(round(col("sim"), 6).desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w))
+    val out = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("rank").cast(LongType).as("rank"),
         round(col("sim") + lit(1e-9), 4).as("cosine_sim"))
+    // deferred release (the returned plan is lazy — see CacheRelease):
+    // the next pipeline call drops this search's qCells/cand caches
+    CacheRelease.finalized(out, qCells, cand)
   }
 }

@@ -2627,6 +2627,229 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Static kernel: the 128-bit hashes of a text's DISTINCT word n-gram
+    * shingles in one pass — [[WordShingles]]' tokenization and
+    * first-occurrence distinct order, [[WordGramHashes]]' (h1, h2)
+    * convention per gram. Equivalent to
+    * {{{ transform(word_shingles(t, n),
+    *       s -> struct(xxhash64(s), xxhash64(s, 1L))) }}}
+    * (parity test in FunctionsSpec) but each gram string is built and
+    * hashed exactly once and never leaves the kernel: the dedup verify
+    * paths carry 16 bytes per shingle through cache and exchange instead
+    * of the ~30-char gram string. */
+  def wordShingleHashesEval(s: UTF8String, n: Int): ArrayData = {
+    val words = s.trim().toString.split(" +", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    val last = words.length - n
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) {
+      val g = UTF8String.fromString(it.next())
+      val h1 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(g, StringType, 42L)
+      val h2 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(1L, LongType, h1)
+      out(p) = InternalRow(h1, h2)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Hashed distinct word n-gram shingles
+    * (array&lt;struct&lt;h1,h2&gt;&gt;) of a string column — the compact
+    * exact-verify representation of the MinHash dedup family (x3/x33):
+    * set intersections over 128-bit hash pairs equal the string-set
+    * intersections beyond-birthday-safely (the same collision argument
+    * the x2/x18/x39 oracles already accept). */
+  case class WordShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    require(n > 0, "n must be positive")
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(gramStruct, containsNull = false)
+    override def prettyName: String = "word_shingle_hashes"
+
+    override def nullSafeEval(v: Any): Any =
+      wordShingleHashesEval(v.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.wordShingleHashesEval($a, $n);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+      copy(child = newChild)
+  }
+
+  /** Static kernel: |a ∩ b| of two DISTINCT hashed-shingle arrays
+    * ([[WordShingleHashes]] rows) by sort-merge over (h1, h2) — the
+    * exact-verify intersection count without Spark's non-atomic-element
+    * array_intersect path (interpreted ordering comparisons per element
+    * pair) and without materializing the intersection array. Inputs are
+    * distinct per construction, so the count equals
+    * size(array_intersect(a, b)). */
+  def gramIntersectCountEval(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 || m == 0) return 0L
+    def unpack(x: ArrayData, len: Int): (Array[Long], Array[Long]) = {
+      val h1 = new Array[Long](len); val h2 = new Array[Long](len)
+      var i = 0
+      while (i < len) {
+        val r = x.getStruct(i, 2); h1(i) = r.getLong(0); h2(i) = r.getLong(1)
+        i += 1
+      }
+      (h1, h2)
+    }
+    def argsort(h1: Array[Long], h2: Array[Long]): Array[Integer] = {
+      val idx = Array.tabulate[Integer](h1.length)(Integer.valueOf)
+      java.util.Arrays.sort(idx, (x: Integer, y: Integer) => {
+        val c = java.lang.Long.compare(h1(x), h1(y))
+        if (c != 0) c else java.lang.Long.compare(h2(x), h2(y))
+      })
+      idx
+    }
+    val (a1, a2) = unpack(a, n); val (b1, b2) = unpack(b, m)
+    val ia = argsort(a1, a2); val ib = argsort(b1, b2)
+    var i = 0; var j = 0; var common = 0L
+    while (i < n && j < m) {
+      val x = ia(i).intValue(); val y = ib(j).intValue()
+      var c = java.lang.Long.compare(a1(x), b1(y))
+      if (c == 0) c = java.lang.Long.compare(a2(x), b2(y))
+      if (c == 0) { common += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    common
+  }
+
+  /** Intersection size (BIGINT) of two hashed-shingle-set columns. */
+  case class GramIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(gramStruct), ArrayType(gramStruct))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "gram_intersect_count"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      gramIntersectCountEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.gramIntersectCountEval($a, $b);"
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** Static kernel: number of agreeing positions of two equal-length
+    * long arrays — the MinHash signature-agreement screen, previously a
+    * zip_with + filter + size HOF chain that allocated two boxed arrays
+    * per candidate pair and evaluated interpreted. */
+  def sigAgreeCountEval(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var agree = 0L
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) agree += 1
+      i += 1
+    }
+    agree
+  }
+
+  /** Count of positionwise-equal entries of two bigint-array columns. */
+  case class SigAgreeCount(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sig_agree_count"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      sigAgreeCountEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"${ev.value} = $cls.sigAgreeCountEval($a, $b);"
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** Static kernel: k-wide MinHash signature from PRE-HASHED shingles
+    * ([[WordShingleHashes]] rows) — BIT-IDENTICAL to
+    * [[minHashSigEval]] over the same document's shingle strings: h1 of
+    * each gram IS that chain's h0 = xxhash64(gram, 42), the i-seed
+    * s1 = xxhash64(h0) and per-function mins are replayed verbatim, and
+    * an elementwise min is invariant under the distinct step. Signing
+    * from the hashed set skips re-materializing gram strings entirely. */
+  def minHashSigFromGramsEval(sh: ArrayData, k: Int): ArrayData = {
+    val n = sh.numElements()
+    if (n == 0) return null
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h0 = sh.getStruct(j, 2).getLong(0)
+      val s1 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(h0, LongType, 42L)
+      var i = 0
+      while (i < k) {
+        val v = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(i, IntegerType, s1)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** K-wide MinHash signature of a hashed-shingle-array column
+    * ([[WordShingleHashes]] output). Same null contract as
+    * [[MinHashSig]]: empty set → SQL NULL (no signature). */
+  case class MinHashSigFromGrams(child: Expression, k: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    require(k > 0, "k must be positive")
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(gramStruct))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig_grams"
+
+    override def nullSafeEval(v: Any): Any =
+      minHashSigFromGramsEval(v.asInstanceOf[ArrayData], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val cls = "org.apache.spark.sql.graftshim.GraftExpressions"
+        s"""${ev.value} = $cls.minHashSigFromGramsEval($a, $k);
+           |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashSigFromGrams =
+      copy(child = newChild)
+  }
+
   private val md5Local =
     new ThreadLocal[java.security.MessageDigest] {
       override def initialValue(): java.security.MessageDigest =

@@ -44,6 +44,77 @@ class FunctionsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("word_shingle_hashes = xxhash64 two-seed transform of word_shingles") {
+    val n = 3
+    val docs = Tables.df(spark, sfDir, "documents").limit(300)
+      .select(col("text"))
+      .union(Seq("", "   ", "a b", "a b c", " a  b c  d ", "a a a a a")
+        .toDF("text"))
+    // reference: hash each distinct shingle string with the exact
+    // (h1, h2) convention of wordGramHashes (h1 = xxhash64(s, 42),
+    // h2 = xxhash64(s, 1L) = hash(1L, h1))
+    val ref = expr(
+      """transform(native_sh,
+        |  s -> struct(xxhash64(s) AS h1, xxhash64(s, 1L) AS h2))""".stripMargin)
+    val diff = docs
+      .withColumn("native_sh", GraftFunctions.wordShingles(col("text"), n))
+      .withColumn("native", GraftFunctions.wordShingleHashes(col("text"), n))
+      .withColumn("ref", ref)
+      .filter(expr("native != ref"))
+    assert(diff.count() == 0)
+  }
+
+  test("gram_intersect_count = size(array_intersect) on hashed shingle sets") {
+    val n = 3
+    val docs = Tables.df(spark, sfDir, "documents").limit(200)
+      .select(col("doc_id"), col("text"))
+    val sets = docs.select(col("doc_id").as("id"),
+      GraftFunctions.wordShingleHashes(col("text"), n).as("sh"))
+    val a = sets.select(col("id").as("a_id"), col("sh").as("sha"))
+    val b = sets.select(col("id").as("b_id"), col("sh").as("shb"))
+    val pairs = a.crossJoin(b).filter(col("a_id") % 7 === col("b_id") % 7)
+    val diff = pairs
+      .withColumn("native",
+        GraftFunctions.gramIntersectCount(col("sha"), col("shb")))
+      .withColumn("ref", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .filter(col("native") =!= col("ref"))
+    assert(diff.count() == 0)
+  }
+
+  test("sig_agree_count = zip_with/filter/size over signatures") {
+    val k = 64
+    val sigs = Tables.df(spark, sfDir, "documents").limit(200)
+      .filter(size(GraftFunctions.wordShingles(col("text"), 3)) > 0)
+      .select(col("doc_id"),
+        GraftFunctions.minHashSig(GraftFunctions.wordShingles(col("text"), 3), k)
+          .as("sig"))
+    val a = sigs.select(col("doc_id").as("a_id"), col("sig").as("siga"))
+    val b = sigs.select(col("doc_id").as("b_id"), col("sig").as("sigb"))
+    val diff = a.crossJoin(b).filter(col("a_id") % 11 === col("b_id") % 11)
+      .withColumn("native",
+        GraftFunctions.sigAgreeCount(col("siga"), col("sigb")))
+      .withColumn("ref", expr(
+        "size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))").cast("long"))
+      .filter(col("native") =!= col("ref"))
+    assert(diff.count() == 0)
+  }
+
+  test("minhash_sig_grams(word_shingle_hashes) bit-identical to minhash_sig(word_shingles)") {
+    val (n, k) = (3, 64)
+    val docs = Tables.df(spark, sfDir, "documents").limit(300)
+      .select(col("text"))
+      .union(Seq("a b c", " a  b c  d ", "a a a a a", "x y z x y z")
+        .toDF("text"))
+      .filter(size(GraftFunctions.wordShingles(col("text"), n)) > 0)
+    val diff = docs
+      .withColumn("viaStrings",
+        GraftFunctions.minHashSig(GraftFunctions.wordShingles(col("text"), n), k))
+      .withColumn("viaGrams", GraftFunctions.minHashSigFromGrams(
+        GraftFunctions.wordShingleHashes(col("text"), n), k))
+      .filter(expr("viaStrings != viaGrams"))
+    assert(diff.count() == 0)
+  }
+
   test("chunk_tokens bit-identical to the HOF transform/slice chain") {
     val (ct, ov) = (16, 4)
     val stride = ct - ov

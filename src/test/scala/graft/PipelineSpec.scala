@@ -704,8 +704,8 @@ class PipelineSpec extends SparkSpec {
     // the index is a bucketed layout and the probe plans only touched buckets
     val m = Manifest.readFrom(store.catalog.versionDir(
       store.catalog.getTable("p", "b", "idx").get)).get
-    assert(m.isBucketed && m.bucketKeys == Seq("band_sig"))
-    val probe = Seq("0:12345").toDF("band_sig") // arbitrary single key
+    assert(m.isBucketed && m.bucketKeys == Seq("band", "sig"))
+    val probe = Seq((0, 12345L)).toDF("band", "sig") // arbitrary single key
     val scanned = store.readMatchingBuckets("p", "b", "idx", probe)
       .queryExecution.executedPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
