@@ -370,9 +370,11 @@ object Similarity {
       require(dims % m == 0, s"dims $dims not divisible by m=$m subspaces")
       val sub = dims / m
       val codebooks = (0 until m).map { s =>
+        // dim is known here (sub): passing it skips kmeansRefine's
+        // per-call first() probe job — 1 driver job per subspace saved
         kmeansRefine(sample.select(col("vec_id"),
             expr(s"slice(embedding, ${s * sub + 1}, $sub)").as("embedding")),
-          ksub, iters, byL2 = true)
+          ksub, iters, byL2 = true, dimHint = Some(sub))
           .select("cluster_id", "dim", "c").collect()
           .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
           .map { case (cid, rows) =>
@@ -536,7 +538,7 @@ object Similarity {
   }
 
   def kmeansRefine(corpus: DataFrame, k: Int, iters: Int,
-      byL2: Boolean): DataFrame = {
+      byL2: Boolean, dimHint: Option[Int] = None): DataFrame = {
     require(iters >= 1, "kmeansRefine needs at least one iteration")
     val e = corpus.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -550,7 +552,8 @@ object Similarity {
     val l2 = expr(
       """aggregate(zip_with(v, centv, (x, y) -> (x - y) * (x - y)),
         |  CAST(0 AS DOUBLE), (acc, d) -> acc + d)""".stripMargin)
-    val dim = corpus.select(size(col("embedding"))).first().getInt(0)
+    val dim = dimHint.getOrElse(
+      corpus.select(size(col("embedding"))).first().getInt(0))
     val vecSum = org.apache.spark.sql.functions.udaf(new VecSumAgg(dim),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
     var assigned: DataFrame = null
